@@ -1,13 +1,257 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{MapReduceJob, Workloads}
+import graft.operators.{Ann, Dedup, Relational, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+  * extension set) is registered in [[queries]]; everything SQL-expressible
+  * has a DuckDB oracle in [[oracleSql]] with EXACTLY matching column names
+  * and types (the driver sorts columns by name and hash-compares values).
+  *
+  * Numeric discipline: money aggregates go through DECIMAL on both sides so
+  * results are bit-identical regardless of partitioning; float-scored
+  * rankings (ANN) emit rank-only output; window starts are epoch seconds.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
+  /** documents as the (name, contents) pair Dataset the faithful MapReduce
+    * path consumes (name = doc_id rendered as string).
+    */
+  private def docPairs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    graft.sources.Tables.documents(s, dir)
+      .selectExpr("CAST(doc_id AS STRING)", "text").as[(String, String)]
+  }
+
+  private def mrQuery(
+      mapf: (String, String) => Seq[graft.core.KeyValue],
+      reducef: (String, Seq[String]) => String): (SparkSession, String) => DataFrame =
+    (s, dir) => new MapReduceJob(mapf, reducef).runOn(docPairs(s, dir)).toDF()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational operator suite (Spark built-ins; SURVEY §2.3 coverage) ---
+    "q1_agg" -> (Relational.q1Agg _),
+    "q2_filter" -> (Relational.q2Filter _),
+    "q3_join_broadcast" -> (Relational.q3JoinBroadcast _),
+    "q4_join_multi" -> (Relational.q4JoinMulti _),
+    "q5_topk" -> (Relational.q5TopK _),
+    "q6_distinct" -> (Relational.q6Distinct _),
+    "q7_window" -> (Relational.q7Window _),
+    "q8_setops" -> (Relational.q8SetOps _),
+    "q9_semi" -> (Relational.q9Semi _),
+    "q10_anti" -> (Relational.q10Anti _),
+    "q11_scalar" -> (Relational.q11Scalar _),
+    "q12_having" -> (Relational.q12Having _),
+    "q13_rollup" -> (Relational.q13Rollup _),
+    "q14_join_range" -> (Relational.q14JoinRange _),
+    "q15_events_window" -> (Relational.q15EventsWindow _),
+    // --- reference workloads, optimized DataFrame formulations ---
+    "wc" -> (TextOps.wc _),
+    "indexer" -> (TextOps.indexer _),
+    "nocrash_meta" -> (TextOps.nocrashMeta _),
+    // --- reference workloads, faithful MapReduceJob path (holistic reduce) ---
+    "mr_wc" -> mrQuery(Workloads.wcMap, Workloads.wcReduce),
+    "mr_indexer" -> mrQuery(Workloads.indexerMap, Workloads.indexerReduce),
+    "mr_nocrash" -> mrQuery(Workloads.nocrashMap, Workloads.nocrashReduce),
+    // --- text analysis ---
+    "text_stats" -> (TextOps.textStats _),
+    "text_tokens" -> (TextOps.textTokens _),
+    "text_fingerprint" -> (TextOps.textFingerprint _),
+    "text_fingerprint_poly" -> (TextOps.textFingerprintPoly _),
+    "text_langid" -> (TextOps.textLangId _),
+    // --- deduplication ---
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_exact_dups" -> (Dedup.exactDups _),
+    "dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.minhash(s, d)),
+    "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "dedup_simhash" -> (Dedup.simhashSigs _),
+    "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    // --- similarity search ---
+    "ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
+    "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
+    "dedup_embed" -> ((s: SparkSession, d: String) => Ann.embedNearDup(s, d)),
+  )
+
+  // DuckDB money discipline: exact DECIMAL accumulation, DOUBLE at the end —
+  // mirrors the Spark side so hashes match bit-for-bit.
+  private val extPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
+  private val discount = "CAST(l_discount AS DECIMAL(18,2))"
+  private val discPrice = s"$extPrice * (CAST(1 AS DECIMAL(18,2)) - $discount)"
+
+  private val tokenized =
+    "SELECT unnest(string_split_regex(text, '[^\\p{L}]+')) AS word FROM documents"
+  private val docWords =
+    "SELECT DISTINCT doc, word FROM (SELECT CAST(doc_id AS VARCHAR) AS doc, " +
+      "unnest(string_split_regex(text, '[^\\p{L}]+')) AS word FROM documents) u WHERE word <> ''"
+  private val shingled =
+    "SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN " +
+      "list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
+      "ELSE [array_to_string(toks, ' ')] END) AS sh FROM " +
+      "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents) d"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         | CAST(sum($extPrice) AS DOUBLE) AS sum_base_price,
+         | CAST(sum($discPrice) AS DOUBLE) AS sum_disc_price,
+         | count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45""".stripMargin,
+    "q3_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment""".stripMargin,
+    "q4_join_multi" ->
+      s"""SELECT n_name, CAST(sum($discPrice) AS DOUBLE) AS revenue, count(*) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
+    "q5_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q6_distinct" ->
+      "SELECT count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders FROM orders",
+    "q7_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+        |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        | FROM orders) t WHERE rnk <= 2""".stripMargin,
+    "q8_setops" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |EXCEPT SELECT o_custkey FROM orders""".stripMargin,
+    "q9_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q10_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q11_scalar" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS oyear,
+        | CAST(month(o_orderdate) AS INTEGER) AS omonth,
+        | upper(o_orderstatus) AS status_u,
+        | CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+        | substring(o_orderpriority, 1, 1) AS prio_1,
+        | CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS bucket
+        |FROM orders""".stripMargin,
+    "q12_having" ->
+      """SELECT l_suppkey, sum(l_quantity) AS total_qty, count(*) AS n_lines
+        |FROM lineitem GROUP BY l_suppkey HAVING count(*) > 50""".stripMargin,
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q14_join_range" ->
+      """SELECT o_orderpriority, count(*) AS late_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q15_events_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS wstart,
+        | event_type, count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "wc" ->
+      s"SELECT word, count(*) AS cnt FROM ($tokenized) t WHERE word <> '' GROUP BY word",
+    "indexer" ->
+      s"""SELECT word, count(*) AS n_docs, string_agg(doc, ',' ORDER BY doc) AS docs
+         |FROM ($docWords) t GROUP BY word""".stripMargin,
+    "nocrash_meta" ->
+      """SELECT key, string_agg(value, ' ' ORDER BY value) AS value FROM (
+        | SELECT 'a' AS key, CAST(source AS VARCHAR) AS value FROM documents
+        | UNION ALL SELECT 'b', CAST(length(source) AS VARCHAR) FROM documents
+        | UNION ALL SELECT 'c', CAST(n_chars AS VARCHAR) FROM documents
+        | UNION ALL SELECT 'd', 'xyzzy' FROM documents) t GROUP BY key""".stripMargin,
+    "mr_wc" ->
+      s"""SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
+         |FROM ($tokenized) t WHERE word <> '' GROUP BY word""".stripMargin,
+    "mr_indexer" ->
+      s"""SELECT word AS key,
+         | CAST(count(*) AS VARCHAR) || ' ' || string_agg(doc, ',' ORDER BY doc) AS value
+         |FROM ($docWords) t GROUP BY word""".stripMargin,
+    "mr_nocrash" ->
+      """SELECT key, string_agg(value, ' ' ORDER BY value) AS value FROM (
+        | SELECT 'a' AS key, CAST(doc_id AS VARCHAR) AS value FROM documents
+        | UNION ALL SELECT 'b', CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) FROM documents
+        | UNION ALL SELECT 'c', CAST(length(text) AS VARCHAR) FROM documents
+        | UNION ALL SELECT 'd', 'xyzzy' FROM documents) t GROUP BY key""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS INTEGER) AS n_chars2,
+        | CAST(len(toks) AS INTEGER) AS n_tokens,
+        | CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+        | CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE)
+        |   / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+        | CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS chars_per_token
+        |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM documents) t""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+        | CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS INTEGER) AS n_ws_tokens
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(text) AS md5_fp, sha256(text) AS sha256_fp FROM documents",
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang AS label_lang,
+        |  string_split_regex(lower(text), '[^\p{L}]+') AS toks FROM documents),
+        |s AS (
+        | SELECT doc_id, label_lang, 'de' AS cand,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS score FROM t
+        | UNION ALL SELECT doc_id, label_lang, 'en',
+        |  len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) FROM t
+        | UNION ALL SELECT doc_id, label_lang, 'es',
+        |  len(list_filter(toks, x -> x IN ('el','la','los','y','es'))) FROM t
+        | UNION ALL SELECT doc_id, label_lang, 'fr',
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) FROM t
+        | UNION ALL SELECT doc_id, label_lang, 'zh',
+        |  len(list_filter(toks, x -> x IN ('的','是','了','在','和'))) FROM t)
+        |SELECT doc_id, label_lang, cand AS pred_lang, CAST(score AS INTEGER) AS marker_hits
+        |FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn FROM s) r
+        |WHERE rn = 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_exact_dups" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) HAVING count(*) > 1""".stripMargin,
+    "dedup_minhash" ->
+      s"""SELECT doc1, doc2, jaccard FROM (
+         | SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+         |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         | FROM ($shingled) a, ($shingled) b WHERE a.doc_id < b.doc_id) p
+         |WHERE jaccard >= 0.5""".stripMargin,
+    "dedup_ngram" ->
+      """SELECT doc1, doc2, jaccard FROM (
+        | SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |  CAST(len(list_distinct(list_intersect(a.toks, b.toks))) AS DOUBLE)
+        |   / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jaccard
+        | FROM (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents) a,
+        |      (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents) b
+        | WHERE a.doc_id < b.doc_id) p
+        |WHERE jaccard >= 0.9""".stripMargin,
+    "ann_brute" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec FROM c WHERE vec_id < 8)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS "rank" FROM (
+        | SELECT q.query_id, c.vec_id AS neighbor_id, row_number() OVER (
+        |  PARTITION BY q.query_id
+        |  ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id ASC) AS rnk
+        | FROM c, q WHERE c.vec_id <> q.query_id) t WHERE rnk <= 10""".stripMargin,
+    // no oracle (not ANSI-SQL-expressible): text_fingerprint_poly (wraparound
+    // int64), dedup_simhash / dedup_simhash_pairs (xxhash64), ann_lsh /
+    // dedup_embed (LSH bucket structure) — driver records rows-only checks.
+  )
 }

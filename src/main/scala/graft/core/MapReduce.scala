@@ -68,6 +68,15 @@ final class MapReduceJob(
     reduce(spark, mapped)
   }
 
+  /** Run over an arbitrary (name, contents) pair Dataset — the bridge from
+    * columnar sources (e.g. the `documents` parquet table) into the faithful
+    * MapReduce dataflow. Same shuffle/reduce as [[run]].
+    */
+  def runOn(pairs: Dataset[(String, String)]): Dataset[KeyValue] = {
+    import pairs.sparkSession.implicits._
+    reduce(pairs.sparkSession, pairs.flatMap { case (n, c) => mapf(n, c) })
+  }
+
   /** Shuffle + holistic reduce, shared by both input paths. */
   def reduce(spark: SparkSession, mapped: Dataset[KeyValue]): Dataset[KeyValue] = {
     import spark.implicits._
@@ -92,13 +101,27 @@ final class MapReduceJob(
 }
 
 object MapReduceJob {
-  /** Render a result in the reference's output format: `"key value"` text
-    * lines (`src/mr/worker.go:218`), sorted — the harness compares the sorted
-    * union of partitions (`src/main/test-mr.sh:59-60`).
+  /** TEST-ONLY golden-compare helper: render a result as the reference's
+    * `"key value"` text lines (`src/mr/worker.go:218`), sorted on the driver —
+    * the harness compares the sorted union of partitions
+    * (`src/main/test-mr.sh:59-60`). Collects to the driver by design; the
+    * production sorted sink is [[writeSortedText]].
     */
   def toOutputLines(ds: Dataset[KeyValue]): Seq[String] = {
     import ds.sparkSession.implicits._
     ds.map(kv => s"${kv.key} ${kv.value}").collect().sorted.toSeq
+  }
+
+  /** Distributed sorted text sink: global range-partitioned `orderBy` then
+    * text write — files concatenate to the totally-ordered output without any
+    * driver-side collect (the 100 TB path; replaces the reference's external
+    * `sort mr-out*`, `src/main/test-mr.sh:59`).
+    */
+  def writeSortedText(ds: Dataset[KeyValue], path: String): Unit = {
+    import ds.sparkSession.implicits._
+    ds.orderBy("key", "value")
+      .map(kv => s"${kv.key} ${kv.value}")
+      .write.mode("overwrite").text(path)
   }
 
   /** Write the `mr-out` text sink (one file tree, atomic via Spark's output

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (`embedding: array<float>`).
+  *
+  * Two paths, same scoring:
+  *   - [[bruteTopK]]: exact top-k by cosine — the small-query-set baseline.
+  *     The query side is a broadcast (a handful of vectors), the corpus side
+  *     is one scan; per-query ranking is a windowed top-k. No corpus×corpus
+  *     cartesian ever.
+  *   - [[lshTopK]]: random-hyperplane LSH — corpus is bucketed by a sign
+  *     pattern; queries probe their own bucket plus all Hamming-1 neighbors
+  *     (multiprobe), so at 100 TB each query touches ~ (1+nbits)/2^nbits of
+  *     the corpus instead of all of it. Recall vs brute is asserted in tests.
+  *
+  * Scoring is done in double precision with a sequential fold (functions.
+  * aggregate over zip_with), deterministic across partitionings.
+  */
+object Ann {
+
+  /** Cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("vec"))
+
+  /** ann_brute — exact cosine top-k for the query vectors (vec_id < nQueries)
+    * against the whole corpus. Query side broadcast; one corpus scan. Output
+    * is rank-only (no float score column) so the oracle compare is immune to
+    * bit-level summation-order differences — ranks agree as long as no two
+    * corpus scores tie within float ULPs, which tests assert.
+    */
+  def bruteTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val c = corpus(s, dir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Number of LSH hyperplanes (bucket = nbits-bit sign pattern). */
+  val NBits = 12
+
+  /** Deterministic pseudo-random hyperplanes via splitmix64 — reproducible
+    * across sessions with no RNG state (Date/Math.random-free by design).
+    */
+  def hyperplanes(dim: Int, nbits: Int = NBits, seed: Long = 42L): Array[Array[Double]] = {
+    var state = seed
+    def next(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.fill(nbits, dim)(next().toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Sign-pattern bucket id of a vector column against the hyperplanes. */
+  def bucketCol(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lits = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(vec, lits, (x, y) => x * y), lit(0.0), (a, v) => a + v)
+      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** ann_lsh — bucketed ANN: corpus hashed once to buckets; each query probes
+    * its bucket + Hamming-1 neighbors; cosine + top-k within the probed set.
+    */
+  def lshTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val dim = 64 // embeddings fixture dimension (TESTDATA.md)
+    val planes = hyperplanes(dim)
+    val c = corpus(s, dir).withColumn("bucket", bucketCol(col("vec"), planes))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("bucket").as("qb"))
+      // multiprobe: own bucket + flip each single bit
+      .withColumn("bucket", explode(array(
+        col("qb") +: (0 until NBits).map(b => col("qb").bitwiseXOR(shiftleft(lit(1L), b))): _*)))
+      .select("query_id", "qvec", "bucket")
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("score"), 4).as("score4"))
+  }
+
+  /** dedup_embed — embedding-cosine near-duplicate pairs: LSH-bucket equi-join
+    * (same-bucket pairs only), cosine ≥ threshold. The embedding-space
+    * sibling of Dedup.minhash; no all-pairs.
+    */
+  def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.98): DataFrame = {
+    val planes = hyperplanes(64)
+    val c = corpus(s, dir).withColumn("bucket", bucketCol(col("vec"), planes))
+    val l = c.select(col("bucket"), col("vec_id").as("id1"), col("vec").as("v1"))
+    val r = c.select(col("bucket"), col("vec_id").as("id2"), col("vec").as("v2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos4"))
+      .distinct()
+  }
+}

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Relational operator suite over the TPC-H-ish fixture tables.
+  *
+  * The reference engine has no joins/windows/set-ops of its own (SURVEY.md
+  * §2.3 records their absence); this layer is the Spark-built-in coverage the
+  * blueprint prescribes — every query is a declarative DataFrame plan so
+  * Catalyst supplies pushdown, pruning, join selection and AQE.
+  *
+  * Numeric discipline for oracle hash-parity (driver compares against DuckDB
+  * at sf0.01): money sums go through DECIMAL (exact, order-insensitive) and
+  * are cast back to DOUBLE at the end, so Spark and DuckDB produce the exact
+  * same bits regardless of partitioning/accumulation order. Raw-double sums
+  * are only used where the addends are integral (l_quantity).
+  */
+object Relational {
+
+  private val money = DecimalType(18, 2)
+
+  /** q1_agg — TPC-H Q1-style pricing summary: scan-heavy group-by with
+    * partial aggregation (map-side combine is automatic for these
+    * declarative aggs). 100 TB: single shuffle on a 6-value grouping key.
+    */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum(col("l_extendedprice").cast(money)).cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice").cast(money) * (lit(1).cast(money) - col("l_discount").cast(money)))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** q2_filter — predicate + projection; both must reach the parquet scan
+    * (PushedFilters + 4-column ReadSchema).
+    */
+  def q2Filter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  /** q3_join_broadcast — fact⋈dim with an explicit broadcast of the dim side
+    * (customer is always the small side at any SF vs orders).
+    */
+  def q3JoinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(money)).cast("double").as("revenue"))
+
+  /** q4_join_multi — TPC-H Q5-style snowflake join: lineitem⋈orders⋈customer
+    * ⋈nation⋈region, dims broadcast, one shuffle for the fact-fact join keyed
+    * on orderkey. AQE reorders/skew-splits at runtime.
+    */
+  def q4JoinMulti(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select("c_custkey", "n_name")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(col("l_extendedprice").cast(money) * (lit(1).cast(money) - col("l_discount").cast(money)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** q5_topk — global top-k: Spark plans TakeOrderedAndProject (no full
+    * sort/shuffle of the table). Deterministic tiebreak on orderkey.
+    */
+  def q5TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(10)
+
+  /** q6_distinct — distinct aggregation (expand + two-phase agg). */
+  def q6Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+
+  /** q7_window — ranking window per customer; single shuffle on the
+    * partition key, deterministic ORDER BY tiebreak.
+    */
+  def q7Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+  }
+
+  /** q8_setops — EXCEPT (rich customers with no orders also covered by
+    * q10's anti join; this exercises the set-op path: aggregate-based
+    * distinct except).
+    */
+  def q8SetOps(s: SparkSession, dir: String): DataFrame = {
+    val rich = Tables.customer(s, dir).filter(col("c_acctbal") > 5000).select("c_custkey")
+    val withOrders = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+    rich.except(withOrders)
+  }
+
+  /** q9_semi — left semi join (customers having ≥1 order). */
+  def q9Semi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+
+  /** q10_anti — left anti join (customers with no orders). */
+  def q10Anti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** q11_scalar — scalar-function coverage (date extract, string ops,
+    * CASE). All codegen'd builtins; stays inside one WholeStageCodegen.
+    */
+  def q11Scalar(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("oyear"),
+        month(col("o_orderdate")).as("omonth"),
+        upper(col("o_orderstatus")).as("status_u"),
+        length(col("o_orderpriority")).as("prio_len"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_1"),
+        when(col("o_totalprice") > 100000, "big").otherwise("small").as("bucket"))
+
+  /** q12_having — group-by with post-aggregation predicate. */
+  def q12Having(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_suppkey")
+      .agg(sum("l_quantity").as("total_qty"), count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") > 50)
+
+  /** q13_rollup — hierarchical aggregate (GROUPING SETS expansion). */
+  def q13Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+
+  /** q14_join_range — non-equi predicate alongside the equi key: order line
+    * shipped more than 90 days after the order date. Equi part drives the
+    * shuffle; the range predicate is post-join filter (no cartesian).
+    */
+  def q14JoinRange(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("late_lines"))
+
+  /** q15_events_window — tumbling 1-hour event-time window over the events
+    * table (the batch shape of the Structured Streaming windowed agg; the
+    * streaming variant shares this plan via readStream in graft.streaming).
+    * Window start is emitted as epoch seconds (bigint) so the oracle compare
+    * is timezone-representation-proof; aggregates are count/min/max — exact,
+    * order-insensitive on doubles.
+    */
+  def q15EventsWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("value").as("min_value"),
+        max("value").as("max_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("wstart"),
+        col("event_type"), col("n_events"), col("min_value"), col("max_value"))
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The reference's MapReduce query workloads re-expressed as declarative
+  * DataFrame plans over the `documents` fixture table, plus the text-analysis
+  * operators of a training-data pipeline (quality stats, token counts,
+  * fingerprints, language ID).
+  *
+  * These are the *optimized formulations* (SURVEY.md §7.2 step 4): where the
+  * faithful `MapReduceJob` path shuffles every (word,"1") pair — matching the
+  * reference's no-combiner dataflow (`src/mr/worker.go:123-131`) — these use
+  * `explode`/`groupBy`/`agg` so Spark inserts partial aggregation and keeps
+  * everything in WholeStageCodegen. Equality of the two paths is asserted in
+  * the test suite.
+  */
+object TextOps {
+
+  /** Tokenizer shared by wc/indexer: split on non-letter runs, exactly the
+    * reference's `FieldsFunc(!unicode.IsLetter)` (`src/mrapps/wc.go:21-39`).
+    * `\p{L}` matches Go's letter table for the BMP text in play.
+    */
+  private def tokens(c: org.apache.spark.sql.Column) =
+    filter(split(c, "[^\\p{L}]+"), t => t =!= "")
+
+  /** wc — word count over documents.text (reference `src/mrapps/wc.go`).
+    * explode → two-phase hash agg; at 100 TB this is one shuffle keyed on
+    * word with map-side combine (vs the reference shuffling every pair).
+    */
+  def wc(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** indexer — inverted index (reference `src/mrapps/indexer.go:20-39`):
+    * per-document DISTINCT words, then per word the doc count and the
+    * lexically-sorted comma-joined doc list (matching the reference's
+    * `sort.Strings` on stringified doc ids).
+    */
+  def indexer(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("string").as("doc"),
+        explode(array_distinct(tokens(col("text")))).as("word"))
+      .groupBy("word")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_list(col("doc")))).as("docs"))
+
+  /** nocrash_meta — the metadata-aggregation workload (reference
+    * `src/mrapps/nocrash.go:26-47`) over documents: 4 fixed keys, values
+    * sorted and space-joined. a=source, b=len(source), c=n_chars, d=const.
+    */
+  def nocrashMeta(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val pairs = d.select(lit("a").as("key"), col("source").cast("string").as("value"))
+      .unionAll(d.select(lit("b").as("key"), length(col("source")).cast("string").as("value")))
+      .unionAll(d.select(lit("c").as("key"), col("n_chars").cast("string").as("value")))
+      .unionAll(d.select(lit("d").as("key"), lit("xyzzy").as("value")))
+    pairs.groupBy("key")
+      .agg(concat_ws(" ", sort_array(collect_list(col("value")))).as("value"))
+  }
+
+  /** text_stats — per-document quality metrics: char count, token count,
+    * distinct-token count, stopword ratio, mean token length. All
+    * array-function builtins (no UDF), so the whole plan is codegen'd.
+    */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val stopwords = Seq("the", "a")
+    Tables.documents(s, dir)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars2"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        (size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("double") /
+          size(col("toks")).cast("double")).as("stopword_ratio"),
+        (length(col("text")).cast("double") / size(col("toks")).cast("double"))
+          .as("chars_per_token"))
+  }
+
+  /** text_tokens — BPE-ish token counting: word pieces + standalone
+    * punctuation, the pre-tokenization regex shape most BPE vocabularies use.
+    */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .as("n_bpe_tokens"),
+        size(filter(split(trim(col("text")), "\\s+"), t => t =!= "")).as("n_ws_tokens"))
+
+  /** text_fingerprint — md5 content fingerprint per document (the
+    * oracle-comparable half; the rolling hash lives in
+    * [[textFingerprintPoly]] because 64-bit wraparound arithmetic is not
+    * expressible in ANSI SQL's checked integers).
+    */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("md5_fp"),
+        sha2(col("text"), 256).as("sha256_fp"))
+
+  /** text_fingerprint_poly — 64-bit polynomial rolling hash (Karp–Rabin
+    * style) per document, computed by a typed map — the building block for
+    * shingle hashing in Dedup. Not SQL-oracle-able (wraparound semantics).
+    */
+  def textFingerprintPoly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, rollingHash64(text)) }
+      .toDF("doc_id", "poly_fp")
+  }
+
+  /** 64-bit polynomial rolling hash over UTF-16 code units (base 257, natural
+    * overflow wrap) — deterministic across JVMs.
+    */
+  def rollingHash64(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 257L + s.charAt(i).toLong; i += 1 }
+    h
+  }
+
+  /** Stopword profiles for the n-gram/function-word language-ID heuristic.
+    * Tiny on purpose: broadcast as a literal map into the expression.
+    */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** text_langid — function-word-frequency language ID: score each language
+    * by marker-token hits, argmax with deterministic tiebreak (lexicographic
+    * lang code). One pass, no shuffle, no UDF.
+    *
+    * On this synthetic corpus (shared English-ish vocabulary for every lang
+    * label) the interesting property is determinism + plumbing, not accuracy;
+    * the accuracy test in the suite uses real multilingual snippets.
+    */
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    // \p{L} includes Han ideographs (general category Lo), so the zh markers
+    // tokenize correctly without a script class.
+    val toks = split(lower(col("text")), "[^\\p{L}]+")
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        size(filter(toks, t => t.isin(markers: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // array_max on (score, lang) structs: max score, ties broken by the
+    // lexically GREATEST lang; invert by sorting desc on score then taking
+    // element_at(..., 1) after sort_array on (negated score, lang).
+    val best = element_at(
+      sort_array(array(scored.map(st =>
+        struct((-st.getField("score")).as("neg"), st.getField("lang").as("lang"))): _*)), 1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("label_lang"),
+        best.getField("lang").as("pred_lang"),
+        (-best.getField("neg")).as("marker_hits"))
+  }
+}

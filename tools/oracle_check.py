@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query output
+dumped by graft.Verify, run the corresponding oracle SQL in DuckDB over the
+same sf tables, sort columns by name, sort rows, and compare values.
+
+Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    """Sort columns by name, then rows; normalize floats."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = repr(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda r: tuple(str(x) for x in r))
+    return [cols[i] for i in order], out
+
+
+def main():
+    outdir, sfdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    failures = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            ores = con.execute(sql)
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        try:
+            sres = con.execute(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            scols = [d[0] for d in sres.description]
+            srows = sres.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark output read error: {e}")
+            failures += 1
+            continue
+        oc, orws = canon(orows, ocols)
+        sc, srws = canon(srows, scols)
+        if oc != sc:
+            print(f"FAIL {name}: columns differ spark={sc} oracle={oc}")
+            failures += 1
+            continue
+        if len(orws) != len(srws):
+            print(f"FAIL {name}: rows spark={len(srws)} oracle={len(orws)}")
+            failures += 1
+            continue
+        bad = [(a, b) for a, b in zip(srws, orws) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)} mismatched rows; first: "
+                  f"spark={bad[0][0]} oracle={bad[0][1]}")
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(srws)} rows")
+    # rows-only queries (no oracle): report counts
+    import os
+    for name in sorted(os.listdir(outdir)):
+        p = os.path.join(outdir, name)
+        if os.path.isdir(p) and name not in oracle:
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+                print(f"ROWS {name}: {n} (no oracle)")
+            except Exception as e:
+                print(f"FAIL {name}: unreadable: {e}")
+                failures += 1
+    print(f"\n{failures} failures")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
