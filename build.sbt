@@ -10,6 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one local[4] SparkSession; running them in parallel starves
+// the parallelism-probe tests (mtiming/rtiming) of executor threads.
+Test / parallelExecution := false
 run / fork := true
 // Forked `run` output must reach stdout verbatim (no sbt "[info] " prefix):
 // the driver parses Bench's single JSON line from stdout.

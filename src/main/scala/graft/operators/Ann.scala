@@ -56,13 +56,24 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
-  /** Number of LSH hyperplanes (bucket = nbits-bit sign pattern). */
-  val NBits = 12
+  /** Target corpus vectors per LSH bucket. The hyperplane count adapts to
+    * corpus size so occupancy stays near this at any scale: 500 fixture
+    * vectors → 4 bits / 16 buckets; 10^9 vectors at 100 TB → ~25 bits. A
+    * fixed bit count would leave buckets empty at small n and overfull at
+    * large n.
+    */
+  val TargetBucket = 32
+
+  /** nbits for a corpus of n vectors (capped at 30 — beyond that, multiprobe
+    * fan-out dominates; at that scale, shard the corpus first).
+    */
+  def nbitsFor(n: Long): Int =
+    math.min(30, math.max(4, math.ceil(math.log(math.max(1.0, n.toDouble / TargetBucket)) / math.log(2)).toInt))
 
   /** Deterministic pseudo-random hyperplanes via splitmix64 — reproducible
     * across sessions with no RNG state (Date/Math.random-free by design).
     */
-  def hyperplanes(dim: Int, nbits: Int = NBits, seed: Long = 42L): Array[Array[Double]] = {
+  def hyperplanes(dim: Int, nbits: Int, seed: Long = 42L): Array[Array[Double]] = {
     var state = seed
     def next(): Long = {
       state += 0x9E3779B97F4A7C15L
@@ -87,13 +98,14 @@ object Ann {
     */
   def lshTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10): DataFrame = {
     val dim = 64 // embeddings fixture dimension (TESTDATA.md)
-    val planes = hyperplanes(dim)
+    val nbits = nbitsFor(Tables.embeddings(s, dir).count())
+    val planes = hyperplanes(dim, nbits)
     val c = corpus(s, dir).withColumn("bucket", bucketCol(col("vec"), planes))
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("bucket").as("qb"))
       // multiprobe: own bucket + flip each single bit
       .withColumn("bucket", explode(array(
-        col("qb") +: (0 until NBits).map(b => col("qb").bitwiseXOR(shiftleft(lit(1L), b))): _*)))
+        col("qb") +: (0 until nbits).map(b => col("qb").bitwiseXOR(shiftleft(lit(1L), b))): _*)))
       .select("query_id", "qvec", "bucket")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -112,7 +124,7 @@ object Ann {
     * sibling of Dedup.minhash; no all-pairs.
     */
   def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.98): DataFrame = {
-    val planes = hyperplanes(64)
+    val planes = hyperplanes(64, nbitsFor(Tables.embeddings(s, dir).count()))
     val c = corpus(s, dir).withColumn("bucket", bucketCol(col("vec"), planes))
     val l = c.select(col("bucket"), col("vec_id").as("id1"), col("vec").as("v1"))
     val r = c.select(col("bucket"), col("vec_id").as("id2"), col("vec").as("v2"))

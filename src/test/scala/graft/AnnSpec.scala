@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ann
+import graft.sources.Tables
+
+/** ANN similarity search: brute-force exactness against an in-test oracle,
+  * LSH ranking consistency and recall vs brute on the fixture embeddings.
+  */
+class AnnSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val vecs: Map[Long, Array[Double]] =
+    Tables.embeddings(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .toMap
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("bruteTopK matches a driver-side exact top-k oracle") {
+    val got = Ann.bruteTopK(spark, Sf0001, nQueries = 4, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    (0L until 4L).foreach { q =>
+      val expected = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, sc) => (-sc, id) }
+        .take(10).map(_._1)
+      val gotQ = (1 to 10).map(r => got((q, r)))
+      assert(gotQ == expected, s"query $q")
+    }
+  }
+
+  test("lshTopK: ranks are consistent with true cosine order, recall > 0") {
+    val rows = Ann.lshTopK(spark, Sf0001, nQueries = 4, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._2).map(_._3)
+      val scores = byRank.map(id => cos(vecs(q), vecs(id)))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b - 1e-12 },
+        s"query $q: LSH neighbors not in descending cosine order")
+    }
+    // recall vs brute top-10 across queries: LSH with 12-bit buckets +
+    // multiprobe is approximate; just require nontrivial overlap overall.
+    val brute = Ann.bruteTopK(spark, Sf0001, nQueries = 4, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = rows.map(r => (r._1, r._3)).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall > 0.05, s"LSH recall vs brute suspiciously low: $recall")
+  }
+
+  test("cosine column agrees with driver-side cosine") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val df = Tables.embeddings(s, Sf0001).limit(50)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val self = df.withColumn("c", Ann.cosine(col("v"), col("v"))).collect()
+    self.foreach(r => assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-9))
+  }
+}

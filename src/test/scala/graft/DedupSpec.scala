@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Dedup operators on a constructed corpus with KNOWN duplicate structure
+  * (the fixture documents table has only planted near-dups; here we control
+  * ground truth exactly and cross-check the LSH path against brute force).
+  */
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val docs = Seq(
+    (0L, base, "en", "src0", base.length.toLong),
+    (1L, base + " extra", "en", "src1", (base.length + 6).toLong),
+    (2L, "completely different content about spark shuffles and partitions working hard", "en", "src2", 79L),
+    (3L, base, "en", "src3", base.length.toLong), // exact dup of 0
+    (4L, "yet another unrelated document mentioning catalyst optimizer rules and codegen stages", "en", "src4", 86L))
+
+  /** Writes the corpus as `documents.parquet` under a temp dir so the
+    * operators' (session, dir) contract applies unchanged.
+    */
+  private lazy val dir: String = {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("dedup-spec").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def tokSet(t: String) = t.split("\\s+").toSet
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    a.intersect(b).size.toDouble / a.union(b).size.toDouble
+
+  test("exact: identical texts collapse into one group, min id survives") {
+    val groups = Dedup.exact(spark, dir).collect()
+    assert(groups.length == 4) // 5 docs, one exact pair
+    val dups = Dedup.exactDups(spark, dir).collect()
+    assert(dups.length == 1)
+    assert(dups.head.getAs[Long]("keep_id") == 0L)
+    assert(dups.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH: finds exactly the near-dup pairs, with exact jaccard") {
+    val pairs = Dedup.minhash(spark, dir, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(pairs.keySet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(pairs((0L, 3L)) == 1.0)
+    assert(pairs((0L, 1L)) > 0.85 && pairs((0L, 1L)) < 1.0)
+  }
+
+  test("ngramJaccard: equals brute-force token-set jaccard at threshold") {
+    val t = 0.8
+    val expected = (for {
+      i <- docs.indices; j <- docs.indices if i < j
+      ji = jaccard(tokSet(docs(i)._2), tokSet(docs(j)._2)) if ji >= t
+    } yield (docs(i)._1, docs(j)._1) -> ji).toMap
+    val got = Dedup.ngramJaccard(spark, dir, threshold = t).collect()
+      .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(got == expected)
+    assert(got.nonEmpty) // sanity: the constructed corpus does contain pairs
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs far apart") {
+    val sigs = Dedup.simhashSigs(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(0L) == sigs(3L))
+    val d02 = java.lang.Long.bitCount(sigs(0L) ^ sigs(2L))
+    assert(d02 > 3, s"unrelated docs unexpectedly close: hamming $d02")
+    val pairs = Dedup.simhashPairs(spark, dir, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2")))
+    assert(pairs.contains((0L, 3L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Workloads
+
+/** Tokenizer parity (SURVEY.md §7.4 risk register): the code-point walk in
+  * [[Workloads.letterTokens]] must agree with the `[^\p{L}]+` regex split the
+  * DataFrame path and the DuckDB oracle both use — including supplementary-
+  * plane letters, where naive char-level code would split letters in half.
+  * (Raw ScalaCheck Gen sampling — the scalatestplus bridge isn't in the
+  * offline dependency cache.)
+  */
+class TokenizerSpec extends AnyFunSuite {
+
+  private def regexTokens(s: String): Seq[String] =
+    s.split("[^\\p{L}]+").toSeq.filter(_.nonEmpty)
+
+  private val interesting = Gen.oneOf(
+    'a', 'Z', 'é', 'ß', '中', '9', ' ', ',', '\n', '-', '\'',
+    '\uD835', '\uDC00' /* halves of U+1D400 MATHEMATICAL BOLD CAPITAL A */)
+  private val strGen: Gen[String] = for {
+    n <- Gen.choose(0, 60)
+    cs <- Gen.listOfN(n, interesting)
+  } yield cs.mkString
+
+  test("letterTokens == regex [^\\p{L}]+ split on 500 generated strings") {
+    val samples = Gen.listOfN(500, strGen)
+      .apply(Gen.Parameters.default, Seed(42L))
+      .getOrElse(fail("generator produced no sample"))
+    samples.foreach { s =>
+      assert(Workloads.letterTokens(s) == regexTokens(s), s"input: ${s.take(80)}")
+    }
+  }
+
+  test("supplementary-plane letters are kept whole") {
+    val s = "ab𝐀cd ef" // U+1D400 is a letter (category Lu)
+    assert(Workloads.letterTokens(s) == Seq("ab𝐀cd", "ef"))
+  }
+
+  test("empty / all-separator strings yield no tokens") {
+    assert(Workloads.letterTokens("") == Nil)
+    assert(Workloads.letterTokens(" ,.;\n\t123") == Nil)
+  }
+
+  test("wc tokenization matches Go semantics on a known phrase") {
+    assert(Workloads.letterTokens("It's a test--with 42 words, naturally.") ==
+      Seq("It", "s", "a", "test", "with", "words", "naturally"))
+  }
+
+  test("rollingHash64 is deterministic and order-sensitive") {
+    import graft.operators.TextOps.rollingHash64
+    assert(rollingHash64("abc") == rollingHash64("abc"))
+    assert(rollingHash64("abc") != rollingHash64("acb"))
+    assert(rollingHash64("") == 0L)
+  }
+}
