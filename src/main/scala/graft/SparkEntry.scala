@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.{MapReduceJob, Workloads}
-import graft.operators.{Ann, Dedup, Relational, TextOps}
+import graft.operators.{Ann, Dedup, Multimodal, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -73,6 +73,9 @@ object SparkEntry {
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash" -> (Dedup.simhashSigs _),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    // --- multimodal columns (stubbed decode, real plumbing) ---
+    "mm_features" -> (Multimodal.features _),
+    "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // --- similarity search ---
     "ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
@@ -242,6 +245,10 @@ object SparkEntry {
         |      (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents) b
         | WHERE a.doc_id < b.doc_id) p
         |WHERE jaccard >= 0.9""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id AS asset_id, CAST(n_chars % 30 + 1 AS INTEGER) AS n_frames,
+        | CAST(unnest(generate_series(0, n_chars % 30, 5)) AS INTEGER) AS frame_idx
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
     "ann_brute" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         |q AS (SELECT vec_id AS query_id, vec AS qvec FROM c WHERE vec_id < 8)

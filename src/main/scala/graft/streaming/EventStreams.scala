@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table shape (event_id, ts, user_id,
+  * event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY.md §2.3: no streaming anywhere), so
+  * this is extension surface: the same declarative plans as the batch
+  * operators, run incrementally with watermarks. The batch/streaming parity
+  * contract — a streaming query over a static dataset produces exactly the
+  * batch answer — is asserted in the test suite.
+  *
+  * 100 TB/day design notes: state is keyed by (window, event_type) or
+  * user_id, so it shards across executors; the watermark bounds state size;
+  * file sources at scale become Kafka sources with the SAME transform
+  * (readStream is the only line that changes).
+  */
+object EventStreams {
+
+  /** events schema (file streaming sources require an explicit schema). `ts`
+    * is nanos in the fixture parquet; normalized to a µs timestamp exactly as
+    * the batch loader does (`graft.sources.Tables.events`).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long (legacy conf)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a parquet directory of events. */
+  def readEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(eventSchema).parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark — the streaming
+    * twin of `Relational.q15EventsWindow` (same grouping, same output
+    * columns), tolerating 2 h of event-time disorder before state is evicted.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("value").as("min_value"),
+        max("value").as("max_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("wstart"),
+        col("event_type"), col("n_events"), col("min_value"), col("max_value"))
+
+  /** Session state for [[sessionize]]. */
+  case class SessionAgg(userId: Long, nEvents: Long, totalValue: Double, openSince: Long)
+
+  /** Per-user running session aggregation via mapGroupsWithState — the
+    * custom-state operator family (KeyValueGroupedDataset) the brief calls
+    * for. Emits the current aggregate per user per micro-batch.
+    *
+    * `idleTimeout = Some(d)`: evict sessions idle for d (processing time) —
+    * the production shape on an unbounded stream. `None`: no timeout — the
+    * shape for bounded replays (with a processing-time timeout the engine
+    * must keep running empty batches to fire evictions, so an AvailableNow
+    * run would never terminate).
+    */
+  def sessionize(events: DataFrame, idleTimeout: Option[String] = None): Dataset[SessionAgg] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .select(col("user_id"), col("value"), unix_timestamp(col("ts")).as("ts_s"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(timeoutConf)(
+        (user: Long, rows: Iterator[(Long, Double, Long)], state: GroupState[SessionAgg]) => {
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            out
+          } else {
+            val buf = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionAgg(user, 0L, 0.0, buf.map(_._3).min))
+            val next = SessionAgg(
+              user,
+              prev.nEvents + buf.size,
+              prev.totalValue + buf.map(_._2).sum,
+              prev.openSince)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
+        })
+  }
+
+  /** Run a streaming DataFrame to completion over a bounded source (one
+    * availableNow pass), collecting results through an in-memory sink table.
+    * This is how the parity tests observe streaming output.
+    */
+  def runToMemory(s: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+import graft.streaming.EventStreams
+
+/** Batch/streaming parity: a streaming query over the bounded events fixture
+  * must produce exactly the batch answer (same grouping, same columns).
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** The file streaming source lists a DIRECTORY; the fixture is a single
+    * parquet file, so stage it into a temp dir (read-only testdata stays
+    * untouched).
+    */
+  private lazy val eventsPath: String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("events-stream")
+    Files.copy(Paths.get(s"$Sf0001/events.parquet"),
+      d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    d.toString
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, Double, Double)] =
+    df.collect().map(r => (
+      r.getAs[Long]("wstart"), r.getAs[String]("event_type"),
+      r.getAs[Long]("n_events"), r.getAs[Double]("min_value"),
+      r.getAs[Double]("max_value"))).toSet
+
+  test("streaming windowed counts == batch q15_events_window") {
+    val streamed = EventStreams.runToMemory(
+      spark,
+      EventStreams.windowedCounts(EventStreams.readEvents(spark, eventsPath)),
+      "win_parity")
+    val batch = Relational.q15EventsWindow(spark, Sf0001)
+    assert(rowsOf(streamed) == rowsOf(batch))
+    assert(rowsOf(streamed).nonEmpty)
+  }
+
+  test("sessionize: stateful per-user aggregates match batch totals") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val sessions = EventStreams.runToMemory(
+      spark,
+      EventStreams.sessionize(EventStreams.readEvents(spark, eventsPath)).toDF(),
+      "sessions", OutputMode.Update())
+    // one availableNow batch over one file -> one update per active user
+    val perUser = sessions.collect()
+      .map(r => r.getAs[Long]("userId") -> r.getAs[Long]("nEvents")).toMap
+    val batch = graft.sources.Tables.events(spark, Sf0001)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    assert(perUser == batch)
+    assert(perUser.values.sum == graft.sources.Tables.events(spark, Sf0001).count())
+  }
+}
