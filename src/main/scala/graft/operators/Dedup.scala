@@ -1,20 +1,24 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
 /** Deduplication operators for a training-data pipeline over `documents`:
-  * exact (content-hash group-by), MinHash+LSH near-dup, SimHash near-dup.
+  * exact (content-hash group-by), MinHash+LSH near-dup, exact n-gram
+  * Jaccard join (prefix filtering), SimHash near-dup.
   *
   * Scale design (the non-negotiables at 100 TB):
   *   - candidate generation is ALWAYS a hash-bucket equi-join (LSH bands /
-  *     SimHash chunks) — never an all-pairs crossJoin;
-  *   - signatures are computed in one scan with codegen'd array functions,
-  *     shuffled once on the band key;
-  *   - pathological buckets (boilerplate/empty docs collapsing into one key)
-  *     are capped so a single hot key cannot go quadratic.
+  *     prefix tokens / SimHash chunks) — never an all-pairs crossJoin;
+  *   - per-row signature math (64-slot MinHash, 64-bit SimHash votes) runs
+  *     in ONE typed map per document — a Catalyst formulation would evaluate
+  *     64 nested array transforms per row (measured 10-20x slower at sf0.1);
+  *   - joins ship dictionary-encoded int arrays, not raw strings;
+  *   - pathological buckets (boilerplate collapsing into one key) are capped
+  *     so a single hot key cannot go quadratic.
   */
 object Dedup {
 
@@ -35,6 +39,26 @@ object Dedup {
   def exactDups(s: SparkSession, dir: String): DataFrame =
     exact(s, dir).filter(col("n_copies") > 1)
 
+  // ------------------------------------------------------------ hash utils
+
+  /** 64-bit FNV-1a over UTF-16 code units — deterministic across JVMs,
+    * no RNG state.
+    */
+  private[operators] def fnv64(str: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < str.length) { h ^= str.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** splitmix64 finalizer — cheap per-slot remix of a base hash. */
+  private[operators] def mix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Number of hash functions in the MinHash signature. */
@@ -50,8 +74,9 @@ object Dedup {
     */
   val MaxBucket = 1000
 
-  /** Distinct word-3-gram shingles as an array column — all codegen'd array
-    * functions, no UDF (shingling at the scan, one pass).
+  /** Distinct word-3-gram shingles as an array column — codegen'd array
+    * functions, shingling at the scan in one pass. Kept as a Column (not a
+    * typed map) so the DuckDB oracle can reproduce it symbolically.
     */
   def shingles(text: Column): Column = {
     val toks = split(trim(text), "\\s+")
@@ -63,23 +88,46 @@ object Dedup {
     array_distinct(grams)
   }
 
-  /** MinHash signature: shingles are hashed once (xxhash64), then each of the
-    * k signature slots takes the min of a per-slot re-mix. k passes over an
-    * in-memory long array per row — no shuffle, no UDF.
+  /** MinHash band keys for one shingle set, computed in plain Scala: hash
+    * each shingle once, take per-slot minima of a splitmix remix, then hash
+    * each band's r slots (+ band index, so identical slot values in
+    * different bands cannot collide) into one bucket key.
     */
-  private def signature(shingleCol: Column): Column = {
-    val hashes = transform(shingleCol, sh => xxhash64(sh))
-    array((0 until NumHashes).map { k =>
-      array_min(transform(hashes, h => xxhash64(h, lit(k))))
-    }: _*)
+  private[operators] def bandKeys(sh: Seq[String]): Array[Long] = {
+    val hs = new Array[Long](sh.size)
+    var i = 0
+    sh.foreach { g => hs(i) = fnv64(g); i += 1 }
+    val sig = new Array[Long](NumHashes)
+    var k = 0
+    while (k < NumHashes) {
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val v = mix64(hs(j) + k * 0x9E3779B97F4A7C15L)
+        if (v < mn) mn = v
+        j += 1
+      }
+      sig(k) = mn
+      k += 1
+    }
+    Array.tabulate(Bands) { b =>
+      var acc = 0xcbf29ce484222325L ^ b.toLong
+      var r = 0
+      while (r < RowsPerBand) { acc ^= sig(b * RowsPerBand + r); acc *= 0x100000001b3L; r += 1 }
+      acc
+    }
   }
 
-  /** docs with (doc_id, shingles, sig) — shared prep for the LSH stages. */
-  private def signed(s: SparkSession, dir: String): DataFrame =
+  /** docs with (doc_id, sh, bands) — one scan, one typed map per row. */
+  private def signed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", signature(col("sh")))
+      .as[(Long, Seq[String])]
+      .map { case (id, sh) => (id, sh, bandKeys(sh)) }
+      .toDF("doc_id", "sh", "bands")
+  }
 
   /** Candidate pairs via LSH banding: explode 16 band keys per doc, shuffle
     * once on (band, key), pair within buckets (skew-capped), dedup pairs.
@@ -87,12 +135,9 @@ object Dedup {
   private def candidatePairs(docs: DataFrame): DataFrame = {
     val banded = docs.select(
       col("doc_id"),
-      posexplode(array((0 until Bands).map { b =>
-        xxhash64((0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1)) :+ lit(b): _*)
-      }: _*)).as(Seq("band", "bkey")))
+      posexplode(col("bands")).as(Seq("band", "bkey")))
     val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bkey")))
       .filter(col("bucket_n") <= MaxBucket)
     val l = capped.select(col("band"), col("bkey"), col("doc_id").as("doc1"))
     val r = capped.select(col("band"), col("bkey"), col("doc_id").as("doc2"))
@@ -123,39 +168,47 @@ object Dedup {
   // ------------------------------------------------------- n-gram Jaccard
 
   /** dedup_ngram — EXACT token-set (1-gram) Jaccard similarity join at
-    * `threshold`, via prefix filtering (the PPJoin principle): order each
-    * doc's tokens by ascending global document frequency, keep only the
-    * first `n - ceil(t*n) + 1` (the "prefix"); two sets with J >= t MUST
-    * share a prefix token, so the inverted-index equi-join over prefix
-    * tokens is a complete candidate generator — recall is exactly 1, unlike
-    * MinHash LSH, while still never going all-pairs. Candidates are then
-    * verified with the exact Jaccard.
+    * `threshold`, via prefix filtering (the PPJoin principle): tokens are
+    * dictionary-encoded to dense int ids ordered by ascending document
+    * frequency; each doc keeps only its `n - ceil(t*n) + 1` rarest ids (the
+    * "prefix"); two sets with J >= t MUST share a prefix id, so the
+    * inverted-index equi-join over prefix ids is a complete candidate
+    * generator — recall is exactly 1, unlike MinHash LSH, while never going
+    * all-pairs. A size filter (t·n1 <= n2 <= n1/t) prunes before the heavy
+    * join, and verification intersects int arrays, not strings.
     *
-    * 100 TB: the df table is tiny relative to the corpus (vocabulary-sized)
-    * and broadcast; the prefix join shuffles on the rarest tokens only, so
-    * bucket sizes stay bounded by df of rare tokens rather than corpus size.
+    * 100 TB: the dictionary is vocabulary-sized (broadcast); the prefix join
+    * shuffles only rare-token postings; candidate verification ships ~4B/token
+    * ids instead of raw text.
     */
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
-    val df = docs.select(explode(col("toks")).as("tok"))
+    // dictionary: token -> dense id, ids ascending by (df, token)
+    val dict = docs.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
-    val exploded = docs
-      .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
-      .join(broadcast(df), "tok")
-    val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("tok").asc)
-    val prefix = exploded.withColumn("r", row_number().over(w))
-      .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("tok", "doc_id")
-    val cand = prefix.select(col("tok"), col("doc_id").as("doc1"))
-      .join(prefix.select(col("tok"), col("doc_id").as("doc2")), "tok")
-      .filter(col("doc1") < col("doc2"))
+      .withColumn("tid", row_number().over(Window.orderBy(col("df").asc, col("tok").asc)))
+      .select("tok", "tid")
+    // docs as sorted int-id arrays; prefix = rarest ids
+    val encoded = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(dict), "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tid"))).as("tids"))
+      .withColumn("n", size(col("tids")))
+      .withColumn("plen", (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))
+    val prefix = encoded.select(col("doc_id"), col("n"),
+      explode(slice(col("tids"), lit(1), col("plen"))).as("tid"))
+    val cand = prefix.select(col("tid"), col("doc_id").as("doc1"), col("n").as("n1"))
+      .join(prefix.select(col("tid"), col("doc_id").as("doc2"), col("n").as("n2")), "tid")
+      .filter(col("doc1") < col("doc2") &&
+        col("n2") >= lit(threshold) * col("n1") &&
+        col("n1") >= lit(threshold) * col("n2"))
       .select("doc1", "doc2").distinct()
-    val sets = docs
+    val sets = encoded.select(col("doc_id"), col("tids"))
     cand
-      .join(sets.select(col("doc_id").as("doc1"), col("toks").as("t1")), "doc1")
-      .join(sets.select(col("doc_id").as("doc2"), col("toks").as("t2")), "doc2")
+      .join(sets.select(col("doc_id").as("doc1"), col("tids").as("t1")), "doc1")
+      .join(sets.select(col("doc_id").as("doc2"), col("tids").as("t2")), "doc2")
       .withColumn("jaccard",
         size(array_intersect(col("t1"), col("t2"))).cast("double") /
           size(array_union(col("t1"), col("t2"))).cast("double"))
@@ -165,28 +218,47 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per document from token hashes: per bit, sum ±1 over
-    * tokens, sign → bit. Expressed as 64 aggregate() folds over the token-hash
-    * array (one scan, no shuffle).
+  /** 64-bit SimHash of a token sequence, computed in one pass of plain
+    * Scala: per bit, sum ±1 votes over token hashes, sign → bit.
     */
-  def simhashCol(text: Column): Column = {
-    val hashes = transform(split(trim(text), "\\s+"), t => xxhash64(t))
-    val bits = (0 until 64).map { b =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+  private[operators] def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    val toks = text.trim.split("\\s+")
+    var t = 0
+    while (t < toks.length) {
+      val h = fnv64(toks(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
   }
 
-  /** dedup_simhash — per-doc 64-bit SimHash plus near-dup pairs at Hamming
-    * distance ≤ `maxHamming`, blocked on 4×16-bit chunks (a pair within
-    * Hamming 3 of 64 bits must agree exactly on ≥1 of 4 chunks — pigeonhole),
-    * so candidate generation is again an equi-join, not all-pairs.
+  /** dedup_simhash — the per-document signatures (the artifact a pipeline
+    * persists for incremental dedup). One typed map per row.
+    */
+  def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhash64(text)) }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** dedup_simhash_pairs — near-dup pairs at Hamming distance ≤ `maxHamming`,
+    * blocked on 4×16-bit chunks (a pair within Hamming 3 of 64 bits must
+    * agree exactly on ≥1 of 4 chunks — pigeonhole), so candidate generation
+    * is again an equi-join, not all-pairs.
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), simhashCol(col("text")).as("simhash"))
+    val docs = simhashSigs(s, dir)
     val chunked = docs.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
@@ -203,11 +275,4 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
-
-  /** dedup_simhash_sigs — the per-document signatures themselves (the
-    * artifact a pipeline persists for incremental dedup).
-    */
-  def simhashSigs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), simhashCol(col("text")).as("simhash"))
 }
