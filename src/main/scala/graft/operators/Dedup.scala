@@ -74,18 +74,25 @@ object Dedup {
     */
   val MaxBucket = 1000
 
-  /** Distinct word-3-gram shingles as an array column — codegen'd array
-    * functions, shingling at the scan in one pass. Kept as a Column (not a
-    * typed map) so the DuckDB oracle can reproduce it symbolically.
+  /** Distinct word-3-gram shingles, computed in the same typed map as the
+    * signature (one string traversal per doc; the Catalyst formulation —
+    * transform over sequence + concat_ws — measured ~2x slower at sf0.1 from
+    * expression overhead plus the array ser/de at the map boundary).
+    * Semantics mirror the SQL the oracle uses: space-trim, split on \s+,
+    * 3-grams joined by a single space (whole doc as one gram when < 3
+    * tokens), first-occurrence distinct.
     */
-  def shingles(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    val grams = when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3), i =>
-        concat_ws(" ",
-          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
-      .otherwise(array(concat_ws(" ", toks)))
-    array_distinct(grams)
+  private[operators] def shingleSet(text: String): IndexedSeq[String] = {
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    val toks = text.substring(b, e).split("\\s+")
+    val grams =
+      if (toks.length >= 3)
+        (0 to toks.length - 3).map(i => toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      else IndexedSeq(toks.mkString(" "))
+    grams.distinct
   }
 
   /** MinHash band keys for one shingle set, computed in plain Scala: hash
@@ -118,14 +125,18 @@ object Dedup {
     }
   }
 
-  /** docs with (doc_id, sh, bands) — one scan, one typed map per row. */
+  /** docs with (doc_id, sh, bands) — one scan, one typed map per row doing
+    * shingling + signature + banding in a single pass.
+    */
   private def signed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .as[(Long, Seq[String])]
-      .map { case (id, sh) => (id, sh, bandKeys(sh)) }
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = shingleSet(text)
+        (id, sh, bandKeys(sh))
+      }
       .toDF("doc_id", "sh", "bands")
   }
 
