@@ -52,6 +52,7 @@ object SparkEntry {
     "q13_rollup" -> (Relational.q13Rollup _),
     "q14_join_range" -> (Relational.q14JoinRange _),
     "q15_events_window" -> (Relational.q15EventsWindow _),
+    "q16_sessions" -> (Relational.q16Sessions _),
     // --- reference workloads, optimized DataFrame formulations ---
     "wc" -> (TextOps.wc _),
     "indexer" -> (TextOps.indexer _),
@@ -164,6 +165,15 @@ object SparkEntry {
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS wstart,
         | event_type, count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q16_sessions" ->
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM (SELECT user_id,
+        |  CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM (SELECT user_id, ts, event_id,
+        |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events) a) b
+        |GROUP BY user_id""".stripMargin,
     "wc" ->
       s"SELECT word, count(*) AS cnt FROM ($tokenized) t WHERE word <> '' GROUP BY word",
     "indexer" ->

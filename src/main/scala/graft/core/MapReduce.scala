@@ -131,4 +131,47 @@ object MapReduceJob {
     import ds.sparkSession.implicits._
     ds.map(kv => s"${kv.key} ${kv.value}").write.mode("overwrite").text(path)
   }
+
+  /** Write the reference's intermediate JSON-lines format — one
+    * `{"Key":…,"Value":…}` object per line (`src/mr/worker.go:123-131`;
+    * committed example `src/main/mr-tmp/mr-0-0`). Spark's shuffle replaces
+    * these files functionally; this sink exists for debug tooling that reads
+    * the reference's on-disk format.
+    */
+  def writeIntermediate(ds: Dataset[KeyValue], path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    ds.select(col("key").as("Key"), col("value").as("Value"))
+      .write.mode("overwrite").json(path)
+  }
+
+  /** Read the reference's intermediate JSON-lines format (including the
+    * committed `mr-tmp/mr-X-Y` artifacts themselves).
+    */
+  def readIntermediate(spark: SparkSession, path: String): Dataset[KeyValue] = {
+    import spark.implicits._
+    spark.read.schema("Key STRING, Value STRING").json(path)
+      .select($"Key".as("key"), $"Value".as("value")).as[KeyValue]
+  }
+
+  /** FNV-1a 32-bit bucket id, `ihash(key) & 0x7fffffff % n` — the
+    * reference's shuffle routing (`src/mr/worker.go:40-44,125`). Not used by
+    * the Spark shuffle (which hash-partitions internally); provided for
+    * byte-level `mr-X-Y` file parity when external tooling demands it
+    * (SURVEY.md §7.3).
+    */
+  def ihash(key: String): Int = {
+    var h = 0x811c9dc5 // FNV-32 offset basis
+    key.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      h = h ^ (b & 0xff)
+      h = h * 0x01000193 // FNV-32 prime
+    }
+    h & 0x7fffffff
+  }
+
+  /** RDD Partitioner with the reference's exact routing. */
+  final class FnvPartitioner(override val numPartitions: Int)
+      extends org.apache.spark.Partitioner {
+    override def getPartition(key: Any): Int =
+      ihash(key.toString) % numPartitions
+  }
 }

@@ -41,15 +41,11 @@ object Dedup {
 
   // ------------------------------------------------------------ hash utils
 
-  /** 64-bit FNV-1a over UTF-16 code units — deterministic across JVMs,
-    * no RNG state.
+  /** 64-bit FNV-1a over UTF-16 code units (shared with the SQL-facing
+    * `fnv64` Catalyst expression so fingerprints agree engine-wide).
     */
-  private[operators] def fnv64(str: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < str.length) { h ^= str.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  private[operators] def fnv64(str: String): Long =
+    graft.functions.HashFunctions.fnv64(str)
 
   /** splitmix64 finalizer — cheap per-slot remix of a base hash. */
   private[operators] def mix64(x0: Long): Long = {

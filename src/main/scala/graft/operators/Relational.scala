@@ -184,4 +184,22 @@ object Relational {
       .select(
         unix_timestamp(col("w.start")).as("wstart"),
         col("event_type"), col("n_events"), col("min_value"), col("max_value"))
+
+  /** q16_sessions — gaps-and-islands sessionization in batch: a session
+    * breaks after 30 min of user inactivity (lag window + running flag sum).
+    * Gap arithmetic in integral microseconds so the oracle compare is exact.
+    * One shuffle on user_id shared by the lag and the aggregation.
+    */
+  def q16Sessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(
+        sum("new_sess").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
 }

@@ -104,17 +104,20 @@ object TextOps {
       .select(col("doc_id"), md5(col("text")).as("md5_fp"),
         sha2(col("text"), 256).as("sha256_fp"))
 
-  /** text_fingerprint_poly — 64-bit polynomial rolling hash (Karp–Rabin
-    * style) per document, computed by a typed map — the building block for
-    * shingle hashing in Dedup. Not SQL-oracle-able (wraparound semantics).
+  /** text_fingerprint_poly — 64-bit fingerprints not expressible in checked
+    * ANSI SQL (wraparound int64): a Karp–Rabin rolling hash via a typed map,
+    * and FNV-1a via the native codegen'd `fnv64` Catalyst expression
+    * (graft.functions) — the two custom-function tiers side by side.
     */
   def textFingerprintPoly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .map { case (id, text) => (id, rollingHash64(text)) }
-      .toDF("doc_id", "poly_fp")
+      .map { case (id, text) => (id, text, rollingHash64(text)) }
+      .toDF("doc_id", "text", "poly_fp")
+      .select(col("doc_id"), col("poly_fp"),
+        graft.functions.GraftFunctions.fnv64(col("text")).as("fnv_fp"))
   }
 
   /** 64-bit polynomial rolling hash over UTF-16 code units (base 257, natural
