@@ -53,6 +53,7 @@ object SparkEntry {
     "q14_join_range" -> (Relational.q14JoinRange _),
     "q15_events_window" -> (Relational.q15EventsWindow _),
     "q16_sessions" -> (Relational.q16Sessions _),
+    "q17_asof" -> (Relational.q17Asof _),
     // --- reference workloads, optimized DataFrame formulations ---
     "wc" -> (TextOps.wc _),
     "indexer" -> (TextOps.indexer _),
@@ -174,6 +175,12 @@ object SparkEntry {
         |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |  FROM events) a) b
         |GROUP BY user_id""".stripMargin,
+    "q17_asof" ->
+      """WITH ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |             FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.o_orderkey
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
     "wc" ->
       s"SELECT word, count(*) AS cnt FROM ($tokenized) t WHERE word <> '' GROUP BY word",
     "indexer" ->

@@ -205,12 +205,20 @@ object Dedup {
       .withColumn("n", size(col("tids")))
       .withColumn("plen", (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))
     val prefix = encoded.select(col("doc_id"), col("n"),
-      explode(slice(col("tids"), lit(1), col("plen"))).as("tid"))
-    val cand = prefix.select(col("tid"), col("doc_id").as("doc1"), col("n").as("n1"))
-      .join(prefix.select(col("tid"), col("doc_id").as("doc2"), col("n").as("n2")), "tid")
+      posexplode(slice(col("tids"), lit(1), col("plen"))).as(Seq("p", "tid")))
+    // PPJoin positional filter: a pair with J >= t needs overlap
+    // c >= t/(1+t) * (n1+n2); a match at 0-based prefix positions (p1, p2)
+    // can contribute at most 1 + min(n1-p1-1, n2-p2-1) overlap, so late-
+    // position-only matches are pruned before the candidate distinct.
+    val minOverlap = lit(threshold / (1 + threshold)) * (col("n1") + col("n2"))
+    val cand = prefix.select(col("tid"), col("doc_id").as("doc1"),
+        col("n").as("n1"), col("p").as("p1"))
+      .join(prefix.select(col("tid"), col("doc_id").as("doc2"),
+        col("n").as("n2"), col("p").as("p2")), "tid")
       .filter(col("doc1") < col("doc2") &&
         col("n2") >= lit(threshold) * col("n1") &&
-        col("n1") >= lit(threshold) * col("n2"))
+        col("n1") >= lit(threshold) * col("n2") &&
+        lit(1) + least(col("n1") - col("p1") - 1, col("n2") - col("p2") - 1) >= minOverlap)
       .select("doc1", "doc2").distinct()
     val sets = encoded.select(col("doc_id"), col("tids"))
     cand

@@ -202,4 +202,40 @@ object Relational {
         sum("new_sess").as("n_sessions"),
         count(lit(1)).as("n_events"))
   }
+
+  /** q17_asof — as-of join, an operator Spark lacks natively, composed from
+    * built-ins per the preference order (no custom physical operator
+    * needed): each event matches the LATEST order of the same customer
+    * at-or-before its event time. Tag both sides, union, and take
+    * `last(order, ignoreNulls)` over a (key, time, tag) window — one shuffle
+    * on the join key, linear in rows, no range-join blowup. Orders are
+    * pre-deduped to one row per (custkey, orderdate) (max orderkey) so ties
+    * are deterministic.
+    */
+  def q17Asof(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+      .select(
+        // o_orderdate is parquet TIMESTAMP_NTZ; session TZ is UTC, so the
+        // cast lands on the same epoch micros scale as the events ts
+        col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+        lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey"))
+    val ev = Tables.events(s, dir)
+      .select(
+        col("user_id").as("k"), unix_micros(col("ts")).as("t_us"),
+        lit(1).as("tag"), col("event_id"),
+        lit(null).cast("long").as("o_orderkey"))
+    // orders sort before events at equal timestamps (tag 0 < 1): the asof
+    // predicate is inclusive (ts >= orderdate)
+    val w = Window.partitionBy("k").orderBy(col("t_us"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionByName(ev)
+      .withColumn("matched", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("matched").as("o_orderkey"))
+  }
 }
