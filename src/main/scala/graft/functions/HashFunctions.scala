@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftshim.{Fnv64Expr, GraftColumnShim}
+import org.apache.spark.sql.graftshim.{ArrayDotExpr, Fnv64Expr, GraftColumnShim}
 
 /** Deterministic 64-bit string hashing as a first-class engine extension:
   * a native Catalyst `Expression` with whole-stage-codegen support
@@ -31,27 +31,44 @@ object GraftFunctions {
   def fnv64(c: Column): Column =
     GraftColumnShim.column(Fnv64Expr(GraftColumnShim.expression(c)))
 
-  private val builder: Seq[Expression] => Expression = { exprs =>
+  /** Codegen'd dot product of two array<double> columns (the ANN scoring
+    * kernel) — one tight generated loop, bit-deterministic ascending-index
+    * summation.
+    */
+  def arrayDot(a: Column, b: Column): Column =
+    GraftColumnShim.column(
+      ArrayDotExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  private val fnv64Builder: Seq[Expression] => Expression = { exprs =>
     require(exprs.size == 1, "fnv64 expects exactly one argument")
     Fnv64Expr(exprs.head)
   }
+  private val dotBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 2, "array_dot expects exactly two arguments")
+    ArrayDotExpr(exprs(0), exprs(1))
+  }
 
-  /** Register `fnv64` into an existing session's function registry so
-    * `spark.sql("SELECT fnv64(x) ...")` works.
+  /** Register both functions into an existing session's registry so
+    * `spark.sql("SELECT fnv64(x), array_dot(a, b) ...")` works.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fnv64", builder, "built-in")
+      "fnv64", fnv64Builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_dot", dotBuilder, "built-in")
+  }
 }
 
 /** For `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("fnv64"),
       new ExpressionInfo(classOf[Fnv64Expr].getName, "fnv64"),
-      builderFn))
-
-  private val builderFn: Seq[Expression] => Expression =
-    exprs => Fnv64Expr(exprs.head)
+      { exprs: Seq[Expression] => Fnv64Expr(exprs.head) }))
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotExpr].getName, "array_dot"),
+      { exprs: Seq[Expression] => ArrayDotExpr(exprs(0), exprs(1)) }))
+  }
 }

@@ -23,18 +23,25 @@ import graft.sources.Tables
   */
 object Ann {
 
-  /** Cosine similarity of two array<double> columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
-    dot / (na * nb)
-  }
+  import graft.functions.GraftFunctions.arrayDot
 
+  /** Cosine similarity of two array<double> columns, on the codegen'd
+    * [[graft.functions.GraftFunctions.arrayDot]] kernel (the higher-order
+    * `aggregate(zip_with(...))` formulation interprets lambdas per element —
+    * measured several times slower at bench scale). Sequential ascending-
+    * index summation on every path: bit-deterministic.
+    */
+  def cosine(a: Column, b: Column): Column =
+    arrayDot(a, b) / (sqrt(arrayDot(a, a)) * sqrt(arrayDot(b, b)))
+
+  /** Corpus with vectors cast to double and the L2 norm computed ONCE per
+    * vector (scoring then costs one dot per pair, not three).
+    */
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("vec"))
+      .withColumn("nrm", sqrt(arrayDot(col("vec"), col("vec"))))
 
   /** ann_brute — exact cosine top-k for the query vectors (vec_id < nQueries)
     * against the whole corpus. Query side broadcast; one corpus scan. Output
@@ -45,9 +52,9 @@ object Ann {
   def bruteTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10): DataFrame = {
     val c = corpus(s, dir)
     val q = c.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("score", cosine(col("qvec"), col("vec")))
+      .withColumn("score", arrayDot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id").asc)
     scored
@@ -88,8 +95,7 @@ object Ann {
   /** Sign-pattern bucket id of a vector column against the hyperplanes. */
   def bucketCol(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val lits = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(vec, lits, (x, y) => x * y), lit(0.0), (a, v) => a + v)
+      val dot = arrayDot(vec, array(p.map(lit): _*))
       when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
@@ -102,14 +108,15 @@ object Ann {
     val planes = hyperplanes(dim, nbits)
     val c = corpus(s, dir).withColumn("bucket", bucketCol(col("vec"), planes))
     val q = c.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("bucket").as("qb"))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), col("bucket").as("qb"))
       // multiprobe: own bucket + flip each single bit
       .withColumn("bucket", explode(array(
         col("qb") +: (0 until nbits).map(b => col("qb").bitwiseXOR(shiftleft(lit(1L), b))): _*)))
-      .select("query_id", "qvec", "bucket")
+      .select("query_id", "qvec", "qnrm", "bucket")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", cosine(col("qvec"), col("vec")))
+      .withColumn("score", arrayDot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id").asc)
     scored
@@ -126,11 +133,11 @@ object Ann {
   def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.98): DataFrame = {
     val planes = hyperplanes(64, nbitsFor(Tables.embeddings(s, dir).count()))
     val c = corpus(s, dir).withColumn("bucket", bucketCol(col("vec"), planes))
-    val l = c.select(col("bucket"), col("vec_id").as("id1"), col("vec").as("v1"))
-    val r = c.select(col("bucket"), col("vec_id").as("id2"), col("vec").as("v2"))
+    val l = c.select(col("bucket"), col("vec_id").as("id1"), col("vec").as("v1"), col("nrm").as("nrm1"))
+    val r = c.select(col("bucket"), col("vec_id").as("id2"), col("vec").as("v2"), col("nrm").as("nrm2"))
     l.join(r, Seq("bucket"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .withColumn("cos", arrayDot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos4"))
       .distinct()

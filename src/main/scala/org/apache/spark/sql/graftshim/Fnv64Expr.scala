@@ -1,10 +1,11 @@
 package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `fnv64(string) -> bigint` as a codegen'd Catalyst expression — FNV-1a 64
@@ -28,6 +29,48 @@ case class Fnv64Expr(child: Expression) extends UnaryExpression with ExpectsInpu
 
   override protected def withNewChildInternal(newChild: Expression): Fnv64Expr =
     copy(child = newChild)
+}
+
+/** `array_dot(array<double>, array<double>) -> double` — sequential-order
+  * dot product as a codegen'd expression: one tight generated loop per row
+  * (the higher-order `aggregate(zip_with(...))` formulation builds and folds
+  * an intermediate array per row in interpreted lambdas — measured several
+  * times slower on the ANN scoring path). Summation order is ascending
+  * index on both eval paths, so results are bit-deterministic.
+  */
+case class ArrayDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Column <-> Expression bridging (private[sql] in Spark 4). */

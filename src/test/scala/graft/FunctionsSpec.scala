@@ -33,6 +33,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("array_dot == driver-side sequential dot (codegen over a real scan)") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.sources.Tables.embeddings(spark, Sf0001).limit(50)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"), col("v"),
+        GraftFunctions.arrayDot(col("v"), col("v")).as("d"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](r.fieldIndex("v"))
+      var s = 0.0
+      v.foreach(x => s += x * x)
+      assert(r.getAs[Double]("d") == s) // bit-exact: same summation order
+    }
+  }
+
+  test("array_dot registers as a SQL function") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect()(0).getAs[Double]("d")
+    assert(got == 32.0)
+  }
+
   test("fnv64 known values are stable across releases") {
     // pinned: changing the hash silently would corrupt persisted fingerprints
     assert(HashFunctions.fnv64("") == 0xcbf29ce484222325L)
