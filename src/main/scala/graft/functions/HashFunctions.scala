@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftshim.{ArrayDotExpr, Fnv64Expr, GraftColumnShim}
+import org.apache.spark.sql.graftshim.{ArrayDotExpr, Fnv64Expr, GraftColumnShim, SortedOverlapExpr}
 
 /** Deterministic 64-bit string hashing as a first-class engine extension:
   * a native Catalyst `Expression` with whole-stage-codegen support
@@ -38,6 +38,14 @@ object GraftFunctions {
   def arrayDot(a: Column, b: Column): Column =
     GraftColumnShim.column(
       ArrayDotExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  /** Intersection size of two sorted distinct array<int> columns (two-
+    * pointer merge, no per-row allocation) — the similarity-join
+    * verification kernel.
+    */
+  def sortedOverlap(a: Column, b: Column): Column =
+    GraftColumnShim.column(
+      SortedOverlapExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
 
   private val fnv64Builder: Seq[Expression] => Expression = { exprs =>
     require(exprs.size == 1, "fnv64 expects exactly one argument")

@@ -221,12 +221,17 @@ object Dedup {
         lit(1) + least(col("n1") - col("p1") - 1, col("n2") - col("p2") - 1) >= minOverlap)
       .select("doc1", "doc2").distinct()
     val sets = encoded.select(col("doc_id"), col("tids"))
+    // verification: tids are sorted+distinct, so |A∩B| is a two-pointer
+    // merge (codegen'd sorted_overlap — no per-row hash sets, union array
+    // never built) and |A∪B| = n1+n2-overlap. Same integers as the
+    // array_intersect/array_union formulation -> identical jaccard bits.
     cand
       .join(sets.select(col("doc_id").as("doc1"), col("tids").as("t1")), "doc1")
       .join(sets.select(col("doc_id").as("doc2"), col("tids").as("t2")), "doc2")
+      .withColumn("ov", graft.functions.GraftFunctions.sortedOverlap(col("t1"), col("t2")))
       .withColumn("jaccard",
-        size(array_intersect(col("t1"), col("t2"))).cast("double") /
-          size(array_union(col("t1"), col("t2"))).cast("double"))
+        col("ov").cast("double") /
+          (size(col("t1")) + size(col("t2")) - col("ov")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc1", "doc2", "jaccard")
   }

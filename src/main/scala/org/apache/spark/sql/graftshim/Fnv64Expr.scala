@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `fnv64(string) -> bigint` as a codegen'd Catalyst expression — FNV-1a 64
@@ -70,6 +70,58 @@ case class ArrayDotExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `sorted_overlap(array<int>, array<int>) -> int` — intersection size of
+  * two SORTED int arrays by two-pointer merge: no per-row hash-set
+  * allocation (what `array_intersect`+`array_union` cost on the similarity-
+  * join verification path — measured the dominant term at bench scale).
+  * Arrays must be sorted ascending and distinct; |A∪B| follows as
+  * |A|+|B|-overlap, so the union array is never materialized.
+  */
+case class SortedOverlapExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_overlap"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getInt(i); val y = b.getInt(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |${ev.value} = 0;
+         |while ($i < $na && $j < $nb) {
+         |  int $x = $a.getInt($i);
+         |  int $y = $b.getInt($j);
+         |  if ($x == $y) { ${ev.value}++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedOverlapExpr =
     copy(left = newLeft, right = newRight)
 }
 
