@@ -75,6 +75,34 @@ object Workloads {
   def crashReduce(inject: () => Unit): (String, Seq[String]) => String =
     (k, values) => { inject(); nocrashReduce(k, values) }
 
+  /** wc as a typed `Aggregator[KeyValue, Long, String]` — the
+    * incrementalizable-reduction form (SURVEY §2.3 #8 / §7.2 step 4):
+    * unlike the holistic `mapGroups` path, Spark plans this with PARTIAL
+    * aggregation (map-side combine), so at scale each `(word,"1")` pair is
+    * pre-counted before the shuffle instead of crossing it — the combiner
+    * the reference deliberately lacks (`src/mr/worker.go:123-131`).
+    */
+  object WcAggregator extends org.apache.spark.sql.expressions.Aggregator[KeyValue, Long, String] {
+    override def zero: Long = 0L
+    override def reduce(b: Long, kv: KeyValue): Long = b + 1L
+    override def merge(a: Long, b: Long): Long = a + b
+    override def finish(b: Long): String = b.toString
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    override def outputEncoder: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+  }
+
+  /** Run wc through the Aggregator path over a mapped KeyValue Dataset. */
+  def wcViaAggregator(
+      mapped: org.apache.spark.sql.Dataset[KeyValue]): org.apache.spark.sql.Dataset[KeyValue] = {
+    val s = mapped.sparkSession
+    import s.implicits._
+    mapped.groupByKey(_.key)
+      .agg(WcAggregator.toColumn.name("value"))
+      .map { case (k, v) => KeyValue(k, v) }
+  }
+
   /** Concurrency probe backing mtiming/rtiming (reference
     * `src/mrapps/mtiming.go:19-62` uses pid marker files; on local[N] all
     * tasks share one JVM so a static AtomicInteger high-water mark is the

@@ -58,6 +58,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == 32.0)
   }
 
+  test("sorted_overlap: edge cases (empty, disjoint, subset, interleaved)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq.empty[Int], Seq(1, 2, 3), 0),
+      (Seq(1, 2, 3), Seq(4, 5, 6), 0),
+      (Seq(1, 2, 3), Seq(1, 2, 3), 3),
+      (Seq(1, 3, 5, 7), Seq(2, 3, 4, 7, 9), 2),
+      (Seq(1, 2), Seq(1, 2, 3, 4), 2)
+    ).toDF("a", "b", "expected")
+    val got = df.select(col("expected"),
+      GraftFunctions.sortedOverlap(col("a"), col("b")).as("got")).collect()
+    got.foreach(r => assert(r.getAs[Int]("got") == r.getAs[Int]("expected")))
+  }
+
   test("fnv64 known values are stable across releases") {
     // pinned: changing the hash silently would corrupt persisted fingerprints
     assert(HashFunctions.fnv64("") == 0xcbf29ce484222325L)

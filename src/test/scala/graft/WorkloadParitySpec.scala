@@ -49,6 +49,17 @@ class WorkloadParitySpec extends AnyFunSuite {
     assert(got == golden)
   }
 
+  test("wc via typed Aggregator (map-side combine) == holistic mapGroups wc") {
+    val s = spark
+    import s.implicits._
+    val mapped = s.sparkContext.wholeTextFiles(PgGlob)
+      .flatMap { case (n, c) => Workloads.wcMap(n, c) }.toDS()
+    val agg = Workloads.wcViaAggregator(mapped)
+    val holistic = new MapReduceJob(Workloads.wcMap, Workloads.wcReduce)
+      .reduce(s, mapped)
+    assert(lines(agg) == lines(holistic))
+  }
+
   test("indexer doc lists are distinct and sorted (per-document dedup)") {
     val job = new MapReduceJob(Workloads.indexerMap, Workloads.indexerReduce)
     val out = job.runOn(refNamedPairs).collect()
