@@ -54,6 +54,7 @@ object SparkEntry {
     "q15_events_window" -> (Relational.q15EventsWindow _),
     "q16_sessions" -> (Relational.q16Sessions _),
     "q17_asof" -> (Relational.q17Asof _),
+    "q18_skew_agg" -> (graft.operators.Skew.q18SkewAgg _),
     // --- reference workloads, optimized DataFrame formulations ---
     "wc" -> (TextOps.wc _),
     "indexer" -> (TextOps.indexer _),
@@ -181,6 +182,8 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, o.o_orderkey
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q18_skew_agg" ->
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
     "wc" ->
       s"SELECT word, count(*) AS cnt FROM ($tokenized) t WHERE word <> '' GROUP BY word",
     "indexer" ->
