@@ -55,6 +55,7 @@ object SparkEntry {
     "q16_sessions" -> (Relational.q16Sessions _),
     "q17_asof" -> (Relational.q17Asof _),
     "q18_skew_agg" -> (graft.operators.Skew.q18SkewAgg _),
+    "q19_approx" -> (Relational.q19Approx _),
     // --- reference workloads, optimized DataFrame formulations ---
     "wc" -> (TextOps.wc _),
     "indexer" -> (TextOps.indexer _),

@@ -100,6 +100,30 @@ object EventStreams {
         })
   }
 
+  /** Incremental exact dedup over a document stream: state = "fingerprint
+    * seen" per md5 key; only the FIRST arrival of each fingerprint is
+    * emitted (with the min doc_id of its batch as the keeper). The
+    * streaming twin of `Dedup.exact` — this is how a pipeline dedups a
+    * rolling crawl without re-scanning history: state is sharded by
+    * fingerprint and grows with the number of DISTINCT documents, not the
+    * stream length.
+    */
+  def incrementalDedup(docs: DataFrame): Dataset[(String, Long)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(md5(col("text")).as("fp"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (fp: String, rows: Iterator[(String, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((fp, rows.map(_._2).min))
+          })
+  }
+
   /** Run a streaming DataFrame to completion over a bounded source (one
     * availableNow pass), collecting results through an in-memory sink table.
     * This is how the parity tests observe streaming output.

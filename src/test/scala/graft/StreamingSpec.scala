@@ -39,6 +39,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rowsOf(streamed).nonEmpty)
   }
 
+  test("incremental dedup: streaming first-seen set == batch exact dedup") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("docs-stream")
+    Files.copy(Paths.get(s"$Sf0001/documents.parquet"),
+      d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docStream = spark.readStream
+      .schema(graft.sources.Tables.documents(spark, Sf0001).schema)
+      .parquet(d.toString)
+    val out = EventStreams.runToMemory(
+      spark,
+      EventStreams.incrementalDedup(docStream).toDF("fp", "keep_id"),
+      "dedup_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = out.collect()
+      .map(r => r.getAs[String]("fp") -> r.getAs[Long]("keep_id")).toMap
+    val batch = graft.operators.Dedup.exact(spark, Sf0001).collect()
+      .map(r => r.getAs[String]("fp") -> r.getAs[Long]("keep_id")).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionize: stateful per-user aggregates match batch totals") {
     import org.apache.spark.sql.streaming.OutputMode
     val sessions = EventStreams.runToMemory(
