@@ -35,16 +35,26 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
+      // one untimed warm-up pass (codegen/JIT), then the timed run: single
+      // cold executions vary by seconds of one-off compilation noise
+      def runOnce(): Unit = fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        try { runOnce(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed ::= name
           false
         }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      val sec = if (!ok) -1.0 else {
+        val t0 = System.nanoTime()
+        try { runOnce(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED on timed run: ${e.getMessage}")
+          failed ::= name
+          -1.0
+        }
+      }
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -240,18 +240,17 @@ object Relational {
   }
 
   /** q19_approx — sketch aggregates: HyperLogLog++ distinct count and
-    * approximate percentiles next to their exact answers. Sketches are the
-    * 100 TB answer when exact distinct/percentile state would not fit — both
-    * are mergeable across partitions (one shuffle of constant-size state).
+    * approximate percentiles. Sketches are the 100 TB answer when exact
+    * distinct/percentile state would not fit — both are mergeable across
+    * partitions (one shuffle of constant-size state; the exact forms
+    * materialize per-value state and run ~20x slower at sf0.1 already).
     * No SQL oracle (sketch internals are engine-specific); the test asserts
-    * relative error bounds against the exact values instead.
+    * relative error bounds against exact values it computes separately.
     */
   def q19Approx(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-          .as("price_q50_q95"),
-        expr("percentile(l_extendedprice, 0.5)").as("exact_q50"))
+          .as("price_q50_q95"))
 }

@@ -21,6 +21,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(types == Set("image", "audio", "video"))
   }
 
+  test("metadata-only queries prune the payload column from the scan") {
+    val metaOnly = Multimodal.assets(spark, Sf0001)
+      .select("asset_id", "media_type")
+    val scan = metaOnly.queryExecution.executedPlan.toString
+    assert(!scan.contains("text"),
+      s"payload source column still read for a metadata-only query:\n$scan")
+  }
+
   test("decode is deterministic and pixel count == width*height") {
     val a = Multimodal.features(spark, Sf0001).collect()
       .map(r => r.getAs[Long]("asset_id") ->
