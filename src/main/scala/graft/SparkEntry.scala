@@ -56,6 +56,8 @@ object SparkEntry {
     "q17_asof" -> (Relational.q17Asof _),
     "q18_skew_agg" -> (graft.operators.Skew.q18SkewAgg _),
     "q19_approx" -> (Relational.q19Approx _),
+    "q20_cube" -> (Relational.q20Cube _),
+    "q21_pivot" -> (Relational.q21Pivot _),
     // --- reference workloads, optimized DataFrame formulations ---
     "wc" -> (TextOps.wc _),
     "indexer" -> (TextOps.indexer _),
@@ -185,6 +187,15 @@ object SparkEntry {
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
     "q18_skew_agg" ->
       "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+    "q20_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q21_pivot" ->
+      """SELECT l_linestatus,
+        | sum(l_quantity) FILTER (l_returnflag = 'A') AS "A",
+        | sum(l_quantity) FILTER (l_returnflag = 'N') AS "N",
+        | sum(l_quantity) FILTER (l_returnflag = 'R') AS "R"
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "wc" ->
       s"SELECT word, count(*) AS cnt FROM ($tokenized) t WHERE word <> '' GROUP BY word",
     "indexer" ->

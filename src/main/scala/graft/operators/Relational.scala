@@ -253,4 +253,21 @@ object Relational {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
           .as("price_q50_q95"))
+
+  /** q20_cube — full grouping-sets lattice over (returnflag, linestatus):
+    * 4 grouping sets in one pass (Expand + single shuffle). */
+  def q20Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+
+  /** q21_pivot — pivoted aggregation: per line status, quantity sums split
+    * into one column per return flag. Pivot values are pinned (no extra
+    * distinct-scan job, and the schema is static — the form that scales).
+    */
+  def q21Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum("l_quantity"))
 }
