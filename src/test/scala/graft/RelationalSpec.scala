@@ -65,4 +65,44 @@ class RelationalSpec extends AnyFunSuite {
     assert(grand.length == 1)
     assert(grand.head.getAs[Long]("n") == Tables.lineitem(spark, Sf0001).count())
   }
+
+  test("q16 sessions: 1 <= n_sessions <= n_events per user; events total") {
+    val rows = Relational.q16Sessions(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("n_sessions"); val e = r.getAs[Long]("n_events")
+      assert(s >= 1 && s <= e)
+    }
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, Sf0001).count())
+  }
+
+  test("q17 as-of: matched order is at-or-before the event, and is the latest such") {
+    import org.apache.spark.sql.functions._
+    val asof = Relational.q17Asof(spark, Sf0001)
+    // join back to sources and check the as-of contract row by row
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_id"), unix_micros(col("ts")).as("ev_us"))
+    val ord = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey").as("m"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ord_us"))
+    val checked = asof.join(ev, "event_id")
+      .join(ord, asof("o_orderkey") === ord("m"), "left")
+    assert(checked.filter(col("m").isNotNull && col("ord_us") > col("ev_us")).count() == 0)
+    // completeness: every event row appears exactly once
+    assert(asof.count() == Tables.events(spark, Sf0001).count())
+    assert(asof.select("event_id").distinct().count() == asof.count())
+  }
+
+  test("q20 cube has 4 grouping sets incl. grand total; q21 pivot sums match") {
+    val cube = Relational.q20Cube(spark, Sf0001).collect()
+    val grand = cube.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val pivot = Relational.q21Pivot(spark, Sf0001).collect()
+    val pivotTotal = pivot.flatMap(r => Seq("A", "N", "R").map(c =>
+      if (r.isNullAt(r.fieldIndex(c))) 0.0 else r.getAs[Double](c))).sum
+    val qtyTotal = Tables.lineitem(spark, Sf0001)
+      .agg(org.apache.spark.sql.functions.sum("l_quantity")).collect()(0).getDouble(0)
+    assert(math.abs(pivotTotal - qtyTotal) < 1e-6)
+  }
 }
