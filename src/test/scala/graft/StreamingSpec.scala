@@ -59,6 +59,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("watermark drops events later than 2h behind the max seen time") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t0 = 1700000000000L // fixed epoch millis, aligned off-hour
+    def ts(offsetH: Double): Timestamp = new Timestamp(t0 + (offsetH * 3600_000L).toLong)
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.windowedCounts(
+        input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), "ok", 1.0), (ts(8), "ok", 2.0)) // watermark -> t(8) - 2h
+      q.processAllAvailable()
+      input.addData((ts(1), "late", 9.0)) // 5h behind the watermark: dropped
+      q.processAllAvailable()
+      input.addData((ts(20), "ok", 3.0)) // advance watermark, close windows
+      q.processAllAvailable()
+      val types = s.table("late_test").select("event_type")
+        .collect().map(_.getString(0)).toSet
+      assert(types.contains("ok"))
+      assert(!types.contains("late"),
+        "an event 5h behind the watermark leaked into the windowed output")
+    } finally q.stop()
+  }
+
   test("sessionize: stateful per-user aggregates match batch totals") {
     import org.apache.spark.sql.streaming.OutputMode
     val sessions = EventStreams.runToMemory(
