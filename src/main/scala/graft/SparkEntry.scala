@@ -85,6 +85,7 @@ object SparkEntry {
     // --- similarity search ---
     "ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
+    "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
     "dedup_embed" -> ((s: SparkSession, d: String) => Ann.embedNearDup(s, d)),
   )
 

@@ -126,6 +126,49 @@ object Ann {
         round(col("score"), 4).as("score4"))
   }
 
+  /** ann_ivf — IVF (inverted-file) ANN, the clustering-based scale path next
+    * to the hyperplane-LSH one: k-means cells partition the corpus; each
+    * query scores only the `nProbe` cells whose centroids are nearest, so at
+    * 100 TB a query touches ~nProbe/nCells of the corpus with better cell
+    * balance than random hyperplanes give. Centroids come from seeded
+    * k-means (deterministic on fixed data); centroid probing is a broadcast
+    * of an nCells-row table.
+    */
+  def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus(s, dir)
+    val vecs = c.withColumn("fv", array_to_vector(col("vec")))
+    val model = new KMeans().setK(nCells).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(vecs)
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("vec"), col("nrm"), col("cell"))
+    // tiny centroid table: (cell, centroid array<double>)
+    val centroids = s.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) })
+      .toDF("cell", "centroid")
+    // per query: nProbe nearest cells by centroid distance (cosine)
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probed = q.join(broadcast(centroids))
+      .withColumn("cdist", -arrayDot(col("qvec"), col("centroid")) /
+        (col("qnrm") * sqrt(arrayDot(col("centroid"), col("centroid")))))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nProbe)
+      .select("query_id", "qvec", "qnrm", "cell")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", arrayDot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
   /** dedup_embed — embedding-cosine near-duplicate pairs: LSH-bucket equi-join
     * (same-bucket pairs only), cosine ≥ threshold. The embedding-space
     * sibling of Dedup.minhash; no all-pairs.

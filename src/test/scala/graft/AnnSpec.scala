@@ -56,6 +56,23 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.05, s"LSH recall vs brute suspiciously low: $recall")
   }
 
+  test("ivfTopK: ranks consistent with true cosine; recall vs brute is high") {
+    val rows = Ann.ivfTopK(spark, Sf0001, nQueries = 4, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._2).map(_._3)
+      val scores = byRank.map(id => cos(vecs(q), vecs(id)))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b - 1e-12 },
+        s"query $q: IVF neighbors not in descending cosine order")
+    }
+    val brute = Ann.bruteTopK(spark, Sf0001, nQueries = 4, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = rows.map(r => (r._1, r._3)).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall > 0.2, s"IVF recall vs brute suspiciously low: $recall")
+  }
+
   test("cosine column agrees with driver-side cosine") {
     import org.apache.spark.sql.functions._
     val s = spark
