@@ -58,6 +58,8 @@ object SparkEntry {
     "q19_approx" -> (Relational.q19Approx _),
     "q20_cube" -> (Relational.q20Cube _),
     "q21_pivot" -> (Relational.q21Pivot _),
+    "q22_intersect" -> (Relational.q22Intersect _),
+    "q23_outer" -> (Relational.q23Outer _),
     // --- reference workloads, optimized DataFrame formulations ---
     "wc" -> (TextOps.wc _),
     "indexer" -> (TextOps.indexer _),
@@ -76,6 +78,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_dups" -> (Dedup.exactDups _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.minhash(s, d)),
+    "dedup_jaccard3" -> ((s: SparkSession, d: String) => Dedup.jaccard3(s, d)),
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash" -> (Dedup.simhashSigs _),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
@@ -197,6 +200,15 @@ object SparkEntry {
         | sum(l_quantity) FILTER (l_returnflag = 'N') AS "N",
         | sum(l_quantity) FILTER (l_returnflag = 'R') AS "R"
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q22_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |INTERSECT SELECT o_custkey FROM orders""".stripMargin,
+    "q23_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))),
+        |   CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
     "wc" ->
       s"SELECT word, count(*) AS cnt FROM ($tokenized) t WHERE word <> '' GROUP BY word",
     "indexer" ->
@@ -262,7 +274,11 @@ object SparkEntry {
     "dedup_exact_dups" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1""".stripMargin,
-    "dedup_minhash" ->
+    // dedup_jaccard3 (NOT dedup_minhash): the exact prefix-filter variant has
+    // recall exactly 1, so the all-pairs oracle agrees deterministically on
+    // any corpus; the LSH minhash path is probabilistic near the banding
+    // S-curve knee and is checked rows-only + by recall tests instead.
+    "dedup_jaccard3" ->
       s"""SELECT doc1, doc2, jaccard FROM (
          | SELECT a.doc_id AS doc1, b.doc_id AS doc2,
          |  CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
@@ -291,7 +307,11 @@ object SparkEntry {
         |  ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id ASC) AS rnk
         | FROM c, q WHERE c.vec_id <> q.query_id) t WHERE rnk <= 10""".stripMargin,
     // no oracle (not ANSI-SQL-expressible): text_fingerprint_poly (wraparound
-    // int64), dedup_simhash / dedup_simhash_pairs (xxhash64), ann_lsh /
-    // dedup_embed (LSH bucket structure) — driver records rows-only checks.
+    // int64), dedup_simhash / dedup_simhash_pairs (fnv64 wraparound),
+    // dedup_minhash (probabilistic LSH recall — exact sibling dedup_jaccard3
+    // carries the oracle), ann_lsh / ann_ivf / dedup_embed (LSH/k-means
+    // bucket structure), q19_approx (engine-specific sketches), mm_features
+    // (stub decoder) — driver records rows-only checks; invariants are
+    // asserted in ScalaTest (recall-vs-brute, sketch error bounds).
   )
 }

@@ -104,9 +104,13 @@ object Ann {
     */
   def lshTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10): DataFrame = {
     val dim = 64 // embeddings fixture dimension (TESTDATA.md)
-    val nbits = nbitsFor(Tables.embeddings(s, dir).count())
+    // cache the corpus ONCE: the nbits-sizing count, the corpus join side and
+    // the query-probe side all reuse the same materialization (previously
+    // each was a fresh full scan + norm recompute)
+    val base = corpus(s, dir).cache()
+    val nbits = nbitsFor(base.count())
     val planes = hyperplanes(dim, nbits)
-    val c = corpus(s, dir).withColumn("bucket", bucketCol(col("vec"), planes))
+    val c = base.withColumn("bucket", bucketCol(col("vec"), planes))
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         col("nrm").as("qnrm"), col("bucket").as("qb"))
@@ -139,7 +143,9 @@ object Ann {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = corpus(s, dir)
-    val vecs = c.withColumn("fv", array_to_vector(col("vec")))
+    // cached: k-means iterates over this several times, then the cell
+    // assignment + query extraction scan it again
+    val vecs = c.withColumn("fv", array_to_vector(col("vec"))).cache()
     val model = new KMeans().setK(nCells).setSeed(42L)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(vecs)
     val assigned = model.transform(vecs)
@@ -174,8 +180,9 @@ object Ann {
     * sibling of Dedup.minhash; no all-pairs.
     */
   def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.98): DataFrame = {
-    val planes = hyperplanes(64, nbitsFor(Tables.embeddings(s, dir).count()))
-    val c = corpus(s, dir).withColumn("bucket", bucketCol(col("vec"), planes))
+    val base = corpus(s, dir).cache()
+    val planes = hyperplanes(64, nbitsFor(base.count()))
+    val c = base.withColumn("bucket", bucketCol(col("vec"), planes))
     val l = c.select(col("bucket"), col("vec_id").as("id1"), col("vec").as("v1"), col("nrm").as("nrm1"))
     val r = c.select(col("bucket"), col("vec_id").as("id2"), col("vec").as("v2"), col("nrm").as("nrm2"))
     l.join(r, Seq("bucket"))

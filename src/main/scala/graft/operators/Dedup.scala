@@ -191,11 +191,40 @@ object Dedup {
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
-    // dictionary: token -> dense id, ids ascending by (df, token)
+    prefixJaccardJoin(s, docs, threshold)
+  }
+
+  /** dedup_jaccard3 — EXACT word-3-gram shingle Jaccard join at `threshold`,
+    * through the same prefix-filter candidate generator. This is the
+    * oracle-checkable sibling of [[minhash]]: identical shingle semantics,
+    * but candidate generation has recall exactly 1 (no banding probability,
+    * no hot-bucket cap), so an all-pairs SQL oracle agrees deterministically.
+    */
+  def jaccard3(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val sets = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, shingleSet(text)) }
+      .toDF("doc_id", "toks")
+    prefixJaccardJoin(s, sets, threshold)
+  }
+
+  /** Exact Jaccard similarity self-join at `threshold` over
+    * (doc_id, toks: array<string> DISTINCT items), via prefix filtering.
+    */
+  private[operators] def prefixJaccardJoin(
+      s: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
+    import s.implicits._
+    // dictionary: token -> dense id, ids ascending by (df, token). Assigned
+    // WITHOUT a single-partition window: distributed range-sort, then
+    // zipWithIndex (per-partition counts + offsets — no global funnel).
     val dict = docs.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
-      .withColumn("tid", row_number().over(Window.orderBy(col("df").asc, col("tok").asc)))
-      .select("tok", "tid")
+      .orderBy(col("df").asc, col("tok").asc)
+      .select(col("tok")).as[String].rdd
+      .zipWithIndex.map { case (t, i) => (t, (i + 1).toInt) }
+      .toDF("tok", "tid")
     // docs as sorted int-id arrays; prefix = rarest ids
     val encoded = docs
       .select(col("doc_id"), explode(col("toks")).as("tok"))
@@ -273,17 +302,27 @@ object Dedup {
   }
 
   /** dedup_simhash_pairs — near-dup pairs at Hamming distance ≤ `maxHamming`,
-    * blocked on 4×16-bit chunks (a pair within Hamming 3 of 64 bits must
-    * agree exactly on ≥1 of 4 chunks — pigeonhole), so candidate generation
-    * is again an equi-join, not all-pairs.
+    * blocked on `maxHamming + 1` bit-range chunks of the 64-bit signature:
+    * with d ≤ maxHamming differing bits spread over maxHamming+1 disjoint
+    * chunks, at least one chunk is untouched (pigeonhole), so the equi-join
+    * on (chunk, chunk bits) is a COMPLETE candidate generator for every
+    * `maxHamming` — never all-pairs. Chunk count is derived, not fixed, so
+    * callers cannot silently lose recall (maxHamming=3 → the classic 4×16).
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val nChunks = maxHamming + 1
+    // chunk c covers bits [lo(c), lo(c+1)): widths differ by at most 1
+    def lo(c: Int): Int = c * 64 / nChunks
     val docs = simhashSigs(s, dir)
     val chunked = docs.select(
       col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk", "ckey")))
+      posexplode(array((0 until nChunks).map { c =>
+        val width = lo(c + 1) - lo(c)
+        val mask = if (width >= 64) -1L else (1L << width) - 1L
+        shiftright(col("simhash"), lo(c)).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("chunk", "ckey")))
     val l = chunked.select(col("chunk"), col("ckey"),
       col("doc_id").as("doc1"), col("simhash").as("h1"))
     val r = chunked.select(col("chunk"), col("ckey"),

@@ -246,13 +246,19 @@ object Relational {
     * materialize per-value state and run ~20x slower at sf0.1 already).
     * No SQL oracle (sketch internals are engine-specific); the test asserts
     * relative error bounds against exact values it computes separately.
+    * Percentiles are emitted as SCALAR columns (not array<double>) so the
+    * driver's rows-only canonicalization can hash the output.
     */
   def q19Approx(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-          .as("price_q50_q95"))
+          .as("qs"))
+      .select(
+        col("approx_parts"),
+        element_at(col("qs"), 1).as("price_q50"),
+        element_at(col("qs"), 2).as("price_q95"))
 
   /** q20_cube — full grouping-sets lattice over (returnflag, linestatus):
     * 4 grouping sets in one pass (Expand + single shuffle). */
@@ -270,4 +276,26 @@ object Relational {
       .groupBy("l_linestatus")
       .pivot("l_returnflag", Seq("A", "N", "R"))
       .agg(sum("l_quantity"))
+
+  /** q22_intersect — INTERSECT set-op (rich customers who DO have orders);
+    * completes the set-op family next to q8's EXCEPT. Plans as a distinct +
+    * left-semi shape: one shuffle per side on the compare key.
+    */
+  def q22Intersect(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).filter(col("c_acctbal") > 5000).select("c_custkey")
+      .intersect(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
+
+  /** q23_outer — left outer join preserving order-less customers, with
+    * null-safe aggregates: count(o_orderkey) skips nulls (0 for no orders)
+    * and the revenue sum coalesces the empty group to 0. DECIMAL discipline
+    * as everywhere so the DuckDB compare is exact.
+    */
+  def q23Outer(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(col("o_totalprice").cast(money)), lit(0).cast(money))
+          .cast("double").as("revenue"))
 }

@@ -68,6 +68,41 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty) // sanity: the constructed corpus does contain pairs
   }
 
+  private def shingles3(t: String): Set[String] = {
+    val toks = t.trim.split("\\s+")
+    if (toks.length >= 3)
+      (0 to toks.length - 3).map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+    else Set(toks.mkString(" "))
+  }
+
+  test("jaccard3: equals brute-force shingle jaccard (exact recall, no S-curve)") {
+    val t = 0.5
+    val expected = (for {
+      i <- docs.indices; j <- docs.indices if i < j
+      ji = jaccard(shingles3(docs(i)._2), shingles3(docs(j)._2)) if ji >= t
+    } yield (docs(i)._1, docs(j)._1) -> ji).toMap
+    val got = Dedup.jaccard3(spark, dir, threshold = t).collect()
+      .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("simhashPairs: complete at every maxHamming (derived chunk count)") {
+    val sigs = Dedup.simhashSigs(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    for (mh <- Seq(0, 3, 5, 11)) {
+      val expected = (for {
+        i <- docs.indices; j <- docs.indices if i < j
+        h = java.lang.Long.bitCount(sigs(docs(i)._1) ^ sigs(docs(j)._1)) if h <= mh
+      } yield (docs(i)._1, docs(j)._1)).toSet
+      val got = Dedup.simhashPairs(spark, dir, maxHamming = mh).collect()
+        .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2")))
+        .toSet
+      assert(got == expected, s"maxHamming=$mh: got $got expected $expected")
+    }
+  }
+
   test("simhash: identical docs at hamming 0; unrelated docs far apart") {
     val sigs = Dedup.simhashSigs(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

@@ -94,6 +94,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(asof.select("event_id").distinct().count() == asof.count())
   }
 
+  test("q22 intersect + q8 except partition the rich-customer set") {
+    import org.apache.spark.sql.functions._
+    val rich = Tables.customer(spark, Sf0001)
+      .filter(col("c_acctbal") > 5000).count()
+    val inter = Relational.q22Intersect(spark, Sf0001).count()
+    val except = Relational.q8SetOps(spark, Sf0001).count()
+    assert(inter + except == rich)
+    assert(inter > 0)
+  }
+
+  test("q23 outer join preserves all customers; n_orders totals the orders table") {
+    val rows = Relational.q23Outer(spark, Sf0001).collect()
+    assert(rows.length == Tables.customer(spark, Sf0001).count())
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      Tables.orders(spark, Sf0001).count())
+    // customers without orders appear with zero revenue, not dropped/null
+    val zeros = rows.filter(_.getAs[Long]("n_orders") == 0L)
+    assert(zeros.forall(_.getAs[Double]("revenue") == 0.0))
+  }
+
   test("q20 cube has 4 grouping sets incl. grand total; q21 pivot sums match") {
     val cube = Relational.q20Cube(spark, Sf0001).collect()
     val grand = cube.filter(r => r.isNullAt(0) && r.isNullAt(1))
