@@ -146,7 +146,10 @@ object Ann {
     // cached: k-means iterates over this several times, then the cell
     // assignment + query extraction scan it again
     val vecs = c.withColumn("fv", array_to_vector(col("vec"))).cache()
-    val model = new KMeans().setK(nCells).setSeed(42L)
+    // 10 iterations is plenty for IVF cells: centroids only need to balance
+    // the partition, not converge — any fixed-seed assignment is a valid
+    // (and deterministic) inverted file
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(vecs)
     val assigned = model.transform(vecs)
       .select(col("vec_id"), col("vec"), col("nrm"), col("cell"))

@@ -172,6 +172,33 @@ object Dedup {
       .select("doc1", "doc2", "jaccard")
   }
 
+  /** Dense small-vocab Jaccard: every distinct token set is one long; the
+    * u ≤ [[DenseMaxSets]] unique masks pair via a broadcast nested-loop over
+    * popcount arithmetic (whole-stage codegen'd long ops — no arrays cross
+    * the wire), then matching mask pairs expand back to doc pairs. Each
+    * unordered doc pair is produced exactly once: mask pairs are taken with
+    * m1 ≤ m2, and within an identical-mask group (jaccard 1) the a < b
+    * filter picks one orientation.
+    */
+  private def denseMaskJoin(groups: DataFrame, threshold: Double): DataFrame = {
+    val l = groups.select(col("mask").as("m1"), col("ids").as("ids1"), col("n").as("n1"))
+    val r = groups.select(col("mask").as("m2"), col("ids").as("ids2"), col("n").as("n2"))
+    l.join(broadcast(r), col("m1") <= col("m2"))
+      .withColumn("ov", bit_count(col("m1").bitwiseAND(col("m2"))))
+      .withColumn("jaccard",
+        col("ov").cast("double") / (col("n1") + col("n2") - col("ov")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("m1"), col("m2"), col("jaccard"),
+        explode(col("ids1")).as("a"), col("ids2"))
+      .select(col("m1"), col("m2"), col("jaccard"), col("a"),
+        explode(col("ids2")).as("b"))
+      .filter(col("m1") < col("m2") || col("a") < col("b"))
+      .select(
+        least(col("a"), col("b")).as("doc1"),
+        greatest(col("a"), col("b")).as("doc2"),
+        col("jaccard"))
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** dedup_ngram — EXACT token-set (1-gram) Jaccard similarity join at
@@ -210,21 +237,53 @@ object Dedup {
     prefixJaccardJoin(s, sets, threshold)
   }
 
+  /** Above this many distinct bitmasks the dense path's unique-set
+    * nested-loop join (u²/2 popcount probes) stops being the cheap option
+    * and the prefix-filter path takes over.
+    */
+  val DenseMaxSets = 8192
+
   /** Exact Jaccard similarity self-join at `threshold` over
-    * (doc_id, toks: array<string> DISTINCT items), via prefix filtering.
+    * (doc_id, toks: array<string> DISTINCT items).
+    *
+    * ADAPTIVE strategy selection (decided from the data, like a broadcast
+    * threshold): when the vocabulary fits in 64 distinct tokens AND the
+    * number of distinct token SETS is small, every set is one 64-bit
+    * bitmask — Jaccard collapses to popcount arithmetic over unique masks
+    * (codegen'd bit ops, zero arrays shuffled) and doc pairs are recovered
+    * by exploding per-mask doc lists. Otherwise: prefix filtering (the
+    * PPJoin principle) — the scale path for real vocabularies.
     */
   private[operators] def prefixJaccardJoin(
       s: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
-    import s.implicits._
+    val toksEx = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    // is the vocabulary tiny? (≤64 ⇒ sets are single longs)
+    val vocab64 = toksEx.select("tok").distinct().limit(65).collect().map(_.getString(0))
+    if (vocab64.length <= 64) {
+      import s.implicits._
+      val dict = broadcast(
+        vocab64.sorted.zipWithIndex.map { case (t, i) => (t, i + 1) }.toSeq.toDF("tok", "tid"))
+      val masks = toksEx.join(dict, "tok")
+        .groupBy("doc_id")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tid - 1))").as("mask"))
+      val groups = masks.groupBy("mask")
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .withColumn("n", bit_count(col("mask")))
+        .cache() // u rows, consumed by the sizing count AND both join sides
+      if (groups.count() <= DenseMaxSets) return denseMaskJoin(groups, threshold)
+      // too many distinct sets for u² probing — fall through to prefix path
+    }
     // dictionary: token -> dense id, ids ascending by (df, token). Assigned
     // WITHOUT a single-partition window: distributed range-sort, then
     // zipWithIndex (per-partition counts + offsets — no global funnel).
-    val dict = docs.select(explode(col("toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-      .orderBy(col("df").asc, col("tok").asc)
-      .select(col("tok")).as[String].rdd
-      .zipWithIndex.map { case (t, i) => (t, (i + 1).toInt) }
-      .toDF("tok", "tid")
+    val dict = {
+      import s.implicits._
+      toksEx.groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").asc, col("tok").asc)
+        .select(col("tok")).as[String].rdd
+        .zipWithIndex.map { case (t, i) => (t, (i + 1).toInt) }
+        .toDF("tok", "tid")
+    }
     // docs as sorted int-id arrays; prefix = rarest ids
     val encoded = docs
       .select(col("doc_id"), explode(col("toks")).as("tok"))

@@ -68,6 +68,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty) // sanity: the constructed corpus does contain pairs
   }
 
+  test("ngramJaccard dense and prefix paths agree (vocab straddles the 64 cutoff)") {
+    // 120-word vocabulary forces the prefix-filter path; the same docs
+    // restricted to a 40-word vocabulary take the dense bitmask path.
+    // Both must equal brute force.
+    val s = spark
+    import s.implicits._
+    def corpus(vocabSize: Int): Seq[(Long, String)] =
+      (0L until 60L).map { i =>
+        val words = (0 until 20).map(j => s"w${(i * 7 + j * 3) % vocabSize}")
+        (i, words.mkString(" "))
+      } ++ Seq((60L, (0 until 20).map(j => s"w${(3L * 7 + j * 3) % vocabSize}").mkString(" ")))
+    for (vs <- Seq(40, 120)) {
+      val cs = corpus(vs)
+      val d = Files.createTempDirectory(s"dedup-path-$vs").toString
+      cs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      val t = 0.6
+      val expected = (for {
+        i <- cs.indices; j <- cs.indices if i < j
+        ji = jaccard(tokSet(cs(i)._2), tokSet(cs(j)._2)) if ji >= t
+      } yield (cs(i)._1, cs(j)._1) -> ji).toMap
+      val got = Dedup.ngramJaccard(spark, d, threshold = t).collect()
+        .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2")) -> r.getAs[Double]("jaccard"))
+        .toMap
+      assert(got == expected, s"vocab=$vs")
+      assert(got.nonEmpty, s"vocab=$vs produced no pairs")
+    }
+  }
+
   private def shingles3(t: String): Set[String] = {
     val toks = t.trim.split("\\s+")
     if (toks.length >= 3)
