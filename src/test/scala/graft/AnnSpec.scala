@@ -73,6 +73,29 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.2, s"IVF recall vs brute suspiciously low: $recall")
   }
 
+  test("embedNearDup finds planted near-identical vectors, nothing else") {
+    // fixture embeddings have no pairs above cos 0.60 (checked), so plant
+    // our own: v1 ≈ v0 (tiny perturbation), v3 == v2, v0 ⟂̸ v2 (random)
+    val s = spark
+    import s.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64) { i =>
+        (math.sin(seed * 7919.0 + i * 104729.0) * 100 % 1.0).toFloat
+      }
+    val v0 = vec(1)
+    val v1 = v0.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.001f else 0f) }
+    val v2 = vec(2)
+    val v3 = v2.clone()
+    val dir = java.nio.file.Files.createTempDirectory("embed-dedup").toString
+    Seq((0L, v0.toSeq, 0), (1L, v1.toSeq, 0), (2L, v2.toSeq, 1), (3L, v3.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = Ann.embedNearDup(spark, dir, threshold = 0.98).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+      .toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L)))
+  }
+
   test("cosine column agrees with driver-side cosine") {
     import org.apache.spark.sql.functions._
     val s = spark
