@@ -60,6 +60,7 @@ object SparkEntry {
     "q21_pivot" -> (Relational.q21Pivot _),
     "q22_intersect" -> (Relational.q22Intersect _),
     "q23_outer" -> (Relational.q23Outer _),
+    "q24_json" -> (Relational.q24Json _),
     // --- reference workloads, optimized DataFrame formulations ---
     "wc" -> (TextOps.wc _),
     "indexer" -> (TextOps.indexer _),
@@ -209,6 +210,12 @@ object SparkEntry {
         |   CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin,
+    "q24_json" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "wc" ->
       s"SELECT word, count(*) AS cnt FROM ($tokenized) t WHERE word <> '' GROUP BY word",
     "indexer" ->

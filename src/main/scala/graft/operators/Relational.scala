@@ -298,4 +298,22 @@ object Relational {
         count(col("o_orderkey")).as("n_orders"),
         coalesce(sum(col("o_totalprice").cast(money)), lit(0).cast(money))
           .cast("double").as("revenue"))
+
+  /** q24_json — semi-structured column handling: `events.props` holds JSON
+    * strings; parse with an explicit schema (`from_json`, codegen'd — no
+    * schema inference scan) and aggregate the extracted field. At 100 TB
+    * the explicit schema matters: inference would cost a full extra pass,
+    * and a typed struct lets Catalyst prune everything else.
+    */
+  def q24Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"), "k BIGINT", Map.empty[String, String])
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
 }
