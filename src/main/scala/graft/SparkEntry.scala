@@ -61,6 +61,8 @@ object SparkEntry {
     "q22_intersect" -> (Relational.q22Intersect _),
     "q23_outer" -> (Relational.q23Outer _),
     "q24_json" -> (Relational.q24Json _),
+    // --- structured streaming (bounded AvailableNow pass; == batch answer) ---
+    "q25_stream_window" -> (graft.streaming.EventStreams.windowedCountsQuery _),
     // --- reference workloads, optimized DataFrame formulations ---
     "wc" -> (TextOps.wc _),
     "indexer" -> (TextOps.indexer _),
@@ -216,6 +218,12 @@ object SparkEntry {
         | min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    // the streaming path must reproduce the BATCH answer on bounded input —
+    // same oracle as q15_events_window
+    "q25_stream_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS wstart,
+        | event_type, count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "wc" ->
       s"SELECT word, count(*) AS cnt FROM ($tokenized) t WHERE word <> '' GROUP BY word",
     "indexer" ->

@@ -124,6 +124,26 @@ object EventStreams {
           })
   }
 
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** q25_stream_window — the REGISTERED streaming query: stages the fixture
+    * `events.parquet` into a directory (the file streaming source lists
+    * directories), runs [[windowedCounts]] through one AvailableNow pass
+    * into a memory sink, and returns the sink table. Output columns match
+    * `Relational.q15EventsWindow` exactly, so the DuckDB batch oracle
+    * verifies the STREAMING path end-to-end (one bounded pass ⇒ no
+    * watermark drops ⇒ streaming answer == batch answer).
+    */
+  def windowedCountsQuery(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staged = Files.createTempDirectory("events-stream-q")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // memory sink names are session-global: make each invocation unique
+    val name = s"q25_stream_window_${runSeq.incrementAndGet()}"
+    runToMemory(s, windowedCounts(readEvents(s, staged.toString)), name)
+  }
+
   /** Run a streaming DataFrame to completion over a bounded source (one
     * availableNow pass), collecting results through an in-memory sink table.
     * This is how the parity tests observe streaming output.
