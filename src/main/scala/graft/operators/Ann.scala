@@ -130,32 +130,98 @@ object Ann {
         round(col("score"), 4).as("score4"))
   }
 
+  /** Training-sample cap for IVF centroid fitting. FAISS-style: centroids
+    * are fit on a bounded deterministic sample (hash-ordered top-N — a
+    * single TakeOrdered pass, no full sort), so the fit costs the same at
+    * 2 k vectors and at 10^9 — the full corpus is never iterated by the
+    * clustering loop.
+    */
+  val IvfTrainCap = 16384
+
+  /** Seeded Lloyd k-means over a driver-local sample: deterministic splitmix
+    * init, `iters` assignment/recompute rounds, empty cells keep their seed.
+    * At IvfTrainCap×64 dims×10 iters this is ~10^8 flops — milliseconds on
+    * the driver, ZERO Spark jobs (MLlib's KMeans spends more time scheduling
+    * its per-iteration jobs than this takes in total).
+    */
+  private[operators] def fitCentroids(
+      train: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(train.length >= k, s"need >= $k training vectors, got ${train.length}")
+    val dim = train(0).length
+    var state = 42L
+    def nextLong(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // init from k DISTINCT sample indices
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Int]
+    while (seen.size < k)
+      seen += (((nextLong() % train.length) + train.length) % train.length).toInt
+    val centroids = seen.iterator.map(train(_).clone()).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      train.foreach { v =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+    }
+    centroids
+  }
+
+  /** Nearest-centroid cell id of a vector column, fully codegen'd: euclidean
+    * argmin via ‖v‖² − 2·v·c + ‖c‖² (the ‖v‖² term is constant per row, so
+    * only the dot against each centroid is evaluated), ties to the lowest
+    * cell id via struct array_min.
+    */
+  private def cellCol(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (ct, i) =>
+      val c2 = ct.map(x => x * x).sum
+      struct(
+        (lit(c2) - lit(2.0) * arrayDot(vec, array(ct.map(lit): _*))).as("d"),
+        lit(i).as("cell"))
+    }
+    array_min(array(scored: _*)).getField("cell")
+  }
+
   /** ann_ivf — IVF (inverted-file) ANN, the clustering-based scale path next
     * to the hyperplane-LSH one: k-means cells partition the corpus; each
     * query scores only the `nProbe` cells whose centroids are nearest, so at
     * 100 TB a query touches ~nProbe/nCells of the corpus with better cell
-    * balance than random hyperplanes give. Centroids come from seeded
-    * k-means (deterministic on fixed data); centroid probing is a broadcast
-    * of an nCells-row table.
+    * balance than random hyperplanes give. Centroids are fit on a bounded
+    * deterministic sample ([[fitCentroids]]); centroid probing is a
+    * broadcast of an nCells-row table.
     */
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val c = corpus(s, dir)
-    // cached: k-means iterates over this several times, then the cell
-    // assignment + query extraction scan it again
-    val vecs = c.withColumn("fv", array_to_vector(col("vec"))).cache()
-    // 10 iterations is plenty for IVF cells: centroids only need to balance
-    // the partition, not converge — any fixed-seed assignment is a valid
-    // (and deterministic) inverted file
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(vecs)
-    val assigned = model.transform(vecs)
-      .select(col("vec_id"), col("vec"), col("nrm"), col("cell"))
+    val train = c.orderBy(xxhash64(col("vec_id"))).limit(IvfTrainCap)
+      .select("vec").collect().map(_.getSeq[Double](0).toArray)
+    val cents = fitCentroids(train, nCells, iters = 10)
+    val assigned = c.withColumn("cell", cellCol(col("vec"), cents))
     // tiny centroid table: (cell, centroid array<double>)
     val centroids = s.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) })
+      cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
       .toDF("cell", "centroid")
     // per query: nProbe nearest cells by centroid distance (cosine)
     val q = assigned.filter(col("vec_id") < nQueries)
