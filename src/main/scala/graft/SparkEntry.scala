@@ -61,6 +61,8 @@ object SparkEntry {
     "q22_intersect" -> (Relational.q22Intersect _),
     "q23_outer" -> (Relational.q23Outer _),
     "q24_json" -> (Relational.q24Json _),
+    "q26_promo" -> (Relational.q26Promo _),
+    "q27_supp_nation" -> (Relational.q27SuppNation _),
     // --- structured streaming (bounded AvailableNow pass; == batch answer) ---
     "q25_stream_window" -> (graft.streaming.EventStreams.windowedCountsQuery _),
     // --- reference workloads, optimized DataFrame formulations ---
@@ -218,6 +220,20 @@ object SparkEntry {
         | min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         | max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "q26_promo" ->
+      s"""SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPrice
+         |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+         | CAST(sum($discPrice) AS DOUBLE) AS total_rev,
+         | 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $discPrice
+         |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |  / CAST(sum($discPrice) AS DOUBLE) AS promo_pct
+         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q27_supp_nation" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        | CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        | CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
     // the streaming path must reproduce the BATCH answer on bounded input —
     // same oracle as q15_events_window
     "q25_stream_window" ->

@@ -299,6 +299,36 @@ object Relational {
         coalesce(sum(col("o_totalprice").cast(money)), lit(0).cast(money))
           .cast("double").as("revenue"))
 
+  /** q26_promo — TPC-H Q14 shape: conditional aggregation over the
+    * lineitem⋈part join (promo revenue share). Part is the broadcast dim;
+    * the CASE lives inside the DECIMAL sum so partial aggregation applies,
+    * and the final ratio is one double division of two exact sums (bit-
+    * stable under any partitioning).
+    */
+  def q26Promo(s: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice").cast(money) * (lit(1).cast(money) - col("l_discount").cast(money))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast(money)))
+          .cast("double").as("promo_rev"),
+        sum(disc).cast("double").as("total_rev"))
+      .withColumn("promo_pct", lit(100.0) * col("promo_rev") / col("total_rev"))
+  }
+
+  /** q27_supp_nation — supplier coverage: per-nation supplier count and
+    * account-balance totals (exact DECIMAL accumulation; the mean is a
+    * final-step double division, not a float running average).
+    */
+  def q27SuppNation(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("s_acctbal").cast(money)).cast("double").as("total_bal"))
+      .withColumn("avg_bal", col("total_bal") / col("n_suppliers"))
+
   /** q24_json — semi-structured column handling: `events.props` holds JSON
     * strings; parse with an explicit schema (`from_json`, codegen'd — no
     * schema inference scan) and aggregate the extracted field. At 100 TB
