@@ -89,6 +89,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // --- multimodal columns (stubbed decode, real plumbing) ---
     "mm_features" -> (Multimodal.features _),
+    "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // --- similarity search ---
     "ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
@@ -341,8 +342,8 @@ object SparkEntry {
     // int64), dedup_simhash / dedup_simhash_pairs (fnv64 wraparound),
     // dedup_minhash (probabilistic LSH recall — exact sibling dedup_jaccard3
     // carries the oracle), ann_lsh / ann_ivf / dedup_embed (LSH/k-means
-    // bucket structure), q19_approx (engine-specific sketches), mm_features
-    // (stub decoder) — driver records rows-only checks; invariants are
-    // asserted in ScalaTest (recall-vs-brute, sketch error bounds).
+    // bucket structure), q19_approx (engine-specific sketches), mm_features /
+    // mm_thumbs (stub decoder) — driver records rows-only checks; invariants
+    // are asserted in ScalaTest (recall-vs-brute, sketch error bounds).
   )
 }

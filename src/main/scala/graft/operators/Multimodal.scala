@@ -129,6 +129,22 @@ object Multimodal {
     }.toDF("asset_id", "width", "height", "thumb")
   }
 
+  /** mm_thumbs — decode → average-pool resize → per-asset thumbnail stats.
+    * Emits SCALAR columns (mean/min/max over the 8×8 thumb) so the driver's
+    * rows-only canonicalization can hash the output; the full pixel-array
+    * path is asserted in MultimodalSpec.
+    */
+  def thumbStats(s: SparkSession, dir: String, ow: Int = 8, oh: Int = 8): DataFrame = {
+    import s.implicits._
+    decode(s, dir).as[Decoded].map { d =>
+      val t = resizePixels(d.pixels, d.width, d.height, ow, oh)
+      var mn = Float.MaxValue; var mx = Float.MinValue
+      var sum = 0.0
+      t.foreach { v => if (v < mn) mn = v; if (v > mx) mx = v; sum += v }
+      (d.asset_id, ow, oh, sum / t.length, mn.toDouble, mx.toDouble)
+    }.toDF("asset_id", "width", "height", "mean_px", "min_px", "max_px")
+  }
+
   /** mm_frame_sample — video assets only: every `stride`-th frame index,
     * exploded to one row per sampled frame (the partition-parallel frame
     * sampler shape; a real impl would decode just those frames).
