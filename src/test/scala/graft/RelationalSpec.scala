@@ -114,6 +114,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(zeros.forall(_.getAs[Double]("revenue") == 0.0))
   }
 
+  test("q24 json: extracted-field counts cover every event") {
+    val rows = Relational.q24Json(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, Sf0001).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_k") <= r.getAs[Long]("max_k"))
+      assert(r.getAs[Long]("sum_k") >= r.getAs[Long]("n") * r.getAs[Long]("min_k"))
+    }
+  }
+
+  test("q26 promo: conditional sum is a proper fraction of the total") {
+    val r = Relational.q26Promo(spark, Sf0001).collect()(0)
+    val promo = r.getAs[Double]("promo_rev")
+    val total = r.getAs[Double]("total_rev")
+    assert(promo > 0 && promo < total)
+    assert(math.abs(r.getAs[Double]("promo_pct") - 100.0 * promo / total) < 1e-9)
+  }
+
+  test("q27 supplier counts cover the supplier table") {
+    val rows = Relational.q27SuppNation(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_suppliers")).sum ==
+      Tables.supplier(spark, Sf0001).count())
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("avg_bal") -
+        r.getAs[Double]("total_bal") / r.getAs[Long]("n_suppliers")) < 1e-9)
+    }
+  }
+
   test("q20 cube has 4 grouping sets incl. grand total; q21 pivot sums match") {
     val cube = Relational.q20Cube(spark, Sf0001).collect()
     val grand = cube.filter(r => r.isNullAt(0) && r.isNullAt(1))
