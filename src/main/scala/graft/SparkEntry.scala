@@ -63,6 +63,8 @@ object SparkEntry {
     "q24_json" -> (Relational.q24Json _),
     "q26_promo" -> (Relational.q26Promo _),
     "q27_supp_nation" -> (Relational.q27SuppNation _),
+    "q28_sql" -> (Relational.q28Sql _),
+    "q29_running" -> (Relational.q29Running _),
     // --- structured streaming (bounded AvailableNow pass; == batch answer) ---
     "q25_stream_window" -> (graft.streaming.EventStreams.windowedCountsQuery _),
     // --- reference workloads, optimized DataFrame formulations ---
@@ -235,6 +237,16 @@ object SparkEntry {
         | CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q28_sql" ->
+      """SELECT c.c_custkey, c.c_name FROM customer c
+        |WHERE (SELECT count(*) FROM orders o
+        |       WHERE o.o_custkey = c.c_custkey) >= 20""".stripMargin,
+    "q29_running" ->
+      """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS odate_us,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
+        |FROM orders""".stripMargin,
     // the streaming path must reproduce the BATCH answer on bounded input —
     // same oracle as q15_events_window
     "q25_stream_window" ->

@@ -329,6 +329,38 @@ object Relational {
         sum(col("s_acctbal").cast(money)).cast("double").as("total_bal"))
       .withColumn("avg_bal", col("total_bal") / col("n_suppliers"))
 
+  /** q28_sql — the SQL entry point: temp views + `spark.sql` with a
+    * CORRELATED scalar subquery (Catalyst decorrelates it into an aggregate
+    * + join — assert via PlanAudit that no per-row re-execution survives).
+    * Exercises the parser/analyzer surface the DataFrame queries bypass.
+    */
+  def q28Sql(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT c.c_custkey, c.c_name
+      FROM customer_v c
+      WHERE (SELECT count(*) FROM orders_v o
+             WHERE o.o_custkey = c.c_custkey) >= 20""")
+  }
+
+  /** q29_running — window FRAME coverage (q7 is ranking-only): per-customer
+    * running order-spend in date order. The cumulative sum accumulates in
+    * DECIMAL over a rows-frame with a deterministic (date, orderkey) sort,
+    * cast to double per row — exact under any partitioning.
+    */
+  def q29Running(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        // epoch micros, not a raw timestamp column — representation-proof
+        // against the oracle (same discipline as q15's window starts)
+        unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"),
+        sum(col("o_totalprice").cast(money)).over(w).cast("double").as("run_spend"))
+  }
+
   /** q24_json — semi-structured column handling: `events.props` holds JSON
     * strings; parse with an explicit schema (`from_json`, codegen'd — no
     * schema inference scan) and aggregate the extracted field. At 100 TB
