@@ -35,8 +35,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      // one untimed warm-up pass (codegen/JIT), then the timed run: single
-      // cold executions vary by seconds of one-off compilation noise
+      // one untimed warm-up pass (codegen/JIT), then the MIN of two timed
+      // runs: single executions occasionally absorb seconds of GC/page-cache
+      // noise, and min-of-2 discards exactly those one-off outliers
       def runOnce(): Unit = fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       val ok =
         try { runOnce(); true }
@@ -45,9 +46,13 @@ object Bench {
           failed ::= name
           false
         }
-      val sec = if (!ok) -1.0 else {
+      def timed(): Double = {
         val t0 = System.nanoTime()
-        try { runOnce(); (System.nanoTime() - t0) / 1e9 }
+        runOnce()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sec = if (!ok) -1.0 else {
+        try math.min(timed(), timed())
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED on timed run: ${e.getMessage}")
           failed ::= name
