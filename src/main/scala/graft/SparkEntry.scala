@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_exact_dups" -> (Dedup.exactDups _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.minhash(s, d)),
     "dedup_jaccard3" -> ((s: SparkSession, d: String) => Dedup.jaccard3(s, d)),
+    "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash" -> (Dedup.simhashSigs _),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
@@ -329,6 +330,21 @@ object SparkEntry {
          |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
          | FROM ($shingled) a, ($shingled) b WHERE a.doc_id < b.doc_id) p
          |WHERE jaccard >= 0.5""".stripMargin,
+    // connected components via recursive transitive closure — DuckDB's
+    // WITH RECURSIVE against Spark's iterative min-label propagation
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |p AS (
+         | SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM ($shingled) a, ($shingled) b
+         | WHERE a.doc_id < b.doc_id
+         |  AND CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+         |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+         |e AS (SELECT doc1 AS u, doc2 AS v FROM p UNION SELECT doc2, doc1 FROM p),
+         |reach(src, dst) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u)
+         |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin,
     "dedup_ngram" ->
       """SELECT doc1, doc2, jaccard FROM (
         | SELECT a.doc_id AS doc1, b.doc_id AS doc2,

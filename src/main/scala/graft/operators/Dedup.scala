@@ -324,6 +324,49 @@ object Dedup {
       .select("doc1", "doc2", "jaccard")
   }
 
+  /** dedup_clusters — connected components of the near-duplicate graph: the
+    * pipeline-facing dedup artifact (one surviving cluster_id per document;
+    * keep `doc_id == cluster_id`, drop the rest). Edges are the exact-recall
+    * [[jaccard3]] pairs; components come from Pregel-style MIN-LABEL
+    * propagation — each round every doc takes the smallest label among
+    * itself and its neighbors, converging in O(component diameter) rounds.
+    *
+    * 100 TB: each round is one equi-join + one aggregate (all shuffles on
+    * doc_id); near-dup components have tiny diameters (they're quasi-
+    * cliques), so the loop runs ~3–5 rounds regardless of corpus size; the
+    * driver only compares label-sum convergence scalars, never rows.
+    */
+  def clusters(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = jaccard3(s, dir, threshold).select(col("doc1"), col("doc2"))
+    val edges = pairs
+      .union(pairs.select(col("doc2"), col("doc1")))
+      .toDF("u", "v")
+      .cache()
+    var labels = Tables.documents(s, dir)
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // labels are non-negative and only ever decrease, so the label sum is a
+    // strictly decreasing convergence measure (fixpoint = sum unchanged)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("cluster_id")).head.getLong(0)
+    var prevSum = Long.MaxValue
+    var curSum = labelSum(labels)
+    var rounds = 0
+    while (curSum != prevSum && rounds < 50) {
+      val viaEdge = labels
+        .join(edges, labels("doc_id") === edges("u"))
+        .select(col("v").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(viaEdge)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .cache()
+      prevSum = curSum
+      curSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of a token sequence, computed in one pass of plain

@@ -118,6 +118,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("clusters: transitive closure of near-dup pairs, min label wins") {
+    // docs 0,1,3 form one near-dup component (0~1, 0~3, 1~3); 2 and 4 are
+    // singletons. Cluster ids must be the component-minimum doc_id.
+    val got = Dedup.clusters(spark, dir, threshold = 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 3L -> 0L, 2L -> 2L, 4L -> 4L))
+  }
+
+  test("clusters: a CHAIN a~b~c lands in one cluster even if a!~c") {
+    val s = spark
+    import s.implicits._
+    // b shares half its shingles with a and the other half with c; a and c
+    // share nothing — connectivity must come from propagation, not pairs
+    val a = "one two three four five six seven eight nine ten"
+    val c = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = a + " " + c
+    val chain = Seq((10L, a), (11L, b), (12L, c),
+      (13L, "totally unrelated words about spark physical plans here"))
+    val d = Files.createTempDirectory("dedup-chain").toString
+    chain.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // chain threshold: J(a,b) ~ 8/17 ≈ 0.47, J(a,c) = 0
+    val got = Dedup.clusters(spark, d, threshold = 0.4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
+  }
+
   test("simhashPairs: complete at every maxHamming (derived chunk count)") {
     val sigs = Dedup.simhashSigs(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
