@@ -77,6 +77,7 @@ object SparkEntry {
     "mr_nocrash" -> mrQuery(Workloads.nocrashMap, Workloads.nocrashReduce),
     // --- text analysis ---
     "text_stats" -> (TextOps.textStats _),
+    "text_quality" -> (TextOps.textQuality _),
     "text_tokens" -> (TextOps.textTokens _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "text_fingerprint_poly" -> (TextOps.textFingerprintPoly _),
@@ -90,6 +91,8 @@ object SparkEntry {
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash" -> (Dedup.simhashSigs _),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    // --- end-to-end curation (quality gate ∧ dedup survivor) ---
+    "pipeline_keep" -> (graft.operators.Pipeline.keep _),
     // --- multimodal columns (stubbed decode, real plumbing) ---
     "mm_features" -> (Multimodal.features _),
     "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
@@ -288,6 +291,46 @@ object SparkEntry {
         | CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS chars_per_token
         |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
         |      FROM documents) t""".stripMargin,
+    "pipeline_keep" ->
+      s"""WITH RECURSIVE
+         |p AS (
+         | SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM ($shingled) a, ($shingled) b
+         | WHERE a.doc_id < b.doc_id
+         |  AND CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+         |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+         |e AS (SELECT doc1 AS u, doc2 AS v FROM p UNION SELECT doc2, doc1 FROM p),
+         |reach(src, dst) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u),
+         |cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |q AS (
+         | SELECT doc_id,
+         |  (len(toks) BETWEEN 10 AND 100000)
+         |   AND (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE) BETWEEN 2.0 AND 12.0)
+         |   AND len(list_filter(toks, x -> x IN ('the','a','of','and'))) >= 1
+         |   AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) > 0.2
+         |   AS quality_ok
+         | FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+         |       FROM documents) t)
+         |SELECT q.doc_id, cl.cluster_id, q.quality_ok,
+         | cl.doc_id = cl.cluster_id AS is_survivor,
+         | q.quality_ok AND cl.doc_id = cl.cluster_id AS keep
+         |FROM q JOIN cl ON q.doc_id = cl.doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, n_tokens, mean_tok_len, stopword_hits, distinct_ratio,
+        | (n_tokens BETWEEN 10 AND 100000) AND (mean_tok_len BETWEEN 2.0 AND 12.0)
+        |  AND stopword_hits >= 1 AND distinct_ratio > 0.2 AS keep
+        |FROM (
+        | SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |   / CAST(len(toks) AS DOUBLE) AS mean_tok_len,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS INTEGER) AS stopword_hits,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+        | FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+        |       FROM documents) t) q""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,

@@ -83,6 +83,29 @@ object TextOps {
           .as("chars_per_token"))
   }
 
+  /** text_quality — composite quality gate in the style of published LLM
+    * data-pipeline filters (token-count bounds, mean-token-length bounds,
+    * stopword evidence, repetition via distinct ratio). Pure builtins —
+    * one codegen'd pass, no shuffle; `keep` is the pipeline's filter bit.
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          size(toks).cast("double")).as("mean_tok_len"),
+        size(filter(toks, t => t.isin("the", "a", "of", "and"))).as("stopword_hits"),
+        (size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+          .as("distinct_ratio"))
+      .withColumn("keep",
+        col("n_tokens").between(10, 100000) &&
+          col("mean_tok_len").between(2.0, 12.0) &&
+          col("stopword_hits") >= 1 &&
+          col("distinct_ratio") > 0.2)
+  }
+
   /** text_tokens — BPE-ish token counting: word pieces + standalone
     * punctuation, the pre-tokenization regex shape most BPE vocabularies use.
     */
