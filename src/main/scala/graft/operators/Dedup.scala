@@ -338,12 +338,20 @@ object Dedup {
     */
   def clusters(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val pairs = jaccard3(s, dir, threshold).select(col("doc1"), col("doc2"))
+    // edges checkpointed once: every round re-reads them, and the expensive
+    // similarity join must never re-run inside the loop
     val edges = pairs
       .union(pairs.select(col("doc2"), col("doc1")))
       .toDF("u", "v")
-      .cache()
+      .localCheckpoint(true)
+    // eager localCheckpoint each round: without it, round r's logical plan
+    // nests all r-1 previous rounds and Catalyst re-optimizes the whole
+    // tower every round (superlinear planning time — measured 3-4x the
+    // total runtime by round ~8 at sf0.1). Checkpointing pins each round to
+    // a flat LogicalRDD, so planning cost is constant per round.
     var labels = Tables.documents(s, dir)
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
     // labels are non-negative and only ever decrease, so the label sum is a
     // strictly decreasing convergence measure (fixpoint = sum unchanged)
     def labelSum(df: DataFrame): Long =
@@ -357,10 +365,9 @@ object Dedup {
         .select(col("v").as("doc_id"), col("cluster_id"))
       val next = labels.unionByName(viaEdge)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .cache()
+        .localCheckpoint(true)
       prevSum = curSum
       curSum = labelSum(next)
-      labels.unpersist()
       labels = next
       rounds += 1
     }
