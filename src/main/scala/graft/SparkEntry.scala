@@ -65,6 +65,7 @@ object SparkEntry {
     "q27_supp_nation" -> (Relational.q27SuppNation _),
     "q28_sql" -> (Relational.q28Sql _),
     "q29_running" -> (Relational.q29Running _),
+    "q30_sliding" -> (Relational.q30Sliding _),
     // --- structured streaming (bounded AvailableNow pass; == batch answer) ---
     "q25_stream_window" -> (graft.streaming.EventStreams.windowedCountsQuery _),
     // --- reference workloads, optimized DataFrame formulations ---
@@ -251,6 +252,17 @@ object SparkEntry {
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
         |FROM orders""".stripMargin,
+    // hopping windows: every event lies in exactly 2 windows of the
+    // (1h length, 30min slide) grid — expand via a two-bucket UNION ALL
+    "q30_sliding" ->
+      """SELECT CAST(epoch(ws) AS BIGINT) AS wstart, event_type,
+        | count(*) AS n_events
+        |FROM (
+        | SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type FROM events
+        | UNION ALL
+        | SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type
+        | FROM events) t
+        |GROUP BY 1, 2""".stripMargin,
     // the streaming path must reproduce the BATCH answer on bounded input —
     // same oracle as q15_events_window
     "q25_stream_window" ->

@@ -185,6 +185,19 @@ object Relational {
         unix_timestamp(col("w.start")).as("wstart"),
         col("event_type"), col("n_events"), col("min_value"), col("max_value"))
 
+  /** q30_sliding — HOPPING event-time windows (1 h length, 30 min slide):
+    * each event expands to exactly length/slide = 2 window rows (Spark's
+    * Expand), then one aggregate — the overlapping-window shape q15's
+    * tumbling windows can't express. Same epoch-seconds output discipline.
+    */
+  def q30Sliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        unix_timestamp(col("w.start")).as("wstart"),
+        col("event_type"), col("n_events"))
+
   /** q16_sessions — gaps-and-islands sessionization in batch: a session
     * breaks after 30 min of user inactivity (lag window + running flag sum).
     * Gap arithmetic in integral microseconds so the oracle compare is exact.
