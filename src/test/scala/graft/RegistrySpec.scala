@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query must at least EXECUTE on the smallest fixture —
+  * this catches runtime breakage in queries the DuckDB oracle can't verify
+  * (rows-only set) before the driver's gate does, and pins the
+  * queries/oracleSql contract invariants.
+  */
+class RegistrySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every oracle key has a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name executes at sf0.001") {
+      val df = fn(spark, Sf0001)
+      assert(df.columns.nonEmpty)
+      // count() forces full execution; no array-typed output columns — the
+      // driver's canonicalization cannot hash them (ADVICE round 2)
+      df.count()
+      df.schema.fields.foreach { f =>
+        assert(!f.dataType.typeName.startsWith("array"),
+          s"$name emits array column ${f.name} — driver canonicalization cannot hash it")
+      }
+    }
+  }
+}
