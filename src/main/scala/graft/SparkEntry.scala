@@ -66,6 +66,8 @@ object SparkEntry {
     "q28_sql" -> (Relational.q28Sql _),
     "q29_running" -> (Relational.q29Running _),
     "q30_sliding" -> (Relational.q30Sliding _),
+    "q31_hof" -> (Relational.q31Hof _),
+    "q32_unpivot" -> (Relational.q32Unpivot _),
     // --- structured streaming (bounded AvailableNow pass; == batch answer) ---
     "q25_stream_window" -> (graft.streaming.EventStreams.windowedCountsQuery _),
     // --- reference workloads, optimized DataFrame formulations ---
@@ -263,6 +265,23 @@ object SparkEntry {
         | SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type
         | FROM events) t
         |GROUP BY 1, 2""".stripMargin,
+    "q31_hof" ->
+      """SELECT vec_id,
+        | list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+        |   (a, b) -> a + b) AS norm_sq,
+        | CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        | CAST(embedding[1] AS DOUBLE) AS first_val
+        |FROM embeddings""".stripMargin,
+    "q32_unpivot" ->
+      """WITH p AS (
+        | SELECT l_linestatus,
+        |  coalesce(sum(l_quantity) FILTER (l_returnflag = 'A'), 0) AS qa,
+        |  coalesce(sum(l_quantity) FILTER (l_returnflag = 'N'), 0) AS qn,
+        |  coalesce(sum(l_quantity) FILTER (l_returnflag = 'R'), 0) AS qr
+        | FROM lineitem GROUP BY l_linestatus)
+        |SELECT l_linestatus, 'A' AS flag, qa AS qty FROM p
+        |UNION ALL SELECT l_linestatus, 'N', qn FROM p
+        |UNION ALL SELECT l_linestatus, 'R', qr FROM p""".stripMargin,
     // the streaming path must reproduce the BATCH answer on bounded input —
     // same oracle as q15_events_window
     "q25_stream_window" ->

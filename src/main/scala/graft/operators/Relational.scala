@@ -342,6 +342,35 @@ object Relational {
         sum(col("s_acctbal").cast(money)).cast("double").as("total_bal"))
       .withColumn("avg_bal", col("total_bal") / col("n_suppliers"))
 
+  /** q31_hof — the BUILT-IN higher-order-function tier (vs the custom
+    * codegen'd `array_dot` the ANN path uses): `transform` + `aggregate`
+    * fold and `filter` over the embedding arrays. The fold is a sequential
+    * left fold on both engines, so doubles match bitwise.
+    */
+  def q31Hof(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      expr("""aggregate(
+              transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              CAST(0 AS DOUBLE), (acc, x) -> acc + x)""").as("norm_sq"),
+      expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+      expr("CAST(element_at(embedding, 1) AS DOUBLE)").as("first_val"))
+
+  /** q32_unpivot — melt the pivoted quantities back to long form (the
+    * inverse of q21): null cells are coalesced to 0 BEFORE the unpivot so
+    * both engines agree on absent combinations.
+    */
+  def q32Unpivot(s: SparkSession, dir: String): DataFrame =
+    q21Pivot(s, dir)
+      .select(col("l_linestatus"),
+        coalesce(col("A"), lit(0.0)).as("A"),
+        coalesce(col("N"), lit(0.0)).as("N"),
+        coalesce(col("R"), lit(0.0)).as("R"))
+      .unpivot(
+        Array(col("l_linestatus")),
+        Array(col("A"), col("N"), col("R")),
+        "flag", "qty")
+
   /** q28_sql — the SQL entry point: temp views + `spark.sql` with a
     * CORRELATED scalar subquery (Catalyst decorrelates it into an aggregate
     * + join — assert via PlanAudit that no per-row re-execution survives).
