@@ -23,6 +23,27 @@ class ChaosSpec extends AnyFunSuite {
       throw new RuntimeException("chaos: injected failure on attempt 0")
   }
 
+  test("declarative path: dedup agg survives every task failing once") {
+    // same retry contract on the Dataset/aggregation surface the extension
+    // operators use: a fail-once typed map upstream of a hash aggregate
+    // must not change the result (retries recompute the partition whole)
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val chaos = failFirstAttempt // local val: don't capture the spec class
+    val chaotic = graft.sources.Tables.documents(s, Sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it => chaos(); it }
+      .toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val clean = graft.operators.Dedup.exact(s, Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(chaotic == clean)
+    assert(chaotic.nonEmpty)
+  }
+
   test("crash: output equals nocrash golden despite every task failing once") {
     val s = spark
     import s.implicits._
