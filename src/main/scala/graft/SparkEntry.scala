@@ -70,6 +70,7 @@ object SparkEntry {
     "q32_unpivot" -> (Relational.q32Unpivot _),
     // --- structured streaming (bounded AvailableNow pass; == batch answer) ---
     "q25_stream_window" -> (graft.streaming.EventStreams.windowedCountsQuery _),
+    "q33_stream_session" -> (graft.streaming.EventStreams.sessionQuery _),
     // --- reference workloads, optimized DataFrame formulations ---
     "wc" -> (TextOps.wc _),
     "indexer" -> (TextOps.indexer _),
@@ -288,6 +289,11 @@ object SparkEntry {
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS wstart,
         | event_type, count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // one bounded pass of the mapGroupsWithState sessionizer == per-user batch totals
+    "q33_stream_session" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(min(epoch_us(ts) // 1000000) AS BIGINT) AS open_since
+        |FROM events GROUP BY user_id""".stripMargin,
     "wc" ->
       s"SELECT word, count(*) AS cnt FROM ($tokenized) t WHERE word <> '' GROUP BY word",
     "indexer" ->

@@ -144,6 +144,27 @@ object EventStreams {
     runToMemory(s, windowedCounts(readEvents(s, staged.toString)), name)
   }
 
+  /** q33_stream_session — the REGISTERED mapGroupsWithState query: one
+    * bounded Update-mode pass of [[sessionize]] over the staged events.
+    * A single AvailableNow batch yields one state update per user, so the
+    * per-user aggregates equal the batch answer and the DuckDB oracle
+    * verifies the custom-state operator end-to-end. Output keeps only the
+    * integer columns (event count, epoch-second session start) — the
+    * double running total is order-sensitive and stays test-only.
+    */
+  def sessionQuery(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.col
+    val staged = Files.createTempDirectory("events-session-q")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val name = s"q33_stream_session_${runSeq.incrementAndGet()}"
+    runToMemory(s, sessionize(readEvents(s, staged.toString)).toDF(), name,
+        OutputMode.Update())
+      .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+        col("openSince").as("open_since"))
+  }
+
   /** Run a streaming DataFrame to completion over a bounded source (one
     * availableNow pass), collecting results through an in-memory sink table.
     * This is how the parity tests observe streaming output.
