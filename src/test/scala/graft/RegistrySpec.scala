@@ -15,6 +15,16 @@ class RegistrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
+  test("rows-only (no-oracle) set is exactly the documented one") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val documented = Set(
+      "ann_ivf", "ann_lsh", "dedup_embed", "dedup_minhash", "dedup_simhash",
+      "dedup_simhash_pairs", "mm_features", "mm_thumbs", "q19_approx",
+      "text_fingerprint_poly")
+    assert(rowsOnly == documented,
+      s"oracle coverage drifted: extra=${rowsOnly -- documented} missing=${documented -- rowsOnly}")
+  }
+
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
