@@ -68,6 +68,7 @@ object SparkEntry {
     "q30_sliding" -> (Relational.q30Sliding _),
     "q31_hof" -> (Relational.q31Hof _),
     "q32_unpivot" -> (Relational.q32Unpivot _),
+    "q34_sort" -> (Relational.q34Sort _),
     // --- structured streaming (bounded AvailableNow pass; == batch answer) ---
     "q25_stream_window" -> (graft.streaming.EventStreams.windowedCountsQuery _),
     "q33_stream_session" -> (graft.streaming.EventStreams.sessionQuery _),
@@ -266,6 +267,10 @@ object SparkEntry {
         | SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type
         | FROM events) t
         |GROUP BY 1, 2""".stripMargin,
+    // order-insensitive compare: the oracle only pins the row SET; the
+    // range-partitioned global sort is what the registered plan exercises
+    "q34_sort" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
     "q31_hof" ->
       """SELECT vec_id,
         | list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),

@@ -342,6 +342,18 @@ object Relational {
         sum(col("s_acctbal").cast(money)).cast("double").as("total_bal"))
       .withColumn("avg_bal", col("total_bal") / col("n_suppliers"))
 
+  /** q34_sort — GLOBAL total-order sort (no limit): plans a range-
+    * partitioning exchange (sampled split points) + per-partition sort —
+    * the distributed sort the reference's per-partition key sort
+    * (`sortDataByKey`) + external `sort` pipeline approximates. The
+    * driver's hash compare is order-insensitive; what's under test/bench
+    * is the RangePartitioning plan itself.
+    */
+  def q34Sort(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+
   /** q31_hof — the BUILT-IN higher-order-function tier (vs the custom
     * codegen'd `array_dot` the ANN path uses): `transform` + `aggregate`
     * fold and `filter` over the embedding arrays. The fold is a sequential
