@@ -98,6 +98,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     // --- end-to-end curation (quality gate ∧ dedup survivor) ---
     "pipeline_keep" -> (graft.operators.Pipeline.keep _),
+    "pipeline_mix" -> ((s: SparkSession, d: String) => graft.operators.Pipeline.mix(s, d)),
     // --- multimodal columns (stubbed decode, real plumbing) ---
     "mm_features" -> (Multimodal.features _),
     "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
@@ -360,6 +361,14 @@ object SparkEntry {
          | cl.doc_id = cl.cluster_id AS is_survivor,
          | q.quality_ok AND cl.doc_id = cl.cluster_id AS keep
          |FROM q JOIN cl ON q.doc_id = cl.doc_id""".stripMargin,
+    "pipeline_mix" ->
+      """SELECT doc_id, lang, coin FROM (
+        | SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS coin
+        | FROM documents) t
+        |WHERE coin < CASE lang
+        | WHEN 'en' THEN 'ffffffff' WHEN 'de' THEN '80000000'
+        | WHEN 'fr' THEN '80000000' WHEN 'es' THEN '80000000'
+        | WHEN 'zh' THEN '40000000' ELSE '00000000' END""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, n_tokens, mean_tok_len, stopword_hits, distinct_ratio,
         | (n_tokens BETWEEN 10 AND 100000) AND (mean_tok_len BETWEEN 2.0 AND 12.0)

@@ -14,6 +14,34 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Per-language keep thresholds for [[mix]]: a doc survives iff the first
+    * 8 hex chars of md5(doc_id) are lexicographically below its language's
+    * threshold — "ffffffff" ≈ keep all, "80000000" ≈ 50%, "1a000000" ≈ 10%.
+    */
+  val MixRates: Map[String, String] = Map(
+    "en" -> "ffffffff",
+    "de" -> "80000000",
+    "fr" -> "80000000",
+    "es" -> "80000000",
+    "zh" -> "40000000")
+
+  /** pipeline_mix — reproducible data mixing: down-sample per language with
+    * a DETERMINISTIC content-free coin (md5 of the doc id vs a hex
+    * threshold). No RNG state, no seed plumbing: any engine, any rerun, any
+    * partitioning selects the identical subset — which is what makes a
+    * 100 TB training mix auditable and resumable. Unlisted languages drop.
+    */
+  def mix(s: SparkSession, dir: String,
+      rates: Map[String, String] = MixRates): DataFrame = {
+    val threshold = rates.foldLeft(lit("00000000")) { case (acc, (lang, t)) =>
+      when(col("lang") === lang, lit(t)).otherwise(acc)
+    }
+    graft.sources.Tables.documents(s, dir)
+      .withColumn("coin", substring(md5(col("doc_id").cast("string")), 1, 8))
+      .filter(col("coin") < threshold)
+      .select(col("doc_id"), col("lang"), col("coin"))
+  }
+
   /** pipeline_keep — the curated keep-set with its audit columns. */
   def keep(s: SparkSession, dir: String): DataFrame = {
     val quality = TextOps.textQuality(s, dir)
