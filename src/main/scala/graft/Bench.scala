@@ -35,29 +35,37 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      // one untimed warm-up pass (codegen/JIT), then the MIN of two timed
-      // runs: single executions occasionally absorb seconds of GC/page-cache
-      // noise, and min-of-2 discards exactly those one-off outliers
-      def runOnce(): Unit = fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      val ok =
-        try { runOnce(); true }
+      // one warm-up pass (codegen/JIT), then a timed run. If the timed run
+      // is an outlier vs its own warm-up (GC/page-cache hiccup — observed
+      // 0.8s queries spiking to 9s once), re-time once and keep the min;
+      // quiet queries pay for a single timed run, so total bench wall time
+      // stays near the single-run cost.
+      def runOnce(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val warmSec =
+        try Some(runOnce())
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed ::= name
-          false
+          None
         }
-      def timed(): Double = {
-        val t0 = System.nanoTime()
-        runOnce()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val sec = if (!ok) -1.0 else {
-        try math.min(timed(), timed())
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED on timed run: ${e.getMessage}")
-          failed ::= name
-          -1.0
-        }
+      val sec = warmSec match {
+        case None => -1.0
+        case Some(w) =>
+          try {
+            val t1 = runOnce()
+            if (t1 > 2 * w + 0.5) {
+              System.err.println(f"[bench] $name outlier ($t1%.2fs vs warm $w%.2fs), re-timing")
+              math.min(t1, runOnce())
+            } else t1
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED on timed run: ${e.getMessage}")
+            failed ::= name
+            -1.0
+          }
       }
       name -> sec
     }
