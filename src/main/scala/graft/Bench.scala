@@ -59,7 +59,10 @@ object Bench {
             val t1 = runOnce()
             if (t1 > 2 * w + 0.5) {
               System.err.println(f"[bench] $name outlier ($t1%.2fs vs warm $w%.2fs), re-timing")
-              math.min(t1, runOnce())
+              // the confirmation run is best-effort: a transient failure
+              // there must not discard the valid measurement we hold
+              val t2 = try runOnce() catch { case _: Throwable => t1 }
+              math.min(t1, t2)
             } else t1
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED on timed run: ${e.getMessage}")

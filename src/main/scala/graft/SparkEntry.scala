@@ -127,6 +127,40 @@ object SparkEntry {
       "ELSE [array_to_string(toks, ' ')] END) AS sh FROM " +
       "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents) d"
 
+  /** Shared CTE: near-dup connected components by recursive transitive
+    * closure — single source of truth for the jaccard-0.5 edge definition
+    * used by both dedup_clusters and pipeline_keep (drift here would make
+    * the two oracles disagree with each other, not just with Spark).
+    */
+  private val clustersCte =
+    s"""p AS (
+       | SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM ($shingled) a, ($shingled) b
+       | WHERE a.doc_id < b.doc_id
+       |  AND CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+       |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+       |e AS (SELECT doc1 AS u, doc2 AS v FROM p UNION SELECT doc2, doc1 FROM p),
+       |reach(src, dst) AS (
+       | SELECT doc_id, doc_id FROM documents
+       | UNION
+       | SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u),
+       |cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
+
+  /** Shared quality metrics + predicate (single source for text_quality and
+    * pipeline_keep).
+    */
+  private val qualityMetrics =
+    """SELECT doc_id,
+      | CAST(len(toks) AS INTEGER) AS n_tokens,
+      | CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |  / CAST(len(toks) AS DOUBLE) AS mean_tok_len,
+      | CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS INTEGER) AS stopword_hits,
+      | CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+      |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+      |      FROM documents) t""".stripMargin
+  private val qualityPred =
+    """(n_tokens BETWEEN 10 AND 100000) AND (mean_tok_len BETWEEN 2.0 AND 12.0)
+      | AND stopword_hits >= 1 AND distinct_ratio > 0.2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -336,27 +370,8 @@ object SparkEntry {
         |      FROM documents) t""".stripMargin,
     "pipeline_keep" ->
       s"""WITH RECURSIVE
-         |p AS (
-         | SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM ($shingled) a, ($shingled) b
-         | WHERE a.doc_id < b.doc_id
-         |  AND CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
-         |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
-         |e AS (SELECT doc1 AS u, doc2 AS v FROM p UNION SELECT doc2, doc1 FROM p),
-         |reach(src, dst) AS (
-         | SELECT doc_id, doc_id FROM documents
-         | UNION
-         | SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u),
-         |cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
-         |q AS (
-         | SELECT doc_id,
-         |  (len(toks) BETWEEN 10 AND 100000)
-         |   AND (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-         |        / CAST(len(toks) AS DOUBLE) BETWEEN 2.0 AND 12.0)
-         |   AND len(list_filter(toks, x -> x IN ('the','a','of','and'))) >= 1
-         |   AND CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) > 0.2
-         |   AS quality_ok
-         | FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
-         |       FROM documents) t)
+         |$clustersCte,
+         |q AS (SELECT doc_id, $qualityPred AS quality_ok FROM ($qualityMetrics) m)
          |SELECT q.doc_id, cl.cluster_id, q.quality_ok,
          | cl.doc_id = cl.cluster_id AS is_survivor,
          | q.quality_ok AND cl.doc_id = cl.cluster_id AS keep
@@ -370,18 +385,9 @@ object SparkEntry {
         | WHEN 'fr' THEN '80000000' WHEN 'es' THEN '80000000'
         | WHEN 'zh' THEN '40000000' ELSE '00000000' END""".stripMargin,
     "text_quality" ->
-      """SELECT doc_id, n_tokens, mean_tok_len, stopword_hits, distinct_ratio,
-        | (n_tokens BETWEEN 10 AND 100000) AND (mean_tok_len BETWEEN 2.0 AND 12.0)
-        |  AND stopword_hits >= 1 AND distinct_ratio > 0.2 AS keep
-        |FROM (
-        | SELECT doc_id,
-        |  CAST(len(toks) AS INTEGER) AS n_tokens,
-        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-        |   / CAST(len(toks) AS DOUBLE) AS mean_tok_len,
-        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS INTEGER) AS stopword_hits,
-        |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio
-        | FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
-        |       FROM documents) t) q""".stripMargin,
+      s"""SELECT doc_id, n_tokens, mean_tok_len, stopword_hits, distinct_ratio,
+         | $qualityPred AS keep
+         |FROM ($qualityMetrics) q""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
@@ -428,17 +434,8 @@ object SparkEntry {
     // WITH RECURSIVE against Spark's iterative min-label propagation
     "dedup_clusters" ->
       s"""WITH RECURSIVE
-         |p AS (
-         | SELECT a.doc_id AS doc1, b.doc_id AS doc2 FROM ($shingled) a, ($shingled) b
-         | WHERE a.doc_id < b.doc_id
-         |  AND CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
-         |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
-         |e AS (SELECT doc1 AS u, doc2 AS v FROM p UNION SELECT doc2, doc1 FROM p),
-         |reach(src, dst) AS (
-         | SELECT doc_id, doc_id FROM documents
-         | UNION
-         | SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u)
-         |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin,
+         |$clustersCte
+         |SELECT doc_id, cluster_id FROM cl""".stripMargin,
     "dedup_ngram" ->
       """SELECT doc1, doc2, jaccard FROM (
         | SELECT a.doc_id AS doc1, b.doc_id AS doc2,

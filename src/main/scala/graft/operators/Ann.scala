@@ -214,7 +214,9 @@ object Ann {
     */
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val c = corpus(s, dir)
+    // cached (as lshTopK does): consumed by the train sample, the probe
+    // side and the scoring join — without it the scan+norm runs three times
+    val c = corpus(s, dir).cache()
     val train = c.orderBy(xxhash64(col("vec_id"))).limit(IvfTrainCap)
       .select("vec").collect().map(_.getSeq[Double](0).toArray)
     val cents = fitCentroids(train, nCells, iters = 10)

@@ -257,9 +257,17 @@ object Dedup {
   private[operators] def prefixJaccardJoin(
       s: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
     val toksEx = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    // cheap pre-probe: if 64 documents already show > 64 distinct tokens
+    // (a lower bound on the vocabulary), skip the full-corpus distinct —
+    // big-vocab corpora (the common case) pay ~nothing for the dense check
+    val sampleBig = docs.limit(64)
+      .select(explode(col("toks")).as("tok"))
+      .distinct().limit(65).collect().length > 64
     // is the vocabulary tiny? (≤64 ⇒ sets are single longs)
-    val vocab64 = toksEx.select("tok").distinct().limit(65).collect().map(_.getString(0))
-    if (vocab64.length <= 64) {
+    val vocab64 =
+      if (sampleBig) Array.empty[String]
+      else toksEx.select("tok").distinct().limit(65).collect().map(_.getString(0))
+    if (!sampleBig && vocab64.length <= 64) {
       import s.implicits._
       val dict = broadcast(
         vocab64.sorted.zipWithIndex.map { case (t, i) => (t, i + 1) }.toSeq.toDF("tok", "tid"))
@@ -269,9 +277,16 @@ object Dedup {
       val groups = masks.groupBy("mask")
         .agg(collect_list(col("doc_id")).as("ids"))
         .withColumn("n", bit_count(col("mask")))
-        .cache() // u rows, consumed by the sizing count AND both join sides
-      if (groups.count() <= DenseMaxSets) return denseMaskJoin(groups, threshold)
-      // too many distinct sets for u² probing — fall through to prefix path
+        .cache() // u rows, consumed by the sizing stats AND both join sides
+      // guard BOTH dimensions before u² probing: distinct-set count, and the
+      // hottest identical-set group (a mega-group would concentrate a
+      // quadratic expansion in one task AND ship every doc id in the
+      // broadcast — same invariant as MaxBucket on the minhash path; such
+      // corpora should run exact dedup first and take the prefix path)
+      val stats = groups.agg(count(lit(1)), max(size(col("ids")))).head
+      if (stats.getLong(0) <= DenseMaxSets && stats.getInt(1) <= MaxBucket)
+        return denseMaskJoin(groups, threshold)
+      // fall through to the prefix path
     }
     // dictionary: token -> dense id, ids ascending by (df, token). Assigned
     // WITHOUT a single-partition window: distributed range-sort, then
@@ -359,7 +374,8 @@ object Dedup {
     var prevSum = Long.MaxValue
     var curSum = labelSum(labels)
     var rounds = 0
-    while (curSum != prevSum && rounds < 50) {
+    val maxRounds = 50
+    while (curSum != prevSum && rounds < maxRounds) {
       val viaEdge = labels
         .join(edges, labels("doc_id") === edges("u"))
         .select(col("v").as("doc_id"), col("cluster_id"))
@@ -371,6 +387,12 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // fail LOUDLY on non-convergence: silently-wrong cluster ids would let
+    // duplicate documents through the curation keep-set downstream
+    if (curSum != prevSum)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxRounds rounds " +
+          "(component diameter > rounds — pathological chain; raise maxRounds)")
     labels
   }
 
@@ -419,8 +441,11 @@ object Dedup {
     * callers cannot silently lose recall (maxHamming=3 → the classic 4×16).
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64,
-      s"maxHamming must be in [0, 64), got $maxHamming")
+    // beyond 15 the chunks narrow under 4 bits and the blocking keys lose
+    // selectivity (≤16 distinct values/chunk ⇒ the equi-join trends toward
+    // all-pairs); real near-dup thresholds sit well below this
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
     val nChunks = maxHamming + 1
     // chunk c covers bits [lo(c), lo(c+1)): widths differ by at most 1
     def lo(c: Int): Int = c * 64 / nChunks

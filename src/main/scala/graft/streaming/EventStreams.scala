@@ -134,14 +134,32 @@ object EventStreams {
     * verifies the STREAMING path end-to-end (one bounded pass ⇒ no
     * watermark drops ⇒ streaming answer == batch answer).
     */
-  def windowedCountsQuery(s: SparkSession, dir: String): DataFrame = {
+  def windowedCountsQuery(s: SparkSession, dir: String): DataFrame =
+    runStagedToLocal(s, dir, "q25_stream_window",
+      staged => windowedCounts(readEvents(s, staged)))
+
+  /** Stage `events.parquet` into a fresh dir (the file streaming source
+    * lists directories; exactly ONE file ⇒ exactly one AvailableNow batch),
+    * run the stream through a uniquely-named memory sink, then materialize
+    * the result LOCALLY and clean up: the sink table is dropped and the
+    * staged copy deleted, so repeated invocations (bench warm-up + timed
+    * runs, RegistrySpec) don't accumulate driver memory or /tmp copies.
+    */
+  private def runStagedToLocal(s: SparkSession, dir: String, prefix: String,
+      build: String => DataFrame,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val staged = Files.createTempDirectory("events-stream-q")
+    val staged = Files.createTempDirectory(s"$prefix-staged")
     Files.copy(Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    // memory sink names are session-global: make each invocation unique
-    val name = s"q25_stream_window_${runSeq.incrementAndGet()}"
-    runToMemory(s, windowedCounts(readEvents(s, staged.toString)), name)
+    val name = s"${prefix}_${runSeq.incrementAndGet()}"
+    val sink = runToMemory(s, build(staged.toString), name, mode)
+    val local = s.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    s.catalog.dropTempView(name)
+    Files.deleteIfExists(staged.resolve("events.parquet"))
+    Files.deleteIfExists(staged)
+    local
   }
 
   /** q33_stream_session — the REGISTERED mapGroupsWithState query: one
@@ -153,13 +171,9 @@ object EventStreams {
     * double running total is order-sensitive and stays test-only.
     */
   def sessionQuery(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     import org.apache.spark.sql.functions.col
-    val staged = Files.createTempDirectory("events-session-q")
-    Files.copy(Paths.get(s"$dir/events.parquet"),
-      staged.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val name = s"q33_stream_session_${runSeq.incrementAndGet()}"
-    runToMemory(s, sessionize(readEvents(s, staged.toString)).toDF(), name,
+    runStagedToLocal(s, dir, "q33_stream_session",
+        staged => sessionize(readEvents(s, staged)).toDF(),
         OutputMode.Update())
       .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
         col("openSince").as("open_since"))
