@@ -351,7 +351,8 @@ object Dedup {
     * cliques), so the loop runs ~3–5 rounds regardless of corpus size; the
     * driver only compares label-sum convergence scalars, never rows.
     */
-  def clusters(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def clusters(s: SparkSession, dir: String, threshold: Double = 0.5,
+      maxRounds: Int = 50): DataFrame = {
     val pairs = jaccard3(s, dir, threshold).select(col("doc1"), col("doc2"))
     // edges checkpointed once: every round re-reads them, and the expensive
     // similarity join must never re-run inside the loop
@@ -374,7 +375,6 @@ object Dedup {
     var prevSum = Long.MaxValue
     var curSum = labelSum(labels)
     var rounds = 0
-    val maxRounds = 50
     while (curSum != prevSum && rounds < maxRounds) {
       val viaEdge = labels
         .join(edges, labels("doc_id") === edges("u"))

@@ -148,6 +148,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
   }
 
+  test("clusters: non-convergence within maxRounds fails loudly, not silently") {
+    // 10-doc chain (only consecutive docs are similar): diameter 9 needs
+    // ~9 propagation rounds; capping at 3 must throw, never return wrong ids
+    val s = spark
+    import s.implicits._
+    val chain = (0 until 10).map { i =>
+      (100L + i, (i until i + 10).map(j => s"w$j").mkString(" "))
+    }
+    val d = Files.createTempDirectory("dedup-longchain").toString
+    chain.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusters(spark, d, threshold = 0.7, maxRounds = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain resolves to one component
+    val ok = Dedup.clusters(spark, d, threshold = 0.7, maxRounds = 20).collect()
+      .map(r => r.getAs[Long]("cluster_id")).toSet
+    assert(ok == Set(100L))
+  }
+
   test("simhashPairs: complete at every maxHamming (derived chunk count)") {
     val sigs = Dedup.simhashSigs(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
