@@ -76,6 +76,8 @@ object SparkEntry {
     "wc" -> (TextOps.wc _),
     "indexer" -> (TextOps.indexer _),
     "nocrash_meta" -> (TextOps.nocrashMeta _),
+    // --- KV surface (declared in the reference, replayed as an op log) ---
+    "kv_replay" -> (graft.core.KvStore.ordersReplay _),
     // --- reference workloads, faithful MapReduceJob path (holistic reduce) ---
     "mr_wc" -> mrQuery(Workloads.wcMap, Workloads.wcReduce),
     "mr_indexer" -> mrQuery(Workloads.indexerMap, Workloads.indexerReduce),
@@ -345,6 +347,10 @@ object SparkEntry {
         | UNION ALL SELECT 'b', CAST(length(source) AS VARCHAR) FROM documents
         | UNION ALL SELECT 'c', CAST(n_chars AS VARCHAR) FROM documents
         | UNION ALL SELECT 'd', 'xyzzy' FROM documents) t GROUP BY key""".stripMargin,
+    "kv_replay" ->
+      """SELECT CAST(o_custkey AS VARCHAR) AS key,
+        | string_agg(CAST(o_orderkey AS VARCHAR) || ';', '' ORDER BY o_orderkey) AS value
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "mr_wc" ->
       s"""SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
          |FROM ($tokenized) t WHERE word <> '' GROUP BY word""".stripMargin,

@@ -62,6 +62,21 @@ object KvStore {
     replay(ops).filter(_.kind == "get").select("seq", "key", "value")
   }
 
+  /** kv_replay — the KV surface as a registered, oracle-checkable query:
+    * derive a deterministic op log from the orders fixture (one `append`
+    * of "<orderkey>;" to the customer's key, sequenced by orderkey) and
+    * replay it; the final state per key is the orderkey concatenation in
+    * sequence order, which ANSI SQL reproduces with an ordered string_agg.
+    */
+  def ordersReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ops = graft.sources.Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey")
+      .as[(Long, Long)]
+      .map { case (okey, ckey) => KvOp(okey, "append", ckey.toString, s"$okey;") }
+    stateOf(ops)
+  }
+
   /** Convenience: build an op log Dataset from tuples. */
   def log(s: SparkSession, entries: Seq[(Long, String, String, String)]): Dataset[KvOp] = {
     import s.implicits._
