@@ -148,6 +148,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
   }
 
+  test("minhash hot-bucket cap: a boilerplate black hole is dropped, exact pass catches it") {
+    // MaxBucket+1 identical docs collapse into one LSH bucket in every band;
+    // the cap must drop that bucket (no quadratic pair emission) while the
+    // exact-dedup pass still reports the duplicate group — the documented
+    // division of labor at 100 TB
+    val s = spark
+    import s.implicits._
+    val n = Dedup.MaxBucket + 1
+    val docs = (0 until n).map(i =>
+      (1000L + i, "exactly the same boilerplate text repeated again and again", "en", "s", 57L))
+    val d = Files.createTempDirectory("dedup-hotbucket").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    assert(Dedup.minhash(spark, d).count() == 0)
+    val dup = Dedup.exactDups(spark, d).collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("n_copies") == n.toLong)
+  }
+
   test("clusters: non-convergence within maxRounds fails loudly, not silently") {
     // 10-doc chain (only consecutive docs are similar): diameter 9 needs
     // ~9 propagation rounds; capping at 3 must throw, never return wrong ids
