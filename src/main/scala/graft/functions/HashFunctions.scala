@@ -57,13 +57,20 @@ object GraftFunctions {
   }
 
   /** Register both functions into an existing session's registry so
-    * `spark.sql("SELECT fnv64(x), array_dot(a, b) ...")` works.
+    * `spark.sql("SELECT fnv64(x), array_dot(a, b) ...")` works, plus the
+    * [[org.apache.spark.sql.graftshim.ArrayDotRewrite]] optimizer rule
+    * (HOF dot-product idiom → native kernel) for this session.
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fnv64", fnv64Builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot", dotBuilder, "built-in")
+    if (!spark.experimental.extraOptimizations.contains(
+        org.apache.spark.sql.graftshim.ArrayDotRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          org.apache.spark.sql.graftshim.ArrayDotRewrite
   }
 }
 
@@ -78,5 +85,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotExpr].getName, "array_dot"),
       { exprs: Seq[Expression] => ArrayDotExpr(exprs(0), exprs(1)) }))
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graftshim.ArrayDotRewrite)
   }
 }

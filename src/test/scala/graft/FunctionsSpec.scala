@@ -21,6 +21,49 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("optimizer rewrites the HOF dot-product idiom to the native kernel") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(spark)
+    val hof = "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    // parquet round-trip (can't be constant-folded into a LocalRelation);
+    // parquet arrays read back element-NULLABLE, so the null-aware kernel
+    // must be selected
+    val dir = java.nio.file.Files.createTempDirectory("arraydot-rule").toString
+    Seq(
+        (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+        (2L, Seq[java.lang.Double](0.5, -1.0), Seq[java.lang.Double](2.0, 2.0)),
+        (3L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](5.0, 6.0)))
+      .toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).selectExpr("id", s"$hof AS dot")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("array_dot_nullsafe"), s"rule did not fire:\n$optimized")
+    assert(!optimized.contains("aggregate(zip_with"), s"HOF survived:\n$optimized")
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // null element poisons the fold -> NULL, exactly like the HOF
+    assert(rows == Map(1L -> Some(11.0), 2L -> Some(-1.0), 3L -> None))
+    // soundness guard: unequal lengths must stay NULL (zip_with pads nulls)
+    val uneqDir = java.nio.file.Files.createTempDirectory("arraydot-uneq").toString
+    Seq((1L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)), (2L, Seq(1.0, 2.0), Seq(3.0, 4.0)))
+      .toDF("id", "a", "b").write.mode("overwrite").parquet(uneqDir)
+    val uneq = spark.read.parquet(uneqDir).selectExpr("id", s"$hof AS dot")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(uneq == Map(1L -> None, 2L -> Some(11.0)))
+    // the rewritten plan agrees with the un-rewritten HOF on the fixture
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("a"))
+      .withColumn("b", col("a"))
+    val viaRule = emb.selectExpr("vec_id", s"$hof AS dot")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaKernel = emb.select(col("vec_id"),
+        GraftFunctions.arrayDot(col("a"), col("b")).as("dot"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaRule == viaKernel)
+  }
+
   test("fnv64 registers as a SQL function") {
     GraftFunctions.register(spark)
     val got = spark.sql("SELECT fnv64('abc') AS h").collect()(0).getAs[Long]("h")
