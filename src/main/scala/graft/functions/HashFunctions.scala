@@ -55,6 +55,10 @@ object GraftFunctions {
     require(exprs.size == 2, "array_dot expects exactly two arguments")
     ArrayDotExpr(exprs(0), exprs(1))
   }
+  private val overlapBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.size == 2, "sorted_overlap expects exactly two arguments")
+    SortedOverlapExpr(exprs(0), exprs(1))
+  }
 
   /** Register both functions into an existing session's registry so
     * `spark.sql("SELECT fnv64(x), array_dot(a, b) ...")` works, plus the
@@ -66,6 +70,8 @@ object GraftFunctions {
       "fnv64", fnv64Builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot", dotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_overlap", overlapBuilder, "built-in")
     if (!spark.experimental.extraOptimizations.contains(
         org.apache.spark.sql.graftshim.ArrayDotRewrite))
       spark.experimental.extraOptimizations =
@@ -85,6 +91,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotExpr].getName, "array_dot"),
       { exprs: Seq[Expression] => ArrayDotExpr(exprs(0), exprs(1)) }))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_overlap"),
+      new ExpressionInfo(classOf[SortedOverlapExpr].getName, "sorted_overlap"),
+      { exprs: Seq[Expression] => SortedOverlapExpr(exprs(0), exprs(1)) }))
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graftshim.ArrayDotRewrite)
   }
 }

@@ -64,6 +64,14 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaRule == viaKernel)
   }
 
+  test("sorted_overlap registers as a SQL function") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT sorted_overlap(array(1, 3, 5, 7), array(3, 4, 5, 9)) AS n")
+      .collect()(0).getAs[Int]("n")
+    assert(got == 2)
+  }
+
   test("fnv64 registers as a SQL function") {
     GraftFunctions.register(spark)
     val got = spark.sql("SELECT fnv64('abc') AS h").collect()(0).getAs[Long]("h")
