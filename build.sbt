@@ -31,8 +31,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap sizing: local[32] runs driver + all 32 executor threads in ONE JVM,
+// so this heap plays the role of an entire cluster's worth of executor
+// memory. 8g was measurably undersized: once a long session accumulates
+// normal working state, a streaming query's allocation burst drives full-GC
+// pauses that bleed multi-second penalties into the NEXT several queries
+// (BENCH_r03's q4_join_multi 6.3s vs 0.8s isolated — same plan, pure GC).
+// 24g gives the same per-core memory a real 4-executor × 8-core × 6g
+// cluster would have; numbers are then position-independent.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -31,6 +31,21 @@ object Bench {
     // Optional subset for local iteration: SPARK_GRAFT_BENCH_ONLY=q1_agg,wc
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Session-conf snapshot: restored after every query so no query can
+    // perturb another's environment (e.g. the streaming reader's
+    // nanosAsLong flag) — per-query numbers must not depend on bench order.
+    val confSnapshot = spark.conf.getAll
+    def restoreConf(): Unit = {
+      val now = spark.conf.getAll
+      for (k <- now.keySet ++ confSnapshot.keySet) {
+        (confSnapshot.get(k), now.get(k)) match {
+          case (Some(v0), Some(v1)) if v0 != v1 => spark.conf.set(k, v0)
+          case (Some(v0), None) => spark.conf.set(k, v0)
+          case (None, Some(_)) => try spark.conf.unset(k) catch { case _: Throwable => () }
+          case _ => ()
+        }
+      }
+    }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -43,7 +58,14 @@ object Bench {
       def runOnce(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // outside the timed window: sweep this run's operator-internal
+        // transient caches (so no run free-rides on the previous run's
+        // blocks and storage can't accumulate across the 60+ query session)
+        // and restore any session conf the query mutated
+        TransientCache.release(spark)
+        restoreConf()
+        sec
       }
       val warmSec =
         try Some(runOnce())

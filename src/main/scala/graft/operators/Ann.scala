@@ -106,8 +106,9 @@ object Ann {
     val dim = 64 // embeddings fixture dimension (TESTDATA.md)
     // cache the corpus ONCE: the nbits-sizing count, the corpus join side and
     // the query-probe side all reuse the same materialization (previously
-    // each was a fresh full scan + norm recompute)
-    val base = corpus(s, dir).cache()
+    // each was a fresh full scan + norm recompute). Transient: released by
+    // the harness after the consuming action (graft.TransientCache contract).
+    val base = graft.TransientCache.cache(corpus(s, dir))
     val nbits = nbitsFor(base.count())
     val planes = hyperplanes(dim, nbits)
     val c = base.withColumn("bucket", bucketCol(col("vec"), planes))
@@ -216,7 +217,7 @@ object Ann {
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     // cached (as lshTopK does): consumed by the train sample, the probe
     // side and the scoring join — without it the scan+norm runs three times
-    val c = corpus(s, dir).cache()
+    val c = graft.TransientCache.cache(corpus(s, dir))
     val train = c.orderBy(xxhash64(col("vec_id"))).limit(IvfTrainCap)
       .select("vec").collect().map(_.getSeq[Double](0).toArray)
     val cents = fitCentroids(train, nCells, iters = 10)
@@ -251,7 +252,7 @@ object Ann {
     * sibling of Dedup.minhash; no all-pairs.
     */
   def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.98): DataFrame = {
-    val base = corpus(s, dir).cache()
+    val base = graft.TransientCache.cache(corpus(s, dir))
     val planes = hyperplanes(64, nbitsFor(base.count()))
     val c = base.withColumn("bucket", bucketCol(col("vec"), planes))
     val l = c.select(col("bucket"), col("vec_id").as("id1"), col("vec").as("v1"), col("nrm").as("nrm1"))

@@ -159,7 +159,10 @@ object Dedup {
     * at j ≥ threshold), filtered at `threshold`.
     */
   def minhash(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = signed(s, dir).cache()
+    // transient: signatures feed the banding pass AND both verification join
+    // sides within this one query; the harness releases the blocks after the
+    // consuming action (graft.TransientCache contract)
+    val docs = graft.TransientCache.cache(signed(s, dir))
     val pairs = candidatePairs(docs)
     val withSets = pairs
       .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
@@ -274,10 +277,11 @@ object Dedup {
       val masks = toksEx.join(dict, "tok")
         .groupBy("doc_id")
         .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tid - 1))").as("mask"))
-      val groups = masks.groupBy("mask")
-        .agg(collect_list(col("doc_id")).as("ids"))
-        .withColumn("n", bit_count(col("mask")))
-        .cache() // u rows, consumed by the sizing stats AND both join sides
+      val groups = graft.TransientCache.cache(
+        masks.groupBy("mask")
+          .agg(collect_list(col("doc_id")).as("ids"))
+          .withColumn("n", bit_count(col("mask")))
+      ) // u rows, consumed by the sizing stats AND both join sides
       // guard BOTH dimensions before u² probing: distinct-set count, and the
       // hottest identical-set group (a mega-group would concentrate a
       // quadratic expansion in one task AND ship every doc id in the
@@ -351,23 +355,49 @@ object Dedup {
     * cliques), so the loop runs ~3–5 rounds regardless of corpus size; the
     * driver only compares label-sum convergence scalars, never rows.
     */
+  /** The near-duplicate edge set (exact-recall [[jaccard3]] pairs) as a
+    * SHARED artifact: computed + materialized once per (dir, threshold) and
+    * reused by every consumer in the session — [[clusters]] and the curation
+    * keep-set both derive from these same edges, and recomputing the
+    * similarity join per consumer was the single largest avoidable cost in
+    * the bench. At 100 TB this artifact is a parquet dataset written between
+    * jobs; `TransientCache.memo` is its in-session equivalent.
+    */
+  def similarityEdges(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    graft.TransientCache.memo(s"jaccard3-edges:$dir:$threshold") {
+      jaccard3(s, dir, threshold).select(col("doc1"), col("doc2"))
+    }
+
   def clusters(s: SparkSession, dir: String, threshold: Double = 0.5,
-      maxRounds: Int = 50): DataFrame = {
-    val pairs = jaccard3(s, dir, threshold).select(col("doc1"), col("doc2"))
-    // edges checkpointed once: every round re-reads them, and the expensive
+      maxRounds: Int = 50, pairs: Option[DataFrame] = None): DataFrame = {
+    val sc = s.sparkContext
+    // per-round checkpoints are freed as soon as their successor round is
+    // materialized (the successor's blocks are real rows, not lineage), so
+    // the loop holds at most two rounds of label blocks at any time
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit = {
+      val live = sc.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(false)))
+    }
+    // edges materialized once (shared artifact unless the caller supplies
+    // its own pair set): every round re-reads them, and the expensive
     // similarity join must never re-run inside the loop
-    val edges = pairs
-      .union(pairs.select(col("doc2"), col("doc1")))
-      .toDF("u", "v")
-      .localCheckpoint(true)
+    val p = pairs.getOrElse(similarityEdges(s, dir, threshold))
+      .select(col("doc1"), col("doc2"))
+    val (edges, edgeIds) = checkpointTracked(
+      p.union(p.select(col("doc2"), col("doc1"))).toDF("u", "v"))
     // eager localCheckpoint each round: without it, round r's logical plan
     // nests all r-1 previous rounds and Catalyst re-optimizes the whole
     // tower every round (superlinear planning time — measured 3-4x the
     // total runtime by round ~8 at sf0.1). Checkpointing pins each round to
     // a flat LogicalRDD, so planning cost is constant per round.
-    var labels = Tables.documents(s, dir)
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint(true)
+    var (labels, labelIds) = checkpointTracked(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("doc_id").as("cluster_id")))
     // labels are non-negative and only ever decrease, so the label sum is a
     // strictly decreasing convergence measure (fixpoint = sum unchanged)
     def labelSum(df: DataFrame): Long =
@@ -379,14 +409,21 @@ object Dedup {
       val viaEdge = labels
         .join(edges, labels("doc_id") === edges("u"))
         .select(col("v").as("doc_id"), col("cluster_id"))
-      val next = labels.unionByName(viaEdge)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint(true)
+      val (next, nextIds) = checkpointTracked(
+        labels.unionByName(viaEdge)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")))
       prevSum = curSum
       curSum = labelSum(next)
+      free(labelIds)
       labels = next
+      labelIds = nextIds
       rounds += 1
     }
+    // the returned labels are checkpointed rows with no lineage back to the
+    // edges; release the edge blocks now and register the result blocks for
+    // the harness's post-action sweep
+    free(edgeIds)
+    graft.TransientCache.adoptRddIds(labelIds)
     // fail LOUDLY on non-convergence: silently-wrong cluster ids would let
     // duplicate documents through the curation keep-set downstream
     if (curSum != prevSum)
