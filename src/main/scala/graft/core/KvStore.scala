@@ -26,26 +26,57 @@ object KvStore {
     */
   case class KvResult(kind: String, seq: Long, key: String, value: String)
 
-  /** Replay an op log: returns tagged state+get rows in one pass. */
+  /** Replay an op log: returns tagged state+get rows in one pass.
+    *
+    * Secondary-sort formulation: repartition on `key`, sort each partition
+    * by (key, seq), then stream a single fold over the partition iterator.
+    * A key's ops arrive contiguous and in sequence order, so replay holds
+    * O(1) rows in memory regardless of how many ops one key has — the
+    * hot-key-safe shape at 100 TB, where `groupByKey` + sort-in-memory
+    * would buffer a hot key's entire history in one task (a key with 10⁸
+    * appends is an OOM, not a slowdown). The shuffle cost is identical
+    * (same hash exchange); the sort rides the shuffle spill machinery.
+    */
   def replay(ops: Dataset[KvOp]): Dataset[KvResult] = {
     val s = ops.sparkSession
     import s.implicits._
-    ops.groupByKey(_.key).flatMapGroups { (key, it) =>
-      val sorted = it.toSeq.sortBy(_.seq)
-      var state = ""
-      var exists = false
-      val out = Seq.newBuilder[KvResult]
-      sorted.foreach { o =>
-        o.op match {
-          case "put" => state = o.value; exists = true
-          case "append" => state = state + o.value; exists = true
-          case "get" => out += KvResult("get", o.seq, key, if (exists) state else "")
-          case other => throw new IllegalArgumentException(s"unknown op: $other")
+    ops
+      .repartition(ops("key"))
+      .sortWithinPartitions("key", "seq")
+      .mapPartitions { rows =>
+        new scala.collection.AbstractIterator[KvResult] {
+          // ≤ 2 buffered results at any time (a key's closing state row plus
+          // the next key's first get) — never a key's history
+          private val buf = scala.collection.mutable.Queue.empty[KvResult]
+          private var curKey: String = null
+          private var state = ""
+          private var exists = false
+          private def fill(): Unit = {
+            while (buf.isEmpty && rows.hasNext) {
+              val o = rows.next()
+              if (o.key != curKey) {
+                if (curKey != null && exists)
+                  buf += KvResult("state", Long.MaxValue, curKey, state)
+                curKey = o.key; state = ""; exists = false
+              }
+              o.op match {
+                case "put" => state = o.value; exists = true
+                case "append" => state = state + o.value; exists = true
+                case "get" =>
+                  buf += KvResult("get", o.seq, o.key, if (exists) state else "")
+                case other =>
+                  throw new IllegalArgumentException(s"unknown op: $other")
+              }
+            }
+            if (buf.isEmpty && curKey != null && exists) {
+              buf += KvResult("state", Long.MaxValue, curKey, state)
+              curKey = null; exists = false
+            }
+          }
+          def hasNext: Boolean = { fill(); buf.nonEmpty }
+          def next(): KvResult = { fill(); buf.dequeue() }
         }
       }
-      if (exists) out += KvResult("state", Long.MaxValue, key, state)
-      out.result().iterator
-    }
   }
 
   /** Final state table after replaying the log. */
