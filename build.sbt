@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// local-cluster[...] suites spawn real executor JVMs through the standalone
+// launcher, which resolves the jars dir from SPARK_HOME and the scala
+// version from SPARK_SCALA_VERSION (a release layout has no build dirs).
+Test / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13",
+)
 // Suites share one local[4] SparkSession; running them in parallel starves
 // the parallelism-probe tests (mtiming/rtiming) of executor threads.
 Test / parallelExecution := false

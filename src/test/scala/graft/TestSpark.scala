@@ -10,15 +10,27 @@ import org.apache.spark.sql.SparkSession
   * local mode via the master string).
   */
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4, 3]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-    .getOrCreate()
+  private var _spark: SparkSession = null
+
+  /** Rebuilds if a suite (e.g. the local-cluster chaos soak, which needs its
+    * own multi-process SparkContext) stopped the shared session.
+    */
+  def spark: SparkSession = synchronized {
+    if (_spark == null || _spark.sparkContext.isStopped) {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      _spark = SparkSession.builder()
+        .master("local[4, 3]")
+        .appName("graft-test")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+        .getOrCreate()
+    }
+    _spark
+  }
 
   /** Reference pg corpus (read-only fixtures; FIXTURES.md §A.1). */
   val PgGlob = "/root/reference/src/main/pg-*.txt"

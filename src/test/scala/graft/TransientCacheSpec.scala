@@ -65,7 +65,8 @@ class TransientCacheSpec extends AnyFunSuite {
   }
 
   test("clusters accepts a caller-supplied pair set") {
-    import spark.implicits._
+    val s = spark
+    import s.implicits._
     // a 4-node path 1-2, 2-3 plus isolated 4 — via the pairs parameter the
     // similarity join is bypassed entirely
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc1", "doc2")
