@@ -78,6 +78,7 @@ object SparkEntry {
     "nocrash_meta" -> (TextOps.nocrashMeta _),
     // --- KV surface (declared in the reference, replayed as an op log) ---
     "kv_replay" -> (graft.core.KvStore.ordersReplay _),
+    "kv_shards" -> (graft.core.ShardMaster.ordersShards _),
     // --- reference workloads, faithful MapReduceJob path (holistic reduce) ---
     "mr_wc" -> mrQuery(Workloads.wcMap, Workloads.wcReduce),
     "mr_indexer" -> mrQuery(Workloads.indexerMap, Workloads.indexerReduce),
@@ -351,6 +352,18 @@ object SparkEntry {
       """SELECT CAST(o_custkey AS VARCHAR) AS key,
         | string_agg(CAST(o_orderkey AS VARCHAR) || ';', '' ORDER BY o_orderkey) AS value
         |FROM orders GROUP BY o_custkey""".stripMargin,
+    // the shard→gid map is the hand-derived final config after
+    // ShardMaster.DemoOps (asserted literally, step by step, in
+    // ShardMasterSpec); shard = first byte of the key mod 10, computed
+    // independently by DuckDB
+    "kv_shards" ->
+      """SELECT CAST(o_custkey AS VARCHAR) AS key,
+        | ascii(substr(CAST(o_custkey AS VARCHAR), 1, 1)) % 10 AS shard,
+        | cfg.gid AS gid
+        |FROM (SELECT DISTINCT o_custkey FROM orders) t
+        |JOIN (VALUES (0,2),(1,3),(2,2),(3,3),(4,2),(5,3),(6,3),(7,2),(8,2),(9,3))
+        |  AS cfg(shard, gid)
+        |ON ascii(substr(CAST(o_custkey AS VARCHAR), 1, 1)) % 10 = cfg.shard""".stripMargin,
     "mr_wc" ->
       s"""SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
          |FROM ($tokenized) t WHERE word <> '' GROUP BY word""".stripMargin,

@@ -99,14 +99,16 @@ object KvStore {
     * replay it; the final state per key is the orderkey concatenation in
     * sequence order, which ANSI SQL reproduces with an ordered string_agg.
     */
-  def ordersReplay(s: SparkSession, dir: String): DataFrame = {
+  def ordersReplayOps(s: SparkSession, dir: String): Dataset[KvOp] = {
     import s.implicits._
-    val ops = graft.sources.Tables.orders(s, dir)
+    graft.sources.Tables.orders(s, dir)
       .select($"o_orderkey", $"o_custkey")
       .as[(Long, Long)]
       .map { case (okey, ckey) => KvOp(okey, "append", ckey.toString, s"$okey;") }
-    stateOf(ops)
   }
+
+  def ordersReplay(s: SparkSession, dir: String): DataFrame =
+    stateOf(ordersReplayOps(s, dir))
 
   /** Convenience: build an op log Dataset from tuples. */
   def log(s: SparkSession, entries: Seq[(Long, String, String, String)]): Dataset[KvOp] = {
