@@ -54,6 +54,7 @@ object SparkEntry {
     "q15_events_window" -> (Relational.q15EventsWindow _),
     "q16_sessions" -> (Relational.q16Sessions _),
     "q17_asof" -> (Relational.q17Asof _),
+    "q35_asof_native" -> (graft.operators.AsOf.q35AsofNative _),
     "q18_skew_agg" -> (graft.operators.Skew.q18SkewAgg _),
     "q19_approx" -> (Relational.q19Approx _),
     "q20_cube" -> (Relational.q20Cube _),
@@ -239,6 +240,14 @@ object SparkEntry {
         |  FROM events) a) b
         |GROUP BY user_id""".stripMargin,
     "q17_asof" ->
+      """WITH ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |             FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.o_orderkey
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    // the native-exec twin verifies the custom physical operator against
+    // the identical independent oracle
+    "q35_asof_native" ->
       """WITH ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
         |             FROM orders GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, o.o_orderkey

@@ -77,6 +77,13 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           org.apache.spark.sql.graftshim.ArrayDotRewrite
+    // the native as-of join planner strategy (tier c of the extension
+    // ladder: expression -> rule -> strategy)
+    if (!spark.experimental.extraStrategies.contains(
+        org.apache.spark.sql.graftshim.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+
+          org.apache.spark.sql.graftshim.AsOfJoinStrategy
   }
 }
 
@@ -96,5 +103,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedOverlapExpr].getName, "sorted_overlap"),
       { exprs: Seq[Expression] => SortedOverlapExpr(exprs(0), exprs(1)) }))
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graftshim.ArrayDotRewrite)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftshim.AsOfJoinStrategy)
   }
 }

@@ -1,0 +1,176 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native AS-OF JOIN — the tier-(c) extensibility ladder rung the engine was
+  * still missing: a custom whole-operator (LogicalPlan + Strategy +
+  * physical exec) next to the existing custom Expressions (tier b:
+  * Fnv64Expr/ArrayDotExpr/SortedOverlapExpr) and optimizer Rule
+  * (ArrayDotRewrite).
+  *
+  * Semantics (LEFT OUTER as-of): for every left row, append the payload of
+  * the LATEST right row with the same key and `rightTime <= leftTime`;
+  * nulls when no such row exists. This is `ASOF LEFT JOIN ... ON l.k = r.k
+  * AND l.t >= r.t` (DuckDB) / pandas `merge_asof`.
+  *
+  * Physical plan: both children hash-clustered on the key and sorted within
+  * partitions by (key, time) — EnsureRequirements inserts the exchanges and
+  * sorts — then ONE streaming merge pass per partition with O(1) state (the
+  * current key's latest right row). Cost at 100 TB: exactly one shuffle of
+  * each side on the key (the same lower bound the union+window formulation
+  * pays) but with no window buffer, no union of mismatched schemas, and no
+  * tag/ignoreNulls trickery; the merge never materializes a per-key group.
+  *
+  * Contrast with `Relational.q17Asof` (union + last-ignoring-nulls window):
+  * same result, and that formulation stays as the composed-operator
+  * baseline; this operator exists to complete the extension ladder and to
+  * serve as-of semantics where the window trick does not compose (e.g.
+  * multiple payload columns without null-tag encoding).
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinNode]] into [[AsOfJoinExec]]. Injected per-session via
+  * `graft.functions.GraftFunctions.register` (experimental.extraStrategies)
+  * or globally via `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryExecNode {
+
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  /** Both sides clustered on the key: EnsureRequirements aligns the two
+    * hash exchanges (or reuses a child's existing partitioning when
+    * compatible), exactly as it does for a shuffled join.
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  /** (key, time) ascending within partitions — the order the merge needs. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  /** Left rows pass through in order, so downstream sorts on (key, time)
+    * are eliminated for free.
+    */
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lkB = BindReferences.bindReference(leftKey, left.output)
+    val ltB = BindReferences.bindReference(leftTime, left.output)
+    val rkB = BindReferences.bindReference(rightKey, right.output)
+    val rtB = BindReferences.bindReference(rightTime, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val leftOut = left.output
+    val rightOut = right.output
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightOut.size)
+      val proj = UnsafeProjection.create(leftOut ++ rightOut, leftOut ++ rightOut)
+      val rBuf = rIt.buffered
+      // O(1) merge state: the latest right row consumed so far, and its key.
+      // Both streams ascend on (key, time), so a right row once passed is
+      // never needed again — no per-key buffering, hot keys stream.
+      var matchKey: Any = null
+      var matchRow: InternalRow = null
+      lIt.map { lrow =>
+        val k = lkB.eval(lrow)
+        val t = ltB.eval(lrow)
+        if (k == null || t == null) {
+          // as-of on a null key/time is vacuous: no right row can satisfy
+          // the inclusive predicate (SQL comparison semantics)
+          proj(joined(lrow, nullRight))
+        } else {
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val peek = rBuf.head
+            val rk = rkB.eval(peek)
+            val rt = rtB.eval(peek)
+            if (rk == null || rt == null) { rBuf.next(); () } // never matchable
+            else {
+              val c = keyOrd.compare(rk, k)
+              if (c < 0) { rBuf.next(); () } // key fully behind: discard
+              else if (c == 0 && timeOrd.compare(rt, t) <= 0) {
+                matchKey = rk
+                matchRow = rBuf.next().copy() // retain: source rows are reused
+              } else advancing = false
+            }
+          }
+          if (matchKey != null && keyOrd.compare(matchKey, k) == 0)
+            proj(joined(lrow, matchRow))
+          else proj(joined(lrow, nullRight))
+        }
+      }
+    }
+  }
+}
+
+/** Public construction surface (the shim package can build a DataFrame from
+  * a logical plan; user code goes through [[graft.operators.AsOf]]).
+  * Columns are resolved BY NAME against each side, so the caller must
+  * de-collide duplicate names between the sides first (as with any join
+  * whose output carries both schemas).
+  */
+object AsOfJoinShim {
+  def asof(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val session = left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def col(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in [${plan.output.map(_.name).mkString(", ")}]"))
+    org.apache.spark.sql.classic.Dataset.ofRows(session,
+      AsOfJoinNode(lPlan, rPlan,
+        col(lPlan, leftKey), col(rPlan, rightKey),
+        col(lPlan, leftTime), col(rPlan, rightTime)))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.graftshim.{AsOfJoinExec, AsOfJoinShim}
+
+import graft.operators.AsOf
+
+/** The native as-of join exec: hand-built semantics (inclusive tie, no
+  * match, multiple updates, null key/time), differential equality with the
+  * composed union+window formulation, and plan-shape assertions (the
+  * strategy fires; EnsureRequirements plants one exchange per side).
+  */
+class AsOfSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def shim(left: Seq[(Long, Long, String)], right: Seq[(Long, Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val l = left.toDF("k", "t", "ev")
+    val r = right.toDF("r_k", "r_t", "payload")
+    AsOfJoinShim.asof(l, r, "k", "r_k", "t", "r_t")
+      .select("k", "t", "ev", "payload")
+  }
+
+  test("semantics: latest right row at-or-before, per key") {
+    val right = Seq(
+      (1L, 10L, "a10"), (1L, 20L, "a20"), (1L, 30L, "a30"),
+      (2L, 15L, "b15"))
+    val left = Seq(
+      (1L, 5L, "e1"),   // before any update -> null
+      (1L, 10L, "e2"),  // inclusive tie -> a10
+      (1L, 25L, "e3"),  // between 20 and 30 -> a20
+      (1L, 99L, "e4"),  // after all -> a30
+      (2L, 14L, "e5"),  // before b15 -> null
+      (2L, 16L, "e6"),  // -> b15
+      (3L, 50L, "e7"))  // key with no right rows -> null
+    val got = shim(left, right).collect()
+      .map(r => r.getAs[String]("ev") -> Option(r.getAs[String]("payload"))).toMap
+    assert(got == Map(
+      "e1" -> None, "e2" -> Some("a10"), "e3" -> Some("a20"), "e4" -> Some("a30"),
+      "e5" -> None, "e6" -> Some("b15"), "e7" -> None))
+  }
+
+  test("null key/time rows never match and are passed through") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val l = Seq((Some(1L), Some(10L), "ok"), (None, Some(10L), "nullkey"),
+      (Some(1L), None, "nulltime")).toDF("k", "t", "ev")
+    val r = Seq((Some(1L), Some(5L), "p"), (None, Some(1L), "nk")).toDF("r_k", "r_t", "payload")
+    val got = AsOfJoinShim.asof(l, r, "k", "r_k", "t", "r_t")
+      .select("ev", "payload").collect()
+      .map(x => x.getAs[String]("ev") -> Option(x.getAs[String]("payload"))).toMap
+    assert(got == Map("ok" -> Some("p"), "nullkey" -> None, "nulltime" -> None))
+  }
+
+  test("differential: native exec == union+window formulation == on fixture") {
+    val native = AsOf.q35AsofNative(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        Option(r.get(r.fieldIndex("o_orderkey"))))).toSet
+    val composed = graft.operators.Relational.q17Asof(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        Option(r.get(r.fieldIndex("o_orderkey"))))).toSet
+    assert(native == composed)
+    assert(native.nonEmpty)
+  }
+
+  test("plan: strategy fires, one exchange + sort per side, none above") {
+    val df = AsOf.q35AsofNative(spark, Sf0001)
+    df.write.mode("overwrite").format("noop").save() // finalize the AQE plan
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val asofs = plan.collect { case e: AsOfJoinExec => e }
+    assert(asofs.size == 1, s"expected one AsOfJoinExec in:\n$plan")
+    val exec = asofs.head
+    // EnsureRequirements must have planted a hash exchange and a (key, time)
+    // sort under EACH side of the exec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.SortExec
+    exec.children.foreach { child =>
+      assert(child.collectFirst { case s: SortExec => s }.isDefined,
+        s"missing sort under as-of child:\n$child")
+      assert(child.collectFirst { case e: ShuffleExchangeLike => e }.isDefined,
+        s"missing exchange under as-of child:\n$child")
+    }
+  }
+}
