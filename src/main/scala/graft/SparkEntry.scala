@@ -73,6 +73,7 @@ object SparkEntry {
     // --- structured streaming (bounded AvailableNow pass; == batch answer) ---
     "q25_stream_window" -> (graft.streaming.EventStreams.windowedCountsQuery _),
     "q33_stream_session" -> (graft.streaming.EventStreams.sessionQuery _),
+    "q36_stream_neardup" -> (graft.streaming.EventStreams.nearDupQuery _),
     // --- reference workloads, optimized DataFrame formulations ---
     "wc" -> (TextOps.wc _),
     "indexer" -> (TextOps.indexer _),

@@ -78,7 +78,7 @@ object Dedup {
     * 3-grams joined by a single space (whole doc as one gram when < 3
     * tokens), first-occurrence distinct.
     */
-  private[operators] def shingleSet(text: String): IndexedSeq[String] = {
+  private[graft] def shingleSet(text: String): IndexedSeq[String] = {
     var b = 0
     var e = text.length
     while (b < e && text.charAt(b) == ' ') b += 1
@@ -96,7 +96,7 @@ object Dedup {
     * each band's r slots (+ band index, so identical slot values in
     * different bands cannot collide) into one bucket key.
     */
-  private[operators] def bandKeys(sh: Seq[String]): Array[Long] = {
+  private[graft] def bandKeys(sh: Seq[String]): Array[Long] = {
     val hs = new Array[Long](sh.size)
     var i = 0
     sh.foreach { g => hs(i) = fnv64(g); i += 1 }

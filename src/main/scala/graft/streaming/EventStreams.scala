@@ -124,6 +124,72 @@ object EventStreams {
           })
   }
 
+  /** Incremental NEAR-dup detection over a document stream — the streaming
+    * twin of `Dedup.minhash`, and the operator a rolling crawl actually
+    * needs (exact dedup alone misses boilerplate-with-noise). Same LSH
+    * shape as the batch path: each arriving doc shingles + signs + bands in
+    * one typed flatMap, then state lives PER BAND BUCKET (the natural
+    * shard key): each bucket keeps the docs seen in it (capped at
+    * `Dedup.MaxBucket`, the same hot-bucket guard as batch) and an arriving
+    * doc emits exact-Jaccard-verified pairs against its bucket's history.
+    *
+    * Emission is at-least-once across bands (a pair sharing k band keys
+    * emits up to k times; within one bucket state dedups) — consumers
+    * `distinct()` downstream, the same contract as batch candidate
+    * generation before its `distinct`. State per bucket is bounded by the
+    * cap; at 100 TB/day the production variant adds a state TTL (timeout)
+    * so buckets forget cold history, and stores 64-slot signatures instead
+    * of shingle sets when approximate verification is acceptable.
+    */
+  def incrementalNearDup(docs: DataFrame, threshold: Double = 0.5): Dataset[(Long, Long, Double)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import graft.operators.Dedup
+    docs
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sh = Dedup.shingleSet(text)
+        Dedup.bandKeys(sh).zipWithIndex.map { case (bk, b) => (b, bk, id, sh) }
+      }
+      .groupByKey { case (b, bk, _, _) => (b, bk) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, IndexedSeq[String])],
+         state: GroupState[List[(Long, IndexedSeq[String])]]) => {
+          var seen = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[(Long, Long, Double)]
+          rows.foreach { case (_, _, id, sh) =>
+            if (seen.size < Dedup.MaxBucket && !seen.exists(_._1 == id)) {
+              seen.foreach { case (oid, osh) =>
+                val inter = sh.toSet.intersect(osh.toSet).size
+                val j = inter.toDouble / (sh.size + osh.size - inter).toDouble
+                if (j >= threshold)
+                  out += ((math.min(id, oid), math.max(id, oid), j))
+              }
+              seen = (id, sh) :: seen
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+        })
+  }
+
+  /** q36_stream_neardup — the REGISTERED streaming near-dup query: one
+    * AvailableNow pass of [[incrementalNearDup]] over the staged documents
+    * table, pair-set deduped across bands. Rows-only in the gate (the LSH
+    * candidate structure is the same probabilistic banding as batch
+    * dedup_minhash — no SQL oracle can state it); StreamingSpec asserts
+    * set-equality with the batch minhash pairs.
+    */
+  def nearDupQuery(s: SparkSession, dir: String): DataFrame =
+    runStagedViaFiles(s, dir, "q36_stream_neardup",
+        staged => incrementalNearDup(
+            s.readStream
+              .schema(graft.sources.Tables.documents(s, dir).schema)
+              .parquet(staged))
+          .toDF("doc1", "doc2", "jaccard"),
+        OutputMode.Append(), file = "documents.parquet")
+      .distinct()
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
@@ -161,11 +227,12 @@ object EventStreams {
     */
   private def runStagedViaFiles(s: SparkSession, dir: String, prefix: String,
       build: String => DataFrame,
-      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+      mode: OutputMode = OutputMode.Complete(),
+      file: String = "events.parquet"): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val staged = Files.createTempDirectory(s"$prefix-staged")
-    Files.copy(Paths.get(s"$dir/events.parquet"),
-      staged.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$dir/$file"),
+      staged.resolve(file), StandardCopyOption.REPLACE_EXISTING)
     val outDir = s"${System.getProperty("java.io.tmpdir")}/graft-stream-out/$prefix"
     deleteRecursively(new java.io.File(outDir))
     val q = build(staged.toString).writeStream
@@ -180,7 +247,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    Files.deleteIfExists(staged.resolve("events.parquet"))
+    Files.deleteIfExists(staged.resolve(file))
     Files.deleteIfExists(staged)
     s.read.parquet(outDir)
   }

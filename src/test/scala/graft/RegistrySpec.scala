@@ -20,7 +20,10 @@ class RegistrySpec extends AnyFunSuite {
     val documented = Set(
       "ann_ivf", "ann_lsh", "dedup_embed", "dedup_minhash", "dedup_simhash",
       "dedup_simhash_pairs", "mm_features", "mm_thumbs", "q19_approx",
-      "text_fingerprint_poly")
+      "text_fingerprint_poly",
+      // same probabilistic banding as dedup_minhash: SQL cannot state the
+      // candidate structure; StreamingSpec asserts == batch minhash pairs
+      "q36_stream_neardup")
     assert(rowsOnly == documented,
       s"oracle coverage drifted: extra=${rowsOnly -- documented} missing=${documented -- rowsOnly}")
   }

@@ -88,6 +88,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental near-dup: streaming LSH pair set == batch minhash pairs") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("neardup-stream")
+    Files.copy(Paths.get(s"$Sf0001/documents.parquet"),
+      d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docStream = spark.readStream
+      .schema(graft.sources.Tables.documents(spark, Sf0001).schema)
+      .parquet(d.toString)
+    val out = EventStreams.runToMemory(
+      spark,
+      EventStreams.incrementalNearDup(docStream).toDF("doc1", "doc2", "jaccard"),
+      "neardup_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+    // at-least-once across bands -> distinct; then exact equality with the
+    // batch LSH+exact-verify path (same banding, same verification)
+    val streamed = out.select("doc1", "doc2").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Dedup.minhash(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2"))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    TransientCache.release(spark)
+  }
+
   test("sessionize: stateful per-user aggregates match batch totals") {
     import org.apache.spark.sql.streaming.OutputMode
     val sessions = EventStreams.runToMemory(
