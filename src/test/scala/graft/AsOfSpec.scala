@@ -67,6 +67,56 @@ class AsOfSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("property: native exec == driver-side reference on random logs") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 5) {
+      val nKeys = 1 + rnd.nextInt(8)
+      // right side unique on (key, time): as-of over duplicate timestamps is
+      // order-ambiguous by definition (both the exec and the window
+      // formulation pick an arbitrary survivor), so real callers dedup first
+      val right = rnd.shuffle((for {
+        k <- 0 until nKeys
+        t <- 0 until 40
+        if rnd.nextDouble() < 0.3
+      } yield (k.toLong, t.toLong, s"p$k-$t")).toList)
+      val left = List.fill(150)(
+        (rnd.nextInt(nKeys + 2).toLong, rnd.nextInt(50).toLong, rnd.nextInt(1000)))
+        .zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+      // odd, mismatched pre-partitioning on both sides: the exec's declared
+      // distribution must force correct co-partitioning regardless (and AQE
+      // coalescing must keep the two sides aligned)
+      val lDf = left.toDF("k", "t", "ev").repartition(7)
+      val rDf = right.toDF("r_k", "r_t", "payload").repartition(3)
+      val got = AsOfJoinShim.asof(lDf, rDf, "k", "r_k", "t", "r_t")
+        .select("ev", "payload").collect()
+        .map(r => r.getAs[Long]("ev") -> Option(r.getAs[String]("payload"))).toMap
+      val byKey = right.groupBy(_._1)
+      val expected = left.map { case (k, t, ev) =>
+        ev -> byKey.getOrElse(k, Nil).filter(_._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      assert(got == expected, s"round $round (seed-fixed)")
+      assert(got.size == left.size)
+    }
+  }
+
+  test("string keys: interpreted ordering handles non-numeric key types") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val l = Seq(("alpha", 10L, "e1"), ("beta", 5L, "e2"), ("alpha", 3L, "e3"))
+      .toDF("k", "t", "ev")
+    val r = Seq(("alpha", 4L, "pa"), ("beta", 5L, "pb"), ("gamma", 1L, "pg"))
+      .toDF("r_k", "r_t", "payload")
+    val got = AsOfJoinShim.asof(l, r, "k", "r_k", "t", "r_t")
+      .select("ev", "payload").collect()
+      .map(x => x.getAs[String]("ev") -> Option(x.getAs[String]("payload"))).toMap
+    assert(got == Map("e1" -> Some("pa"), "e2" -> Some("pb"), "e3" -> None))
+  }
+
   test("plan: strategy fires, one exchange + sort per side, none above") {
     val df = AsOf.q35AsofNative(spark, Sf0001)
     df.write.mode("overwrite").format("noop").save() // finalize the AQE plan
