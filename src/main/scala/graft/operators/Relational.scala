@@ -389,12 +389,15 @@ object Relational {
     * Exercises the parser/analyzer surface the DataFrame queries bypass.
     */
   def q28Sql(s: SparkSession, dir: String): DataFrame = {
-    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
-    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    // engine-prefixed view names: session-scoped and owned by this query, so
+    // re-registration can't collide with user views (parameterized sql()
+    // binds literals only — DataFrame templating isn't a Scala-side feature)
+    Tables.customer(s, dir).createOrReplaceTempView("graft_q28_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q28_orders")
     s.sql("""
       SELECT c.c_custkey, c.c_name
-      FROM customer_v c
-      WHERE (SELECT count(*) FROM orders_v o
+      FROM graft_q28_customer c
+      WHERE (SELECT count(*) FROM graft_q28_orders o
              WHERE o.o_custkey = c.c_custkey) >= 20""")
   }
 

@@ -138,8 +138,15 @@ object EventStreams {
     * `distinct()` downstream, the same contract as batch candidate
     * generation before its `distinct`. State per bucket is bounded by the
     * cap; at 100 TB/day the production variant adds a state TTL (timeout)
-    * so buckets forget cold history, and stores 64-slot signatures instead
-    * of shingle sets when approximate verification is acceptable.
+    * so buckets forget cold history.
+    *
+    * Wire/state format: each doc's shingle set is carried as its SORTED
+    * 64-bit FNV hashes, not strings — ~8 bytes per shingle across the 16×
+    * band fan-out (the same ship-encoded-ints principle as the batch
+    * prefix-filter path), with exact Jaccard via a two-pointer merge.
+    * A 64-bit collision would merge two shingles (birthday bound ~1e-9 at
+    * 10⁶ distinct shingles per bucket) — the standard trade everywhere
+    * else in the engine's hashing tier.
     */
   def incrementalNearDup(docs: DataFrame, threshold: Double = 0.5): Dataset[(Long, Long, Double)] = {
     val s = docs.sparkSession
@@ -149,23 +156,33 @@ object EventStreams {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val sh = Dedup.shingleSet(text)
-        Dedup.bandKeys(sh).zipWithIndex.map { case (bk, b) => (b, bk, id, sh) }
+        val hs = sh.map(graft.functions.HashFunctions.fnv64).distinct.sorted.toArray
+        Dedup.bandKeys(sh).zipWithIndex.map { case (bk, b) => (b, bk, id, hs) }
       }
       .groupByKey { case (b, bk, _, _) => (b, bk) }
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: (Int, Long), rows: Iterator[(Int, Long, Long, IndexedSeq[String])],
-         state: GroupState[List[(Long, IndexedSeq[String])]]) => {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Array[Long])],
+         state: GroupState[List[(Long, Array[Long])]]) => {
+          def overlap(a: Array[Long], b: Array[Long]): Int = {
+            var i = 0; var j = 0; var c = 0
+            while (i < a.length && j < b.length) {
+              if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+              else if (a(i) < b(j)) i += 1
+              else j += 1
+            }
+            c
+          }
           var seen = state.getOption.getOrElse(Nil)
           val out = List.newBuilder[(Long, Long, Double)]
-          rows.foreach { case (_, _, id, sh) =>
+          rows.foreach { case (_, _, id, hs) =>
             if (seen.size < Dedup.MaxBucket && !seen.exists(_._1 == id)) {
-              seen.foreach { case (oid, osh) =>
-                val inter = sh.toSet.intersect(osh.toSet).size
-                val j = inter.toDouble / (sh.size + osh.size - inter).toDouble
+              seen.foreach { case (oid, ohs) =>
+                val inter = overlap(hs, ohs)
+                val j = inter.toDouble / (hs.length + ohs.length - inter).toDouble
                 if (j >= threshold)
                   out += ((math.min(id, oid), math.max(id, oid), j))
               }
-              seen = (id, sh) :: seen
+              seen = (id, hs) :: seen
             }
           }
           state.update(seen)
