@@ -252,6 +252,13 @@ object EventStreams {
       staged.resolve(file), StandardCopyOption.REPLACE_EXISTING)
     val outDir = s"${System.getProperty("java.io.tmpdir")}/graft-stream-out/$prefix"
     deleteRecursively(new java.io.File(outDir))
+    // a bounded one-batch pass doesn't need a full fleet of state stores:
+    // each state partition costs store init + delta-file checkpoint I/O per
+    // batch, and the fixture state fits in a few. The conf is captured at
+    // stream START (cloned session), so restoring it afterwards is safe; at
+    // production scale the caller sizes this like any shuffle.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val q = build(staged.toString).writeStream
       .outputMode(mode)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -264,6 +271,7 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    s.conf.set("spark.sql.shuffle.partitions", prevParts)
     Files.deleteIfExists(staged.resolve(file))
     Files.deleteIfExists(staged)
     s.read.parquet(outDir)
