@@ -71,14 +71,16 @@ object TransientCache {
     */
   def memo(key: String)(build: => DataFrame): DataFrame = {
     val hit = memos.get(key)
-    if (hit != null) return hit
+    // a hit bound to a stopped session (a harness cycled SparkSessions) is
+    // stale: its checkpoint blocks died with the context — rebuild
+    if (hit != null && !hit.sparkSession.sparkContext.isStopped) return hit
     val df = build
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint(true)
     (sc.getPersistentRDDs.keySet -- before).foreach(id => memoIds.add(id))
-    val raced = memos.putIfAbsent(key, out)
-    if (raced != null) raced else out
+    memos.put(key, out)
+    out
   }
 
   /** Drop every registered cache and checkpoint block. Harness-facing.

@@ -147,11 +147,22 @@ object EventStreams {
     * A 64-bit collision would merge two shingles (birthday bound ~1e-9 at
     * 10⁶ distinct shingles per bucket) — the standard trade everywhere
     * else in the engine's hashing tier.
+    *
+    * `idleTimeout = Some(d)`: evict buckets idle for d (processing time) —
+    * the production shape on an unbounded crawl, where cold buckets must
+    * forget history (matches a dedup horizon; the same trade batch dedup
+    * makes by re-running over a window of the corpus). `None`: no eviction,
+    * the shape for bounded replays (a processing-time timeout keeps the
+    * engine running empty batches, so an AvailableNow pass would not
+    * terminate — same constraint as [[sessionize]]).
     */
-  def incrementalNearDup(docs: DataFrame, threshold: Double = 0.5): Dataset[(Long, Long, Double)] = {
+  def incrementalNearDup(docs: DataFrame, threshold: Double = 0.5,
+      idleTimeout: Option[String] = None): Dataset[(Long, Long, Double)] = {
     val s = docs.sparkSession
     import s.implicits._
     import graft.operators.Dedup
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -160,9 +171,13 @@ object EventStreams {
         Dedup.bandKeys(sh).zipWithIndex.map { case (bk, b) => (b, bk, id, hs) }
       }
       .groupByKey { case (b, bk, _, _) => (b, bk) }
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (_: (Int, Long), rows: Iterator[(Int, Long, Long, Array[Long])],
          state: GroupState[List[(Long, Array[Long])]]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           def overlap(a: Array[Long], b: Array[Long]): Int = {
             var i = 0; var j = 0; var c = 0
             while (i < a.length && j < b.length) {
@@ -186,7 +201,9 @@ object EventStreams {
             }
           }
           state.update(seen)
+          idleTimeout.foreach(state.setTimeoutDuration)
           out.result().iterator
+          }
         })
   }
 
