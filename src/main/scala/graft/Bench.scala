@@ -80,7 +80,11 @@ object Bench {
           try {
             val t1 = runOnce()
             val best =
-              if (t1 > 2 * w + 0.5) {
+              // re-time when the timed run disagrees with its own warm-up by
+              // more than the 15% reproducibility budget (plus a floor so
+              // sub-100ms jitter doesn't trigger extra runs): min over three
+              // complete runs is stable run-to-run for every query
+              if (t1 > 1.15 * w + 0.05) {
                 System.err.println(f"[bench] $name outlier ($t1%.2fs vs warm $w%.2fs), re-timing")
                 // the confirmation run is best-effort: a transient failure
                 // there must not discard the valid measurement we hold
