@@ -48,14 +48,25 @@ case class AsOfJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoinNode]] into [[AsOfJoinExec]]. Injected per-session via
+/** Plans [[AsOfJoinNode]] with a SIZE-BASED physical choice, the same
+  * decision Spark's own join selection makes: a right side whose estimated
+  * size fits `spark.sql.autoBroadcastJoinThreshold` plans as
+  * [[BroadcastAsOfJoinExec]] (the fact side never shuffles — the 100 TB
+  * plan for "events as-of a reference table"), anything larger as the
+  * co-partitioned merge [[AsOfJoinExec]]. Injected per-session via
   * `graft.functions.GraftFunctions.register` (experimental.extraStrategies)
   * or globally via `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val exec =
+        if (threshold >= 0 && r.stats.sizeInBytes <= threshold)
+          BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt)
+        else
+          AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt)
+      exec :: Nil
     case _ => Nil
   }
 }
@@ -145,6 +156,97 @@ case class AsOfJoinExec(
           if (matchKey != null && keyOrd.compare(matchKey, k) == 0)
             proj(joined(lrow, matchRow))
           else proj(joined(lrow, nullRight))
+        }
+      }
+    }
+  }
+}
+
+/** Broadcast as-of join: the small right side ships whole to every task
+  * (IdentityBroadcastMode — EnsureRequirements plants the
+  * BroadcastExchange), each task indexes it once into per-key time-sorted
+  * arrays, and the LEFT SIDE IS NEVER SHUFFLED OR SORTED — each left row
+  * resolves its match with one hash probe + binary search. Preserves the
+  * left child's partitioning and ordering, so downstream operators keep
+  * whatever physical properties the fact scan had. This is the plan that
+  * survives 100×: as-of against a reference table costs a map-side pass
+  * over the fact table, exactly like Spark's broadcast hash join vs SMJ.
+  */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lkB = BindReferences.bindReference(leftKey, left.output)
+    val ltB = BindReferences.bindReference(leftTime, left.output)
+    val rkB = BindReferences.bindReference(rightKey, right.output)
+    val rtB = BindReferences.bindReference(rightTime, right.output)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val leftOut = left.output
+    val rightOut = right.output
+    val relation = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIt =>
+      // index the broadcast rows once per task: key -> (times asc, rows).
+      // Bounded by the planner's own broadcast-threshold check, so this is
+      // dim-table-sized by construction.
+      val byKey = new java.util.HashMap[Any, (Array[Any], Array[InternalRow])]()
+      locally {
+        val tmp = new java.util.HashMap[Any, java.util.ArrayList[(Any, InternalRow)]]()
+        relation.value.foreach { r =>
+          val k = rkB.eval(r)
+          val t = rtB.eval(r)
+          if (k != null && t != null) {
+            var l = tmp.get(k)
+            if (l == null) { l = new java.util.ArrayList(); tmp.put(k, l) }
+            l.add((t, r))
+          }
+        }
+        tmp.forEach { (k, l) =>
+          val sorted = l.toArray(new Array[(Any, InternalRow)](l.size))
+            .sortBy(_._1)(timeOrd)
+          byKey.put(k, (sorted.map(_._1), sorted.map(_._2)))
+        }
+      }
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightOut.size)
+      val proj = UnsafeProjection.create(leftOut ++ rightOut, leftOut ++ rightOut)
+      lIt.map { lrow =>
+        val k = lkB.eval(lrow)
+        val t = ltB.eval(lrow)
+        val entry = if (k == null || t == null) null else byKey.get(k)
+        if (entry == null) proj(joined(lrow, nullRight))
+        else {
+          val (times, rows) = entry
+          // rightmost index with time <= t (binary search upper bound)
+          var lo = 0
+          var hi = times.length - 1
+          var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (timeOrd.compare(times(mid), t) <= 0) { ans = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          if (ans < 0) proj(joined(lrow, nullRight))
+          else proj(joined(lrow, rows(ans)))
         }
       }
     }

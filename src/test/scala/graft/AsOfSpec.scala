@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import org.apache.spark.sql.graftshim.{AsOfJoinExec, AsOfJoinShim}
+import org.apache.spark.sql.graftshim.{AsOfJoinExec, AsOfJoinShim, BroadcastAsOfJoinExec}
 
 import graft.operators.AsOf
 
@@ -67,12 +67,18 @@ class AsOfSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
-  test("property: native exec == driver-side reference on random logs") {
+  test("property: both physical variants == driver-side reference on random logs") {
     val s = spark
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val rnd = new scala.util.Random(42)
-    for (round <- 1 to 5) {
+    for (round <- 1 to 6) {
+      // odd rounds force the co-partitioned merge exec; even rounds use the
+      // default threshold, which broadcasts these dim-sized right sides
+      val forceShuffle = round % 2 == 1
+      val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      if (forceShuffle) s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
       val nKeys = 1 + rnd.nextInt(8)
       // right side unique on (key, time): as-of over duplicate timestamps is
       // order-ambiguous by definition (both the exec and the window
@@ -98,8 +104,9 @@ class AsOfSpec extends AnyFunSuite {
         ev -> byKey.getOrElse(k, Nil).filter(_._2 <= t)
           .sortBy(_._2).lastOption.map(_._3)
       }.toMap
-      assert(got == expected, s"round $round (seed-fixed)")
+      assert(got == expected, s"round $round (forceShuffle=$forceShuffle, seed-fixed)")
       assert(got.size == left.size)
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
 
@@ -117,26 +124,41 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == Map("e1" -> Some("pa"), "e2" -> Some("pb"), "e3" -> None))
   }
 
-  test("plan: strategy fires, one exchange + sort per side, none above") {
-    val df = AsOf.q35AsofNative(spark, Sf0001)
-    df.write.mode("overwrite").format("noop").save() // finalize the AQE plan
-    val plan = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
-    }
-    val asofs = plan.collect { case e: AsOfJoinExec => e }
-    assert(asofs.size == 1, s"expected one AsOfJoinExec in:\n$plan")
-    val exec = asofs.head
-    // EnsureRequirements must have planted a hash exchange and a (key, time)
-    // sort under EACH side of the exec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+  test("plan: size-based physical choice — broadcast by default, merge when forced") {
     import org.apache.spark.sql.execution.SortExec
-    exec.children.foreach { child =>
-      assert(child.collectFirst { case s: SortExec => s }.isDefined,
-        s"missing sort under as-of child:\n$child")
-      assert(child.collectFirst { case e: ShuffleExchangeLike => e }.isDefined,
-        s"missing exchange under as-of child:\n$child")
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+      df.write.mode("overwrite").format("noop").save() // finalize the AQE plan
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
     }
+    // default threshold: the deduped orders side is dim-sized -> broadcast
+    // variant, and the fact (events) side has NO exchange and NO sort
+    val bPlan = finalPlan(AsOf.q35AsofNative(spark, Sf0001))
+    val bcasts = bPlan.collect { case e: BroadcastAsOfJoinExec => e }
+    assert(bcasts.size == 1, s"expected BroadcastAsOfJoinExec in:\n$bPlan")
+    val factSide = bcasts.head.children.head
+    assert(factSide.collectFirst { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"fact side must not shuffle under broadcast as-of:\n$factSide")
+    assert(factSide.collectFirst { case s: SortExec => s }.isEmpty,
+      s"fact side must not sort under broadcast as-of:\n$factSide")
+    assert(bcasts.head.children(1).collectFirst { case e: BroadcastExchangeLike => e }.isDefined,
+      "right side must broadcast")
+    // forced: the co-partitioned merge with one exchange + sort per side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val mPlan = finalPlan(AsOf.q35AsofNative(spark, Sf0001))
+      val asofs = mPlan.collect { case e: AsOfJoinExec => e }
+      assert(asofs.size == 1, s"expected one AsOfJoinExec in:\n$mPlan")
+      asofs.head.children.foreach { child =>
+        assert(child.collectFirst { case s: SortExec => s }.isDefined,
+          s"missing sort under as-of child:\n$child")
+        assert(child.collectFirst { case e: ShuffleExchangeLike => e }.isDefined,
+          s"missing exchange under as-of child:\n$child")
+      }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 }
