@@ -258,7 +258,11 @@ object Dedup {
     * PPJoin principle) — the scale path for real vocabularies.
     */
   private[operators] def prefixJaccardJoin(
-      s: SparkSession, docs: DataFrame, threshold: Double): DataFrame = {
+      s: SparkSession, docsIn: DataFrame, threshold: Double): DataFrame = {
+    // the tokenized docs feed the dictionary, the encoding AND verification:
+    // without materialization the upstream scan + shingling map runs three
+    // times inside the one consuming action (transient — harness releases)
+    val docs = graft.TransientCache.cache(docsIn)
     val toksEx = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
     // cheap pre-probe: if 64 documents already show > 64 distinct tokens
     // (a lower bound on the vocabulary), skip the full-corpus distinct —
