@@ -276,21 +276,24 @@ object EventStreams {
     // production scale the caller sizes this like any shuffle.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = build(staged.toString).writeStream
-      .outputMode(mode)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // Complete: each batch carries the full result — overwrite.
-        // Update: each batch carries that batch's updates — append (the
-        // single-batch staging makes the union of updates the full answer).
-        val writeMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
-        batch.write.mode(writeMode).parquet(outDir)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    Files.deleteIfExists(staged.resolve(file))
-    Files.deleteIfExists(staged)
+    try {
+      val q = build(staged.toString).writeStream
+        .outputMode(mode)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // Complete: each batch carries the full result — overwrite.
+          // Update: each batch carries that batch's updates — append (the
+          // single-batch staging makes the union of updates the full answer).
+          val writeMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
+          batch.write.mode(writeMode).parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      Files.deleteIfExists(staged.resolve(file))
+      Files.deleteIfExists(staged)
+    }
     s.read.parquet(outDir)
   }
 
