@@ -39,15 +39,29 @@ class ShardMasterSpec extends AnyFunSuite {
     }
     var c = Initial
     var nextGid = 1
-    for (_ <- 0 until 60) {
+    for (_ <- 0 until 90) {
       val op =
-        if (c.groups.isEmpty || next(3) < 2) {
+        if (c.groups.isEmpty || next(4) < 2) {
           val g = nextGid; nextGid += 1
           Join(Map(g -> Seq(s"srv$g")))
+        } else if (next(4) == 3) {
+          // explicit Move: verbatim, no rebalance — invariants differ
+          Move(next(10), c.groups.keySet.toSeq.sorted.apply(next(c.groups.size)))
         } else Leave(Seq(c.groups.keySet.toSeq.sorted.apply(next(c.groups.size))))
       val prev = c
       c = step(prev, op)
-      if (c.groups.nonEmpty) {
+      op match {
+        case Move(shard, gid) =>
+          // exactly the moved slot changes; balance is deliberately NOT
+          // restored (the administrator overrode the balancer) until the
+          // next Join/Leave rebalances
+          assert(c.shards(shard) == gid)
+          assert((0 until 10).forall(i => i == shard || c.shards(i) == prev.shards(i)))
+          assert(c.num == prev.num + 1 && c.groups == prev.groups)
+        case _ =>
+      }
+      if (op.isInstanceOf[Move]) ()
+      else if (c.groups.nonEmpty) {
         val counts = c.shards.groupBy(identity).map { case (g, v) => g -> v.size }
         assert(c.shards.forall(c.groups.keySet.contains),
           s"shard on a departed group after $op")
