@@ -162,15 +162,77 @@ case class AsOfJoinExec(
   }
 }
 
+/** Per-executor index over the broadcast right side: key → time-sorted
+  * rows, built lazily ONCE per deserialized instance (not per task — the
+  * holder rides the generated code's reference array / the closure, and
+  * the transient lazy init runs on first probe per executor).
+  * Serializable state is only the broadcast handle and the bound
+  * expressions; the index itself never serializes.
+  */
+class AsOfBroadcastIndex(
+    relation: org.apache.spark.broadcast.Broadcast[Array[InternalRow]],
+    rightKey: Expression,
+    rightTime: Expression,
+    rightOutput: Seq[Attribute],
+    timeType: org.apache.spark.sql.types.DataType) extends Serializable {
+
+  @transient private lazy val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+
+  @transient private lazy val index: java.util.HashMap[Any, (Array[Any], Array[InternalRow])] = {
+    val rkB = BindReferences.bindReference(rightKey, rightOutput)
+    val rtB = BindReferences.bindReference(rightTime, rightOutput)
+    val byKey = new java.util.HashMap[Any, (Array[Any], Array[InternalRow])]()
+    val tmp = new java.util.HashMap[Any, java.util.ArrayList[(Any, InternalRow)]]()
+    relation.value.foreach { r =>
+      val k = rkB.eval(r)
+      val t = rtB.eval(r)
+      if (k != null && t != null) {
+        var l = tmp.get(k)
+        if (l == null) { l = new java.util.ArrayList(); tmp.put(k, l) }
+        l.add((t, r))
+      }
+    }
+    tmp.forEach { (k, l) =>
+      val sorted = l.toArray(new Array[(Any, InternalRow)](l.size))
+        .sortBy(_._1)(timeOrd)
+      byKey.put(k, (sorted.map(_._1), sorted.map(_._2)))
+    }
+    byKey
+  }
+
+  /** Latest right row with this key and time <= t; null when none. */
+  def lookup(k: Any, t: Any): InternalRow = {
+    val entry = index.get(k)
+    if (entry == null) return null
+    val (times, rows) = entry
+    var lo = 0
+    var hi = times.length - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (timeOrd.compare(times(mid), t) <= 0) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (ans < 0) null else rows(ans)
+  }
+}
+
 /** Broadcast as-of join: the small right side ships whole to every task
   * (IdentityBroadcastMode — EnsureRequirements plants the
-  * BroadcastExchange), each task indexes it once into per-key time-sorted
-  * arrays, and the LEFT SIDE IS NEVER SHUFFLED OR SORTED — each left row
-  * resolves its match with one hash probe + binary search. Preserves the
-  * left child's partitioning and ordering, so downstream operators keep
-  * whatever physical properties the fact scan had. This is the plan that
-  * survives 100×: as-of against a reference table costs a map-side pass
-  * over the fact table, exactly like Spark's broadcast hash join vs SMJ.
+  * BroadcastExchange), each executor indexes it once into per-key
+  * time-sorted arrays, and the LEFT SIDE IS NEVER SHUFFLED OR SORTED —
+  * each left row resolves its match with one hash probe + binary search.
+  * Preserves the left child's partitioning and ordering, so downstream
+  * operators keep whatever physical properties the fact scan had. This is
+  * the plan that survives 100×: as-of against a reference table costs a
+  * map-side pass over the fact table, exactly like Spark's broadcast hash
+  * join vs SMJ.
+  *
+  * Implements [[org.apache.spark.sql.execution.CodegenSupport]]: the join
+  * FUSES into the fact side's WholeStageCodegen span (scan → as-of probe →
+  * downstream projections in one generated loop), probing the
+  * [[AsOfBroadcastIndex]] through a reference object — the same shape
+  * BroadcastHashJoinExec uses for its HashedRelation.
   */
 case class BroadcastAsOfJoinExec(
     left: SparkPlan,
@@ -178,7 +240,8 @@ case class BroadcastAsOfJoinExec(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression) extends BinaryExecNode
+    with org.apache.spark.sql.execution.CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -195,61 +258,82 @@ case class BroadcastAsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  private def buildIndex(): AsOfBroadcastIndex =
+    new AsOfBroadcastIndex(right.executeBroadcast[Array[InternalRow]](),
+      rightKey, rightTime, right.output, rightTime.dataType)
+
   protected override def doExecute(): RDD[InternalRow] = {
     val lkB = BindReferences.bindReference(leftKey, left.output)
     val ltB = BindReferences.bindReference(leftTime, left.output)
-    val rkB = BindReferences.bindReference(rightKey, right.output)
-    val rtB = BindReferences.bindReference(rightTime, right.output)
-    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val leftOut = left.output
     val rightOut = right.output
-    val relation = right.executeBroadcast[Array[InternalRow]]()
+    val idx = buildIndex()
     left.execute().mapPartitions { lIt =>
-      // index the broadcast rows once per task: key -> (times asc, rows).
-      // Bounded by the planner's own broadcast-threshold check, so this is
-      // dim-table-sized by construction.
-      val byKey = new java.util.HashMap[Any, (Array[Any], Array[InternalRow])]()
-      locally {
-        val tmp = new java.util.HashMap[Any, java.util.ArrayList[(Any, InternalRow)]]()
-        relation.value.foreach { r =>
-          val k = rkB.eval(r)
-          val t = rtB.eval(r)
-          if (k != null && t != null) {
-            var l = tmp.get(k)
-            if (l == null) { l = new java.util.ArrayList(); tmp.put(k, l) }
-            l.add((t, r))
-          }
-        }
-        tmp.forEach { (k, l) =>
-          val sorted = l.toArray(new Array[(Any, InternalRow)](l.size))
-            .sortBy(_._1)(timeOrd)
-          byKey.put(k, (sorted.map(_._1), sorted.map(_._2)))
-        }
-      }
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightOut.size)
       val proj = UnsafeProjection.create(leftOut ++ rightOut, leftOut ++ rightOut)
       lIt.map { lrow =>
         val k = lkB.eval(lrow)
         val t = ltB.eval(lrow)
-        val entry = if (k == null || t == null) null else byKey.get(k)
-        if (entry == null) proj(joined(lrow, nullRight))
-        else {
-          val (times, rows) = entry
-          // rightmost index with time <= t (binary search upper bound)
-          var lo = 0
-          var hi = times.length - 1
-          var ans = -1
-          while (lo <= hi) {
-            val mid = (lo + hi) >>> 1
-            if (timeOrd.compare(times(mid), t) <= 0) { ans = mid; lo = mid + 1 }
-            else hi = mid - 1
-          }
-          if (ans < 0) proj(joined(lrow, nullRight))
-          else proj(joined(lrow, rows(ans)))
-        }
+        val m = if (k == null || t == null) null else idx.lookup(k, t)
+        if (m == null) proj(joined(lrow, nullRight))
+        else proj(joined(lrow, m))
       }
     }
+  }
+
+  // ------------------------------------------------------------ codegen
+  // The probe fuses into the left (fact) side's WholeStageCodegen loop:
+  // scan → key/time eval → index probe → null-guarded right-column reads,
+  // all in one generated function. 1:1 input/output, so no result copy.
+
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].inputRDDs()
+
+  // 1:1 input/output — copy only if the streamed side itself requires it
+  // (the binary-node default refuses to answer for 2 children)
+  override def needCopyResult: Boolean =
+    left.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].needCopyResult
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    val idxTerm = ctx.addReferenceObj("asofIndex", buildIndex(),
+      classOf[AsOfBroadcastIndex].getName)
+    ctx.currentVars = input
+    val keyEv = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val timeEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    def boxed(ev: ExprCode, dt: org.apache.spark.sql.types.DataType): String =
+      if (CodeGenerator.isPrimitiveType(dt)) s"${CodeGenerator.boxedType(dt)}.valueOf(${ev.value})"
+      else ev.value.toString
+    val rrow = ctx.freshName("asofMatched")
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      val javaType = CodeGenerator.javaType(a.dataType)
+      val getter = CodeGenerator.getValue(rrow, a.dataType, i.toString)
+      ExprCode(
+        code"""
+          |boolean $isNull = ($rrow == null) || $rrow.isNullAt($i);
+          |$javaType $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} : ($getter);
+        """.stripMargin,
+        JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+    s"""
+       |${keyEv.code}
+       |${timeEv.code}
+       |InternalRow $rrow = null;
+       |if (!(${keyEv.isNull}) && !(${timeEv.isNull})) {
+       |  $rrow = $idxTerm.lookup(${boxed(keyEv, leftKey.dataType)}, ${boxed(timeEv, leftTime.dataType)});
+       |}
+       |${rightVars.map(_.code.toString).mkString("\n")}
+       |${consume(ctx, input ++ rightVars)}
+     """.stripMargin
   }
 }
 

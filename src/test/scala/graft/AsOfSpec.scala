@@ -147,6 +147,19 @@ class AsOfSpec extends AnyFunSuite {
       s"fact side must not sort under broadcast as-of:\n$factSide")
     assert(bcasts.head.children(1).collectFirst { case e: BroadcastExchangeLike => e }.isDefined,
       "right side must broadcast")
+    // the probe must FUSE into the fact side's whole-stage-codegen span
+    // (scan -> as-of probe -> projection in one generated loop). AQE's
+    // executedPlan getter predates stage codegen collapse, so inspect the
+    // non-adaptive physical plan for this assertion.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plain = AsOf.q35AsofNative(spark, Sf0001).queryExecution.executedPlan
+      val inCodegen = plain.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.collectFirst { case e: BroadcastAsOfJoinExec => e }.isDefined => w
+      }
+      assert(inCodegen.nonEmpty, s"broadcast as-of not inside WholeStageCodegen:\n$plain")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
     // forced: the co-partitioned merge with one exchange + sort per side
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
