@@ -30,6 +30,7 @@ object TransientCache {
   private val rddIds = new ConcurrentLinkedQueue[Integer]()
   private val memos = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private val memoIds = new ConcurrentLinkedQueue[Integer]()
+  private val memoLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** `.cache()` + register for the next [[release]] sweep. */
   def cache(df: DataFrame): DataFrame = {
@@ -70,17 +71,30 @@ object TransientCache {
     * outlive any single consumer, which is their whole point.
     */
   def memo(key: String)(build: => DataFrame): DataFrame = {
-    val hit = memos.get(key)
     // a hit bound to a stopped session (a harness cycled SparkSessions) is
     // stale: its checkpoint blocks died with the context — rebuild
-    if (hit != null && !hit.sparkSession.sparkContext.isStopped) return hit
-    val df = build
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint(true)
-    (sc.getPersistentRDDs.keySet -- before).foreach(id => memoIds.add(id))
-    memos.put(key, out)
-    out
+    def liveHit: DataFrame = {
+      val hit = memos.get(key)
+      if (hit != null && !hit.sparkSession.sparkContext.isStopped) hit else null
+    }
+    val fast = liveHit
+    if (fast != null) return fast
+    // per-key double-checked lock, NOT computeIfAbsent: the build (an
+    // expensive join + localCheckpoint) must never run inside the
+    // ConcurrentHashMap's bin lock, and a build that itself memoizes a
+    // sub-artifact must not deadlock
+    val lock = memoLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val again = liveHit
+      if (again != null) return again
+      val df = build
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (sc.getPersistentRDDs.keySet -- before).foreach(id => memoIds.add(id))
+      memos.put(key, out)
+      out
+    }
   }
 
   /** Drop every registered cache and checkpoint block. Harness-facing.

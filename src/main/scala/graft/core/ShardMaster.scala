@@ -32,11 +32,15 @@ object ShardMaster {
   /** Number of shards (reference `src/shardmaster/common.go:21`). */
   val NShards = 10
 
-  /** shard of a key = first byte mod NShards (reference
-    * `src/shardkv/client.go:22-29`); empty key → shard 0.
+  /** shard of a key = first UTF-8 byte (UNSIGNED, as Go's `key[0]` byte is)
+    * mod NShards (reference `src/shardkv/client.go:22-29`); empty key →
+    * shard 0. The byte — not the code point, not a UTF-16 unit — so this
+    * helper, the distributed [[shardCol]], and the reference agree on
+    * non-ASCII keys.
     */
   def key2shard(key: String): Int =
-    (if (key == null || key.isEmpty) 0 else key.charAt(0).toInt) % NShards
+    if (key == null || key.isEmpty) 0
+    else (key.getBytes(java.nio.charset.StandardCharsets.UTF_8)(0) & 0xFF) % NShards
 
   /** A numbered shard assignment. `shards(i)` = gid owning shard i; gid 0 is
     * the invalid group (unassigned).
@@ -112,9 +116,17 @@ object ShardMaster {
 
   // ---------------------------------------------------------------- data plane
 
-  /** `key2shard` as a codegen'd column: first byte mod NShards. */
-  def shardCol(key: Column): Column =
-    pmod(when(length(key) > 0, ascii(substring(key, 1, 1))).otherwise(lit(0)), lit(NShards))
+  /** `key2shard` as a codegen'd column: first UTF-8 byte mod NShards.
+    * NOT `ascii` — Spark's `ascii` returns the first CODE POINT (233 for
+    * 'é'), while the reference routes by the raw first byte of the UTF-8
+    * encoding (`key[0]` on a Go string, 0xC3 = 195 for 'é'). Extract the
+    * byte itself: encode to UTF-8 binary, take byte 1, read it as an
+    * unsigned int via hex. All builtins, whole-stage codegen'd.
+    */
+  def shardCol(key: Column): Column = {
+    val firstByte = conv(hex(substring(encode(key, "UTF-8"), 1, 1)), 16, 10).cast("int")
+    pmod(when(length(key) > 0, firstByte).otherwise(lit(0)), lit(NShards))
+  }
 
   /** The 10-row (shard, gid) routing table of a config. */
   def configTable(s: SparkSession, c: Config): DataFrame = {

@@ -129,9 +129,20 @@ object EventStreams {
     * needs (exact dedup alone misses boilerplate-with-noise). Same LSH
     * shape as the batch path: each arriving doc shingles + signs + bands in
     * one typed flatMap, then state lives PER BAND BUCKET (the natural
-    * shard key): each bucket keeps the docs seen in it (capped at
-    * `Dedup.MaxBucket`, the same hot-bucket guard as batch) and an arriving
+    * shard key): each bucket keeps the docs seen in it and an arriving
     * doc emits exact-Jaccard-verified pairs against its bucket's history.
+    *
+    * Hot-bucket guard vs batch: batch (`Dedup.candidatePairs`) drops an
+    * over-cap bucket ENTIRELY — it emits no pairs at all. A stream cannot
+    * retract what it already emitted (Append mode), so the closest
+    * achievable semantics is applied here: the moment a bucket's
+    * (`maxBucket`+1)-th distinct doc arrives, the bucket is POISONED — its
+    * history state is cleared (freeing memory, exactly the boilerplate
+    * black hole the cap exists for) and it never emits again. Divergence
+    * from batch is therefore one-way and bounded: only pairs among the
+    * first `maxBucket` docs of an over-cap bucket, emitted before the cap
+    * tripped, can appear that batch would suppress. The batch-parity
+    * contract (StreamingSpec) excludes over-cap buckets for this reason.
     *
     * Emission is at-least-once across bands (a pair sharing k band keys
     * emits up to k times; within one bucket state dedups) — consumers
@@ -156,8 +167,15 @@ object EventStreams {
     * engine running empty batches, so an AvailableNow pass would not
     * terminate — same constraint as [[sessionize]]).
     */
+  /** Per-bucket LSH state: the docs seen (id, sorted shingle hashes), or a
+    * poisoned marker once the bucket exceeded the cap (history cleared,
+    * nothing emits again).
+    */
+  case class BucketState(overCap: Boolean, docs: List[(Long, Array[Long])])
+
   def incrementalNearDup(docs: DataFrame, threshold: Double = 0.5,
-      idleTimeout: Option[String] = None): Dataset[(Long, Long, Double)] = {
+      idleTimeout: Option[String] = None,
+      maxBucket: Int = graft.operators.Dedup.MaxBucket): Dataset[(Long, Long, Double)] = {
     val s = docs.sparkSession
     import s.implicits._
     import graft.operators.Dedup
@@ -173,7 +191,7 @@ object EventStreams {
       .groupByKey { case (b, bk, _, _) => (b, bk) }
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (_: (Int, Long), rows: Iterator[(Int, Long, Long, Array[Long])],
-         state: GroupState[List[(Long, Array[Long])]]) => {
+         state: GroupState[BucketState]) => {
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
@@ -187,20 +205,26 @@ object EventStreams {
             }
             c
           }
-          var seen = state.getOption.getOrElse(Nil)
+          var st = state.getOption.getOrElse(BucketState(overCap = false, Nil))
           val out = List.newBuilder[(Long, Long, Double)]
           rows.foreach { case (_, _, id, hs) =>
-            if (seen.size < Dedup.MaxBucket && !seen.exists(_._1 == id)) {
-              seen.foreach { case (oid, ohs) =>
-                val inter = overlap(hs, ohs)
-                val j = inter.toDouble / (hs.length + ohs.length - inter).toDouble
-                if (j >= threshold)
-                  out += ((math.min(id, oid), math.max(id, oid), j))
+            if (!st.overCap && !st.docs.exists(_._1 == id)) {
+              if (st.docs.size >= maxBucket) {
+                // cap tripped: poison the bucket — free its history and
+                // never emit from it again (see the hot-bucket guard note)
+                st = BucketState(overCap = true, Nil)
+              } else {
+                st.docs.foreach { case (oid, ohs) =>
+                  val inter = overlap(hs, ohs)
+                  val j = inter.toDouble / (hs.length + ohs.length - inter).toDouble
+                  if (j >= threshold)
+                    out += ((math.min(id, oid), math.max(id, oid), j))
+                }
+                st = st.copy(docs = (id, hs) :: st.docs)
               }
-              seen = (id, hs) :: seen
             }
           }
-          state.update(seen)
+          state.update(st)
           idleTimeout.foreach(state.setTimeoutDuration)
           out.result().iterator
           }

@@ -148,8 +148,13 @@ case class AsOfJoinExec(
               val c = keyOrd.compare(rk, k)
               if (c < 0) { rBuf.next(); () } // key fully behind: discard
               else if (c == 0 && timeOrd.compare(rt, t) <= 0) {
-                matchKey = rk
-                matchRow = rBuf.next().copy() // retain: source rows are reused
+                // Retain via copy: the sorter reuses its record buffer, so
+                // both the row AND the key must outlive the next rBuf
+                // advance. Evaluating the key from the COPIED row (not from
+                // `peek`) keeps non-primitive keys (UTF8String, Decimal)
+                // valid after a sort spill rewinds the underlying buffer.
+                matchRow = rBuf.next().copy()
+                matchKey = rkB.eval(matchRow)
               } else advancing = false
             }
           }
@@ -287,7 +292,7 @@ case class BroadcastAsOfJoinExec(
   // scan → key/time eval → index probe → null-guarded right-column reads,
   // all in one generated function. 1:1 input/output, so no result copy.
 
-  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, EmptyBlock, ExprCode, JavaCode}
   import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
@@ -324,6 +329,12 @@ case class BroadcastAsOfJoinExec(
         JavaCode.isNullVariable(isNull),
         JavaCode.variable(value, a.dataType))
     }
+    // declarations are emitted exactly once HERE; the ExprCodes handed to
+    // consume() carry empty code blocks, else consume would re-emit the
+    // declarations (janino "redefinition of local variable") and the whole
+    // stage would silently fall back to interpreted execution
+    val rightDecls = rightVars.map(_.code.toString).mkString("\n")
+    val evaluatedRightVars = rightVars.map(_.copy(code = EmptyBlock))
     s"""
        |${keyEv.code}
        |${timeEv.code}
@@ -331,8 +342,8 @@ case class BroadcastAsOfJoinExec(
        |if (!(${keyEv.isNull}) && !(${timeEv.isNull})) {
        |  $rrow = $idxTerm.lookup(${boxed(keyEv, leftKey.dataType)}, ${boxed(timeEv, leftTime.dataType)});
        |}
-       |${rightVars.map(_.code.toString).mkString("\n")}
-       |${consume(ctx, input ++ rightVars)}
+       |$rightDecls
+       |${consume(ctx, input ++ evaluatedRightVars)}
      """.stripMargin
   }
 }

@@ -6,6 +6,39 @@ import org.apache.spark.sql.graftshim.{AsOfJoinExec, AsOfJoinShim, BroadcastAsOf
 
 import graft.operators.AsOf
 
+/** Test-only scan that emits every row through ONE shared UnsafeRow buffer,
+  * overwritten on each next() — the row-reuse contract of SortExec's
+  * (spilled) output iterator, reproduced deterministically. Top-level so the
+  * task closure doesn't capture the suite.
+  */
+case class ReusedRowsExec(
+    output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+    data: Seq[(String, Long, String)])
+    extends org.apache.spark.sql.execution.LeafExecNode {
+  import org.apache.spark.rdd.RDD
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val types = output.map(_.dataType).toArray
+    val local = data
+    sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
+      val proj = UnsafeProjection.create(types)
+      val shared = new UnsafeRow(types.length)
+      var buf = new Array[Byte](0)
+      local.iterator.map { case (a, b, c) =>
+        val u = proj(InternalRow(UTF8String.fromString(a), b, UTF8String.fromString(c)))
+        val bytes = u.getBytes
+        if (buf.length < bytes.length) buf = new Array[Byte](bytes.length)
+        System.arraycopy(bytes, 0, buf, 0, bytes.length)
+        shared.pointTo(buf, bytes.length)
+        shared
+      }
+    }
+  }
+}
+
 /** The native as-of join exec: hand-built semantics (inclusive tie, no
   * match, multiple updates, null key/time), differential equality with the
   * composed union+window formulation, and plan-shape assertions (the
@@ -124,6 +157,34 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == Map("e1" -> Some("pa"), "e2" -> Some("pb"), "e3" -> None))
   }
 
+  test("regression: retained match key survives sorter row-buffer reuse") {
+    // SortExec's spill reader hands out ONE UnsafeRow, rewound to new bytes
+    // on every next(). ReusedRowsExec reproduces that contract exactly, so
+    // a matchKey evaluated from the un-copied head row goes stale the moment
+    // the merge peeks past it — the bug: e1 would read matchKey "b", fail
+    // the key guard, and emit null instead of "pa".
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.SparkSession.setActiveSession(s)
+    val lK = AttributeReference("k", StringType)()
+    val lT = AttributeReference("t", LongType)()
+    val lEv = AttributeReference("ev", StringType)()
+    val rK = AttributeReference("r_k", StringType)()
+    val rT = AttributeReference("r_t", LongType)()
+    val rP = AttributeReference("payload", StringType)()
+    val leftScan = ReusedRowsExec(Seq(lK, lT, lEv),
+      Seq(("a", 5L, "e1"), ("a", 6L, "e2")))
+    val rightScan = ReusedRowsExec(Seq(rK, rT, rP),
+      Seq(("a", 1L, "pa"), ("b", 9L, "pb")))
+    val exec = AsOfJoinExec(leftScan, rightScan, lK, rK, lT, rT)
+    val got = exec.executeCollect().map { row =>
+      row.getUTF8String(2).toString ->
+        (if (row.isNullAt(5)) None else Some(row.getUTF8String(5).toString))
+    }.toMap
+    assert(got == Map("e1" -> Some("pa"), "e2" -> Some("pa")))
+  }
+
   test("plan: size-based physical choice — broadcast by default, merge when forced") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
@@ -152,6 +213,7 @@ class AsOfSpec extends AnyFunSuite {
     // executedPlan getter predates stage codegen collapse, so inspect the
     // non-adaptive physical plan for this assertion.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       val plain = AsOf.q35AsofNative(spark, Sf0001).queryExecution.executedPlan
       val inCodegen = plain.collect {
@@ -159,7 +221,15 @@ class AsOfSpec extends AnyFunSuite {
           if w.collectFirst { case e: BroadcastAsOfJoinExec => e }.isDefined => w
       }
       assert(inCodegen.nonEmpty, s"broadcast as-of not inside WholeStageCodegen:\n$plain")
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+      // and the generated code must actually COMPILE: with fallback off, a
+      // janino error aborts the query instead of silently running the whole
+      // stage interpreted (the round-4 doConsume emitted each right-side
+      // declaration twice and every broadcast as-of ran de-optimized)
+      assert(AsOf.q35AsofNative(spark, Sf0001).count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
     // forced: the co-partitioned merge with one exchange + sort per side
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -108,6 +108,25 @@ class ShardMasterSpec extends AnyFunSuite {
     }
   }
 
+  test("non-ASCII keys: helper, column routing, and reference byte agree") {
+    val s = spark
+    import s.implicits._
+    // keys whose first UTF-8 byte differs from both the UTF-16 unit and the
+    // code point: é (0xC3), 日 (0xE6), ß (0xC3), Ω (0xCE), an astral emoji
+    // (0xF0 — charAt(0) would see a surrogate half), plus ASCII controls
+    val keys = Seq("état", "日本語", "ßeta", "Ωmega", "😀grin", "plain", "7up")
+    keys.foreach { k =>
+      // reference semantics: Go `key[0]` is the first UTF-8 byte, unsigned
+      val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)(0) & 0xFF
+      assert(key2shard(k) == b % NShards, s"helper vs reference byte for '$k'")
+    }
+    val cfg = replay(DemoOps).last
+    val routed = route(keys.map((_, "v")).toDF("key", "value"), cfg).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Int]("shard")).toMap
+    assert(routed.size == keys.size)
+    keys.foreach(k => assert(routed(k) == key2shard(k), s"column vs helper for '$k'"))
+  }
+
   test("reshard emits exactly the moved shards' rows, tagged from/to") {
     val s = spark
     import s.implicits._

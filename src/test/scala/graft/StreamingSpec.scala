@@ -111,6 +111,35 @@ class StreamingSpec extends AnyFunSuite {
     TransientCache.release(spark)
   }
 
+  test("near-dup hot-bucket cap: over-cap bucket is poisoned and stops emitting") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // identical texts -> identical band keys in all 16 bands -> one logical
+    // bucket per band; cap 3 means doc 4 trips the poison
+    val text = "the same boilerplate text repeated across every document here"
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.incrementalNearDup(
+        input.toDF().toDF("doc_id", "text"), maxBucket = 3)
+      .toDF("doc1", "doc2", "jaccard")
+      .writeStream.format("memory").queryName("hotbucket_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, text), (2L, text), (3L, text))
+      q.processAllAvailable()
+      input.addData((4L, text), (5L, text)) // doc 4 poisons the bucket
+      q.processAllAvailable()
+      input.addData((6L, text)) // poison persists across batches
+      q.processAllAvailable()
+      val pairs = s.table("hotbucket_test").select("doc1", "doc2").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+        "only pre-cap pairs may emit; a poisoned bucket must stay silent")
+    } finally q.stop()
+  }
+
   test("sessionize: stateful per-user aggregates match batch totals") {
     import org.apache.spark.sql.streaming.OutputMode
     val sessions = EventStreams.runToMemory(

@@ -52,6 +52,31 @@ class TransientCacheSpec extends AnyFunSuite {
     TransientCache.releaseAll(spark)
   }
 
+  test("memo is atomic: concurrent same-key callers run ONE build") {
+    TransientCache.releaseAll(spark)
+    val s = spark
+    import s.implicits._
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to 4).map { i =>
+      Future {
+        gate.await()
+        TransientCache.memo("memo-race-test") {
+          builds.incrementAndGet()
+          Seq(1, 2, 3).toDF("v")
+        }
+      }
+    }
+    gate.countDown()
+    val frames = Await.result(Future.sequence(futures), scala.concurrent.duration.Duration("60s"))
+    assert(builds.get() == 1,
+      s"build + localCheckpoint ran ${builds.get()} times for one key")
+    assert(frames.forall(_ eq frames.head), "all callers must share one frame")
+    TransientCache.releaseAll(spark)
+  }
+
   test("clusters and pipeline_keep share one edge set and stay correct") {
     TransientCache.releaseAll(spark)
     val clusters = Dedup.clusters(spark, Sf0001).collect()
