@@ -28,6 +28,25 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
 
+    // Machine-speed calibration: a FIXED CPU-bound job (hash-fold over a
+    // generated range — no I/O, no data dependence), min of 3 runs after a
+    // warm-up. Identical code measured 3.5× apart across rounds purely from
+    // machine load (r05 vs r06); dividing cross-round totals by this scalar
+    // separates engineering regressions from environment drift. README
+    // "Benchmarking" documents the normalization.
+    val calibration = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 200000000L, 1L, 32)
+          // % bounds the addends so the 200M-term sum can't overflow ANSI
+          // long arithmetic (raw xxhash64 sums past 2^63)
+          .selectExpr("sum(xxhash64(id) % 1000000)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up (codegen for the calibration plan itself)
+      Seq.fill(3)(once()).min
+    }
+
     // Optional subset for local iteration: SPARK_GRAFT_BENCH_ONLY=q1_agg,wc
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -109,7 +128,7 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val out =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","calibration":${f"$calibration%.3f"},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(out)
     sys.env.get("BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), out + "\n"))
     spark.stop()

@@ -112,7 +112,13 @@ object SparkEntry {
     "ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
-    "dedup_embed" -> ((s: SparkSession, d: String) => Ann.embedNearDup(s, d)),
+    // threshold 0.4 here, NOT the 0.98 near-identical default: the fixture
+    // plants no embedding near-dups (max pairwise cosine ≈0.48 at sf0.001,
+    // ≈0.51 at sf0.01), so 0.98 ran vacuously (0 rows) at the gate. 0.4
+    // exercises the full multi-table LSH + verify plan with a non-empty
+    // answer at both fixture scales; the 0.98 planted-pair semantics stay
+    // asserted in AnnSpec.
+    "dedup_embed" -> ((s: SparkSession, d: String) => Ann.embedNearDup(s, d, threshold = 0.4)),
   )
 
   // DuckDB money discipline: exact DECIMAL accumulation, DOUBLE at the end —

@@ -97,6 +97,9 @@ object TransientCache {
     }
   }
 
+  /** Test-visible hygiene probe: live per-key memo locks. */
+  private[graft] def memoLockCount: Int = memoLocks.size
+
   /** Drop every registered cache and checkpoint block. Harness-facing.
     * Entries from an already-stopped session are discarded silently (a test
     * harness may cycle sessions between queries).
@@ -120,6 +123,12 @@ object TransientCache {
   def releaseAll(spark: SparkSession): Unit = {
     release(spark)
     memos.clear()
+    // drop the per-key lock objects too, or they accumulate for the process
+    // lifetime across harness cycles; safe because computeIfAbsent mints a
+    // fresh lock on demand — a racing memo() would simply build under a new
+    // lock against a now-empty map (one redundant build at worst, the same
+    // guarantee double-checked locking already gives across lock objects)
+    memoLocks.clear()
     val live = spark.sparkContext.getPersistentRDDs
     var id = memoIds.poll()
     while (id != null) {

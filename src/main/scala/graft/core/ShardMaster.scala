@@ -166,7 +166,12 @@ object ShardMaster {
     * orders-replay state table by the final config. The config history is
     * deterministic (hand-derivable; asserted literally in ShardMasterSpec),
     * so the oracle states the final shard→gid map as VALUES and recomputes
-    * shard = ascii(first char) mod 10 independently.
+    * the shard independently as `ascii(key) % 10` — a formulation that
+    * agrees with [[shardCol]]'s first-UTF-8-BYTE routing only because the
+    * replayed keys are ASCII custkey digits (code point == first byte).
+    * For non-ASCII keys the two diverge by design ('é': ascii()=233 vs
+    * first byte 0xC3=195); byte semantics live in [[shardCol]] and are
+    * pinned by ShardMasterSpec.
     */
   val DemoOps: Seq[ConfigOp] = Seq(
     Join(Map(1 -> Seq("g1a", "g1b"))),

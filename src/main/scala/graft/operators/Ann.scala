@@ -247,21 +247,56 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
-  /** dedup_embed — embedding-cosine near-duplicate pairs: LSH-bucket equi-join
-    * (same-bucket pairs only), cosine ≥ threshold. The embedding-space
-    * sibling of Dedup.minhash; no all-pairs.
+  /** Independent hash tables for [[embedNearDup]] — the hyperplane analog of
+    * MinHash LSH's OR-over-bands: a pair is a candidate if it collides in ANY
+    * table, so recall at cosine c is 1−(1−p^nbits)^nTables with p = 1−θ/π.
+    * One table missed ~80% of 0.5-cosine pairs on the fixture; 8 tables
+    * recover ~¾ of them at that difficulty and ≈1.0 at real near-dup
+    * similarity (c ≥ 0.9).
     */
-  def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.98): DataFrame = {
+  val EmbedTables = 8
+
+  /** dedup_embed — embedding-cosine near-duplicate pairs. Candidate
+    * generation is a bucketed equi-join over [[EmbedTables]] independent
+    * random-hyperplane tables (OR semantics, the banding analog of
+    * `Dedup.minhash`); verification re-joins the vectors and keeps exact
+    * cosine ≥ threshold, so precision is exact and only recall is
+    * probabilistic. 100 TB shape: the table fan-out ships (table, bucket,
+    * id) triples — never the vectors, which join back only for the
+    * candidate set — and a hot-bucket cap (same [[graft.operators.Dedup
+    * .MaxBucket]] guard as every other candidate generator) keeps a
+    * degenerate bucket (e.g. all-zero embeddings) from going quadratic.
+    */
+  def embedNearDup(s: SparkSession, dir: String, threshold: Double = 0.98,
+      nTables: Int = EmbedTables, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     val base = graft.TransientCache.cache(corpus(s, dir))
-    val planes = hyperplanes(64, nbitsFor(base.count()))
-    val c = base.withColumn("bucket", bucketCol(col("vec"), planes))
-    val l = c.select(col("bucket"), col("vec_id").as("id1"), col("vec").as("v1"), col("nrm").as("nrm1"))
-    val r = c.select(col("bucket"), col("vec_id").as("id2"), col("vec").as("v2"), col("nrm").as("nrm2"))
-    l.join(r, Seq("bucket"))
+    val nbits = nbitsFor(base.count())
+    // ids-only fan-out: one row per (table, bucket, vec_id)
+    val tagged = (0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        bucketCol(col("vec"), hyperplanes(64, nbits, seed = 42L + t)).as("bucket"))
+    }
+    val buckets = graft.TransientCache.cache(
+      base.select(col("vec_id"), explode(array(tagged: _*)).as("tb"))
+        .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id")))
+    // hot-bucket guard: drop over-cap (tbl, bucket) cells entirely, exactly
+    // as Dedup.candidatePairs does for minhash bands
+    val keepCells = buckets.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+      .select("tbl", "bucket")
+    val kept = buckets.join(keepCells, Seq("tbl", "bucket"))
+    val cand = kept.select(col("tbl"), col("bucket"), col("vec_id").as("id1"))
+      .join(kept.select(col("tbl"), col("bucket"), col("vec_id").as("id2")),
+        Seq("tbl", "bucket"))
       .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+    // verify: vectors join back for the candidate set only
+    val v1 = base.select(col("vec_id").as("id1"), col("vec").as("v1"), col("nrm").as("nrm1"))
+    val v2 = base.select(col("vec_id").as("id2"), col("vec").as("v2"), col("nrm").as("nrm2"))
+    cand.join(v1, "id1").join(v2, "id2")
       .withColumn("cos", arrayDot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos4"))
-      .distinct()
   }
 }

@@ -96,6 +96,30 @@ class AnnSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("embedNearDup at the registered threshold: non-vacuous, exact-precision subset") {
+    // the gate runs dedup_embed at threshold 0.4 (the fixture plants no
+    // near-dups; max pairwise cosine ≈0.48 at sf0.001) — assert it yields
+    // rows there, that every emitted pair truly clears the threshold
+    // (precision is exact by construction: candidates are verified), and
+    // that multi-table recall is non-trivial vs the brute-force pair set
+    val got = Ann.embedNearDup(spark, Sf0001, threshold = 0.4).collect()
+      .map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")), r.getAs[Double]("cos4")))
+    assert(got.nonEmpty, "registered-threshold dedup_embed must not be vacuous on the fixture")
+    got.foreach { case ((a, b), c) =>
+      assert(a < b)
+      assert(math.abs(cos(vecs(a), vecs(b)) - c) < 5e-5, s"pair ($a,$b) cosine mismatch")
+      assert(c >= 0.4 - 5e-5, s"pair ($a,$b) below threshold: $c")
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val exact = (for {
+      i <- ids; j <- ids if i < j && cos(vecs(i), vecs(j)) >= 0.4
+    } yield (i, j)).toSet
+    val recall = got.map(_._1).count(exact).toDouble / exact.size
+    assert(recall >= 0.5, s"multi-table LSH recall vs exact pairs too low: $recall")
+    assert(got.map(_._1).forall(exact), "emitted pair not in the exact >=0.4 set")
+    TransientCache.release(spark)
+  }
+
   test("cosine column agrees with driver-side cosine") {
     import org.apache.spark.sql.functions._
     val s = spark

@@ -77,6 +77,21 @@ class TransientCacheSpec extends AnyFunSuite {
     TransientCache.releaseAll(spark)
   }
 
+  test("releaseAll clears memo locks and a post-release memo still works") {
+    val s = spark
+    import s.implicits._
+    TransientCache.memo("lock-hygiene-a") { Seq(1).toDF("v") }
+    TransientCache.memo("lock-hygiene-b") { Seq(2).toDF("v") }
+    assert(TransientCache.memoLockCount >= 2)
+    TransientCache.releaseAll(spark)
+    assert(TransientCache.memoLockCount == 0,
+      "releaseAll must drop per-key lock objects, not just the memo frames")
+    // a rebuild after the sweep mints a fresh lock and a fresh frame
+    val rebuilt = TransientCache.memo("lock-hygiene-a") { Seq(3).toDF("v") }
+    assert(rebuilt.collect().map(_.getInt(0)).toSeq == Seq(3))
+    TransientCache.releaseAll(spark)
+  }
+
   test("clusters and pipeline_keep share one edge set and stay correct") {
     TransientCache.releaseAll(spark)
     val clusters = Dedup.clusters(spark, Sf0001).collect()
