@@ -165,13 +165,80 @@ object EventStreams {
     * makes by re-running over a window of the corpus). `None`: no eviction,
     * the shape for bounded replays (a processing-time timeout keeps the
     * engine running empty batches, so an AvailableNow pass would not
-    * terminate — same constraint as [[sessionize]]).
+    * terminate — same constraint as [[sessionize]]). TTL eviction drops a
+    * bucket's HISTORY but never its poison: an over-cap bucket keeps an
+    * O(1) tombstone (flag, empty history) that carries no timeout at all —
+    * it can't be evicted and costs no periodic re-firing — so the "never
+    * emits again" guarantee holds for the process lifetime, not merely
+    * until the first idle period ([[advanceBucket]] encodes the
+    * transition; StreamingSpec pins timeout-then-rearrival silence).
     */
   /** Per-bucket LSH state: the docs seen (id, sorted shingle hashes), or a
     * poisoned marker once the bucket exceeded the cap (history cleared,
     * nothing emits again).
     */
   case class BucketState(overCap: Boolean, docs: List[(Long, Array[Long])])
+
+  /** One bucket's state transition for one flatMapGroupsWithState
+    * invocation, as a PURE function (factored out of the closure so the
+    * timeout path — which a bounded replay can't exercise — is directly
+    * unit-testable). Returns the next state (`None` = remove from the
+    * store) and the verified pairs to emit.
+    *
+    * Timeout semantics: eviction frees a cold bucket's history, but POISON
+    * survives — dropping the `overCap` tombstone on TTL would let the
+    * bucket re-accumulate and emit pairs again after eviction,
+    * contradicting the documented "never emits again" guarantee. The
+    * tombstone is O(1) (flag + empty history), so retaining it for the
+    * process lifetime is the cheap side of that trade.
+    *
+    * In the wired query the timedOut-while-poisoned branch is additionally
+    * DEFENSIVE: the closure never arms a timeout on a tombstone, and per
+    * the GroupState contract a timeout must be re-armed on every
+    * invocation or none is set — so a tombstone cannot time out at all
+    * (resurrection is impossible by construction, not just handled). The
+    * branch stays for the pure-function contract and unit coverage.
+    */
+  private[graft] def advanceBucket(
+      timedOut: Boolean,
+      arrivals: Seq[(Long, Array[Long])],
+      prev: Option[BucketState],
+      threshold: Double,
+      maxBucket: Int): (Option[BucketState], List[(Long, Long, Double)]) = {
+    if (timedOut) {
+      (if (prev.exists(_.overCap)) Some(BucketState(overCap = true, Nil)) else None, Nil)
+    } else {
+      def overlap(a: Array[Long], b: Array[Long]): Int = {
+        var i = 0; var j = 0; var c = 0
+        while (i < a.length && j < b.length) {
+          if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+          else if (a(i) < b(j)) i += 1
+          else j += 1
+        }
+        c
+      }
+      var st = prev.getOrElse(BucketState(overCap = false, Nil))
+      val out = List.newBuilder[(Long, Long, Double)]
+      arrivals.foreach { case (id, hs) =>
+        if (!st.overCap && !st.docs.exists(_._1 == id)) {
+          if (st.docs.size >= maxBucket) {
+            // cap tripped: poison the bucket — free its history and
+            // never emit from it again (see the hot-bucket guard note)
+            st = BucketState(overCap = true, Nil)
+          } else {
+            st.docs.foreach { case (oid, ohs) =>
+              val inter = overlap(hs, ohs)
+              val j = inter.toDouble / (hs.length + ohs.length - inter).toDouble
+              if (j >= threshold)
+                out += ((math.min(id, oid), math.max(id, oid), j))
+            }
+            st = st.copy(docs = (id, hs) :: st.docs)
+          }
+        }
+      }
+      (Some(st), out.result())
+    }
+  }
 
   def incrementalNearDup(docs: DataFrame, threshold: Double = 0.5,
       idleTimeout: Option[String] = None,
@@ -192,42 +259,23 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (_: (Int, Long), rows: Iterator[(Int, Long, Long, Array[Long])],
          state: GroupState[BucketState]) => {
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-          def overlap(a: Array[Long], b: Array[Long]): Int = {
-            var i = 0; var j = 0; var c = 0
-            while (i < a.length && j < b.length) {
-              if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
-              else if (a(i) < b(j)) i += 1
-              else j += 1
-            }
-            c
+          val (next, out) = advanceBucket(
+            state.hasTimedOut,
+            rows.map { case (_, _, id, hs) => (id, hs) }.toSeq,
+            state.getOption, threshold, maxBucket)
+          next match {
+            case Some(st) =>
+              state.update(st)
+              // live buckets re-arm the TTL; a poison tombstone deliberately
+              // gets NO timeout — it must stay resident to keep its bucket
+              // silent, and with no timeout it persists with zero periodic
+              // re-firing cost (any timeout pending from before the cap
+              // tripped fires once into the timedOut branch, which keeps
+              // the tombstone and arms nothing)
+              if (!st.overCap) idleTimeout.foreach(state.setTimeoutDuration)
+            case None => state.remove()
           }
-          var st = state.getOption.getOrElse(BucketState(overCap = false, Nil))
-          val out = List.newBuilder[(Long, Long, Double)]
-          rows.foreach { case (_, _, id, hs) =>
-            if (!st.overCap && !st.docs.exists(_._1 == id)) {
-              if (st.docs.size >= maxBucket) {
-                // cap tripped: poison the bucket — free its history and
-                // never emit from it again (see the hot-bucket guard note)
-                st = BucketState(overCap = true, Nil)
-              } else {
-                st.docs.foreach { case (oid, ohs) =>
-                  val inter = overlap(hs, ohs)
-                  val j = inter.toDouble / (hs.length + ohs.length - inter).toDouble
-                  if (j >= threshold)
-                    out += ((math.min(id, oid), math.max(id, oid), j))
-                }
-                st = st.copy(docs = (id, hs) :: st.docs)
-              }
-            }
-          }
-          state.update(st)
-          idleTimeout.foreach(state.setTimeoutDuration)
-          out.result().iterator
-          }
+          out.iterator
         })
   }
 

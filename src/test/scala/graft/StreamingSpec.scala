@@ -140,6 +140,85 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("advanceBucket: TTL eviction drops history but preserves poison") {
+    import EventStreams.{advanceBucket, BucketState}
+    val hs = Array(1L, 2L, 3L)
+    // cold NON-poisoned bucket: timeout removes the state entirely
+    assert(advanceBucket(timedOut = true, Nil,
+      Some(BucketState(overCap = false, List(7L -> hs))), 0.5, 3) == (None, Nil))
+    // poisoned bucket: timeout keeps an O(1) tombstone, emits nothing
+    assert(advanceBucket(timedOut = true, Nil,
+      Some(BucketState(overCap = true, Nil)), 0.5, 3) ==
+      (Some(BucketState(overCap = true, Nil)), Nil))
+    // re-arrival against the tombstone stays silent and stays poisoned —
+    // the exact sequence that resurrected a bucket before the fix
+    assert(advanceBucket(timedOut = false, Seq(8L -> hs, 9L -> hs),
+      Some(BucketState(overCap = true, Nil)), 0.5, 3) ==
+      (Some(BucketState(overCap = true, Nil)), Nil))
+  }
+
+  test("advanceBucket lifecycle: emit under cap, poison at cap+1, silent ever after") {
+    import EventStreams.{advanceBucket, BucketState}
+    val hs = Array(1L, 2L, 3L)
+    // docs 1..3 fill a cap-3 bucket: all identical -> all 3 pairs emit
+    val (s1, out1) = advanceBucket(timedOut = false,
+      Seq(1L -> hs, 2L -> hs, 3L -> hs), None, 0.5, 3)
+    assert(out1.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(s1.exists(st => !st.overCap && st.docs.size == 3))
+    // doc 4 trips the cap: poison, history freed, no emission
+    val (s2, out2) = advanceBucket(timedOut = false, Seq(4L -> hs), s1, 0.5, 3)
+    assert(out2.isEmpty)
+    assert(s2.contains(BucketState(overCap = true, Nil)))
+    // TTL fires, then the same boilerplate re-arrives: still silent
+    val (s3, _) = advanceBucket(timedOut = true, Nil, s2, 0.5, 3)
+    val (s4, out4) = advanceBucket(timedOut = false, Seq(5L -> hs, 6L -> hs), s3, 0.5, 3)
+    assert(out4.isEmpty, "a poisoned bucket emitted again after TTL eviction")
+    assert(s4.contains(BucketState(overCap = true, Nil)))
+  }
+
+  test("near-dup TTL: poisoned bucket stays silent across a real timeout eviction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val text = "identical boilerplate doc shared by every arrival in this test"
+    val input = MemoryStream[(Long, String)]
+    // NOTE: no processAllAvailable anywhere here — with ProcessingTimeTimeout
+    // the engine keeps running timeout-firing empty batches, so that call
+    // never observes a settled "no new data" state and hangs. The continuous
+    // default trigger processes added data on its own; observe the SINK with
+    // a bounded poll instead.
+    val q = EventStreams.incrementalNearDup(
+        input.toDF().toDF("doc_id", "text"),
+        idleTimeout = Some("1 second"), maxBucket = 2)
+      .toDF("doc1", "doc2", "jaccard")
+      .writeStream.format("memory").queryName("ttl_poison_test")
+      .outputMode(OutputMode.Append()).start()
+    def pairs(): Set[(Long, Long)] =
+      s.table("ttl_poison_test").select("doc1", "doc2").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pollUntil(deadlineMs: Long)(cond: => Boolean): Boolean = {
+      val end = System.currentTimeMillis() + deadlineMs
+      while (!cond && System.currentTimeMillis() < end) Thread.sleep(100)
+      cond
+    }
+    try {
+      input.addData((1L, text), (2L, text), (3L, text)) // doc 3 poisons (cap 2)
+      assert(pollUntil(30000)(pairs() == Set((1L, 2L))),
+        s"pre-cap pair did not arrive: ${pairs()}")
+      // idle past the 1s TTL: the eviction fires in one of the continuously
+      // running batches; the tombstone (not the removal the bug did) must
+      // survive it
+      Thread.sleep(3000)
+      input.addData((4L, text), (5L, text)) // would re-fill + emit if poison was lost
+      // bounded settle window: with the bug, (4,5) lands well within this
+      val resurrected = pollUntil(5000)(pairs() != Set((1L, 2L)))
+      assert(!resurrected,
+        s"only the single pre-cap pair may ever emit; TTL must not clear the poison: ${pairs()}")
+    } finally q.stop()
+  }
+
   test("sessionize: stateful per-user aggregates match batch totals") {
     import org.apache.spark.sql.streaming.OutputMode
     val sessions = EventStreams.runToMemory(
