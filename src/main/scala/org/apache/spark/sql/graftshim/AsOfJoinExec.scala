@@ -71,13 +71,44 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Shared codegen helper: null-guarded column reads from a possibly-null
+  * InternalRow term. Returns the declaration block (emit exactly once) and
+  * the ExprCodes with EMPTY code blocks to hand to consume() — re-emitting
+  * the declarations there would be a janino "redefinition of local
+  * variable" and the whole stage would silently fall back to interpreted
+  * execution.
+  */
+private[graftshim] object AsOfCodegen {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, EmptyBlock, ExprCode, JavaCode}
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+
+  def nullGuardedColumns(ctx: CodegenContext, rowTerm: String,
+      attrs: Seq[Attribute]): (String, Seq[ExprCode]) = {
+    val vars = attrs.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      val javaType = CodeGenerator.javaType(a.dataType)
+      val getter = CodeGenerator.getValue(rowTerm, a.dataType, i.toString)
+      ExprCode(
+        code"""
+          |boolean $isNull = ($rowTerm == null) || $rowTerm.isNullAt($i);
+          |$javaType $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} : ($getter);
+        """.stripMargin,
+        JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+    (vars.map(_.code.toString).mkString("\n"), vars.map(_.copy(code = EmptyBlock)))
+  }
+}
+
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression) extends BinaryExecNode
+    with org.apache.spark.sql.execution.CodegenSupport {
 
   require(leftKey.dataType == rightKey.dataType,
     s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
@@ -164,6 +195,111 @@ case class AsOfJoinExec(
         }
       }
     }
+  }
+
+  // ------------------------------------------------------------ codegen
+  // SMJ-style stage root: the generated code drives both (co-partitioned,
+  // key/time-sorted) child iterators directly — the lookahead, the advance
+  // loop and the retained-match probe all live in one generated function,
+  // so the merge fuses with whatever consumes it (filters, projections)
+  // exactly as SortMergeJoinExec does. Comparisons come from ctx.genComp
+  // (codegen'd per type) instead of the interpreted orderings doExecute
+  // uses; doExecute above remains the fallback path and keeps identical
+  // semantics (the AsOfSpec property test runs both).
+
+  import org.apache.spark.sql.catalyst.expressions.BoundReference
+  import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // output rows reference the retained-match mutable state, which advances
+  // with the merge — buffering parents must copy (the SMJ contract)
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];")
+    // lookahead (UN-copied: never held across its own iterator's next(), so
+    // sorter row-buffer reuse can't corrupt it) and the retained match
+    // (copied — it must survive arbitrarily many lookahead advances; see
+    // the doExecute comment and the ReusedRowsExec regression test)
+    val rightRow = ctx.addMutableState("InternalRow", "asofRightRow")
+    val matchRow = ctx.addMutableState("InternalRow", "asofMatchRow")
+    val leftRow = ctx.freshName("asofLeftRow")
+
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val lkEv = BindReferences.bindReference(leftKey, left.output).genCode(ctx)
+    val ltEv = BindReferences.bindReference(leftTime, left.output).genCode(ctx)
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+
+    ctx.INPUT_ROW = rightRow
+    val rkEv = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+    val rtEv = BindReferences.bindReference(rightTime, right.output).genCode(ctx)
+
+    // the retained key is re-read from the COPIED row per left row (one
+    // field access) — no typed mutable state, same safety argument as
+    // doExecute's matchKey-from-copy
+    ctx.INPUT_ROW = matchRow
+    val mkEv = BindReferences.bindReference(rightKey, right.output).genCode(ctx)
+
+    val matched = ctx.freshName("asofHasMatch")
+    val outRight = ctx.freshName("asofOutRight")
+    val (rightDecls, rightVars) = AsOfCodegen.nullGuardedColumns(ctx, outRight, right.output)
+    val advancing = ctx.freshName("asofAdvancing")
+    val cmp = ctx.freshName("asofCmp")
+    // evaluate all left columns eagerly (clears their code blocks): their
+    // accessors reference the loop-local left row, which must not leak into
+    // a deferred evaluation point outside this block
+    val leftVarDecl = evaluateVariables(leftVars)
+
+    s"""
+       |while ($limitNotReachedCond $leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lkEv.code}
+       |  ${ltEv.code}
+       |  if (!(${lkEv.isNull}) && !(${ltEv.isNull})) {
+       |    boolean $advancing = true;
+       |    while ($advancing) {
+       |      if ($rightRow == null) {
+       |        if (!$rightInput.hasNext()) break;
+       |        $rightRow = (InternalRow) $rightInput.next();
+       |      }
+       |      ${rkEv.code}
+       |      ${rtEv.code}
+       |      if ((${rkEv.isNull}) || (${rtEv.isNull})) {
+       |        $rightRow = null; // never matchable: discard
+       |      } else {
+       |        int $cmp = ${ctx.genComp(leftKey.dataType, rkEv.value.toString, lkEv.value.toString)};
+       |        if ($cmp < 0) {
+       |          $rightRow = null; // key fully behind: discard
+       |        } else if ($cmp == 0 && ${ctx.genComp(leftTime.dataType, rtEv.value.toString, ltEv.value.toString)} <= 0) {
+       |          $matchRow = (InternalRow) $rightRow.copy();
+       |          $rightRow = null;
+       |        } else {
+       |          $advancing = false;
+       |        }
+       |      }
+       |    }
+       |  }
+       |  boolean $matched = false;
+       |  if ($matchRow != null && !(${lkEv.isNull})) {
+       |    ${mkEv.code}
+       |    $matched = !(${mkEv.isNull}) &&
+       |      ${ctx.genComp(leftKey.dataType, mkEv.value.toString, lkEv.value.toString)} == 0;
+       |  }
+       |  InternalRow $outRight = $matched ? $matchRow : null;
+       |  $leftVarDecl
+       |  $rightDecls
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 }
 
@@ -316,25 +452,8 @@ case class BroadcastAsOfJoinExec(
       if (CodeGenerator.isPrimitiveType(dt)) s"${CodeGenerator.boxedType(dt)}.valueOf(${ev.value})"
       else ev.value.toString
     val rrow = ctx.freshName("asofMatched")
-    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
-      val isNull = ctx.freshName("asofIsNull")
-      val value = ctx.freshName("asofValue")
-      val javaType = CodeGenerator.javaType(a.dataType)
-      val getter = CodeGenerator.getValue(rrow, a.dataType, i.toString)
-      ExprCode(
-        code"""
-          |boolean $isNull = ($rrow == null) || $rrow.isNullAt($i);
-          |$javaType $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} : ($getter);
-        """.stripMargin,
-        JavaCode.isNullVariable(isNull),
-        JavaCode.variable(value, a.dataType))
-    }
-    // declarations are emitted exactly once HERE; the ExprCodes handed to
-    // consume() carry empty code blocks, else consume would re-emit the
-    // declarations (janino "redefinition of local variable") and the whole
-    // stage would silently fall back to interpreted execution
-    val rightDecls = rightVars.map(_.code.toString).mkString("\n")
-    val evaluatedRightVars = rightVars.map(_.copy(code = EmptyBlock))
+    val (rightDecls, evaluatedRightVars) =
+      AsOfCodegen.nullGuardedColumns(ctx, rrow, right.output)
     s"""
        |${keyEv.code}
        |${timeEv.code}

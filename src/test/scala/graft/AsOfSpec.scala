@@ -242,6 +242,65 @@ class AsOfSpec extends AnyFunSuite {
         assert(child.collectFirst { case e: ShuffleExchangeLike => e }.isDefined,
           s"missing exchange under as-of child:\n$child")
       }
+      // the MERGE must run inside WholeStageCodegen too (SMJ-style stage
+      // root: the generated loop drives both sorted inputs), and the
+      // generated code must COMPILE — fallback off turns a janino error
+      // into a query failure instead of a silent interpreted downgrade
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      try {
+        val plain = AsOf.q35AsofNative(spark, Sf0001).queryExecution.executedPlan
+        val inCodegen = plain.collect {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+            if w.collectFirst { case e: AsOfJoinExec => e }.isDefined => w
+        }
+        assert(inCodegen.nonEmpty, s"merge as-of not inside WholeStageCodegen:\n$plain")
+        assert(AsOf.q35AsofNative(spark, Sf0001).count() > 0)
+      } finally {
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.conf.unset("spark.sql.codegen.fallback")
+      }
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("codegen merge == interpreted merge (fallback path) on random logs") {
+    // the property test above already randomizes through BOTH physical
+    // variants with codegen enabled; this one pins codegen-vs-interpreted
+    // for the SAME (forced-merge) plan, so a codegen-only semantics bug
+    // cannot hide behind the broadcast variant
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val rnd = new scala.util.Random(7)
+    val right = rnd.shuffle((for {
+      k <- 0 until 5; t <- 0 until 30 if rnd.nextDouble() < 0.4
+    } yield (k.toLong, t.toLong, s"p$k-$t")).toList)
+    val left = List.tabulate(120)(i =>
+      (rnd.nextInt(7).toLong, rnd.nextInt(40).toLong, i.toLong))
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def run(): Map[Long, Option[String]] =
+        AsOfJoinShim.asof(
+            left.toDF("k", "t", "ev").repartition(5),
+            right.toDF("r_k", "r_t", "payload").repartition(4),
+            "k", "r_k", "t", "r_t")
+          .select("ev", "payload").collect()
+          .map(r => r.getAs[Long]("ev") -> Option(r.getAs[String]("payload"))).toMap
+      s.conf.set("spark.sql.codegen.fallback", "false")
+      s.conf.set("spark.sql.codegen.wholeStage", "true")
+      val gen = run()
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = run()
+      assert(gen == interp)
+      assert(gen.size == left.size)
+      val expected = left.map { case (k, t, ev) =>
+        ev -> right.filter(r => r._1 == k && r._2 <= t).sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      assert(gen == expected)
+    } finally {
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.unset("spark.sql.codegen.fallback")
+      s.conf.unset("spark.sql.codegen.wholeStage")
+    }
   }
 }
