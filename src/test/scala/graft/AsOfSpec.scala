@@ -80,13 +80,30 @@ class AsOfSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val l = Seq((Some(1L), Some(10L), "ok"), (None, Some(10L), "nullkey"),
-      (Some(1L), None, "nulltime")).toDF("k", "t", "ev")
-    val r = Seq((Some(1L), Some(5L), "p"), (None, Some(1L), "nk")).toDF("r_k", "r_t", "payload")
-    val got = AsOfJoinShim.asof(l, r, "k", "r_k", "t", "r_t")
-      .select("ev", "payload").collect()
-      .map(x => x.getAs[String]("ev") -> Option(x.getAs[String]("payload"))).toMap
-    assert(got == Map("ok" -> Some("p"), "nullkey" -> None, "nulltime" -> None))
+    def run(): Map[String, Option[String]] = {
+      val l = Seq((Some(1L), Some(10L), "ok"), (None, Some(10L), "nullkey"),
+        (Some(1L), None, "nulltime")).toDF("k", "t", "ev")
+      val r = Seq((Some(1L), Some(5L), "p"), (None, Some(1L), "nk")).toDF("r_k", "r_t", "payload")
+      AsOfJoinShim.asof(l, r, "k", "r_k", "t", "r_t")
+        .select("ev", "payload").collect()
+        .map(x => x.getAs[String]("ev") -> Option(x.getAs[String]("payload"))).toMap
+    }
+    val expected = Map("ok" -> Some("p"), "nullkey" -> None, "nulltime" -> None)
+    assert(run() == expected) // broadcast variant (dim-sized right side)
+    // the same nulls through the co-partitioned merge, generated AND
+    // interpreted (null rows also land on the right side's null-key
+    // partition, where the merge must discard them)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(run() == expected, "codegen merge")
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
+      assert(run() == expected, "interpreted merge")
+    } finally {
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.unset("spark.sql.codegen.fallback")
+      s.conf.unset("spark.sql.codegen.wholeStage")
+    }
   }
 
   test("differential: native exec == union+window formulation == on fixture") {
