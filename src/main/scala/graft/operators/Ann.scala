@@ -276,17 +276,17 @@ object Ann {
       struct(lit(t).as("tbl"),
         bucketCol(col("vec"), hyperplanes(64, nbits, seed = 42L + t)).as("bucket"))
     }
-    val buckets = graft.TransientCache.cache(
-      base.select(col("vec_id"), explode(array(tagged: _*)).as("tb"))
-        .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id")))
-    // hot-bucket guard: drop over-cap (tbl, bucket) cells entirely, exactly
-    // as Dedup.candidatePairs does for minhash bands
-    val keepCells = buckets.groupBy("tbl", "bucket")
-      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
-      .select("tbl", "bucket")
-    val kept = buckets.join(keepCells, Seq("tbl", "bucket"))
-    val cand = kept.select(col("tbl"), col("bucket"), col("vec_id").as("id1"))
-      .join(kept.select(col("tbl"), col("bucket"), col("vec_id").as("id2")),
+    val buckets = base.select(col("vec_id"), explode(array(tagged: _*)).as("tb"))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id"))
+    // hot-bucket guard as a window count — the same idiom (and the same
+    // single shuffle) as Dedup.candidatePairs: the (tbl, bucket) hash
+    // partitioning feeds the cap filter AND both self-join sides, so the
+    // fan-out shuffles once and the exchange is reused
+    val capped = buckets
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
+      .filter(col("bucket_n") <= maxBucket)
+    val cand = capped.select(col("tbl"), col("bucket"), col("vec_id").as("id1"))
+      .join(capped.select(col("tbl"), col("bucket"), col("vec_id").as("id2")),
         Seq("tbl", "bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
