@@ -219,6 +219,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("near-dup state survives on the RocksDB state store (100 TB state path)") {
+    // the default HDFSBackedStateStore keeps every bucket's state on the
+    // executor heap — at crawl scale that's the first thing to fall over.
+    // RocksDB (bundled with Spark 4) spills state off-heap/on-disk with the
+    // same exactly-once semantics; pin that the LSH operator produces the
+    // identical pair set under it, so flipping the provider is a pure conf
+    // change at deploy time
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val text = Vector(
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "completely different content with no shared shingles at all here")
+      val input = MemoryStream[(Long, String)]
+      val q = EventStreams.incrementalNearDup(input.toDF().toDF("doc_id", "text"))
+        .toDF("doc1", "doc2", "jaccard")
+        .writeStream.format("memory").queryName("rocksdb_neardup")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData((1L, text(0)), (3L, text(2)))
+        q.processAllAvailable() // state persists ACROSS batches in RocksDB
+        input.addData((2L, text(1)))
+        q.processAllAvailable()
+        val pairs = s.table("rocksdb_neardup").select("doc1", "doc2").distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(pairs == Set((1L, 2L)),
+          "cross-batch near-dup pair must surface from RocksDB-backed state")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionize: stateful per-user aggregates match batch totals") {
     import org.apache.spark.sql.streaming.OutputMode
     val sessions = EventStreams.runToMemory(
