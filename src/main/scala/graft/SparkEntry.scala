@@ -89,6 +89,7 @@ object SparkEntry {
     "text_stats" -> (TextOps.textStats _),
     "text_quality" -> (TextOps.textQuality _),
     "text_tokens" -> (TextOps.textTokens _),
+    "text_repetition" -> (TextOps.textRepetition _),
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "text_fingerprint_poly" -> (TextOps.textFingerprintPoly _),
     "text_langid" -> (TextOps.textLangId _),
@@ -428,6 +429,16 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
         | CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS INTEGER) AS n_ws_tokens
         |FROM documents""".stripMargin,
+    "text_repetition" ->
+      """SELECT doc_id,
+        | CAST(len(toks) AS BIGINT) AS total_toks,
+        | CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS dup_toks,
+        | CAST(CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 1 END AS BIGINT) AS total_3grams,
+        | CAST((CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 1 END)
+        |   - len(list_distinct(CASE WHEN len(toks) >= 3
+        |       THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |       ELSE [array_to_string(toks, ' ')] END)) AS BIGINT) AS dup_3grams
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents) d""".stripMargin,
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS md5_fp, sha256(text) AS sha256_fp FROM documents",
     "text_langid" ->

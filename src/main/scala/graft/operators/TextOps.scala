@@ -117,6 +117,32 @@ object TextOps {
           .as("n_bpe_tokens"),
         size(filter(split(trim(col("text")), "\\s+"), t => t =!= "")).as("n_ws_tokens"))
 
+  /** text_repetition — Gopher-style repetition signals: duplicate-token and
+    * duplicate-word-3-gram counts per document (the "fraction of duplicate
+    * n-grams" family of quality filters in published LLM pipeline rules;
+    * [[textStats]]' distinct_ratio only sees token-level repetition, which
+    * misses looping PHRASES). Counts stay integral so the oracle compare is
+    * exact — consumers derive fractions downstream. Same tokenization and
+    * 3-gram construction as the dedup shingle path (trim, split on \s+,
+    * whole doc as one gram under 3 tokens). Pure builtins: one codegen'd
+    * scan, no shuffle.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val grams = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3))))
+      .otherwise(array(array_join(toks, " ")))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("total_toks"),
+        (size(toks) - size(array_distinct(toks))).cast("long").as("dup_toks"),
+        size(grams).cast("long").as("total_3grams"),
+        (size(grams) - size(array_distinct(grams))).cast("long").as("dup_3grams"))
+  }
+
   /** text_fingerprint — md5 content fingerprint per document (the
     * oracle-comparable half; the rolling hash lives in
     * [[textFingerprintPoly]] because 64-bit wraparound arithmetic is not

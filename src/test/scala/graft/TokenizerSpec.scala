@@ -56,4 +56,26 @@ class TokenizerSpec extends AnyFunSuite {
     assert(rollingHash64("abc") != rollingHash64("acb"))
     assert(rollingHash64("") == 0L)
   }
+
+  test("textRepetition: hand-computed duplicate token / 3-gram counts") {
+    import TestSpark._
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("repetition").toString
+    Seq(
+      (1L, "a a a b", "en"),            // toks 4, dup 2; grams: "a a a","a a b" -> 2, dup 0
+      (2L, "x y", "en"),                // under 3 tokens: whole doc is one gram
+      (3L, "go go go go", "en"),        // grams: "go go go" x2 -> dup 1
+      (4L, "one two three four", "en")) // all distinct
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextOps.textRepetition(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("total_toks"), r.getAs[Long]("dup_toks"),
+          r.getAs[Long]("total_3grams"), r.getAs[Long]("dup_3grams")))).toMap
+    assert(got(1L) == ((4L, 2L, 2L, 0L)))
+    assert(got(2L) == ((2L, 0L, 1L, 0L)))
+    assert(got(3L) == ((4L, 3L, 2L, 1L)))
+    assert(got(4L) == ((4L, 0L, 2L, 0L)))
+  }
 }
