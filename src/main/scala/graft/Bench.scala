@@ -28,13 +28,19 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
 
+    // Optional subset for local iteration: SPARK_GRAFT_BENCH_ONLY=q1_agg,wc
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+
     // Machine-speed calibration: a FIXED CPU-bound job (hash-fold over a
     // generated range — no I/O, no data dependence), min of 3 runs after a
     // warm-up. Identical code measured 3.5× apart across rounds purely from
     // machine load (r05 vs r06); dividing cross-round totals by this scalar
     // separates engineering regressions from environment drift. README
-    // "Benchmarking" documents the normalization.
-    val calibration = {
+    // "Benchmarking" documents the normalization. Subset runs (BENCH_ONLY)
+    // are local iteration loops where cross-round normalization is
+    // irrelevant — skip the ~4 calibration jobs there and report -1.
+    val calibration = if (only.isDefined) -1.0 else {
       def once(): Double = {
         val t0 = System.nanoTime()
         spark.range(0L, 200000000L, 1L, 32)
@@ -47,9 +53,6 @@ object Bench {
       Seq.fill(3)(once()).min
     }
 
-    // Optional subset for local iteration: SPARK_GRAFT_BENCH_ONLY=q1_agg,wc
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
     // Session-conf snapshot: restored after every query so no query can
     // perturb another's environment (e.g. the streaming reader's
     // nanosAsLong flag) — per-query numbers must not depend on bench order.

@@ -128,19 +128,60 @@ object TextOps {
     * scan, no shuffle.
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    val grams = when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3), i =>
-        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-          element_at(toks, i + 3))))
-      .otherwise(array(array_join(toks, " ")))
+    import s.implicits._
     Tables.documents(s, dir)
-      .select(
-        col("doc_id"),
-        size(toks).cast("long").as("total_toks"),
-        (size(toks) - size(array_distinct(toks))).cast("long").as("dup_toks"),
-        size(grams).cast("long").as("total_3grams"),
-        (size(grams) - size(array_distinct(grams))).cast("long").as("dup_3grams"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val (total, dup, totalG, dupG) = repetitionCounts(text)
+        (id, total, dup, totalG, dupG)
+      }
+      .toDF("doc_id", "total_toks", "dup_toks", "total_3grams", "dup_3grams")
+  }
+
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Per-document repetition counts for [[textRepetition]] as one tight JVM
+    * pass. The first formulation was declarative (`transform(sequence(...))`
+    * building each 3-gram with `concat_ws`/`element_at`), but higher-order
+    * array functions are CodegenFallback — interpreted per element — and the
+    * gram array was evaluated for both `size` and `array_distinct`: measured
+    * 7.9 s at sf0.1 vs ~0.3 s for the sibling text ops. This typed map is the
+    * same single scan, no shuffle, and runs at JVM loop speed.
+    *
+    * Token semantics replicate the declarative original exactly (pinned by
+    * the DuckDB oracle): SQL `trim` strips ASCII space only (not \t/\n), and
+    * SQL `split` is Java regex split with limit -1 (leading/trailing empty
+    * tokens from untrimmed whitespace are kept).
+    */
+  def repetitionCounts(text: String): (Long, Long, Long, Long) = {
+    var b = 0; var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    val toks = wsPattern.split(text.substring(b, e), -1)
+    val n = toks.length
+    val seen = new java.util.HashSet[String](math.max(4, n * 2))
+    var i = 0
+    while (i < n) { seen.add(toks(i)); i += 1 }
+    val dupToks = (n - seen.size).toLong
+    if (n >= 3) {
+      // tokens contain no whitespace, so the space-joined gram string is a
+      // bijective key for the token triple — same distinctness the oracle's
+      // joined grams compute
+      val grams = new java.util.HashSet[String]((n - 2) * 2)
+      val sb = new java.lang.StringBuilder
+      i = 0
+      while (i + 2 < n) {
+        sb.setLength(0)
+        sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ').append(toks(i + 2))
+        grams.add(sb.toString)
+        i += 1
+      }
+      (n.toLong, dupToks, (n - 2).toLong, (n - 2 - grams.size).toLong)
+    } else {
+      // under 3 tokens the whole doc is its single gram — never a duplicate
+      (n.toLong, dupToks, 1L, 0L)
+    }
   }
 
   /** text_fingerprint — md5 content fingerprint per document (the

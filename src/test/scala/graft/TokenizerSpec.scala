@@ -78,4 +78,44 @@ class TokenizerSpec extends AnyFunSuite {
     assert(got(3L) == ((4L, 3L, 2L, 1L)))
     assert(got(4L) == ((4L, 0L, 2L, 0L)))
   }
+
+  test("textRepetition typed path == the oracle-pinned declarative formulation") {
+    import TestSpark._
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("repetition-parity").toString
+    // real fixture docs plus whitespace edge cases the declarative semantics
+    // are fussy about: SQL trim strips ' ' only, so leading \t/\n produce a
+    // leading empty token under split's limit=-1
+    val edge = Seq(
+      (100001L, "", "en"), (100002L, "   ", "en"), (100003L, "\tlead tab x y", "en"),
+      (100004L, "trail nl a b\n", "en"), (100005L, "a  b\t\tc", "en"))
+      .toDF("doc_id", "text", "lang")
+    spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .unionByName(edge)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the original declarative plan (what the DuckDB oracle was written
+    // against), kept here as the executable spec of the semantics
+    val toks = split(trim(col("text")), "\\s+")
+    val grams = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3))))
+      .otherwise(array(array_join(toks, " ")))
+    val want = spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("total_toks"),
+        (size(toks) - size(array_distinct(toks))).cast("long").as("dup_toks"),
+        size(grams).cast("long").as("total_3grams"),
+        (size(grams) - size(array_distinct(grams))).cast("long").as("dup_3grams"))
+    val got = graft.operators.TextOps.textRepetition(spark, dir)
+    // typed output is non-nullable where the declarative one was nullable —
+    // compare names and types; nullability strictness is an improvement
+    assert(got.schema.map(f => (f.name, f.dataType)) ==
+      want.schema.map(f => (f.name, f.dataType)))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
