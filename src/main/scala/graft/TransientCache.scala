@@ -31,6 +31,13 @@ object TransientCache {
   private val memos = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private val memoIds = new ConcurrentLinkedQueue[Integer]()
   private val memoLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // memo-vs-releaseAll ordering gate: builds run under the shared read side
+  // (concurrent distinct-key builds still parallelize; the read lock is
+  // reentrant, so a build that memoizes a sub-artifact nests fine), and
+  // releaseAll sweeps under the write side — so a sweep cannot interleave
+  // with an in-flight build and miss blocks the build registers after the
+  // sweep passed (they'd otherwise survive until the NEXT releaseAll)
+  private val sweepGate = new java.util.concurrent.locks.ReentrantReadWriteLock()
 
   /** `.cache()` + register for the next [[release]] sweep. */
   def cache(df: DataFrame): DataFrame = {
@@ -79,22 +86,26 @@ object TransientCache {
     }
     val fast = liveHit
     if (fast != null) return fast
-    // per-key double-checked lock, NOT computeIfAbsent: the build (an
-    // expensive join + localCheckpoint) must never run inside the
-    // ConcurrentHashMap's bin lock, and a build that itself memoizes a
-    // sub-artifact must not deadlock
-    val lock = memoLocks.computeIfAbsent(key, _ => new Object)
-    lock.synchronized {
-      val again = liveHit
-      if (again != null) return again
-      val df = build
-      val sc = df.sparkSession.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
-      (sc.getPersistentRDDs.keySet -- before).foreach(id => memoIds.add(id))
-      memos.put(key, out)
-      out
-    }
+    val gate = sweepGate.readLock()
+    gate.lock()
+    try {
+      // per-key double-checked lock, NOT computeIfAbsent: the build (an
+      // expensive join + localCheckpoint) must never run inside the
+      // ConcurrentHashMap's bin lock, and a build that itself memoizes a
+      // sub-artifact must not deadlock
+      val lock = memoLocks.computeIfAbsent(key, _ => new Object)
+      lock.synchronized {
+        val again = liveHit
+        if (again != null) return again
+        val df = build
+        val sc = df.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val out = df.localCheckpoint(true)
+        (sc.getPersistentRDDs.keySet -- before).foreach(id => memoIds.add(id))
+        memos.put(key, out)
+        out
+      }
+    } finally gate.unlock()
   }
 
   /** Test-visible hygiene probe: live per-key memo locks. */
@@ -119,22 +130,29 @@ object TransientCache {
     }
   }
 
-  /** [[release]] plus the memoized shared artifacts — end-of-session sweep. */
+  /** [[release]] plus the memoized shared artifacts — end-of-session sweep.
+    * Runs under [[sweepGate]]'s write side: the sweep waits for in-flight
+    * [[memo]] builds (and blocks new ones) so every registered block is
+    * visible to THIS sweep — none can slip in behind it and linger until
+    * the next one.
+    */
   def releaseAll(spark: SparkSession): Unit = {
     release(spark)
-    memos.clear()
-    // drop the per-key lock objects too, or they accumulate for the process
-    // lifetime across harness cycles; safe because computeIfAbsent mints a
-    // fresh lock on demand — a racing memo() would simply build under a new
-    // lock against a now-empty map (one redundant build at worst, the same
-    // guarantee double-checked locking already gives across lock objects)
-    memoLocks.clear()
-    val live = spark.sparkContext.getPersistentRDDs
-    var id = memoIds.poll()
-    while (id != null) {
-      try live.get(id.intValue()).foreach(_.unpersist(false))
-      catch { case _: Throwable => () }
-      id = memoIds.poll()
-    }
+    val gate = sweepGate.writeLock()
+    gate.lock()
+    try {
+      memos.clear()
+      // drop the per-key lock objects too, or they accumulate for the
+      // process lifetime across harness cycles; computeIfAbsent mints a
+      // fresh lock on demand for post-sweep builds
+      memoLocks.clear()
+      val live = spark.sparkContext.getPersistentRDDs
+      var id = memoIds.poll()
+      while (id != null) {
+        try live.get(id.intValue()).foreach(_.unpersist(false))
+        catch { case _: Throwable => () }
+        id = memoIds.poll()
+      }
+    } finally gate.unlock()
   }
 }

@@ -172,6 +172,10 @@ object EventStreams {
     * emits again" guarantee holds for the process lifetime, not merely
     * until the first idle period ([[advanceBucket]] encodes the
     * transition; StreamingSpec pins timeout-then-rearrival silence).
+    * Tombstone cardinality is therefore unbounded by default (O(1) each,
+    * one per poisoned bucket); crawls where that matters opt into
+    * `tombstoneTtl` and/or watch the `poisonedBuckets` accumulator — both
+    * documented on [[incrementalNearDup]].
     */
   /** Per-bucket LSH state: the docs seen (id, sorted shingle hashes), or a
     * poisoned marker once the bucket exceeded the cap (history cleared,
@@ -192,21 +196,31 @@ object EventStreams {
     * tombstone is O(1) (flag + empty history), so retaining it for the
     * process lifetime is the cheap side of that trade.
     *
-    * In the wired query the timedOut-while-poisoned branch is additionally
-    * DEFENSIVE: the closure never arms a timeout on a tombstone, and per
-    * the GroupState contract a timeout must be re-armed on every
-    * invocation or none is set — so a tombstone cannot time out at all
-    * (resurrection is impossible by construction, not just handled). The
-    * branch stays for the pure-function contract and unit coverage.
+    * In the wired query (default config) the timedOut-while-poisoned branch
+    * is additionally DEFENSIVE: the closure never arms a timeout on a
+    * tombstone, and per the GroupState contract a timeout must be re-armed
+    * on every invocation or none is set — so a tombstone cannot time out at
+    * all (resurrection is impossible by construction, not just handled).
+    *
+    * `expireTombstones` is the opt-in bounded-cardinality variant: when the
+    * caller gives tombstones their own (long) TTL, a timed-out tombstone is
+    * REMOVED rather than retained, so tombstone cardinality on an unbounded
+    * crawl stays bounded by the poison arrival rate × TTL horizon. The
+    * guarantee weakens correspondingly — "never emits again" becomes "never
+    * emits again until the bucket has been quiet for the tombstone TTL" —
+    * which is the same dedup-horizon trade the history TTL already makes.
     */
   private[graft] def advanceBucket(
       timedOut: Boolean,
       arrivals: Seq[(Long, Array[Long])],
       prev: Option[BucketState],
       threshold: Double,
-      maxBucket: Int): (Option[BucketState], List[(Long, Long, Double)]) = {
+      maxBucket: Int,
+      expireTombstones: Boolean = false): (Option[BucketState], List[(Long, Long, Double)]) = {
     if (timedOut) {
-      (if (prev.exists(_.overCap)) Some(BucketState(overCap = true, Nil)) else None, Nil)
+      (if (!expireTombstones && prev.exists(_.overCap))
+        Some(BucketState(overCap = true, Nil))
+      else None, Nil)
     } else {
       def overlap(a: Array[Long], b: Array[Long]): Int = {
         var i = 0; var j = 0; var c = 0
@@ -240,13 +254,27 @@ object EventStreams {
     }
   }
 
+  /** `tombstoneTtl`: opt-in poison-tombstone expiry (see [[advanceBucket]])
+    * — bounds tombstone cardinality on an unbounded crawl at the cost of
+    * weakening "never emits again" to a TTL horizon. `poisonedBuckets`: an
+    * optional driver-registered accumulator incremented once per
+    * bucket-poisoning transition — the monitoring hook that surfaces how
+    * much boilerplate the cap is absorbing (visible in the Spark UI per
+    * stage; at-least-once under task retries, so it is a monitoring signal,
+    * not an exact count).
+    */
   def incrementalNearDup(docs: DataFrame, threshold: Double = 0.5,
       idleTimeout: Option[String] = None,
-      maxBucket: Int = graft.operators.Dedup.MaxBucket): Dataset[(Long, Long, Double)] = {
+      maxBucket: Int = graft.operators.Dedup.MaxBucket,
+      tombstoneTtl: Option[String] = None,
+      poisonedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[(Long, Long, Double)] = {
     val s = docs.sparkSession
     import s.implicits._
     import graft.operators.Dedup
-    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+    val timeoutConf =
+      if (idleTimeout.isDefined || tombstoneTtl.isDefined)
+        GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -259,20 +287,30 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (_: (Int, Long), rows: Iterator[(Int, Long, Long, Array[Long])],
          state: GroupState[BucketState]) => {
+          val wasPoisoned = state.getOption.exists(_.overCap)
           val (next, out) = advanceBucket(
             state.hasTimedOut,
             rows.map { case (_, _, id, hs) => (id, hs) }.toSeq,
-            state.getOption, threshold, maxBucket)
+            state.getOption, threshold, maxBucket,
+            expireTombstones = tombstoneTtl.isDefined)
           next match {
             case Some(st) =>
               state.update(st)
-              // live buckets re-arm the TTL; a poison tombstone deliberately
-              // gets NO timeout — it must stay resident to keep its bucket
-              // silent, and with no timeout it persists with zero periodic
-              // re-firing cost (any timeout pending from before the cap
-              // tripped fires once into the timedOut branch, which keeps
-              // the tombstone and arms nothing)
-              if (!st.overCap) idleTimeout.foreach(state.setTimeoutDuration)
+              if (!st.overCap) {
+                // live buckets re-arm the history TTL
+                idleTimeout.foreach(state.setTimeoutDuration)
+              } else {
+                if (!wasPoisoned) poisonedBuckets.foreach(_.add(1L))
+                // a poison tombstone gets NO timeout by default — it must
+                // stay resident to keep its bucket silent, and with no
+                // timeout it persists with zero periodic re-firing cost
+                // (any timeout pending from before the cap tripped fires
+                // once into the timedOut branch, which keeps the tombstone
+                // and arms nothing). With tombstoneTtl set, the tombstone
+                // re-arms its own long TTL and is removed when it fires —
+                // the bounded-cardinality trade documented on advanceBucket.
+                tombstoneTtl.foreach(state.setTimeoutDuration)
+              }
             case None => state.remove()
           }
           out.iterator

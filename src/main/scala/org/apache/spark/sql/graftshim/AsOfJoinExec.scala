@@ -142,6 +142,35 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  /** SMJ-parity child codegen: CollapseCodegenStages special-cases
+    * SortMergeJoin/ShuffledHashJoin so their Sort children go behind an
+    * InputAdapter and get their own whole-stage codegen spans; the rule has
+    * no case for this operator, so by default our (Sort) children sit
+    * inside the as-of stage's subtree but run via plain `execute()` with no
+    * codegen span of their own. Re-applying the same public rule to each
+    * child at execution time restores those spans — the rule respects
+    * `spark.sql.codegen.wholeStage` and every per-operator support check,
+    * so it is a no-op exactly where stock codegen would be. One residual
+    * limitation, display-only: EXPLAIN prints the stored (unwrapped)
+    * children, so the child stages appear only at runtime (SQL-tab metrics,
+    * generated-code dumps), not in the printed tree.
+    */
+  @transient lazy val codegenChildPlans: Seq[SparkPlan] = {
+    val rule = org.apache.spark.sql.execution.CollapseCodegenStages()
+    Seq(left, right).map { child =>
+      // the original collapse pass already placed WSC/InputAdapter wrappers
+      // BELOW the child's exchange (deeper stages); re-applying the rule on
+      // top of them would try to fuse an existing WholeStageCodegenExec
+      // into a new stage (its produce() throws by contract). Strip the old
+      // wrappers first, then rebuild the stage layout for this subtree.
+      val pristine = child.transformUp {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.child
+        case i: org.apache.spark.sql.execution.InputAdapter => i.child
+      }
+      rule.apply(pristine)
+    }
+  }
+
   protected override def doExecute(): RDD[InternalRow] = {
     val lkB = BindReferences.bindReference(leftKey, left.output)
     val ltB = BindReferences.bindReference(leftTime, left.output)
@@ -151,7 +180,7 @@ case class AsOfJoinExec(
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val leftOut = left.output
     val rightOut = right.output
-    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+    codegenChildPlans(0).execute().zipPartitions(codegenChildPlans(1).execute()) { (lIt, rIt) =>
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightOut.size)
       val proj = UnsafeProjection.create(leftOut ++ rightOut, leftOut ++ rightOut)
@@ -211,7 +240,7 @@ case class AsOfJoinExec(
   import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
-    left.execute() :: right.execute() :: Nil
+    codegenChildPlans.map(_.execute())
 
   // output rows reference the retained-match mutable state, which advances
   // with the merge — buffering parents must copy (the SMJ contract)

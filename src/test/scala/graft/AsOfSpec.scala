@@ -272,6 +272,18 @@ class AsOfSpec extends AnyFunSuite {
             if w.collectFirst { case e: AsOfJoinExec => e }.isDefined => w
         }
         assert(inCodegen.nonEmpty, s"merge as-of not inside WholeStageCodegen:\n$plain")
+        // SMJ-parity child stages: CollapseCodegenStages has no case for
+        // this operator, so the exec wraps its own children at execution
+        // time — each Sort must land inside its own codegen span there
+        val merge = plain.collectFirst { case e: AsOfJoinExec => e }.get
+        merge.codegenChildPlans.foreach { wrapped =>
+          val sortStages = wrapped.collect {
+            case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+              if w.collectFirst { case se: SortExec => se }.isDefined => w
+          }
+          assert(sortStages.nonEmpty,
+            s"as-of child Sort got no codegen span of its own:\n$wrapped")
+        }
         assert(AsOf.q35AsofNative(spark, Sf0001).count() > 0)
       } finally {
         spark.conf.unset("spark.sql.adaptive.enabled")

@@ -155,6 +155,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(advanceBucket(timedOut = false, Seq(8L -> hs, 9L -> hs),
       Some(BucketState(overCap = true, Nil)), 0.5, 3) ==
       (Some(BucketState(overCap = true, Nil)), Nil))
+    // opt-in bounded cardinality: with expireTombstones a timed-out
+    // tombstone is removed (the bucket may later re-accumulate — the
+    // documented TTL-horizon weakening), and a live bucket evicts as before
+    assert(advanceBucket(timedOut = true, Nil,
+      Some(BucketState(overCap = true, Nil)), 0.5, 3,
+      expireTombstones = true) == (None, Nil))
+    assert(advanceBucket(timedOut = true, Nil,
+      Some(BucketState(overCap = false, List(7L -> hs))), 0.5, 3,
+      expireTombstones = true) == (None, Nil))
+  }
+
+  test("near-dup poison counter: one accumulator tick per poisoned bucket") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // identical texts share one logical bucket per band, so poisoning them
+    // all ticks the counter exactly once per band
+    val text = "monitoring hook boilerplate text shared by every document here"
+    val acc = s.sparkContext.longAccumulator("graft.neardup.poisonedBuckets")
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.incrementalNearDup(
+        input.toDF().toDF("doc_id", "text"), maxBucket = 2,
+        poisonedBuckets = Some(acc))
+      .toDF("doc1", "doc2", "jaccard")
+      .writeStream.format("memory").queryName("poison_counter_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, text), (2L, text))
+      q.processAllAvailable()
+      assert(acc.value == 0L, "no bucket is over cap yet")
+      input.addData((3L, text)) // trips cap 2 in every band's bucket
+      q.processAllAvailable()
+      assert(acc.value == graft.operators.Dedup.Bands.toLong)
+      input.addData((4L, text)) // already-poisoned buckets must not re-tick
+      q.processAllAvailable()
+      assert(acc.value == graft.operators.Dedup.Bands.toLong)
+    } finally q.stop()
   }
 
   test("advanceBucket lifecycle: emit under cap, poison at cap+1, silent ever after") {

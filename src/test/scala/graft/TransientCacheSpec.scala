@@ -92,6 +92,35 @@ class TransientCacheSpec extends AnyFunSuite {
     TransientCache.releaseAll(spark)
   }
 
+  test("releaseAll waits for an in-flight memo build and sweeps its blocks") {
+    TransientCache.releaseAll(spark)
+    val s = spark
+    import s.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val baseline = s.sparkContext.getPersistentRDDs.size
+    val buildStarted = new java.util.concurrent.CountDownLatch(1)
+    val buildDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val builder = Future {
+      TransientCache.memo("sweep-race-test") {
+        buildStarted.countDown()
+        Thread.sleep(500) // keep the build in flight while releaseAll races it
+        buildDone.set(true)
+        Seq(1, 2, 3).toDF("v")
+      }
+    }
+    buildStarted.await()
+    // the sweep must BLOCK until the build registers its blocks, then drop
+    // them — before the gate, these blocks survived until the next sweep
+    TransientCache.releaseAll(spark)
+    assert(buildDone.get(),
+      "releaseAll returned while the memo build was still in flight")
+    Await.result(builder, scala.concurrent.duration.Duration("60s"))
+    assert(s.sparkContext.getPersistentRDDs.size == baseline,
+      "the racing build's checkpoint blocks must not outlive the sweep")
+    assert(TransientCache.memoLockCount == 0)
+  }
+
   test("clusters and pipeline_keep share one edge set and stay correct") {
     TransientCache.releaseAll(spark)
     val clusters = Dedup.clusters(spark, Sf0001).collect()
