@@ -105,6 +105,11 @@ object SparkEntry {
     // --- end-to-end curation (quality gate ∧ dedup survivor) ---
     "pipeline_keep" -> (graft.operators.Pipeline.keep _),
     "pipeline_mix" -> ((s: SparkSession, d: String) => graft.operators.Pipeline.mix(s, d)),
+    // --- corpus curation: decontamination, packing, domain balancing ---
+    "decontam" -> ((s: SparkSession, d: String) => graft.operators.Curation.decontam(s, d)),
+    "pack_sequences" -> ((s: SparkSession, d: String) => graft.operators.Curation.packSequences(s, d)),
+    "domain_cap" -> ((s: SparkSession, d: String) => graft.operators.Curation.domainCap(s, d)),
+    "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringDups(s, d)),
     // --- multimodal columns (stubbed decode, real plumbing) ---
     "mm_features" -> (Multimodal.features _),
     "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
@@ -138,6 +143,42 @@ object SparkEntry {
       "list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) " +
       "ELSE [array_to_string(toks, ' ')] END) AS sh FROM " +
       "(SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents) d"
+
+  // 64-bit wraparound arithmetic in DuckDB: fold in HUGEINT mod 2^64, then
+  // reinterpret as signed BIGINT — lets hash queries previously declared
+  // not-ANSI-expressible carry real oracles.
+  private val twoPow64 = "CAST(18446744073709551616 AS HUGEINT)"
+  private val twoPow63 = "CAST(9223372036854775808 AS HUGEINT)"
+  private def signed64(u: String): String =
+    s"CAST(CASE WHEN $u >= $twoPow63 THEN $u - $twoPow64 ELSE $u END AS BIGINT)"
+  /** UTF-16 code units of a string column as HUGEINTs. Valid because the
+    * fixture corpus is BMP-only (ASCII, asserted in CurationSpec), where
+    * DuckDB code points == Java char values; supplementary-plane surrogate
+    * behavior of the Scala side is pinned in ScalaTest instead.
+    */
+  private def codeUnits(textCol: String): String =
+    s"list_transform(list_filter(string_split($textCol, ''), c -> c <> ''), " +
+      "c -> CAST(unicode(c) AS HUGEINT))"
+  /** FNV-1a 64 fold over a HUGEINT code-unit list (graft.functions fnv64). */
+  private def fnvFold(cs: String): String =
+    s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $cs), " +
+      s"(acc, c) -> (xor(acc, c) * CAST(1099511628211 AS HUGEINT)) % $twoPow64)"
+
+  /** Shared CTE: 64-bit SimHash signatures recomputed from first principles
+    * in DuckDB — per-token FNV-1a hashes, ±1 votes per bit over all (not
+    * distinct) tokens, sign → bit, big-endian bit fold to one BIGINT.
+    */
+  private val simhashCte =
+    s"""t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       |h AS (SELECT doc_id, len(toks) AS n,
+       |  list_transform(toks, tok -> ${fnvFold(codeUnits("tok"))}) AS hs FROM t),
+       |sg AS (SELECT doc_id, list_reduce(
+       |  list_prepend(CAST(0 AS HUGEINT),
+       |    list_transform(range(0, 64), b -> CASE WHEN
+       |      2 * list_sum(list_transform(hs, hh -> CAST((hh >> (63 - b)) & 1 AS INTEGER))) > n
+       |      THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)),
+       |  (acc, bit) -> acc * 2 + bit) AS sig_u FROM h),
+       |sig AS (SELECT doc_id, ${signed64("sig_u")} AS simhash FROM sg)""".stripMargin
 
   /** Shared CTE: near-dup connected components by recursive transitive
     * closure — single source of truth for the jaccard-0.5 edge definition
@@ -441,6 +482,30 @@ object SparkEntry {
         |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents) d""".stripMargin,
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS md5_fp, sha256(text) AS sha256_fp FROM documents",
+    // wraparound int64 recomputed in HUGEINT mod-2^64 arithmetic: the
+    // Karp–Rabin base-257 rolling hash and FNV-1a, folded over UTF-16 code
+    // units (== DuckDB code points on this BMP corpus)
+    "text_fingerprint_poly" ->
+      s"""WITH cps AS (SELECT doc_id, ${codeUnits("text")} AS cs FROM documents),
+         |u AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS HUGEINT), cs),
+         |    (acc, c) -> (acc * 257 + c) % $twoPow64) AS poly_u,
+         |  ${fnvFold("cs")} AS fnv_u
+         | FROM cps)
+         |SELECT doc_id, ${signed64("poly_u")} AS poly_fp, ${signed64("fnv_u")} AS fnv_fp
+         |FROM u""".stripMargin,
+    "dedup_simhash" ->
+      s"WITH $simhashCte SELECT doc_id, simhash FROM sig",
+    // pairs at Hamming ≤ 3: the oracle goes all-pairs over the recomputed
+    // signatures (xor/bit_count on signed BIGINT is two's-complement bitwise,
+    // so the signed fold-back is transparent); the Spark side must reproduce
+    // it through pigeonhole chunk blocking — recall-1 by construction
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         | CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "text_langid" ->
       """WITH t AS (SELECT doc_id, lang AS label_lang,
         |  string_split_regex(lower(text), '[^\p{L}]+') AS toks FROM documents),
@@ -491,6 +556,42 @@ object SparkEntry {
         |      (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents) b
         | WHERE a.doc_id < b.doc_id) p
         |WHERE jaccard >= 0.9""".stripMargin,
+    // benchmark decontamination: overlap of each training doc's distinct
+    // 3-gram shingles with the benchmark docs' gram set (doc_id % 50 == 0
+    // plays the held-out benchmark; same `shingled` CTE as the dedup family)
+    "decontam" ->
+      s"""WITH g AS (SELECT doc_id, sh AS grams FROM ($shingled) s),
+         |b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+         |e AS (SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams,
+         |       unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0)
+         |SELECT e.doc_id, e.n_grams, count(b.gram) AS bench_hits,
+         | CAST(count(b.gram) AS DOUBLE) / CAST(e.n_grams AS DOUBLE) AS contamination,
+         | count(b.gram) > 0 AS contaminated
+         |FROM e LEFT JOIN b ON e.gram = b.gram
+         |GROUP BY e.doc_id, e.n_grams""".stripMargin,
+    // deterministic streaming sequence packing: bin = starting token offset
+    // div budget within the per-lang doc_id-ordered prefix sum
+    "pack_sequences" ->
+      """SELECT lang, doc_id, n_toks, CAST((cum - n_toks) // 256 AS BIGINT) AS seq_id
+        |FROM (SELECT lang, doc_id, n_toks,
+        |   sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+        |  FROM (SELECT lang, doc_id,
+        |     CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_toks
+        |    FROM documents) t) w""".stripMargin,
+    "domain_cap" ->
+      """SELECT source, doc_id, n_chars, CAST(rn AS INTEGER) AS rn FROM (
+        | SELECT source, doc_id, n_chars, row_number() OVER (
+        |  PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+        | FROM documents) t WHERE rn <= 15""".stripMargin,
+    // exact substring-level duplication: 8-token sliding windows shared by
+    // >= 2 documents (docs under 8 tokens contribute nothing)
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |w AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8 THEN
+        |       list_transform(range(1, len(toks)-6), i -> array_to_string(toks[i:i+7], ' '))
+        |       ELSE [] END)) AS gram FROM t)
+        |SELECT gram, count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM w GROUP BY gram HAVING count(*) >= 2""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id AS asset_id, CAST(n_chars % 30 + 1 AS INTEGER) AS n_frames,
         | CAST(unnest(generate_series(0, n_chars % 30, 5)) AS INTEGER) AS frame_idx
@@ -503,12 +604,14 @@ object SparkEntry {
         |  PARTITION BY q.query_id
         |  ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id ASC) AS rnk
         | FROM c, q WHERE c.vec_id <> q.query_id) t WHERE rnk <= 10""".stripMargin,
-    // no oracle (not ANSI-SQL-expressible): text_fingerprint_poly (wraparound
-    // int64), dedup_simhash / dedup_simhash_pairs (fnv64 wraparound),
-    // dedup_minhash (probabilistic LSH recall — exact sibling dedup_jaccard3
-    // carries the oracle), ann_lsh / ann_ivf / dedup_embed (LSH/k-means
-    // bucket structure), q19_approx (engine-specific sketches), mm_features /
-    // mm_thumbs (stub decoder) — driver records rows-only checks; invariants
-    // are asserted in ScalaTest (recall-vs-brute, sketch error bounds).
+    // no oracle (not DuckDB-expressible): dedup_minhash (probabilistic LSH
+    // recall — exact sibling dedup_jaccard3 carries the oracle), ann_lsh /
+    // ann_ivf / dedup_embed (LSH/k-means bucket structure), q19_approx
+    // (engine-specific sketches), mm_features / mm_thumbs (stub decoder),
+    // q36_stream_neardup (stateful streaming; batch-parity in StreamingSpec)
+    // — driver records rows-only checks; invariants are asserted in
+    // ScalaTest (recall-vs-brute, sketch error bounds). The wraparound-int64
+    // hash queries (text_fingerprint_poly, dedup_simhash(_pairs)) DO carry
+    // oracles now, via the HUGEINT mod-2^64 fold above.
   )
 }

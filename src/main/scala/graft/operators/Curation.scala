@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-curation operators a production LLM training-data pipeline runs
+  * after per-document filtering and dedup: benchmark decontamination,
+  * token-budget sequence packing, and per-source document caps.
+  *
+  * Scale design at 100 TB:
+  *   - `decontam` joins the corpus against the BENCHMARK n-gram set, never
+  *     corpus-vs-corpus: the benchmark side is test-set sized (MBs), so it
+  *     broadcasts and the corpus is touched in one scan + one per-doc
+  *     aggregation with map-side partial counts;
+  *   - `packSequences` is a running-sum window per language shard — one
+  *     shuffle keyed on the shard column. The bin assignment depends only on
+  *     the PREFIX sum of token counts, so it stays deterministic under any
+  *     executor count (contrast greedy first-fit packing, whose output
+  *     depends on visit order);
+  *   - `domainCap` is a bounded top-k per key: rank-within-domain then
+  *     filter, which Spark executes as one hash shuffle on the domain plus a
+  *     per-partition sort — no global sort, no driver collection.
+  */
+object Curation {
+
+  /** Benchmark membership stand-in for the fixture: every `benchmarkMod`-th
+    * document plays the held-out eval set. A real pipeline reads the actual
+    * benchmark corpus here; the plan shape is identical.
+    */
+  val BenchmarkMod = 50
+
+  /** decontam — test-set decontamination by word-3-gram overlap (the
+    * GPT-3/Gopher appendix recipe: a training document is contaminated when
+    * it shares n-grams with an evaluation benchmark). Shingle semantics are
+    * exactly [[Dedup.shingleSet]] — the same grams the dedup family uses, so
+    * one persisted gram table can serve both at scale.
+    *
+    * Output per NON-benchmark document: distinct-gram count, how many of
+    * those grams appear anywhere in the benchmark, the overlap fraction, and
+    * the boolean a pipeline filters on.
+    *
+    * 100 TB plan: the benchmark gram set (right side) is tiny — broadcast
+    * equi-join, corpus scanned once, per-doc counts partial-aggregated
+    * map-side. No corpus-vs-corpus shuffle exists in this plan.
+    */
+  def decontam(s: SparkSession, dir: String, benchmarkMod: Int = BenchmarkMod): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, Dedup.shingleSet(text)) }
+      .toDF("doc_id", "grams")
+    val bench = grams
+      .filter(col("doc_id") % benchmarkMod === 0)
+      .select(explode(col("grams")).as("gram"))
+      .distinct()
+      .withColumn("bench_hit", lit(1))
+    grams
+      .filter(col("doc_id") % benchmarkMod =!= 0)
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(col("bench_hit")).as("bench_hits"))
+      .select(
+        col("doc_id"), col("n_grams"), col("bench_hits"),
+        (col("bench_hits").cast("double") / col("n_grams").cast("double"))
+          .as("contamination"),
+        (col("bench_hits") > 0).as("contaminated"))
+  }
+
+  /** Token budget per packed training sequence (fixture-sized; a real run
+    * uses the model context length, e.g. 2048/4096/8192).
+    */
+  val SeqBudget = 256
+
+  /** pack_sequences — assign documents to fixed-token-budget training
+    * sequences: within each language shard, documents are laid out in doc_id
+    * order and a document goes to the bin its STARTING token offset falls in
+    * (`(prefix_sum - n_toks) div budget`). This is the deterministic
+    * streaming formulation of sequence packing: bins can overflow by at most
+    * one document (the concatenation-then-chunk layout GPT-style pretraining
+    * uses), and the assignment is a pure function of the ordered prefix sums
+    * — independent of partitioning, unlike greedy first-fit.
+    *
+    * 100 TB plan: one shuffle on the shard key (lang here; lang × date in a
+    * real lake, which also bounds skew). The window is a running sum, which
+    * Spark evaluates with a single sort per shard partition — no global
+    * sort. A dominant shard is sub-sharded by a deterministic doc_id range
+    * split upstream; the bin ids stay stable because they depend only on
+    * in-shard prefix sums.
+    */
+  def packSequences(s: SparkSession, dir: String, budget: Int = SeqBudget): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .select(col("lang"), col("doc_id"), col("n_toks"),
+        expr(s"(cum - n_toks) DIV $budget").as("seq_id"))
+  }
+
+  /** Per-source keep limit (CCNet/RefinedWeb-style domain balancing caps a
+    * single domain's share of the corpus).
+    */
+  val DomainCap = 15
+
+  /** domain_cap — keep at most `cap` documents per source/domain, preferring
+    * longer documents (n_chars as the quality proxy; ties broken by doc_id
+    * so the result is total-order deterministic). Emits the kept rows with
+    * their in-domain rank.
+    *
+    * 100 TB plan: rank-within-key is one hash shuffle on `source` + a
+    * per-partition sort of that domain's rows; the filter cuts to ≤ cap rows
+    * per domain before anything else consumes the result. A mega-domain is
+    * still one partition's sort (not a global one); AQE skew-split handles
+    * the pathological host, and because only the top `cap` survive, a
+    * pre-aggregating per-partition top-k (rank within map partition, keep
+    * ≤ cap, then re-rank) bounds even that — the standard two-level top-k
+    * refinement, not needed at fixture scale.
+    */
+  def domainCap(s: SparkSession, dir: String, cap: Int = DomainCap): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+  }
+}

@@ -437,12 +437,83 @@ object Dedup {
     labels
   }
 
+  // ------------------------------------------------------ substring dedup
+
+  /** Token-window length for [[substringDups]] (50 in the Lee et al. paper's
+    * BPE-token setting; 8 here so the word-level fixture corpus exercises
+    * the operator non-vacuously).
+    */
+  val SubstringWindow = 8
+
+  /** Distinct sliding `w`-token windows of a document (space-joined), with
+    * the same space-trim + `\s+` tokenization as [[shingleSet]]. Documents
+    * shorter than `w` tokens emit nothing: a window that IS the whole short
+    * doc is exact-dedup's job, not substring dedup's.
+    */
+  private[graft] def windowGrams(text: String, w: Int): IndexedSeq[String] = {
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    val toks = text.substring(b, e).split("\\s+")
+    if (toks.length < w) return IndexedSeq.empty
+    val out = new java.util.LinkedHashSet[String]((toks.length - w + 1) * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + w <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out.add(sb.toString)
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    out.asScala.toIndexedSeq
+  }
+
+  /** dedup_substring — exact substring-level duplication (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * `window`-token run that appears in ≥ 2 distinct documents, with its
+    * document count and the smallest containing doc. Catches boilerplate
+    * shared across otherwise-distinct pages (headers, license blocks) that
+    * document-level Jaccard scores below threshold.
+    *
+    * The aggregation (count + min per gram) is associative, so Spark's
+    * map-side partial agg absorbs hot grams — a boilerplate string repeated
+    * in millions of documents costs one combiner cell per map partition,
+    * never a quadratic pair blowup. That makes this the SKEW-SAFE member of
+    * the dedup family: one shuffle keyed on the gram, no candidate pairing.
+    *
+    * 100 TB: key the shuffle on `fnv64(gram)` (8-byte keys instead of raw
+    * strings — the suffix-array construction in the paper is the single-node
+    * analogue; the hash-keyed aggregate is its distributed-equivalent with a
+    * ~2⁻⁶⁴ per-pair collision risk), and keep `min(doc_id)` as the exemplar
+    * pointer. The fixture-scale form groups on the gram text so the DuckDB
+    * oracle can reproduce it literally.
+    */
+  def substringDups(s: SparkSession, dir: String,
+      window: Int = SubstringWindow): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) => windowGrams(text, window).map(g => (id, g)) }
+      .toDF("doc_id", "gram")
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") >= 2)
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of a token sequence, computed in one pass of plain
     * Scala: per bit, sum ±1 votes over token hashes, sign → bit.
     */
-  private[operators] def simhash64(text: String): Long = {
+  private[graft] def simhash64(text: String): Long = {
     val votes = new Array[Int](64)
     val toks = text.trim.split("\\s+")
     var t = 0

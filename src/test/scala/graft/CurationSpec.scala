@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Dedup}
+
+/** Corpus-curation operators: benchmark decontamination, sequence packing,
+  * domain caps, substring-level dedup — hand-computed semantics on planted
+  * corpora, plus the BMP-corpus precondition the HUGEINT hash oracles in
+  * SparkEntry rely on.
+  */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Temp documents.parquet with the columns the curation operators read. */
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source", "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ------------------------------------------------------------ windowGrams
+
+  test("windowGrams: short docs emit nothing, exact-length docs one window") {
+    assert(Dedup.windowGrams("a b c", 8).isEmpty)
+    assert(Dedup.windowGrams("a b c d e f g h", 8) == IndexedSeq("a b c d e f g h"))
+    assert(Dedup.windowGrams("  a b  ", 2) == IndexedSeq("a b"))
+  }
+
+  test("windowGrams: sliding windows are distinct, in first-seen order") {
+    // "x y x y x y" with w=2 -> windows: "x y","y x","x y","y x","x y" -> distinct 2
+    assert(Dedup.windowGrams("x y x y x y", 2) == IndexedSeq("x y", "y x"))
+  }
+
+  // -------------------------------------------------------- substringDups
+
+  test("substringDups finds the planted shared 8-token run and nothing else") {
+    val boiler = "all rights reserved contact us terms of service"  // 8 tokens
+    val dir = writeDocs(Seq(
+      (1L, s"alpha beta gamma $boiler", "en", "src0"),
+      (2L, s"$boiler delta epsilon", "en", "src1"),
+      (3L, "totally unrelated words here nothing shared at all", "en", "src2")))
+    val rows = Dedup.substringDups(spark, dir).collect()
+    val hit = rows.filter(_.getAs[String]("gram") == boiler)
+    assert(hit.length == 1)
+    assert(hit.head.getAs[Long]("n_docs") == 2L)
+    assert(hit.head.getAs[Long]("keep_id") == 1L)
+    // doc 3 shares no 8-run with anyone; docs 1/2 share ONLY the exact run
+    assert(rows.forall(_.getAs[String]("gram") == boiler))
+  }
+
+  // ------------------------------------------------------------- decontam
+
+  test("decontam: grams shared with the benchmark doc are counted, others zero") {
+    // doc 0 (0 % 50 == 0) is the benchmark; doc 1 contains one of its
+    // 3-grams verbatim; doc 2 shares nothing
+    val dir = writeDocs(Seq(
+      (0L, "one two three four", "en", "src0"),   // grams: "one two three","two three four"
+      (1L, "zz one two three yy", "en", "src0"),  // shares "one two three"
+      (2L, "pp qq rr ss tt", "en", "src0")))
+    val byId = Curation.decontam(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!byId.contains(0L), "benchmark docs are excluded from the output")
+    val d1 = byId(1L)
+    assert(d1.getAs[Int]("n_grams") == 3)
+    assert(d1.getAs[Long]("bench_hits") == 1L)
+    assert(d1.getAs[Boolean]("contaminated"))
+    assert(math.abs(d1.getAs[Double]("contamination") - 1.0 / 3.0) < 1e-15)
+    val d2 = byId(2L)
+    assert(d2.getAs[Long]("bench_hits") == 0L)
+    assert(!d2.getAs[Boolean]("contaminated"))
+  }
+
+  // -------------------------------------------------------- packSequences
+
+  test("packSequences: bins follow per-lang prefix sums of token counts") {
+    // budget 5; en docs have 3,3,3 tokens -> starting offsets 0,3,6 -> bins 0,0,1
+    // de doc independent stream -> bin 0
+    val dir = writeDocs(Seq(
+      (10L, "a b c", "en", "s"),
+      (11L, "d e f", "en", "s"),
+      (12L, "g h i", "en", "s"),
+      (20L, "x y", "de", "s")))
+    val got = Curation.packSequences(spark, dir, budget = 5).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_toks"), r.getAs[Long]("seq_id"))).toSet
+    assert(got == Set(
+      ("en", 10L, 3, 0L), ("en", 11L, 3, 0L), ("en", 12L, 3, 1L),
+      ("de", 20L, 2, 0L)))
+  }
+
+  test("packSequences is deterministic under repartitioning") {
+    val dir = writeDocs((0L until 40L).map(i =>
+      (i, ("tok " * (i.toInt % 7 + 1)).trim, if (i % 2 == 0) "en" else "de", "s")))
+    val a = Curation.packSequences(spark, dir, budget = 8).collect().toSet
+    val b = Curation.packSequences(spark, dir, budget = 8).collect().toSet
+    assert(a == b)
+  }
+
+  // ------------------------------------------------------------ domainCap
+
+  test("domainCap keeps the longest docs per source with doc_id tiebreak") {
+    val dir = writeDocs(Seq(
+      (1L, "aaaa", "en", "big"),   // 4 chars
+      (2L, "bbbbbb", "en", "big"), // 6 chars  -> rank 1
+      (3L, "cccc", "en", "big"),   // 4 chars, ties with doc 1 -> doc 1 wins rank 2
+      (4L, "d", "en", "small")))
+    val got = Curation.domainCap(spark, dir, cap = 2).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Int]("rn"))).toSet
+    assert(got == Set(("big", 2L, 1), ("big", 1L, 2), ("small", 4L, 1)))
+  }
+
+  // ------------------------------------- oracle preconditions (SparkEntry)
+
+  test("fixture corpus is BMP/ASCII — the HUGEINT code-point oracles apply") {
+    val s = spark
+    import s.implicits._
+    val maxCp = graft.sources.Tables.documents(s, "/root/testdata/sf0.001")
+      .select("text").as[String]
+      .map(t => if (t.isEmpty) 0 else t.codePoints().max().getAsInt)
+      .agg(org.apache.spark.sql.functions.max("value")).head().getInt(0)
+    assert(maxCp < 128, s"corpus no longer ASCII (max code point $maxCp): " +
+      "revisit the UTF-16-vs-code-point assumption in SparkEntry's hash oracles")
+  }
+
+  test("simhash64 bit semantics match an independent per-bit vote") {
+    // independent reimplementation: count set bits per position over token
+    // hashes; tie (votes == 0) leaves the bit clear
+    def slowSimhash(text: String): Long = {
+      val toks = text.trim.split("\\s+")
+      (0 until 64).foldLeft(0L) { (acc, b) =>
+        val set = toks.count(t => ((graft.functions.HashFunctions.fnv64(t) >>> b) & 1L) == 1L)
+        if (2 * set > toks.length) acc | (1L << b) else acc
+      }
+    }
+    for (t <- Seq("a b c", "x", "the quick brown fox", "a a a b"))
+      assert(Dedup.simhash64(t) == slowSimhash(t), s"text: $t")
+  }
+}

@@ -17,10 +17,12 @@ class RegistrySpec extends AnyFunSuite {
 
   test("rows-only (no-oracle) set is exactly the documented one") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // round 8 moved the wraparound-int64 hash queries (text_fingerprint_poly,
+    // dedup_simhash, dedup_simhash_pairs) OUT of this set: their oracles now
+    // recompute the hashes in DuckDB HUGEINT mod-2^64 arithmetic
     val documented = Set(
-      "ann_ivf", "ann_lsh", "dedup_embed", "dedup_minhash", "dedup_simhash",
-      "dedup_simhash_pairs", "mm_features", "mm_thumbs", "q19_approx",
-      "text_fingerprint_poly",
+      "ann_ivf", "ann_lsh", "dedup_embed", "dedup_minhash",
+      "mm_features", "mm_thumbs", "q19_approx",
       // same probabilistic banding as dedup_minhash: SQL cannot state the
       // candidate structure; StreamingSpec asserts == batch minhash pairs
       "q36_stream_neardup")
