@@ -110,6 +110,7 @@ object SparkEntry {
     "pack_sequences" -> ((s: SparkSession, d: String) => graft.operators.Curation.packSequences(s, d)),
     "domain_cap" -> ((s: SparkSession, d: String) => graft.operators.Curation.domainCap(s, d)),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringDups(s, d)),
+    "text_commonness" -> (graft.operators.Curation.textCommonness _),
     // --- multimodal columns (stubbed decode, real plumbing) ---
     "mm_features" -> (Multimodal.features _),
     "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
@@ -583,6 +584,17 @@ object SparkEntry {
         | SELECT source, doc_id, n_chars, row_number() OVER (
         |  PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
         | FROM documents) t WHERE rn <= 15""".stripMargin,
+    // corpus-frequency scoring: counts of counts stay integral, only the
+    // final mean divides (exact int-derived doubles — bit-stable)
+    "text_commonness" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |           FROM documents),
+        |f AS (SELECT tok, count(*) AS tok_freq FROM tk GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_toks,
+        | CAST(sum(tok_freq) AS BIGINT) AS freq_sum,
+        | min(tok_freq) AS rarest_freq,
+        | CAST(sum(tok_freq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_freq
+        |FROM tk JOIN f USING (tok) GROUP BY doc_id""".stripMargin,
     // exact substring-level duplication: 8-token sliding windows shared by
     // >= 2 documents (docs under 8 tokens contribute nothing)
     "dedup_substring" ->

@@ -114,13 +114,12 @@ object Curation {
     * their in-domain rank.
     *
     * 100 TB plan: rank-within-key is one hash shuffle on `source` + a
-    * per-partition sort of that domain's rows; the filter cuts to ≤ cap rows
-    * per domain before anything else consumes the result. A mega-domain is
-    * still one partition's sort (not a global one); AQE skew-split handles
-    * the pathological host, and because only the top `cap` survive, a
-    * pre-aggregating per-partition top-k (rank within map partition, keep
-    * ≤ cap, then re-rank) bounds even that — the standard two-level top-k
-    * refinement, not needed at fixture scale.
+    * per-partition sort of that domain's rows. Because the rank filter is a
+    * row_number ≤ cap, Catalyst inserts `WindowGroupLimit(Partial)` BELOW
+    * the exchange (verified in the executed plan): each map partition keeps
+    * at most `cap` rows per domain before shuffling, so a mega-domain ships
+    * ≤ cap × mapPartitions rows, not its full row count — the two-level
+    * top-k refinement for free.
     */
   def domainCap(s: SparkSession, dir: String, cap: Int = DomainCap): DataFrame = {
     val w = Window.partitionBy("source")
@@ -129,5 +128,35 @@ object Curation {
       .select(col("source"), col("doc_id"), col("n_chars"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap)
+  }
+
+  /** text_commonness — corpus-frequency document scoring (the integral
+    * cousin of CCNet's LM-perplexity filter): token-level corpus frequencies
+    * aggregated per document. Documents full of rare tokens (low
+    * `rarest_freq` / `mean_freq`) are OCR garbage or boilerplate-stripped
+    * fragments; documents of only ultra-common tokens carry no information.
+    * All sums stay integral (counts of counts) so the oracle compare is
+    * bit-exact — no float log-prob summation-order hazard.
+    *
+    * Two-pass plan: (1) one shuffle on token to build the corpus frequency
+    * table; (2) join the exploded tokens back to it and aggregate per doc.
+    * The frequency table is an aggregate, so AQE sizes it at runtime and
+    * converts the join to broadcast when the vocabulary fits (it does here,
+    * and for any natural-language vocabulary in the low millions); a
+    * web-scale token table beyond that joins by one extra shuffle on `tok` —
+    * still linear, never all-pairs.
+    */
+  def textCommonness(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tok_freq"))
+    toks.join(freq, "tok")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum("tok_freq").as("freq_sum"),
+        min("tok_freq").as("rarest_freq"))
+      .withColumn("mean_freq",
+        col("freq_sum").cast("double") / col("n_toks").cast("double"))
   }
 }

@@ -114,6 +114,25 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Set(("big", 2L, 1), ("big", 1L, 2), ("small", 4L, 1)))
   }
 
+  // ------------------------------------------------------ textCommonness
+
+  test("textCommonness: hand-computed corpus frequencies") {
+    // corpus: "a a b" + "a c" -> freqs: a=3, b=1, c=1
+    val dir = writeDocs(Seq(
+      (1L, "a a b", "en", "s"),
+      (2L, "a c", "en", "s")))
+    val byId = Curation.textCommonness(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = byId(1L) // tokens a,a,b -> freqs 3,3,1
+    assert(d1.getAs[Long]("n_toks") == 3L)
+    assert(d1.getAs[Long]("freq_sum") == 7L)
+    assert(d1.getAs[Long]("rarest_freq") == 1L)
+    assert(d1.getAs[Double]("mean_freq") == 7.0 / 3.0)
+    val d2 = byId(2L) // tokens a,c -> freqs 3,1
+    assert(d2.getAs[Long]("freq_sum") == 4L)
+    assert(d2.getAs[Long]("rarest_freq") == 1L)
+  }
+
   // ------------------------------------- oracle preconditions (SparkEntry)
 
   test("fixture corpus is BMP/ASCII — the HUGEINT code-point oracles apply") {
