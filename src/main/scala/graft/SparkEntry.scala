@@ -604,6 +604,45 @@ object SparkEntry {
         |       ELSE [] END)) AS gram FROM t)
         |SELECT gram, count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM w GROUP BY gram HAVING count(*) >= 2""".stripMargin,
+    // the full stub decode replayed in SQL: seed = byte-poly hash of the
+    // utf-8 payload (hex-pair fold), pixels = a 64-bit LCG stepped w*h times
+    // inside a recursive CTE that carries the running double sums — fully
+    // sequential, so the per-asset float math is reproduced BIT-exactly
+    // (note the CAST(px*px AS FLOAT): the Scala side multiplies float*float
+    // before widening into the double accumulator). Proves the "stub" is a
+    // pinned deterministic contract, not an unchecked placeholder.
+    "mm_features" ->
+      """WITH RECURSIVE
+        |a AS (SELECT doc_id AS asset_id,
+        |   ['image','audio','video'][(doc_id % 3 + 1)] AS media_type,
+        |   CAST(n_chars % 64 + 8 AS INTEGER) AS width,
+        |   CAST(n_chars % 48 + 6 AS INTEGER) AS height,
+        |   CAST((n_chars % 64 + 8) * (n_chars % 48 + 6) AS INTEGER) AS n_pixels,
+        |   list_reduce(
+        |     list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |       list_transform(range(1, length(hex(encode(text)))//2 + 1),
+        |         i -> CAST(strpos('123456789ABCDEF', substring(hex(encode(text)), 2*i-1, 1)) * 16
+        |                 + strpos('123456789ABCDEF', substring(hex(encode(text)), 2*i, 1)) AS HUGEINT))),
+        |     (acc, b) -> (acc * 31 + b) % CAST(18446744073709551616 AS HUGEINT)) AS seed
+        |  FROM documents),
+        |steps(asset_id, p, hsh, s, sq) AS (
+        |  SELECT asset_id, 0, seed, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) FROM a
+        |  UNION ALL
+        |  SELECT st.asset_id, st.p + 1, nxt.h2,
+        |     st.s + nxt.px, st.sq + CAST(CAST(nxt.px * nxt.px AS FLOAT) AS DOUBLE)
+        |  FROM steps st
+        |  JOIN a ON a.asset_id = st.asset_id,
+        |  LATERAL (SELECT (st.hsh * 6364136223846793005 + 1442695040888963407)
+        |                  % CAST(18446744073709551616 AS HUGEINT) AS h2,
+        |                  CAST(CAST((((st.hsh * 6364136223846793005 + 1442695040888963407)
+        |                    % CAST(18446744073709551616 AS HUGEINT)) >> 40) & 65535 AS BIGINT) AS DOUBLE)
+        |                    / 65536.0 AS px) nxt
+        |  WHERE st.p < a.n_pixels)
+        |SELECT a.asset_id, a.media_type, a.width, a.height, a.n_pixels,
+        | st.s / a.n_pixels AS mean_px,
+        | sqrt(greatest(0.0, st.sq / a.n_pixels - (st.s / a.n_pixels) * (st.s / a.n_pixels))) AS std_px,
+        | sqrt(st.sq) AS l2_norm
+        |FROM steps st JOIN a ON a.asset_id = st.asset_id AND st.p = a.n_pixels""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id AS asset_id, CAST(n_chars % 30 + 1 AS INTEGER) AS n_frames,
         | CAST(unnest(generate_series(0, n_chars % 30, 5)) AS INTEGER) AS frame_idx
@@ -619,11 +658,13 @@ object SparkEntry {
     // no oracle (not DuckDB-expressible): dedup_minhash (probabilistic LSH
     // recall — exact sibling dedup_jaccard3 carries the oracle), ann_lsh /
     // ann_ivf / dedup_embed (LSH/k-means bucket structure), q19_approx
-    // (engine-specific sketches), mm_features / mm_thumbs (stub decoder),
+    // (engine-specific sketches), mm_thumbs (float-precision average
+    // pooling with data-dependent pool shapes; pinned in MultimodalSpec),
     // q36_stream_neardup (stateful streaming; batch-parity in StreamingSpec)
     // — driver records rows-only checks; invariants are asserted in
     // ScalaTest (recall-vs-brute, sketch error bounds). The wraparound-int64
-    // hash queries (text_fingerprint_poly, dedup_simhash(_pairs)) DO carry
-    // oracles now, via the HUGEINT mod-2^64 fold above.
+    // hash queries (text_fingerprint_poly, dedup_simhash(_pairs)) and the
+    // stub-decode pipeline (mm_features) DO carry oracles, via the HUGEINT
+    // mod-2^64 folds above.
   )
 }

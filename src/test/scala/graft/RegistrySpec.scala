@@ -20,9 +20,13 @@ class RegistrySpec extends AnyFunSuite {
     // round 8 moved the wraparound-int64 hash queries (text_fingerprint_poly,
     // dedup_simhash, dedup_simhash_pairs) OUT of this set: their oracles now
     // recompute the hashes in DuckDB HUGEINT mod-2^64 arithmetic
+    // mm_features gained an oracle too (the stub LCG replayed in a recursive
+    // CTE); mm_thumbs stays rows-only — its average-pooling accumulates in
+    // FLOAT precision with data-dependent pool shapes, and MultimodalSpec
+    // pins that path instead
     val documented = Set(
       "ann_ivf", "ann_lsh", "dedup_embed", "dedup_minhash",
-      "mm_features", "mm_thumbs", "q19_approx",
+      "mm_thumbs", "q19_approx",
       // same probabilistic banding as dedup_minhash: SQL cannot state the
       // candidate structure; StreamingSpec asserts == batch minhash pairs
       "q36_stream_neardup")
