@@ -111,6 +111,8 @@ object SparkEntry {
     "domain_cap" -> ((s: SparkSession, d: String) => graft.operators.Curation.domainCap(s, d)),
     "dedup_substring" -> ((s: SparkSession, d: String) => Dedup.substringDups(s, d)),
     "text_commonness" -> (graft.operators.Curation.textCommonness _),
+    "chunk_docs" -> ((s: SparkSession, d: String) => graft.operators.Curation.chunkDocs(s, d)),
+    "tfidf" -> ((s: SparkSession, d: String) => TextOps.tfidf(s, d)),
     // --- multimodal columns (stubbed decode, real plumbing) ---
     "mm_features" -> (Multimodal.features _),
     "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
@@ -164,6 +166,58 @@ object SparkEntry {
   private def fnvFold(cs: String): String =
     s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $cs), " +
       s"(acc, c) -> (xor(acc, c) * CAST(1099511628211 AS HUGEINT)) % $twoPow64)"
+
+  /** (a*b) mod 2^64 for HUGEINT a < 2^64 and a literal b < 2^64: the direct
+    * product can reach 2^128 and overflow HUGEINT (signed 128-bit), so split
+    * a into 32-bit halves — each partial product stays below 2^97.
+    */
+  private val twoPow32 = "CAST(4294967296 AS HUGEINT)"
+  private def mulmod64(a: String, b: String): String =
+    s"((($a) % $twoPow32) * $b + ((($a) // $twoPow32) * $b % $twoPow32) * $twoPow32) % $twoPow64"
+
+  /** Full replay of the MinHash LSH pipeline (Dedup.bandKeys) in DuckDB:
+    * FNV-1a gram hashes, splitmix64-remixed per-slot minima over 64 slots
+    * (the row-exploded formulation — each CTE column is a let-binding, so
+    * the mix chain vectorizes instead of re-evaluating inside lambdas),
+    * 16-band FNV fold with the band index salted into the seed, the
+    * MaxBucket=1000 hot-bucket cap, within-bucket pairing, and the exact
+    * shingle-Jaccard verify. Pair-for-pair equality here proves the banding
+    * S-curve is NOT left probabilistic at the gate: the oracle collides
+    * exactly the buckets the Spark plan collides.
+    */
+  private val minhashPairsSql = {
+    val golden = "CAST(11400714819323198485 AS HUGEINT)" // 0x9E3779B97F4A7C15
+    val fnvOff = "CAST(14695981039346656037 AS HUGEINT)" // FNV-1a offset basis
+    val fnvPrime = "CAST(1099511628211 AS HUGEINT)"
+    s"""WITH s AS ($shingled),
+       |g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+       |h AS (SELECT doc_id, ${fnvFold(codeUnits("gram"))} AS hu FROM g),
+       |hk AS (SELECT doc_id, hu, unnest(range(0, 64)) AS k FROM h),
+       |m1 AS (SELECT doc_id, k,
+       |  ((hu + (CAST(k AS HUGEINT) * $golden) % $twoPow64) % $twoPow64
+       |    + $golden) % $twoPow64 AS z0 FROM hk),
+       |m2 AS (SELECT doc_id, k, ${mulmod64("xor(z0, z0 >> 30)",
+           "CAST(13787848793156543929 AS HUGEINT)")} AS z1 FROM m1),
+       |m3 AS (SELECT doc_id, k, ${mulmod64("xor(z1, z1 >> 27)",
+           "CAST(10723151780598845931 AS HUGEINT)")} AS z2 FROM m2),
+       |m4 AS (SELECT doc_id, k, xor(z2, z2 >> 31) AS v FROM m3),
+       |sig AS (SELECT doc_id, k, min(v) AS mn FROM m4 GROUP BY doc_id, k),
+       |band AS (SELECT doc_id, k // 4 AS band, list_reduce(
+       |  list_prepend(xor($fnvOff, CAST(k // 4 AS HUGEINT)), list(mn ORDER BY k)),
+       |  (acc, sl) -> (xor(acc, sl) * $fnvPrime) % $twoPow64) AS bkey
+       | FROM sig GROUP BY doc_id, k // 4),
+       |capped AS (SELECT * FROM (SELECT doc_id, band, bkey,
+       |   count(*) OVER (PARTITION BY band, bkey) AS bucket_n FROM band) c
+       |  WHERE bucket_n <= 1000),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       | FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+       |  AND a.doc_id < b.doc_id),
+       |j AS (SELECT c.doc1, c.doc2,
+       |  CAST(len(list_distinct(list_intersect(x.sh, y.sh))) AS DOUBLE)
+       |   / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
+       | FROM cand c JOIN s x ON x.doc_id = c.doc1 JOIN s y ON y.doc_id = c.doc2)
+       |SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+  }
 
   /** Shared CTE: 64-bit SimHash signatures recomputed from first principles
     * in DuckDB — per-token FNV-1a hashes, ±1 votes per bit over all (not
@@ -531,10 +585,14 @@ object SparkEntry {
     "dedup_exact_dups" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1""".stripMargin,
-    // dedup_jaccard3 (NOT dedup_minhash): the exact prefix-filter variant has
-    // recall exactly 1, so the all-pairs oracle agrees deterministically on
-    // any corpus; the LSH minhash path is probabilistic near the banding
-    // S-curve knee and is checked rows-only + by recall tests instead.
+    // dedup_minhash: since round 8 the banding pipeline is replayed in full
+    // (signatures, band keys, bucket cap, pairing, exact-Jaccard verify) —
+    // see minhashPairsSql. The output is a deterministic function of the
+    // corpus; "probabilistic" only describes its RECALL vs the exact sibling
+    // below, not any run-to-run variance.
+    "dedup_minhash" -> minhashPairsSql,
+    // dedup_jaccard3: the exact prefix-filter variant has recall exactly 1,
+    // so a simple all-pairs oracle agrees deterministically on any corpus.
     "dedup_jaccard3" ->
       s"""SELECT doc1, doc2, jaccard FROM (
          | SELECT a.doc_id AS doc1, b.doc_id AS doc2,
@@ -595,6 +653,37 @@ object SparkEntry {
         | min(tok_freq) AS rarest_freq,
         | CAST(sum(tok_freq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_freq
         |FROM tk JOIN f USING (tok) GROUP BY doc_id""".stripMargin,
+    // overlapping context-window chunking: a chunk starts at every stride
+    // multiple below the token count (range() excludes the end bound exactly
+    // as sequence(0, n-1, stride) stops at n-1) and takes up to 64 tokens
+    "chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |o AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_toks, toks,
+        |       unnest(range(0, len(toks), 48)) AS st FROM t)
+        |SELECT doc_id, n_toks,
+        | CAST(st // 48 AS INTEGER) AS chunk_idx,
+        | CAST(st AS INTEGER) AS start_tok,
+        | CAST(least(64, n_toks - st) AS INTEGER) AS chunk_toks,
+        | array_to_string(toks[st + 1 : least(st + 64, n_toks)], ' ') AS chunk_text
+        |FROM o""".stripMargin,
+    // top-5 TF-IDF terms per doc; the weight stays the exact rational
+    // tf*N/df (one int product + one IEEE division — bit-stable on both
+    // engines), ties broken lexicographically
+    "tfidf" ->
+      s"""WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, word AS term
+         |           FROM (SELECT doc_id, unnest(string_split_regex(text, '[^\\p{L}]+')) AS word
+         |                 FROM documents) u WHERE word <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INTEGER) AS rnk FROM (
+         | SELECT doc_id, term, tf, df,
+         |  CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY
+         |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) DESC, term ASC) AS rnk
+         | FROM tf JOIN df USING (term), n) r
+         |WHERE rnk <= 5""".stripMargin,
     // exact substring-level duplication: 8-token sliding windows shared by
     // >= 2 documents (docs under 8 tokens contribute nothing)
     "dedup_substring" ->
@@ -655,16 +744,16 @@ object SparkEntry {
         |  PARTITION BY q.query_id
         |  ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id ASC) AS rnk
         | FROM c, q WHERE c.vec_id <> q.query_id) t WHERE rnk <= 10""".stripMargin,
-    // no oracle (not DuckDB-expressible): dedup_minhash (probabilistic LSH
-    // recall — exact sibling dedup_jaccard3 carries the oracle), ann_lsh /
-    // ann_ivf / dedup_embed (LSH/k-means bucket structure), q19_approx
-    // (engine-specific sketches), mm_thumbs (float-precision average
-    // pooling with data-dependent pool shapes; pinned in MultimodalSpec),
-    // q36_stream_neardup (stateful streaming; batch-parity in StreamingSpec)
-    // — driver records rows-only checks; invariants are asserted in
-    // ScalaTest (recall-vs-brute, sketch error bounds). The wraparound-int64
-    // hash queries (text_fingerprint_poly, dedup_simhash(_pairs)) and the
-    // stub-decode pipeline (mm_features) DO carry oracles, via the HUGEINT
-    // mod-2^64 folds above.
+    // no oracle (not DuckDB-expressible): ann_lsh / ann_ivf / dedup_embed
+    // (LSH/k-means bucket structure seeded from float hyperplane math),
+    // q19_approx (engine-specific sketches), mm_thumbs (float-precision
+    // average pooling with data-dependent pool shapes; pinned in
+    // MultimodalSpec), q36_stream_neardup (stateful streaming; batch-parity
+    // in StreamingSpec) — driver records rows-only checks; invariants are
+    // asserted in ScalaTest (recall-vs-brute, sketch error bounds). The
+    // wraparound-int64 hash queries (text_fingerprint_poly,
+    // dedup_simhash(_pairs)), the stub-decode pipeline (mm_features), and
+    // since round 8 the full MinHash LSH banding pipeline (dedup_minhash)
+    // DO carry oracles, via the HUGEINT mod-2^64 folds above.
   )
 }

@@ -130,6 +130,40 @@ object Curation {
       .filter(col("rn") <= cap)
   }
 
+  /** Chunk geometry for the fixture: 64-token windows advancing by 48 (16
+    * tokens of overlap). A real pipeline sets window = model context length
+    * and stride = window − overlap.
+    */
+  val ChunkWindow = 64
+  val ChunkStride = 48
+
+  /** chunk_docs — split every document into fixed-token-budget windows with
+    * overlap (the context-window splitter: long documents become multiple
+    * training examples, the overlap preserving cross-boundary n-grams for
+    * retrieval/embedding corpora). A chunk starts at every `stride` multiple
+    * below the token count and takes up to `window` tokens, so the chunk set
+    * is a pure per-row function of the document — no state, no shuffle.
+    *
+    * 100 TB plan: one codegen'd scan with a generate (posexplode) — embarras-
+    * singly parallel, output is written straight back out partitioned however
+    * the sink wants. Contrast stateful packing ([[packSequences]]), which
+    * needs a per-shard prefix sum; chunking deliberately does NOT coalesce
+    * short documents, so it needs no cross-row coordination at all.
+    */
+  def chunkDocs(s: SparkSession, dir: String,
+      window: Int = ChunkWindow, stride: Int = ChunkStride): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_toks"))
+      .select(col("doc_id"), col("n_toks"), col("toks"),
+        posexplode(sequence(lit(0), col("n_toks") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(
+        col("doc_id"), col("n_toks"), col("chunk_idx"), col("start_tok"),
+        least(lit(window), col("n_toks") - col("start_tok")).as("chunk_toks"),
+        array_join(slice(col("toks"), col("start_tok") + 1, lit(window)), " ")
+          .as("chunk_text"))
+
   /** text_commonness — corpus-frequency document scoring (the integral
     * cousin of CCNet's LM-perplexity filter): token-level corpus frequencies
     * aggregated per document. Documents full of rare tokens (low

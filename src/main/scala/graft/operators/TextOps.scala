@@ -220,6 +220,45 @@ object TextOps {
     h
   }
 
+  /** Terms kept per document by [[tfidf]]. */
+  val TfidfTopK = 5
+
+  /** tfidf — top-k characteristic terms per document by TF-IDF weight (the
+    * keyword-extraction / topic-tagging primitive over the same inverted
+    * index the `indexer` workload builds). The weight is kept as the exact
+    * rational `tf · N / df` — one integer product (exact below 2^53) and one
+    * IEEE division, so Spark and the oracle compute bit-identical doubles
+    * with no log() libm hazard; the log-damped variant is monotone in this
+    * ratio for fixed tf, and consumers can apply it downstream.
+    *
+    * 100 TB plan: tf is one shuffle on (doc, term) with map-side combine;
+    * df one more on term over the already-distinct (doc, term) pairs. The
+    * df table is vocabulary-sized, so AQE broadcasts the join back (a web-
+    * scale vocabulary falls back to one extra hash join on term — linear).
+    * The per-doc top-k is a rank filter: Catalyst's WindowGroupLimit prunes
+    * to ≤ k rows per doc map-side before the final shuffle, like domain_cap.
+    */
+  def tfidf(s: SparkSession, dir: String, k: Int = TfidfTopK): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rnk"))
+  }
+
   /** Stopword profiles for the n-gram/function-word language-ID heuristic.
     * Tiny on purpose: broadcast as a literal map into the expression.
     */

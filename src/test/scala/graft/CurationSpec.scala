@@ -159,4 +159,53 @@ class CurationSpec extends AnyFunSuite {
     for (t <- Seq("a b c", "x", "the quick brown fox", "a a a b"))
       assert(Dedup.simhash64(t) == slowSimhash(t), s"text: $t")
   }
+
+  // ------------------------------------------------------------ chunkDocs
+
+  test("chunkDocs: hand-computed windows with overlap, short-doc single chunk") {
+    val dir = writeDocs(Seq(
+      (1L, "a b c d e", "en", "s0"), // 5 toks, w=3 s=2 -> [a b c][c d e][e]
+      (2L, "solo", "en", "s1")))
+    val rows = Curation.chunkDocs(spark, dir, window = 3, stride = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("start_tok"), r.getAs[Int]("chunk_toks"),
+        r.getAs[String]("chunk_text"))).toSet
+    assert(rows == Set(
+      (1L, 0, 0, 3, "a b c"),
+      (1L, 1, 2, 3, "c d e"),
+      (1L, 2, 4, 1, "e"),
+      (2L, 0, 0, 1, "solo")))
+  }
+
+  test("chunkDocs: chunk starts tile every token (coverage, no gaps)") {
+    val text = (1 to 103).map(i => s"t$i").mkString(" ")
+    val dir = writeDocs(Seq((7L, text, "en", "s0")))
+    val chunks = Curation.chunkDocs(spark, dir) // window 64, stride 48
+      .collect().map(r => (r.getAs[Int]("start_tok"), r.getAs[Int]("chunk_toks")))
+    val covered = chunks.flatMap { case (st, n) => st until (st + n) }.toSet
+    assert(covered == (0 until 103).toSet)
+    // consecutive chunks overlap by window - stride = 16 tokens
+    assert(chunks.map(_._1).sorted.toSeq == Seq(0, 48, 96))
+  }
+
+  // ----------------------------------------------------------------- tfidf
+
+  test("tfidf: exact rational weights, rank order, lexicographic tiebreak") {
+    val dir = writeDocs(Seq(
+      (1L, "apple apple banana", "en", "s0"),
+      (2L, "banana cherry", "en", "s1"),
+      (3L, "cherry cherry cherry", "en", "s2")))
+    // N=3; df: apple 1, banana 2, cherry 2
+    val rows = graft.operators.TextOps.tfidf(spark, dir)
+      .collect().map(r => ((r.getAs[Long]("doc_id"), r.getAs[String]("term")),
+        (r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("tfidf"),
+          r.getAs[Int]("rnk")))).toMap
+    assert(rows((1L, "apple")) == ((2L, 1L, 6.0, 1)))
+    assert(rows((1L, "banana")) == ((1L, 2L, 1.5, 2)))
+    // doc 2: equal weights 1.5/1.5 -> banana before cherry lexicographically
+    assert(rows((2L, "banana")) == ((1L, 2L, 1.5, 1)))
+    assert(rows((2L, "cherry")) == ((1L, 2L, 1.5, 2)))
+    assert(rows((3L, "cherry")) == ((3L, 2L, 4.5, 1)))
+    assert(rows.size == 5)
+  }
 }

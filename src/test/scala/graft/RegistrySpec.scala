@@ -24,11 +24,14 @@ class RegistrySpec extends AnyFunSuite {
     // CTE); mm_thumbs stays rows-only — its average-pooling accumulates in
     // FLOAT precision with data-dependent pool shapes, and MultimodalSpec
     // pins that path instead
+    // dedup_minhash left this set in round 8: its oracle now replays the
+    // whole banding pipeline (signatures, band keys, bucket cap, verify)
+    // in DuckDB HUGEINT arithmetic — see SparkEntry.minhashPairsSql
     val documented = Set(
-      "ann_ivf", "ann_lsh", "dedup_embed", "dedup_minhash",
+      "ann_ivf", "ann_lsh", "dedup_embed",
       "mm_thumbs", "q19_approx",
-      // same probabilistic banding as dedup_minhash: SQL cannot state the
-      // candidate structure; StreamingSpec asserts == batch minhash pairs
+      // stateful streaming: SQL cannot state the incremental candidate
+      // structure; StreamingSpec asserts pair-set == batch minhash
       "q36_stream_neardup")
     assert(rowsOnly == documented,
       s"oracle coverage drifted: extra=${rowsOnly -- documented} missing=${documented -- rowsOnly}")
