@@ -237,13 +237,18 @@ object TextOps {
     * scale vocabulary falls back to one extra hash join on term — linear).
     * The per-doc top-k is a rank filter: Catalyst's WindowGroupLimit prunes
     * to ≤ k rows per doc map-side before the final shuffle, like domain_cap.
+    * tf feeds both the df aggregation and the join's probe side, and
+    * exchange reuse does NOT fire across the diverging agg shapes (measured:
+    * the executed plan re-scans and re-tokenizes the corpus), so tf is
+    * cached transiently — post-agg triples, far smaller than the raw text
+    * (graft.TransientCache contract: released after the consuming action).
     */
   def tfidf(s: SparkSession, dir: String, k: Int = TfidfTopK): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val tf = docs
+    val tf = graft.TransientCache.cache(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, "term")
