@@ -219,6 +219,59 @@ object SparkEntry {
        |SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
   }
 
+  /** Full replay of the random-hyperplane LSH ANN path (Ann.lshTopK) in
+    * DuckDB: the splitmix64 hyperplane stream (closed form — state_k = seed +
+    * (k+1)·golden, no recursion), sign-pattern buckets from ORDERED double
+    * dot products (list_reduce over an ascending-index product list — the
+    * same multiply-then-add sequence ArrayDotExpr generates, so every double
+    * is bit-identical), Hamming-1 multiprobe, cosine scoring, and the per-
+    * query top-k. Adaptive nbits is recomputed from the corpus count with
+    * the same ln-ratio formula as Ann.nbitsFor.
+    */
+  private val annLshSql = {
+    val golden = "CAST(11400714819323198485 AS HUGEINT)"
+    // ordered dot product of two DOUBLE[64] lists — ArrayDotExpr's exact
+    // summation order (products first, then a sequential left fold from 0.0)
+    def dot64(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), j -> $a[j] * $b[j])), (x, y) -> x + y)"
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |n AS (SELECT count(*) AS n FROM c),
+       |nb AS (SELECT least(30, greatest(4,
+       |    CAST(ceil(ln(greatest(1.0, n / 32.0)) / ln(2.0)) AS INTEGER))) AS nbits FROM n),
+       |pk AS (SELECT k, (CAST(42 AS HUGEINT) + (CAST(k + 1 AS HUGEINT) * $golden) % $twoPow64)
+       |         % $twoPow64 AS z0
+       |       FROM (SELECT unnest(range(0, (SELECT nbits FROM nb) * 64)) AS k)),
+       |p1 AS (SELECT k, ${mulmod64("xor(z0, z0 >> 30)",
+           "CAST(13787848793156543929 AS HUGEINT)")} AS z1 FROM pk),
+       |p2 AS (SELECT k, ${mulmod64("xor(z1, z1 >> 27)",
+           "CAST(10723151780598845931 AS HUGEINT)")} AS z2 FROM p1),
+       |p3 AS (SELECT k, xor(z2, z2 >> 31) AS v FROM p2),
+       |planes AS (SELECT CAST(k // 64 AS INTEGER) AS i,
+       |    list(CAST(${signed64("v")} AS DOUBLE) / 9223372036854775807.0 ORDER BY k) AS plane
+       |   FROM p3 GROUP BY k // 64),
+       |dots AS (SELECT c.vec_id, p.i, ${dot64("p.plane", "c.vec")} AS dot FROM c, planes p),
+       |buckets AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN dot >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS bucket
+       |   FROM dots GROUP BY vec_id),
+       |corpus AS (SELECT c.vec_id, c.vec, sqrt(${dot64("c.vec", "c.vec")}) AS nrm, b.bucket
+       |           FROM c JOIN buckets b USING (vec_id)),
+       |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm, bucket AS qb
+       |      FROM corpus WHERE vec_id < 8),
+       |probes AS (SELECT query_id, qvec, qnrm, unnest(list_prepend(qb,
+       |    list_transform(range(0, (SELECT nbits FROM nb)), b -> xor(qb, 1 << b)))) AS bucket
+       |   FROM q),
+       |scored AS (SELECT p.query_id, cc.vec_id,
+       |    ${dot64("p.qvec", "cc.vec")} / (p.qnrm * cc.nrm) AS score
+       |   FROM probes p JOIN corpus cc ON cc.bucket = p.bucket AND cc.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, "rank", score4 FROM (
+       | SELECT query_id, vec_id AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, vec_id ASC) AS INTEGER) AS "rank",
+       |  round(score, 4) AS score4
+       | FROM scored) r WHERE "rank" <= 10""".stripMargin
+  }
+
   /** Shared CTE: 64-bit SimHash signatures recomputed from first principles
     * in DuckDB — per-token FNV-1a hashes, ±1 votes per bit over all (not
     * distinct) tokens, sign → bit, big-endian bit fold to one BIGINT.
@@ -744,16 +797,21 @@ object SparkEntry {
         |  PARTITION BY q.query_id
         |  ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id ASC) AS rnk
         | FROM c, q WHERE c.vec_id <> q.query_id) t WHERE rnk <= 10""".stripMargin,
-    // no oracle (not DuckDB-expressible): ann_lsh / ann_ivf / dedup_embed
-    // (LSH/k-means bucket structure seeded from float hyperplane math),
-    // q19_approx (engine-specific sketches), mm_thumbs (float-precision
-    // average pooling with data-dependent pool shapes; pinned in
-    // MultimodalSpec), q36_stream_neardup (stateful streaming; batch-parity
-    // in StreamingSpec) — driver records rows-only checks; invariants are
-    // asserted in ScalaTest (recall-vs-brute, sketch error bounds). The
-    // wraparound-int64 hash queries (text_fingerprint_poly,
-    // dedup_simhash(_pairs)), the stub-decode pipeline (mm_features), and
-    // since round 8 the full MinHash LSH banding pipeline (dedup_minhash)
-    // DO carry oracles, via the HUGEINT mod-2^64 folds above.
+    // ann_lsh: full replay since round 8 — hyperplanes, buckets, multiprobe,
+    // scores, ranks AND the rounded score column all reproduce bit-exactly
+    // because every float step is an ordered IEEE operation on both engines
+    "ann_lsh" -> annLshSql,
+    // no oracle (not DuckDB-expressible): ann_ivf (iterative k-means — a
+    // fixed-point loop, not a query), dedup_embed (8 independent hyperplane
+    // tables; AnnSpec pins semantics), q19_approx (engine-specific
+    // sketches), mm_thumbs (float-precision average pooling with data-
+    // dependent pool shapes; pinned in MultimodalSpec), q36_stream_neardup
+    // (stateful streaming; batch-parity in StreamingSpec) — driver records
+    // rows-only checks; invariants are asserted in ScalaTest
+    // (recall-vs-brute, sketch error bounds). The wraparound-int64 hash
+    // queries (text_fingerprint_poly, dedup_simhash(_pairs)), the
+    // stub-decode pipeline (mm_features), the MinHash banding pipeline
+    // (dedup_minhash), and the hyperplane-LSH ANN path (ann_lsh) DO carry
+    // oracles, via the HUGEINT mod-2^64 folds above.
   )
 }

@@ -24,11 +24,12 @@ class RegistrySpec extends AnyFunSuite {
     // CTE); mm_thumbs stays rows-only — its average-pooling accumulates in
     // FLOAT precision with data-dependent pool shapes, and MultimodalSpec
     // pins that path instead
-    // dedup_minhash left this set in round 8: its oracle now replays the
-    // whole banding pipeline (signatures, band keys, bucket cap, verify)
-    // in DuckDB HUGEINT arithmetic — see SparkEntry.minhashPairsSql
+    // dedup_minhash and ann_lsh left this set in round 8: their oracles now
+    // replay the whole pipeline (splitmix64 hyperplanes/signatures, banding
+    // or buckets, ordered-IEEE float scoring) in DuckDB HUGEINT arithmetic
+    // — see SparkEntry.minhashPairsSql / annLshSql
     val documented = Set(
-      "ann_ivf", "ann_lsh", "dedup_embed",
+      "ann_ivf", "dedup_embed",
       "mm_thumbs", "q19_approx",
       // stateful streaming: SQL cannot state the incremental candidate
       // structure; StreamingSpec asserts pair-set == batch minhash
