@@ -228,25 +228,40 @@ object SparkEntry {
     * query top-k. Adaptive nbits is recomputed from the corpus count with
     * the same ln-ratio formula as Ann.nbitsFor.
     */
-  private val annLshSql = {
-    val golden = "CAST(11400714819323198485 AS HUGEINT)"
-    // ordered dot product of two DOUBLE[64] lists — ArrayDotExpr's exact
-    // summation order (products first, then a sequential left fold from 0.0)
-    def dot64(a: String, b: String): String =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform(range(1, 65), j -> $a[j] * $b[j])), (x, y) -> x + y)"
-    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-       |n AS (SELECT count(*) AS n FROM c),
-       |nb AS (SELECT least(30, greatest(4,
-       |    CAST(ceil(ln(greatest(1.0, n / 32.0)) / ln(2.0)) AS INTEGER))) AS nbits FROM n),
-       |pk AS (SELECT k, (CAST(42 AS HUGEINT) + (CAST(k + 1 AS HUGEINT) * $golden) % $twoPow64)
-       |         % $twoPow64 AS z0
+  // ordered dot product of two DOUBLE[64] lists — ArrayDotExpr's exact
+  // summation order (products first, then a sequential left fold from 0.0)
+  private def dot64(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, 65), j -> $a[j] * $b[j])), (x, y) -> x + y)"
+
+  /** splitmix64 finalizer chain p1→p2→p3 over a CTE `pk(…, z0)`; `carry`
+    * names the pass-through columns. p3 exposes the mixed value as `v`.
+    */
+  private def splitmixCtes(carry: String): String =
+    s"""p1 AS (SELECT $carry, ${mulmod64("xor(z0, z0 >> 30)",
+         "CAST(13787848793156543929 AS HUGEINT)")} AS z1 FROM pk),
+       |p2 AS (SELECT $carry, ${mulmod64("xor(z1, z1 >> 27)",
+         "CAST(10723151780598845931 AS HUGEINT)")} AS z2 FROM p1),
+       |p3 AS (SELECT $carry, xor(z2, z2 >> 31) AS v FROM p2)""".stripMargin
+
+  /** Corpus-with-nbits preamble shared by the two hyperplane replays:
+    * vectors cast to double and Ann.nbitsFor recomputed with the same
+    * ln-ratio formula.
+    */
+  private val embedPreambleCtes =
+    """c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |n AS (SELECT count(*) AS n FROM c),
+      |nb AS (SELECT least(30, greatest(4,
+      |    CAST(ceil(ln(greatest(1.0, n / 32.0)) / ln(2.0)) AS INTEGER))) AS nbits FROM n)""".stripMargin
+
+  private val goldenGamma = "CAST(11400714819323198485 AS HUGEINT)"
+
+  private val annLshSql =
+    s"""WITH $embedPreambleCtes,
+       |pk AS (SELECT k, (CAST(42 AS HUGEINT) + (CAST(k + 1 AS HUGEINT) * $goldenGamma)
+       |         % $twoPow64) % $twoPow64 AS z0
        |       FROM (SELECT unnest(range(0, (SELECT nbits FROM nb) * 64)) AS k)),
-       |p1 AS (SELECT k, ${mulmod64("xor(z0, z0 >> 30)",
-           "CAST(13787848793156543929 AS HUGEINT)")} AS z1 FROM pk),
-       |p2 AS (SELECT k, ${mulmod64("xor(z1, z1 >> 27)",
-           "CAST(10723151780598845931 AS HUGEINT)")} AS z2 FROM p1),
-       |p3 AS (SELECT k, xor(z2, z2 >> 31) AS v FROM p2),
+       |${splitmixCtes("k")},
        |planes AS (SELECT CAST(k // 64 AS INTEGER) AS i,
        |    list(CAST(${signed64("v")} AS DOUBLE) / 9223372036854775807.0 ORDER BY k) AS plane
        |   FROM p3 GROUP BY k // 64),
@@ -270,6 +285,44 @@ object SparkEntry {
        |    ORDER BY score DESC, vec_id ASC) AS INTEGER) AS "rank",
        |  round(score, 4) AS score4
        | FROM scored) r WHERE "rank" <= 10""".stripMargin
+
+  /** Full replay of the multi-table embedding near-dup path
+    * (Ann.embedNearDup): 8 independent hyperplane tables (seed 42+t — the
+    * flattened stream index k decomposes as table = k div (nbits·64),
+    * within-table offset = k mod (nbits·64)), per-table sign buckets, the
+    * MaxBucket hot-bucket cap, OR-semantics candidate pairing across
+    * tables, and the exact-cosine verify at the registered 0.4 threshold.
+    */
+  private val embedNearDupSql = {
+    val perTbl = "(SELECT nbits FROM nb) * 64"
+    s"""WITH $embedPreambleCtes,
+       |pk AS (SELECT k,
+       |    CAST(k // ($perTbl) AS INTEGER) AS tbl,
+       |    CAST((k % ($perTbl)) // 64 AS INTEGER) AS i,
+       |    (CAST(42 + k // ($perTbl) AS HUGEINT)
+       |     + (CAST(k % ($perTbl) + 1 AS HUGEINT) * $goldenGamma) % $twoPow64) % $twoPow64 AS z0
+       |   FROM (SELECT unnest(range(0, 8 * ($perTbl))) AS k)),
+       |${splitmixCtes("k, tbl, i")},
+       |planes AS (SELECT tbl, i,
+       |    list(CAST(${signed64("v")} AS DOUBLE) / 9223372036854775807.0 ORDER BY k) AS plane
+       |   FROM p3 GROUP BY tbl, i),
+       |dots AS (SELECT c.vec_id, p.tbl, p.i, ${dot64("p.plane", "c.vec")} AS dot
+       |         FROM c, planes p),
+       |buckets AS (SELECT vec_id, tbl,
+       |    CAST(sum(CASE WHEN dot >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS bucket
+       |   FROM dots GROUP BY vec_id, tbl),
+       |capped AS (SELECT * FROM (SELECT vec_id, tbl, bucket,
+       |    count(*) OVER (PARTITION BY tbl, bucket) AS bucket_n FROM buckets) b
+       |   WHERE bucket_n <= 1000),
+       |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |         FROM capped a JOIN capped b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |          AND a.vec_id < b.vec_id),
+       |v AS (SELECT vec_id, vec, sqrt(${dot64("vec", "vec")}) AS nrm FROM c)
+       |SELECT id1, id2, round(cos, 4) AS cos4 FROM (
+       | SELECT cand.id1, cand.id2,
+       |  ${dot64("x.vec", "y.vec")} / (x.nrm * y.nrm) AS cos
+       | FROM cand JOIN v x ON x.vec_id = cand.id1 JOIN v y ON y.vec_id = cand.id2) t
+       |WHERE cos >= 0.4""".stripMargin
   }
 
   /** Shared CTE: 64-bit SimHash signatures recomputed from first principles
@@ -801,9 +854,9 @@ object SparkEntry {
     // scores, ranks AND the rounded score column all reproduce bit-exactly
     // because every float step is an ordered IEEE operation on both engines
     "ann_lsh" -> annLshSql,
+    "dedup_embed" -> embedNearDupSql,
     // no oracle (not DuckDB-expressible): ann_ivf (iterative k-means — a
-    // fixed-point loop, not a query), dedup_embed (8 independent hyperplane
-    // tables; AnnSpec pins semantics), q19_approx (engine-specific
+    // fixed-point loop, not a query), q19_approx (engine-specific
     // sketches), mm_thumbs (float-precision average pooling with data-
     // dependent pool shapes; pinned in MultimodalSpec), q36_stream_neardup
     // (stateful streaming; batch-parity in StreamingSpec) — driver records
@@ -811,7 +864,7 @@ object SparkEntry {
     // (recall-vs-brute, sketch error bounds). The wraparound-int64 hash
     // queries (text_fingerprint_poly, dedup_simhash(_pairs)), the
     // stub-decode pipeline (mm_features), the MinHash banding pipeline
-    // (dedup_minhash), and the hyperplane-LSH ANN path (ann_lsh) DO carry
-    // oracles, via the HUGEINT mod-2^64 folds above.
+    // (dedup_minhash), and the hyperplane paths (ann_lsh, dedup_embed) DO
+    // carry oracles, via the HUGEINT mod-2^64 folds above.
   )
 }

@@ -24,12 +24,13 @@ class RegistrySpec extends AnyFunSuite {
     // CTE); mm_thumbs stays rows-only — its average-pooling accumulates in
     // FLOAT precision with data-dependent pool shapes, and MultimodalSpec
     // pins that path instead
-    // dedup_minhash and ann_lsh left this set in round 8: their oracles now
-    // replay the whole pipeline (splitmix64 hyperplanes/signatures, banding
-    // or buckets, ordered-IEEE float scoring) in DuckDB HUGEINT arithmetic
-    // — see SparkEntry.minhashPairsSql / annLshSql
+    // dedup_minhash, ann_lsh and dedup_embed left this set in round 8:
+    // their oracles now replay the whole pipeline (splitmix64 hyperplanes/
+    // signatures, banding or buckets, ordered-IEEE float scoring) in DuckDB
+    // HUGEINT arithmetic — see SparkEntry.minhashPairsSql / annLshSql /
+    // embedNearDupSql
     val documented = Set(
-      "ann_ivf", "dedup_embed",
+      "ann_ivf",
       "mm_thumbs", "q19_approx",
       // stateful streaming: SQL cannot state the incremental candidate
       // structure; StreamingSpec asserts pair-set == batch minhash
