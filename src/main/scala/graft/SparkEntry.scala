@@ -697,6 +697,13 @@ object SparkEntry {
     // corpus; "probabilistic" only describes its RECALL vs the exact sibling
     // below, not any run-to-run variance.
     "dedup_minhash" -> minhashPairsSql,
+    // the STREAMING near-dup must land on the identical pair set (and the
+    // identical jaccard doubles) as the batch pipeline on a bounded pass:
+    // same shingles, same band keys, same exact-Jaccard verify, one
+    // AvailableNow batch ⇒ no watermark drops. Same replay oracle as
+    // dedup_minhash — the gate now checks the streaming path's VALUES, not
+    // just that rows came out (StreamingSpec asserts the set equality too).
+    "q36_stream_neardup" -> minhashPairsSql,
     // dedup_jaccard3: the exact prefix-filter variant has recall exactly 1,
     // so a simple all-pairs oracle agrees deterministically on any corpus.
     "dedup_jaccard3" ->
@@ -858,13 +865,11 @@ object SparkEntry {
     // no oracle (not DuckDB-expressible): ann_ivf (iterative k-means — a
     // fixed-point loop, not a query), q19_approx (engine-specific
     // sketches), mm_thumbs (float-precision average pooling with data-
-    // dependent pool shapes; pinned in MultimodalSpec), q36_stream_neardup
-    // (stateful streaming; batch-parity in StreamingSpec) — driver records
+    // dependent pool shapes; pinned in MultimodalSpec) — driver records
     // rows-only checks; invariants are asserted in ScalaTest
-    // (recall-vs-brute, sketch error bounds). The wraparound-int64 hash
-    // queries (text_fingerprint_poly, dedup_simhash(_pairs)), the
-    // stub-decode pipeline (mm_features), the MinHash banding pipeline
-    // (dedup_minhash), and the hyperplane paths (ann_lsh, dedup_embed) DO
-    // carry oracles, via the HUGEINT mod-2^64 folds above.
+    // (recall-vs-brute, sketch error bounds). Everything hash-shaped DOES
+    // carry an oracle via the HUGEINT mod-2^64 folds above:
+    // text_fingerprint_poly, dedup_simhash(_pairs), mm_features,
+    // dedup_minhash, q36_stream_neardup, ann_lsh and dedup_embed.
   )
 }

@@ -319,10 +319,11 @@ object EventStreams {
 
   /** q36_stream_neardup — the REGISTERED streaming near-dup query: one
     * AvailableNow pass of [[incrementalNearDup]] over the staged documents
-    * table, pair-set deduped across bands. Rows-only in the gate (the LSH
-    * candidate structure is the same probabilistic banding as batch
-    * dedup_minhash — no SQL oracle can state it); StreamingSpec asserts
-    * set-equality with the batch minhash pairs.
+    * table, pair-set deduped across bands. Oracled since round 8 with the
+    * same DuckDB banding replay as batch dedup_minhash: a bounded pass uses
+    * the same shingles, band keys and exact-Jaccard verify, so the
+    * streaming path must land on the identical pairs AND jaccard doubles.
+    * StreamingSpec asserts the batch set-equality independently.
     */
   def nearDupQuery(s: SparkSession, dir: String): DataFrame =
     runStagedViaFiles(s, dir, "q36_stream_neardup",

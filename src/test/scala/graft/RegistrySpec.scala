@@ -29,12 +29,10 @@ class RegistrySpec extends AnyFunSuite {
     // signatures, banding or buckets, ordered-IEEE float scoring) in DuckDB
     // HUGEINT arithmetic — see SparkEntry.minhashPairsSql / annLshSql /
     // embedNearDupSql
-    val documented = Set(
-      "ann_ivf",
-      "mm_thumbs", "q19_approx",
-      // stateful streaming: SQL cannot state the incremental candidate
-      // structure; StreamingSpec asserts pair-set == batch minhash
-      "q36_stream_neardup")
+    // q36_stream_neardup also gained an oracle: on a bounded AvailableNow
+    // pass the streaming near-dup reproduces the batch minhash pairs
+    // bit-for-bit, so it shares minhashPairsSql
+    val documented = Set("ann_ivf", "mm_thumbs", "q19_approx")
     assert(rowsOnly == documented,
       s"oracle coverage drifted: extra=${rowsOnly -- documented} missing=${documented -- rowsOnly}")
   }
