@@ -325,6 +325,73 @@ object SparkEntry {
        |WHERE cos >= 0.4""".stripMargin
   }
 
+  /** Shared asset-geometry + stub-decode-seed CTE body for the multimodal
+    * oracles: seed = byte-poly hash of the utf-8 payload via a hex-pair
+    * fold (`strpos` returns 0 for '0', so each pair maps to its byte value).
+    */
+  private val mmAssetCte =
+    """SELECT doc_id AS asset_id,
+      |   ['image','audio','video'][(doc_id % 3 + 1)] AS media_type,
+      |   CAST(n_chars % 64 + 8 AS INTEGER) AS width,
+      |   CAST(n_chars % 48 + 6 AS INTEGER) AS height,
+      |   CAST((n_chars % 64 + 8) * (n_chars % 48 + 6) AS INTEGER) AS n_pixels,
+      |   list_reduce(
+      |     list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |       list_transform(range(1, length(hex(encode(text)))//2 + 1),
+      |         i -> CAST(strpos('123456789ABCDEF', substring(hex(encode(text)), 2*i-1, 1)) * 16
+      |                 + strpos('123456789ABCDEF', substring(hex(encode(text)), 2*i, 1)) AS HUGEINT))),
+      |     (acc, b) -> (acc * 31 + b) % CAST(18446744073709551616 AS HUGEINT)) AS seed
+      |  FROM documents""".stripMargin
+
+  /** Full replay of mm_thumbs (stub decode → 8×8 average-pool → stats): the
+    * same LCG pixel stream as mm_features, but materialized per pixel and
+    * pooled in FLOAT precision — DuckDB FLOAT arithmetic is single-precision
+    * IEEE like the Scala `Float` accumulator in Multimodal.resizePixels, and
+    * the fold walks each pool block in the same raster order, so every cell
+    * value (and the double mean/min/max over the 64 cells) is bit-identical.
+    * Pool blocks can OVERLAP when height < 8 (y1 = max(y0+1, …)), which is
+    * why cells are enumerated forward instead of inverting a pixel→cell map.
+    */
+  private val mmThumbsSql =
+    s"""WITH RECURSIVE
+       |a AS ($mmAssetCte),
+       |steps(asset_id, p, hsh, px) AS (
+       |  SELECT asset_id, 0, seed, CAST(NULL AS FLOAT) FROM a
+       |  UNION ALL
+       |  SELECT st.asset_id, st.p + 1, nxt.h2, CAST(nxt.pxd AS FLOAT)
+       |  FROM steps st
+       |  JOIN a ON a.asset_id = st.asset_id,
+       |  LATERAL (SELECT (st.hsh * 6364136223846793005 + 1442695040888963407)
+       |                  % $twoPow64 AS h2,
+       |                  CAST(CAST((((st.hsh * 6364136223846793005 + 1442695040888963407)
+       |                    % $twoPow64) >> 40) & 65535 AS BIGINT) AS DOUBLE)
+       |                    / 65536.0 AS pxd) nxt
+       |  WHERE st.p < a.n_pixels),
+       |pxs AS (SELECT asset_id, list(px ORDER BY p) AS pxl FROM steps WHERE p >= 1
+       |        GROUP BY asset_id),
+       |cells AS (SELECT a.asset_id, a.width AS w, a.height AS h, oy, ox,
+       |   (ox * a.width) // 8 AS x0,
+       |   greatest((ox * a.width) // 8 + 1, ((ox + 1) * a.width) // 8) AS x1,
+       |   (oy * a.height) // 8 AS y0,
+       |   greatest((oy * a.height) // 8 + 1, ((oy + 1) * a.height) // 8) AS y1
+       |  FROM a, (SELECT unnest(range(0, 8)) AS oy), (SELECT unnest(range(0, 8)) AS ox)),
+       |thumb AS (SELECT c.asset_id, c.oy * 8 + c.ox AS cell_idx,
+       |   CAST(list_reduce(list_prepend(CAST(0.0 AS FLOAT),
+       |       flatten(list_transform(range(c.y0, c.y1), y ->
+       |         list_transform(range(c.x0, c.x1), x -> p.pxl[y * c.w + x + 1])))),
+       |     (u, v) -> CAST(u + v AS FLOAT))
+       |    / CAST((c.x1 - c.x0) * (c.y1 - c.y0) AS FLOAT) AS FLOAT) AS cell_val
+       |  FROM cells c JOIN pxs p USING (asset_id)),
+       |stats AS (SELECT asset_id,
+       |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |     list(CAST(cell_val AS DOUBLE) ORDER BY cell_idx)),
+       |     (u, v) -> u + v) / 64.0 AS mean_px,
+       |   CAST(min(cell_val) AS DOUBLE) AS min_px,
+       |   CAST(max(cell_val) AS DOUBLE) AS max_px
+       |  FROM thumb GROUP BY asset_id)
+       |SELECT asset_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       | mean_px, min_px, max_px FROM stats""".stripMargin
+
   /** Shared CTE: 64-bit SimHash signatures recomputed from first principles
     * in DuckDB — per-token FNV-1a hashes, ±1 votes per bit over all (not
     * distinct) tokens, sign → bit, big-endian bit fold to one BIGINT.
@@ -814,19 +881,8 @@ object SparkEntry {
     // before widening into the double accumulator). Proves the "stub" is a
     // pinned deterministic contract, not an unchecked placeholder.
     "mm_features" ->
-      """WITH RECURSIVE
-        |a AS (SELECT doc_id AS asset_id,
-        |   ['image','audio','video'][(doc_id % 3 + 1)] AS media_type,
-        |   CAST(n_chars % 64 + 8 AS INTEGER) AS width,
-        |   CAST(n_chars % 48 + 6 AS INTEGER) AS height,
-        |   CAST((n_chars % 64 + 8) * (n_chars % 48 + 6) AS INTEGER) AS n_pixels,
-        |   list_reduce(
-        |     list_prepend(CAST(1125899906842597 AS HUGEINT),
-        |       list_transform(range(1, length(hex(encode(text)))//2 + 1),
-        |         i -> CAST(strpos('123456789ABCDEF', substring(hex(encode(text)), 2*i-1, 1)) * 16
-        |                 + strpos('123456789ABCDEF', substring(hex(encode(text)), 2*i, 1)) AS HUGEINT))),
-        |     (acc, b) -> (acc * 31 + b) % CAST(18446744073709551616 AS HUGEINT)) AS seed
-        |  FROM documents),
+      s"""WITH RECURSIVE
+        |a AS ($mmAssetCte),
         |steps(asset_id, p, hsh, s, sq) AS (
         |  SELECT asset_id, 0, seed, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) FROM a
         |  UNION ALL
@@ -845,6 +901,7 @@ object SparkEntry {
         | sqrt(greatest(0.0, st.sq / a.n_pixels - (st.s / a.n_pixels) * (st.s / a.n_pixels))) AS std_px,
         | sqrt(st.sq) AS l2_norm
         |FROM steps st JOIN a ON a.asset_id = st.asset_id AND st.p = a.n_pixels""".stripMargin,
+    "mm_thumbs" -> mmThumbsSql,
     "mm_frame_sample" ->
       """SELECT doc_id AS asset_id, CAST(n_chars % 30 + 1 AS INTEGER) AS n_frames,
         | CAST(unnest(generate_series(0, n_chars % 30, 5)) AS INTEGER) AS frame_idx
@@ -863,13 +920,12 @@ object SparkEntry {
     "ann_lsh" -> annLshSql,
     "dedup_embed" -> embedNearDupSql,
     // no oracle (not DuckDB-expressible): ann_ivf (iterative k-means — a
-    // fixed-point loop, not a query), q19_approx (engine-specific
-    // sketches), mm_thumbs (float-precision average pooling with data-
-    // dependent pool shapes; pinned in MultimodalSpec) — driver records
-    // rows-only checks; invariants are asserted in ScalaTest
-    // (recall-vs-brute, sketch error bounds). Everything hash-shaped DOES
-    // carry an oracle via the HUGEINT mod-2^64 folds above:
-    // text_fingerprint_poly, dedup_simhash(_pairs), mm_features,
-    // dedup_minhash, q36_stream_neardup, ann_lsh and dedup_embed.
+    // fixed-point loop, not a query) and q19_approx (engine-specific
+    // sketches) — driver records rows-only checks; invariants are asserted
+    // in ScalaTest (recall-vs-brute, sketch error bounds). Everything else
+    // DOES carry an oracle — the hash/float-replay family
+    // (text_fingerprint_poly, dedup_simhash(_pairs), mm_features,
+    // mm_thumbs, dedup_minhash, q36_stream_neardup, ann_lsh, dedup_embed)
+    // via the HUGEINT mod-2^64 folds and ordered-IEEE float math above.
   )
 }

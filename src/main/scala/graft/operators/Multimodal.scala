@@ -130,9 +130,10 @@ object Multimodal {
   }
 
   /** mm_thumbs — decode → average-pool resize → per-asset thumbnail stats.
-    * Emits SCALAR columns (mean/min/max over the 8×8 thumb) so the driver's
-    * rows-only canonicalization can hash the output; the full pixel-array
-    * path is asserted in MultimodalSpec.
+    * Emits SCALAR columns (mean/min/max over the 8×8 thumb) so the driver
+    * can hash the output; oracled since round 8 (the LCG decode + FLOAT
+    * pooling replayed bit-exactly in DuckDB — see SparkEntry.mmThumbsSql),
+    * and the full pixel-array path is asserted in MultimodalSpec.
     */
   def thumbStats(s: SparkSession, dir: String, ow: Int = 8, oh: Int = 8): DataFrame = {
     import s.implicits._

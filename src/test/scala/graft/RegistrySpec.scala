@@ -17,22 +17,17 @@ class RegistrySpec extends AnyFunSuite {
 
   test("rows-only (no-oracle) set is exactly the documented one") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // round 8 moved the wraparound-int64 hash queries (text_fingerprint_poly,
-    // dedup_simhash, dedup_simhash_pairs) OUT of this set: their oracles now
-    // recompute the hashes in DuckDB HUGEINT mod-2^64 arithmetic
-    // mm_features gained an oracle too (the stub LCG replayed in a recursive
-    // CTE); mm_thumbs stays rows-only — its average-pooling accumulates in
-    // FLOAT precision with data-dependent pool shapes, and MultimodalSpec
-    // pins that path instead
-    // dedup_minhash, ann_lsh and dedup_embed left this set in round 8:
-    // their oracles now replay the whole pipeline (splitmix64 hyperplanes/
-    // signatures, banding or buckets, ordered-IEEE float scoring) in DuckDB
-    // HUGEINT arithmetic — see SparkEntry.minhashPairsSql / annLshSql /
-    // embedNearDupSql
-    // q36_stream_neardup also gained an oracle: on a bounded AvailableNow
-    // pass the streaming near-dup reproduces the batch minhash pairs
-    // bit-for-bit, so it shares minhashPairsSql
-    val documented = Set("ann_ivf", "mm_thumbs", "q19_approx")
+    // round 8 shrank this set to 2: the hash/float-replay family
+    // (text_fingerprint_poly, dedup_simhash(_pairs), mm_features,
+    // mm_thumbs, dedup_minhash, q36_stream_neardup, ann_lsh, dedup_embed)
+    // all gained oracles that replay the full pipeline — wraparound hashes
+    // in HUGEINT mod-2^64, splitmix64 hyperplanes/signatures, the LCG stub
+    // decode, and single/double-precision float math in the exact IEEE
+    // operation order of the Scala side — see SparkEntry.minhashPairsSql /
+    // annLshSql / embedNearDupSql / mmThumbsSql. What remains is genuinely
+    // inexpressible: ann_ivf (iterative k-means fixed point) and q19_approx
+    // (engine-specific sketches).
+    val documented = Set("ann_ivf", "q19_approx")
     assert(rowsOnly == documented,
       s"oracle coverage drifted: extra=${rowsOnly -- documented} missing=${documented -- rowsOnly}")
   }
