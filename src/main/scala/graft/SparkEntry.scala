@@ -113,6 +113,7 @@ object SparkEntry {
     "text_commonness" -> (graft.operators.Curation.textCommonness _),
     "chunk_docs" -> ((s: SparkSession, d: String) => graft.operators.Curation.chunkDocs(s, d)),
     "tfidf" -> ((s: SparkSession, d: String) => TextOps.tfidf(s, d)),
+    "split_assign" -> (graft.operators.Curation.splitAssign _),
     // --- multimodal columns (stubbed decode, real plumbing) ---
     "mm_features" -> (Multimodal.features _),
     "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
@@ -864,6 +865,16 @@ object SparkEntry {
          |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) DESC, term ASC) AS rnk
          | FROM tf JOIN df USING (term), n) r
          |WHERE rnk <= 5""".stripMargin,
+    // salted-coin three-way split; the salt ("split:") keeps this coin
+    // independent of pipeline_mix's bare-id sampling coin
+    "split_assign" ->
+      """SELECT doc_id, lang, coin,
+        | CASE WHEN coin < 'cccccccc' THEN 'train'
+        |      WHEN coin < 'e6666666' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |   substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS coin
+        |  FROM documents) t""".stripMargin,
     // exact substring-level duplication: 8-token sliding windows shared by
     // >= 2 documents (docs under 8 tokens contribute nothing)
     "dedup_substring" ->

@@ -164,6 +164,32 @@ object Curation {
         array_join(slice(col("toks"), col("start_tok") + 1, lit(window)), " ")
           .as("chunk_text"))
 
+  /** split_assign — reproducible train/val/test assignment: a salted md5
+    * coin per document, three-way thresholded at 80/10/10. Two properties a
+    * production pipeline needs and ad-hoc `rand()` splits lack:
+    *
+    *   - determinism under any partitioning/retry — the split is a pure
+    *     function of doc_id, so a re-run (or a late-arriving shard) lands
+    *     every document in the same split;
+    *   - coin independence — the coin is salted with a purpose tag
+    *     ("split:"), so it is INDEPENDENT of [[Pipeline.mix]]'s sampling
+    *     coin (md5 of the bare id). Reusing one hash for both decisions
+    *     would correlate them (every sampled-out doc would also skew the
+    *     split), a classic silent eval-contamination bug.
+    *
+    * One codegen'd scan, no shuffle; thresholds compare the first 8 hex
+    * chars lexicographically (uniform over 2^32).
+    */
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8)
+          .as("coin"))
+      .withColumn("split",
+        when(col("coin") < "cccccccc", "train")     // 0.8 * 2^32
+          .when(col("coin") < "e6666666", "val")    // 0.9 * 2^32
+          .otherwise("test"))
+
   /** text_commonness — corpus-frequency document scoring (the integral
     * cousin of CCNet's LM-perplexity filter): token-level corpus frequencies
     * aggregated per document. Documents full of rare tokens (low

@@ -188,6 +188,35 @@ class CurationSpec extends AnyFunSuite {
     assert(chunks.map(_._1).sorted.toSeq == Seq(0, 48, 96))
   }
 
+  // ----------------------------------------------------------- splitAssign
+
+  test("splitAssign: deterministic, exhaustive, independent of the mix coin") {
+    val dir = writeDocs((0L until 200L).map(i => (i, s"doc $i text", "en", "s0")))
+    val rows = Curation.splitAssign(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("coin"), r.getAs[String]("split")))
+    assert(rows.length == 200)
+    // every doc gets exactly one split; re-run is identical (pure function)
+    val again = Curation.splitAssign(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("coin"), r.getAs[String]("split")))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // the salted coin differs from the bare-id md5 pipeline_mix uses
+    import org.apache.spark.sql.functions.{col, concat, lit, md5, substring}
+    val both = graft.sources.Tables.documents(spark, dir)
+      .select(substring(md5(col("doc_id").cast("string")), 1, 8).as("mix_coin"),
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8).as("split_coin"))
+      .collect()
+    assert(both.forall(r => r.getString(0) != r.getString(1)))
+    // all three splits populated at 200 docs, with train the large share
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), s"got $bySplit")
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // spot-check the threshold logic against the coin strings themselves
+    rows.foreach { case (_, coin, split) =>
+      val expect = if (coin < "cccccccc") "train" else if (coin < "e6666666") "val" else "test"
+      assert(split == expect, s"coin $coin -> $split")
+    }
+  }
+
   // ----------------------------------------------------------------- tfidf
 
   test("tfidf: exact rational weights, rank order, lexicographic tiebreak") {
