@@ -188,6 +188,56 @@ class CurationSpec extends AnyFunSuite {
     assert(chunks.map(_._1).sorted.toSeq == Seq(0, 48, 96))
   }
 
+  // ------------------------------------------- randomized differentials
+
+  private def randTexts(n: Int, seed: Long): Seq[String] = {
+    import org.scalacheck.{Gen, rng}
+    val word = Gen.choose(1, 6).flatMap(k => Gen.listOfN(k, Gen.alphaLowerChar).map(_.mkString))
+    val text = Gen.choose(1, 140).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    Gen.listOfN(n, text).apply(Gen.Parameters.default, rng.Seed(seed))
+      .getOrElse(fail("generator produced no sample"))
+  }
+
+  test("chunkDocs differential: chunks == reference model on 40 random docs") {
+    val texts = randTexts(40, 11L)
+    val dir = writeDocs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") })
+    val rows = Curation.chunkDocs(spark, dir) // window 64, stride 48
+      .collect().map(r => ((r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx")),
+        (r.getAs[Int]("start_tok"), r.getAs[Int]("chunk_toks"), r.getAs[String]("chunk_text"))))
+      .toMap
+    val expected = texts.zipWithIndex.flatMap { case (t, i) =>
+      val toks = t.trim.split("\\s+")
+      (0 until toks.length by 48).zipWithIndex.map { case (st, ci) =>
+        val slice = toks.slice(st, math.min(st + 64, toks.length))
+        ((i.toLong, ci), (st, slice.length, slice.mkString(" ")))
+      }
+    }.toMap
+    assert(rows == expected)
+  }
+
+  test("tfidf differential: top-5 == brute-force model on a random corpus") {
+    val texts = randTexts(30, 23L)
+    val dir = writeDocs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") })
+    val rows = graft.operators.TextOps.tfidf(spark, dir)
+      .collect().map(r => ((r.getAs[Long]("doc_id"), r.getAs[Int]("rnk")),
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df"),
+          r.getAs[Double]("tfidf")))).toMap
+    // brute-force model: same letter-run tokenizer, exact rational weight
+    val docTf = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.split("[^\\p{L}]+").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val df = docTf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = texts.length.toLong
+    val expected = docTf.flatMap { case (id, tf) =>
+      tf.toSeq.map { case (term, c) => (term, c, df(term), (c * n).toDouble / df(term)) }
+        .sortBy { case (term, _, _, w) => (-w, term) }
+        .take(5).zipWithIndex
+        .map { case ((term, c, d, w), idx) => ((id, idx + 1), (term, c, d, w)) }
+    }
+    assert(rows == expected)
+  }
+
   // ----------------------------------------------------------- splitAssign
 
   test("splitAssign: deterministic, exhaustive, independent of the mix coin") {
