@@ -326,6 +326,100 @@ object SparkEntry {
        |WHERE cos >= 0.4""".stripMargin
   }
 
+  /** Full replay of ann_ivf (Ann.ivfTopK + fitCentroids) — the one oracle
+    * that replays an ITERATIVE fixed point: a recursive CTE carries the 16
+    * centroids through all 10 Lloyd rounds. Every numeric step matches the
+    * Scala loop bit-for-bit:
+    *   - the bounded training sample is ordered by Spark's xxhash64 (XXH64
+    *     of the 8-byte little-endian key, seed 42, replayed with rotl =
+    *     shift-add on disjoint bit ranges);
+    *   - init picks the first 16 DISTINCT splitmix64 draw indices in
+    *     first-seen order (Java's signed %: `((z % n) + n) % n`);
+    *   - assignment distance accumulates (v_i − c_i)² in ascending dim
+    *     order; centroid recompute folds members in SAMPLE order (the
+    *     train.foreach order) — both as ordered list folds;
+    *   - the corpus assignment uses the EXPANDED form c² − 2·v·c exactly as
+    *     the codegen'd cellCol does (different rounding than the training
+    *     loop's (v−c)² — replayed as written, not as algebra).
+    */
+  private val annIvfSql = {
+    // rotl on HUGEINT < 2^64: the shifted halves occupy disjoint bit
+    // ranges, so + stands in for |
+    def rotl(x: String, r: Int): String =
+      s"((($x) * CAST(${1L << r} AS HUGEINT)) % $twoPow64 + (($x) // CAST(${java.lang.Long.toUnsignedString(1L << (64 - r))} AS HUGEINT)))"
+    val xp1 = "CAST(11400714785074694791 AS HUGEINT)" // XXH64 prime 1
+    val xp2 = "CAST(14029467366897019727 AS HUGEINT)" // XXH64 prime 2
+    val xp3 = "CAST(1609587929392839161 AS HUGEINT)"  // XXH64 prime 3
+    val xp4 = "CAST(9650029242287828579 AS HUGEINT)"  // XXH64 prime 4
+    // seed 42 + prime5 + length 8, pre-folded
+    val c0 = java.lang.Long.toUnsignedString(42L + 0x27D4EB2F165667C5L + 8L)
+    s"""WITH RECURSIVE
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |x0 AS (SELECT vec_id, vec, ${mulmod64("CAST(vec_id AS HUGEINT)", xp2)} AS k1 FROM c),
+       |x1 AS (SELECT vec_id, vec,
+       |        xor(CAST($c0 AS HUGEINT), ${mulmod64(rotl("k1", 31), xp1)}) AS h1 FROM x0),
+       |x2 AS (SELECT vec_id, vec, (${mulmod64(rotl("h1", 27), xp1)} + $xp4) % $twoPow64 AS h2 FROM x1),
+       |x3 AS (SELECT vec_id, vec, ${mulmod64("xor(h2, h2 >> 33)", xp2)} AS h3 FROM x2),
+       |x4 AS (SELECT vec_id, vec, ${mulmod64("xor(h3, h3 >> 29)", xp3)} AS h4 FROM x3),
+       |train AS (SELECT vec, row_number() OVER (ORDER BY ${signed64("xor(h4, h4 >> 32)")}) AS sidx
+       |          FROM x4 QUALIFY sidx <= 16384),
+       |ntrain AS (SELECT count(*) AS n FROM train),
+       |dz0 AS (SELECT j, (CAST(42 AS HUGEINT) + (CAST(j AS HUGEINT) * $goldenGamma) % $twoPow64)
+       |          % $twoPow64 AS z0
+       |        FROM (SELECT unnest(range(1, 65)) AS j)),
+       |dz1 AS (SELECT j, ${mulmod64("xor(z0, z0 >> 30)",
+           "CAST(13787848793156543929 AS HUGEINT)")} AS z1 FROM dz0),
+       |dz2 AS (SELECT j, ${mulmod64("xor(z1, z1 >> 27)",
+           "CAST(10723151780598845931 AS HUGEINT)")} AS z2 FROM dz1),
+       |draws AS (SELECT j, ((${signed64("xor(z2, z2 >> 31)")} % (SELECT n FROM ntrain))
+       |                     + (SELECT n FROM ntrain)) % (SELECT n FROM ntrain) AS idx FROM dz2),
+       |init AS (SELECT idx, row_number() OVER (ORDER BY fj) - 1 AS cid
+       |         FROM (SELECT idx, min(j) AS fj FROM draws GROUP BY idx) f
+       |         QUALIFY cid < 16),
+       |kmeans(iter, cid, cent) AS (
+       |  SELECT 0, CAST(init.cid AS INTEGER), t.vec FROM init JOIN train t ON t.sidx = init.idx + 1
+       |  UNION ALL
+       |  (WITH cur AS (SELECT iter, cid, cent FROM kmeans),
+       |   asg AS (SELECT t.sidx, t.vec,
+       |            min(struct_pack(d := list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |                  list_transform(range(1, 65), i -> (t.vec[i] - k.cent[i]) * (t.vec[i] - k.cent[i]))),
+       |                  (x, y) -> x + y),
+       |                c := k.cid)) AS best
+       |           FROM train t, cur k GROUP BY t.sidx, t.vec),
+       |   mem AS (SELECT best.c AS cid, list(vec ORDER BY sidx) AS vs FROM asg GROUP BY best.c),
+       |   upd AS (SELECT k.iter + 1 AS iter, k.cid,
+       |            CASE WHEN m.cid IS NULL THEN k.cent
+       |                 ELSE list_transform(
+       |                   list_reduce(list_prepend(list_transform(range(1, 65), i -> CAST(0.0 AS DOUBLE)), m.vs),
+       |                     (acc, v) -> list_transform(range(1, 65), i -> acc[i] + v[i])),
+       |                   s -> s / len(m.vs)) END AS cent
+       |           FROM cur k LEFT JOIN mem m ON m.cid = k.cid)
+       |   SELECT iter, cid, cent FROM upd WHERE iter <= 10)),
+       |c2 AS (SELECT cid, cent,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(range(1, 65), i -> cent[i] * cent[i])), (x, y) -> x + y) AS csq
+       |       FROM kmeans WHERE iter = 10),
+       |assigned AS (SELECT c.vec_id, c.vec,
+       |        sqrt(${dot64("c.vec", "c.vec")}) AS nrm,
+       |        min(struct_pack(d := k.csq - 2.0 * ${dot64("c.vec", "k.cent")}, c := k.cid)).c AS cell
+       |       FROM c, c2 k GROUP BY c.vec_id, c.vec),
+       |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm FROM assigned WHERE vec_id < 8),
+       |probed AS (SELECT query_id, qvec, qnrm, cid AS cell FROM (
+       |   SELECT q.query_id, q.qvec, q.qnrm, k.cid,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      -${dot64("q.qvec", "k.cent")} / (q.qnrm * sqrt(${dot64("k.cent", "k.cent")})) ASC,
+       |      k.cid ASC) AS crank
+       |   FROM q, c2 k) p WHERE crank <= 4),
+       |scored AS (SELECT p.query_id, a.vec_id,
+       |        ${dot64("p.qvec", "a.vec")} / (p.qnrm * a.nrm) AS score
+       |       FROM probed p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, "rank" FROM (
+       | SELECT query_id, vec_id AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, vec_id ASC) AS INTEGER) AS "rank"
+       | FROM scored) r WHERE "rank" <= 10""".stripMargin
+  }
+
   /** Shared asset-geometry + stub-decode-seed CTE body for the multimodal
     * oracles: seed = byte-poly hash of the utf-8 payload via a hex-pair
     * fold (`strpos` returns 0 for '0', so each pair maps to its byte value).
@@ -930,13 +1024,15 @@ object SparkEntry {
     // because every float step is an ordered IEEE operation on both engines
     "ann_lsh" -> annLshSql,
     "dedup_embed" -> embedNearDupSql,
-    // no oracle (not DuckDB-expressible): ann_ivf (iterative k-means — a
-    // fixed-point loop, not a query) and q19_approx (engine-specific
-    // sketches) — driver records rows-only checks; invariants are asserted
-    // in ScalaTest (recall-vs-brute, sketch error bounds). Everything else
-    // DOES carry an oracle — the hash/float-replay family
-    // (text_fingerprint_poly, dedup_simhash(_pairs), mm_features,
-    // mm_thumbs, dedup_minhash, q36_stream_neardup, ann_lsh, dedup_embed)
-    // via the HUGEINT mod-2^64 folds and ordered-IEEE float math above.
+    "ann_ivf" -> annIvfSql,
+    // no oracle: q19_approx only — Spark's approx_count_distinct is an
+    // engine-specific HLL++ sketch whose estimate is defined by its own
+    // buffer layout, not by the data; ApproxSpec bounds its error against
+    // the exact answer instead. EVERY other registered query carries a
+    // DuckDB oracle; the hash/float/iterative family (text_fingerprint_poly,
+    // dedup_simhash(_pairs), mm_features, mm_thumbs, dedup_minhash,
+    // q36_stream_neardup, ann_lsh, dedup_embed, ann_ivf) is replayed
+    // bit-exactly via the HUGEINT mod-2^64 folds, ordered-IEEE float math,
+    // and the recursive Lloyd CTE above.
   )
 }

@@ -17,17 +17,19 @@ class RegistrySpec extends AnyFunSuite {
 
   test("rows-only (no-oracle) set is exactly the documented one") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // round 8 shrank this set to 2: the hash/float-replay family
+    // round 8 shrank this set to ONE: the hash/float/iterative family
     // (text_fingerprint_poly, dedup_simhash(_pairs), mm_features,
-    // mm_thumbs, dedup_minhash, q36_stream_neardup, ann_lsh, dedup_embed)
-    // all gained oracles that replay the full pipeline — wraparound hashes
-    // in HUGEINT mod-2^64, splitmix64 hyperplanes/signatures, the LCG stub
-    // decode, and single/double-precision float math in the exact IEEE
-    // operation order of the Scala side — see SparkEntry.minhashPairsSql /
-    // annLshSql / embedNearDupSql / mmThumbsSql. What remains is genuinely
-    // inexpressible: ann_ivf (iterative k-means fixed point) and q19_approx
-    // (engine-specific sketches).
-    val documented = Set("ann_ivf", "q19_approx")
+    // mm_thumbs, dedup_minhash, q36_stream_neardup, ann_lsh, dedup_embed,
+    // ann_ivf) all gained oracles that replay the full pipeline —
+    // wraparound hashes in HUGEINT mod-2^64, splitmix64 hyperplanes/
+    // signatures, Spark's xxhash64 sample order, the LCG stub decode,
+    // single/double-precision float math in the exact IEEE operation order
+    // of the Scala side, and the 10-round Lloyd loop as a recursive CTE —
+    // see SparkEntry.minhashPairsSql / annLshSql / embedNearDupSql /
+    // mmThumbsSql / annIvfSql. q19_approx alone remains: Spark's HLL++
+    // estimate is defined by its own sketch internals, not by the data;
+    // ApproxSpec bounds its error against the exact answer.
+    val documented = Set("q19_approx")
     assert(rowsOnly == documented,
       s"oracle coverage drifted: extra=${rowsOnly -- documented} missing=${documented -- rowsOnly}")
   }
