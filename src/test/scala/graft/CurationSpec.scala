@@ -177,6 +177,17 @@ class CurationSpec extends AnyFunSuite {
       (2L, 0, 0, 1, "solo")))
   }
 
+  test("chunkDocs: empty and whitespace-only docs yield one empty chunk") {
+    // split(trim("")) = [""] — one "token" — matching the oracle's
+    // string_split_regex semantics, so empty docs survive the gate compare
+    val dir = writeDocs(Seq((1L, "", "en", "s0"), (2L, "   ", "en", "s1")))
+    val rows = Curation.chunkDocs(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("start_tok"), r.getAs[Int]("chunk_toks"), r.getAs[String]("chunk_text")))
+      .toSet
+    assert(rows == Set((1L, 0, 0, 1, ""), (2L, 0, 0, 1, "")))
+  }
+
   test("chunkDocs: chunk starts tile every token (coverage, no gaps)") {
     val text = (1 to 103).map(i => s"t$i").mkString(" ")
     val dir = writeDocs(Seq((7L, text, "en", "s0")))
