@@ -151,8 +151,16 @@ object SparkEntry {
   // 64-bit wraparound arithmetic in DuckDB: fold in HUGEINT mod 2^64, then
   // reinterpret as signed BIGINT — lets hash queries previously declared
   // not-ANSI-expressible carry real oracles.
+  // Reduction uses bitwise AND with 2^64−1, NOT `%`: HUGEINT divmod is a
+  // 128-bit division and dominated the oracle runtime (the minhash replay
+  // spent ~20 s in `% 2^64` chains; the mask form is ~10× faster). `&`
+  // parses BELOW `+` in SQL, so every masked expression is parenthesized
+  // explicitly via [[mod64]].
   private val twoPow64 = "CAST(18446744073709551616 AS HUGEINT)"
   private val twoPow63 = "CAST(9223372036854775808 AS HUGEINT)"
+  private val mask64 = "CAST(18446744073709551615 AS HUGEINT)"
+  private val mask32 = "CAST(4294967295 AS HUGEINT)"
+  private def mod64(x: String): String = s"(($x) & $mask64)"
   private def signed64(u: String): String =
     s"CAST(CASE WHEN $u >= $twoPow63 THEN $u - $twoPow64 ELSE $u END AS BIGINT)"
   /** UTF-16 code units of a string column as HUGEINTs. Valid because the
@@ -166,7 +174,7 @@ object SparkEntry {
   /** FNV-1a 64 fold over a HUGEINT code-unit list (graft.functions fnv64). */
   private def fnvFold(cs: String): String =
     s"list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), $cs), " +
-      s"(acc, c) -> (xor(acc, c) * CAST(1099511628211 AS HUGEINT)) % $twoPow64)"
+      s"(acc, c) -> ${mod64("xor(acc, c) * CAST(1099511628211 AS HUGEINT)")})"
 
   /** (a*b) mod 2^64 for HUGEINT a < 2^64 and a literal b < 2^64: the direct
     * product can reach 2^128 and overflow HUGEINT (signed 128-bit), so split
@@ -174,7 +182,7 @@ object SparkEntry {
     */
   private val twoPow32 = "CAST(4294967296 AS HUGEINT)"
   private def mulmod64(a: String, b: String): String =
-    s"((($a) % $twoPow32) * $b + ((($a) // $twoPow32) * $b % $twoPow32) * $twoPow32) % $twoPow64"
+    s"(((($a) & $mask32) * $b + (((($a) >> 32) * $b) & $mask32) * $twoPow32) & $mask64)"
 
   /** Full replay of the MinHash LSH pipeline (Dedup.bandKeys) in DuckDB:
     * FNV-1a gram hashes, splitmix64-remixed per-slot minima over 64 slots
@@ -195,8 +203,7 @@ object SparkEntry {
        |h AS (SELECT doc_id, ${fnvFold(codeUnits("gram"))} AS hu FROM g),
        |hk AS (SELECT doc_id, hu, unnest(range(0, 64)) AS k FROM h),
        |m1 AS (SELECT doc_id, k,
-       |  ((hu + (CAST(k AS HUGEINT) * $golden) % $twoPow64) % $twoPow64
-       |    + $golden) % $twoPow64 AS z0 FROM hk),
+       |  ${mod64(s"${mod64(s"hu + ${mod64(s"CAST(k AS HUGEINT) * $golden")}")} + $golden")} AS z0 FROM hk),
        |m2 AS (SELECT doc_id, k, ${mulmod64("xor(z0, z0 >> 30)",
            "CAST(13787848793156543929 AS HUGEINT)")} AS z1 FROM m1),
        |m3 AS (SELECT doc_id, k, ${mulmod64("xor(z1, z1 >> 27)",
@@ -205,7 +212,7 @@ object SparkEntry {
        |sig AS (SELECT doc_id, k, min(v) AS mn FROM m4 GROUP BY doc_id, k),
        |band AS (SELECT doc_id, k // 4 AS band, list_reduce(
        |  list_prepend(xor($fnvOff, CAST(k // 4 AS HUGEINT)), list(mn ORDER BY k)),
-       |  (acc, sl) -> (xor(acc, sl) * $fnvPrime) % $twoPow64) AS bkey
+       |  (acc, sl) -> ${mod64(s"xor(acc, sl) * $fnvPrime")}) AS bkey
        | FROM sig GROUP BY doc_id, k // 4),
        |capped AS (SELECT * FROM (SELECT doc_id, band, bkey,
        |   count(*) OVER (PARTITION BY band, bkey) AS bucket_n FROM band) c
@@ -259,8 +266,7 @@ object SparkEntry {
 
   private val annLshSql =
     s"""WITH $embedPreambleCtes,
-       |pk AS (SELECT k, (CAST(42 AS HUGEINT) + (CAST(k + 1 AS HUGEINT) * $goldenGamma)
-       |         % $twoPow64) % $twoPow64 AS z0
+       |pk AS (SELECT k, ${mod64(s"CAST(42 AS HUGEINT) + ${mod64(s"CAST(k + 1 AS HUGEINT) * $goldenGamma")}")} AS z0
        |       FROM (SELECT unnest(range(0, (SELECT nbits FROM nb) * 64)) AS k)),
        |${splitmixCtes("k")},
        |planes AS (SELECT CAST(k // 64 AS INTEGER) AS i,
@@ -300,8 +306,8 @@ object SparkEntry {
        |pk AS (SELECT k,
        |    CAST(k // ($perTbl) AS INTEGER) AS tbl,
        |    CAST((k % ($perTbl)) // 64 AS INTEGER) AS i,
-       |    (CAST(42 + k // ($perTbl) AS HUGEINT)
-       |     + (CAST(k % ($perTbl) + 1 AS HUGEINT) * $goldenGamma) % $twoPow64) % $twoPow64 AS z0
+       |    ${mod64(s"CAST(42 + k // ($perTbl) AS HUGEINT) + ${mod64(
+             s"CAST(k % ($perTbl) + 1 AS HUGEINT) * $goldenGamma")}")} AS z0
        |   FROM (SELECT unnest(range(0, 8 * ($perTbl))) AS k)),
        |${splitmixCtes("k, tbl, i")},
        |planes AS (SELECT tbl, i,
@@ -346,7 +352,7 @@ object SparkEntry {
     // rotl on HUGEINT < 2^64: the shifted halves occupy disjoint bit
     // ranges, so + stands in for |
     def rotl(x: String, r: Int): String =
-      s"((($x) * CAST(${1L << r} AS HUGEINT)) % $twoPow64 + (($x) // CAST(${java.lang.Long.toUnsignedString(1L << (64 - r))} AS HUGEINT)))"
+      s"(${mod64(s"($x) * CAST(${1L << r} AS HUGEINT)")} + (($x) >> ${64 - r}))"
     val xp1 = "CAST(11400714785074694791 AS HUGEINT)" // XXH64 prime 1
     val xp2 = "CAST(14029467366897019727 AS HUGEINT)" // XXH64 prime 2
     val xp3 = "CAST(1609587929392839161 AS HUGEINT)"  // XXH64 prime 3
@@ -358,14 +364,13 @@ object SparkEntry {
        |x0 AS (SELECT vec_id, vec, ${mulmod64("CAST(vec_id AS HUGEINT)", xp2)} AS k1 FROM c),
        |x1 AS (SELECT vec_id, vec,
        |        xor(CAST($c0 AS HUGEINT), ${mulmod64(rotl("k1", 31), xp1)}) AS h1 FROM x0),
-       |x2 AS (SELECT vec_id, vec, (${mulmod64(rotl("h1", 27), xp1)} + $xp4) % $twoPow64 AS h2 FROM x1),
+       |x2 AS (SELECT vec_id, vec, ${mod64(s"${mulmod64(rotl("h1", 27), xp1)} + $xp4")} AS h2 FROM x1),
        |x3 AS (SELECT vec_id, vec, ${mulmod64("xor(h2, h2 >> 33)", xp2)} AS h3 FROM x2),
        |x4 AS (SELECT vec_id, vec, ${mulmod64("xor(h3, h3 >> 29)", xp3)} AS h4 FROM x3),
        |train AS (SELECT vec, row_number() OVER (ORDER BY ${signed64("xor(h4, h4 >> 32)")}) AS sidx
        |          FROM x4 QUALIFY sidx <= 16384),
        |ntrain AS (SELECT count(*) AS n FROM train),
-       |dz0 AS (SELECT j, (CAST(42 AS HUGEINT) + (CAST(j AS HUGEINT) * $goldenGamma) % $twoPow64)
-       |          % $twoPow64 AS z0
+       |dz0 AS (SELECT j, ${mod64(s"CAST(42 AS HUGEINT) + ${mod64(s"CAST(j AS HUGEINT) * $goldenGamma")}")} AS z0
        |        FROM (SELECT unnest(range(1, 65)) AS j)),
        |dz1 AS (SELECT j, ${mulmod64("xor(z0, z0 >> 30)",
            "CAST(13787848793156543929 AS HUGEINT)")} AS z1 FROM dz0),
@@ -435,7 +440,7 @@ object SparkEntry {
       |       list_transform(range(1, length(hex(encode(text)))//2 + 1),
       |         i -> CAST(strpos('123456789ABCDEF', substring(hex(encode(text)), 2*i-1, 1)) * 16
       |                 + strpos('123456789ABCDEF', substring(hex(encode(text)), 2*i, 1)) AS HUGEINT))),
-      |     (acc, b) -> (acc * 31 + b) % CAST(18446744073709551616 AS HUGEINT)) AS seed
+      |     (acc, b) -> ((acc * 31 + b) & CAST(18446744073709551615 AS HUGEINT))) AS seed
       |  FROM documents""".stripMargin
 
   /** Full replay of mm_thumbs (stub decode → 8×8 average-pool → stats): the
@@ -456,10 +461,10 @@ object SparkEntry {
        |  SELECT st.asset_id, st.p + 1, nxt.h2, CAST(nxt.pxd AS FLOAT)
        |  FROM steps st
        |  JOIN a ON a.asset_id = st.asset_id,
-       |  LATERAL (SELECT (st.hsh * 6364136223846793005 + 1442695040888963407)
-       |                  % $twoPow64 AS h2,
+       |  LATERAL (SELECT ((st.hsh * 6364136223846793005 + 1442695040888963407)
+       |                  & $mask64) AS h2,
        |                  CAST(CAST((((st.hsh * 6364136223846793005 + 1442695040888963407)
-       |                    % $twoPow64) >> 40) & 65535 AS BIGINT) AS DOUBLE)
+       |                    & $mask64) >> 40) & 65535 AS BIGINT) AS DOUBLE)
        |                    / 65536.0 AS pxd) nxt
        |  WHERE st.p < a.n_pixels),
        |pxs AS (SELECT asset_id, list(px ORDER BY p) AS pxl FROM steps WHERE p >= 1
@@ -812,7 +817,7 @@ object SparkEntry {
       s"""WITH cps AS (SELECT doc_id, ${codeUnits("text")} AS cs FROM documents),
          |u AS (SELECT doc_id,
          |  list_reduce(list_prepend(CAST(0 AS HUGEINT), cs),
-         |    (acc, c) -> (acc * 257 + c) % $twoPow64) AS poly_u,
+         |    (acc, c) -> ((acc * 257 + c) & $mask64)) AS poly_u,
          |  ${fnvFold("cs")} AS fnv_u
          | FROM cps)
          |SELECT doc_id, ${signed64("poly_u")} AS poly_fp, ${signed64("fnv_u")} AS fnv_fp
@@ -995,10 +1000,10 @@ object SparkEntry {
         |     st.s + nxt.px, st.sq + CAST(CAST(nxt.px * nxt.px AS FLOAT) AS DOUBLE)
         |  FROM steps st
         |  JOIN a ON a.asset_id = st.asset_id,
-        |  LATERAL (SELECT (st.hsh * 6364136223846793005 + 1442695040888963407)
-        |                  % CAST(18446744073709551616 AS HUGEINT) AS h2,
+        |  LATERAL (SELECT ((st.hsh * 6364136223846793005 + 1442695040888963407)
+        |                  & CAST(18446744073709551615 AS HUGEINT)) AS h2,
         |                  CAST(CAST((((st.hsh * 6364136223846793005 + 1442695040888963407)
-        |                    % CAST(18446744073709551616 AS HUGEINT)) >> 40) & 65535 AS BIGINT) AS DOUBLE)
+        |                    & CAST(18446744073709551615 AS HUGEINT)) >> 40) & 65535 AS BIGINT) AS DOUBLE)
         |                    / 65536.0 AS px) nxt
         |  WHERE st.p < a.n_pixels)
         |SELECT a.asset_id, a.media_type, a.width, a.height, a.n_pixels,
