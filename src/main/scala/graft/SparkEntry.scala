@@ -114,6 +114,10 @@ object SparkEntry {
     "chunk_docs" -> ((s: SparkSession, d: String) => graft.operators.Curation.chunkDocs(s, d)),
     "tfidf" -> ((s: SparkSession, d: String) => TextOps.tfidf(s, d)),
     "split_assign" -> (graft.operators.Curation.splitAssign _),
+    // --- corpus statistics: vocabulary build, collocations, order stats ---
+    "vocab_encode" -> ((s: SparkSession, d: String) => graft.operators.Corpus.vocabEncode(s, d)),
+    "colloc_lift" -> ((s: SparkSession, d: String) => graft.operators.Corpus.collocLift(s, d)),
+    "source_quantiles" -> (graft.operators.Corpus.sourceQuantiles _),
     // --- multimodal columns (stubbed decode, real plumbing) ---
     "mm_features" -> (Multimodal.features _),
     "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
@@ -974,6 +978,51 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |   substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS coin
         |  FROM documents) t""".stripMargin,
+    // frequency-ranked top-20 vocabulary (ties lexicographic), documents
+    // re-emitted as position-ordered id strings with OOV = -1; parallel
+    // unnests zip positionally in DuckDB, giving each token its ordinal
+    "vocab_encode" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |tk AS (SELECT doc_id, unnest(toks) AS tok,
+        |        unnest(range(1, len(toks) + 1)) AS pos FROM t),
+        |f AS (SELECT tok, count(*) AS freq FROM tk GROUP BY tok),
+        |v AS (SELECT tok, CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) - 1 AS INTEGER) AS vid
+        |      FROM f ORDER BY freq DESC, tok ASC LIMIT 20)
+        |SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        | CAST(sum(CASE WHEN v.vid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_count,
+        | string_agg(CAST(coalesce(v.vid, -1) AS VARCHAR), ',' ORDER BY tk.pos) AS ids
+        |FROM tk LEFT JOIN v USING (tok) GROUP BY tk.doc_id""".stripMargin,
+    // top-25 bigrams by lift P(xy)/(P(x)P(y)): every factor is an exact
+    // integer-derived double and the multiplication order is parenthesized
+    // identically to the Spark side, so the IEEE result is bit-equal (the
+    // log that would make this PMI is the one libm call the compare bans)
+    "colloc_lift" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |st AS (SELECT toks[i] AS w1,
+        |        CASE WHEN i < len(toks) THEN toks[i + 1] END AS w2
+        |       FROM (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM t)),
+        |n AS (SELECT count(*) AS n_toks FROM st),
+        |u AS (SELECT w1, count(*) AS c FROM st GROUP BY w1),
+        |bg AS (SELECT w1, w2 FROM st WHERE w2 IS NOT NULL),
+        |np AS (SELECT count(*) AS n_pairs FROM bg),
+        |p AS (SELECT w1, w2, count(*) AS pair_cnt FROM bg GROUP BY w1, w2)
+        |SELECT p.w1, p.w2, CAST(p.pair_cnt AS BIGINT) AS pair_cnt,
+        | CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+        | ((CAST(p.pair_cnt AS DOUBLE) * CAST(n.n_toks AS DOUBLE)) * CAST(n.n_toks AS DOUBLE))
+        |  / ((CAST(np.n_pairs AS DOUBLE) * CAST(u1.c AS DOUBLE)) * CAST(u2.c AS DOUBLE)) AS lift
+        |FROM p JOIN u u1 ON p.w1 = u1.w1 JOIN u u2 ON p.w2 = u2.w1, n, np
+        |ORDER BY lift DESC, p.w1 ASC, p.w2 ASC LIMIT 25""".stripMargin,
+    // discrete p50/p90 per source: the value at ascending rank
+    // ceil(p*n) = (n*p100 + 99) // 100 — an order statistic, all integral
+    "source_quantiles" ->
+      """WITH d AS (SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS cnt FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        | max(CASE WHEN rn = (cnt * 50 + 99) // 100 THEN n_chars END) AS p50_chars,
+        | max(CASE WHEN rn = (cnt * 90 + 99) // 100 THEN n_chars END) AS p90_chars
+        |FROM d GROUP BY source""".stripMargin,
     // exact substring-level duplication: 8-token sliding windows shared by
     // >= 2 documents (docs under 8 tokens contribute nothing)
     "dedup_substring" ->

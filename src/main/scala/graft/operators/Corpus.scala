@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+import graft.sources.Tables
+
+/** Corpus-level statistics operators of a training-data pipeline: the
+  * vocabulary build + dictionary encode that precedes any tokenizer-bound
+  * training run, collocation mining over the same token stream, and exact
+  * per-source order statistics for corpus QA dashboards.
+  *
+  * Like the rest of the curation surface these generalize the reference's
+  * single dataflow idiom — tokenize, shuffle on the token, aggregate
+  * (`src/mr/worker.go:83-90` map → `worker.go:200-223` reduce) — into the
+  * operations the reference's wc/indexer outputs feed in a real pipeline.
+  * Every output stays integral (or one explicitly-ordered IEEE expression)
+  * so the DuckDB oracle compares bit-exactly.
+  */
+object Corpus {
+
+  /** Vocabulary size for [[vocabEncode]]. Fixture-sized on purpose: the
+    * synthetic corpus has ~30 distinct words, so 20 keeps a real OOV tail.
+    */
+  val VocabSize = 20
+
+  /** Sentinel id for out-of-vocabulary tokens. */
+  val OovId = -1
+
+  /** vocab_encode — frequency-ranked vocabulary build + dictionary encode:
+    * the top-[[VocabSize]] tokens by corpus frequency (ties broken
+    * lexicographically) get ids 0..K-1 in rank order, and every document is
+    * re-emitted as its position-ordered id sequence with OOV tokens mapped
+    * to [[OovId]]. This is the tokenizer-vocabulary step every training run
+    * performs before packing; downstream consumers read `ids` instead of
+    * re-tokenizing text.
+    *
+    * 100 TB plan: one shuffle on token builds the frequency table (map-side
+    * combine); the global top-K is a distributed TakeOrdered (K is a small
+    * constant — the K-row tail never concentrates data anywhere), and id
+    * assignment zips the already-sorted K rows (the bounded cousin of the
+    * ngram dictionary's distributed sort + zipWithIndex — no single-partition
+    * window). The encode side broadcasts the K-row vocabulary into the
+    * per-document aggregation: one more shuffle on doc_id, arrays only
+    * materialize post-aggregation at document length.
+    */
+  def vocabEncode(s: SparkSession, dir: String, k: Int = VocabSize): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc)
+      .limit(k)
+    // TakeOrderedAndProject yields the K rows in rank order on one
+    // partition; zipWithIndex turns that order into the id — deterministic,
+    // and never a WindowExec over an unpartitioned stream.
+    val vocab = s.createDataFrame(
+      top.select("tok").rdd.zipWithIndex().map { case (r, i) =>
+        Row(r.getString(0), i.toInt)
+      },
+      StructType(Seq(StructField("tok", StringType), StructField("vid", IntegerType))))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("vid", coalesce(col("vid"), lit(OovId)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(when(col("vid") === OovId, 1L).otherwise(0L)).as("oov_count"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("vid")))),
+            p => p.getField("vid").cast("string")),
+          ",").as("ids"))
+  }
+
+  /** Result rows kept by [[collocLift]]. */
+  val CollocTopK = 25
+
+  /** colloc_lift — bigram collocation mining: the top-K adjacent word pairs
+    * by lift `P(w1 w2) / (P(w1) P(w2))` (the association measure PMI is the
+    * log of — reported un-logged so both engines compute the identical IEEE
+    * double: every factor is an exact integer-derived double and the
+    * multiplication order is fully parenthesized; no libm log call, whose
+    * last-ulp behavior differs across engines). High-lift pairs are the
+    * corpus's fixed phrases — the n-gram statistics step of quality
+    * filtering and tokenizer-merge (BPE-style) pipelines.
+    *
+    * One typed JVM pass emits, for every token position, the token and its
+    * successor (null for the last — so the SAME scan carries both the
+    * unigram stream and the bigram stream: w1 alone is the unigram). The
+    * pass is cached transiently because four aggregations diverge from it
+    * (unigram counts, pair counts, and the two scalar totals); post-explode
+    * triples are token-stream-sized, the same working set the wc shuffle
+    * already moves. Pair and unigram count tables are vocabulary-sized, so
+    * AQE broadcasts the joins back; the final top-K is a distributed
+    * TakeOrdered on the pair-count table, never a global sort of the corpus.
+    */
+  def collocLift(s: SparkSession, dir: String, k: Int = CollocTopK): DataFrame = {
+    import s.implicits._
+    val stream = graft.TransientCache.cache(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (_, text) =>
+          val t = TextOps.wsTokens(text)
+          t.indices.map(i => (t(i), if (i + 1 < t.length) t(i + 1) else null))
+        }
+        .toDF("w1", "w2"))
+    val n = stream.agg(count(lit(1)).as("n_toks"))
+    val uni = stream.groupBy("w1").agg(count(lit(1)).as("c"))
+    val bg = stream.filter(col("w2").isNotNull)
+    val np = bg.agg(count(lit(1)).as("n_pairs"))
+    val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("pair_cnt"))
+    pairs
+      .join(uni.select(col("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w1").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(np))
+      .withColumn("lift",
+        ((col("pair_cnt").cast("double") * col("n_toks").cast("double"))
+          * col("n_toks").cast("double"))
+          / ((col("n_pairs").cast("double") * col("c1").cast("double"))
+            * col("c2").cast("double")))
+      .select("w1", "w2", "pair_cnt", "c1", "c2", "lift")
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** source_quantiles — exact per-source order statistics of document
+    * length: n_docs, min/max, and discrete p50/p90 (the value at ascending
+    * rank ceil(p·n), doc_id as tiebreak — an order statistic, not an
+    * interpolated quantile, so the result is an actual corpus value and the
+    * oracle compare stays integral; the rank formula `(n·p100 + 99) div 100`
+    * is exact integer ceiling). The corpus-QA summary a pipeline dashboards
+    * per crawl source.
+    *
+    * 100 TB plan: one shuffle on source; both window frames (the ranking
+    * row_number and the partition count) share that exchange, and the final
+    * aggregation collapses each source to one row map-side. Sources are the
+    * partition key, so skew means one crawl dominating — the rank filter
+    * still streams (row_number needs no buffering beyond the sort), and the
+    * sort is per-source external sort, Spark's bread and butter.
+    */
+  def sourceQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val byLen = Window.partitionBy("source").orderBy(col("n_chars").asc, col("doc_id").asc)
+    val bySource = Window.partitionBy("source")
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(byLen))
+      .withColumn("cnt", count(lit(1)).over(bySource))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        max(when(col("rn") === expr("(cnt * 50 + 99) DIV 100"), col("n_chars")))
+          .as("p50_chars"),
+        max(when(col("rn") === expr("(cnt * 90 + 99) DIV 100"), col("n_chars")))
+          .as("p90_chars"))
+  }
+}

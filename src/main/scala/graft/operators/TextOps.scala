@@ -141,24 +141,33 @@ object TextOps {
 
   private val wsPattern = java.util.regex.Pattern.compile("\\s+")
 
+  /** Whitespace tokenization with the exact semantics of the declarative
+    * `split(trim(text), "\\s+")` the oracles replay: SQL `trim` strips ASCII
+    * space only (not \t/\n), and SQL `split` is Java regex split with
+    * limit -1 (leading/trailing empty tokens from untrimmed whitespace are
+    * kept; an all-space document yields the single empty token). Shared by
+    * every typed JVM pass that must agree with a DuckDB
+    * `string_split_regex(trim(text), '\s+')` replay.
+    */
+  def wsTokens(text: String): Array[String] = {
+    var b = 0; var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    wsPattern.split(text.substring(b, e), -1)
+  }
+
   /** Per-document repetition counts for [[textRepetition]] as one tight JVM
     * pass. The first formulation was declarative (`transform(sequence(...))`
     * building each 3-gram with `concat_ws`/`element_at`), but higher-order
     * array functions are CodegenFallback — interpreted per element — and the
     * gram array was evaluated for both `size` and `array_distinct`: measured
     * 7.9 s at sf0.1 vs ~0.3 s for the sibling text ops. This typed map is the
-    * same single scan, no shuffle, and runs at JVM loop speed.
-    *
-    * Token semantics replicate the declarative original exactly (pinned by
-    * the DuckDB oracle): SQL `trim` strips ASCII space only (not \t/\n), and
-    * SQL `split` is Java regex split with limit -1 (leading/trailing empty
-    * tokens from untrimmed whitespace are kept).
+    * same single scan, no shuffle, and runs at JVM loop speed. Tokenization
+    * is [[wsTokens]], pinned against the declarative original by the DuckDB
+    * oracle.
     */
   def repetitionCounts(text: String): (Long, Long, Long, Long) = {
-    var b = 0; var e = text.length
-    while (b < e && text.charAt(b) == ' ') b += 1
-    while (e > b && text.charAt(e - 1) == ' ') e -= 1
-    val toks = wsPattern.split(text.substring(b, e), -1)
+    val toks = wsTokens(text)
     val n = toks.length
     val seen = new java.util.HashSet[String](math.max(4, n * 2))
     var i = 0
