@@ -118,6 +118,7 @@ object SparkEntry {
     "vocab_encode" -> ((s: SparkSession, d: String) => graft.operators.Corpus.vocabEncode(s, d)),
     "colloc_lift" -> ((s: SparkSession, d: String) => graft.operators.Corpus.collocLift(s, d)),
     "source_quantiles" -> (graft.operators.Corpus.sourceQuantiles _),
+    "search_docs" -> ((s: SparkSession, d: String) => graft.operators.Corpus.searchDocs(s, d)),
     // --- multimodal columns (stubbed decode, real plumbing) ---
     "mm_features" -> (Multimodal.features _),
     "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
@@ -1012,6 +1013,16 @@ object SparkEntry {
         |  / ((CAST(np.n_pairs AS DOUBLE) * CAST(u1.c AS DOUBLE)) * CAST(u2.c AS DOUBLE)) AS lift
         |FROM p JOIN u u1 ON p.w1 = u1.w1 JOIN u u2 ON p.w2 = u2.w1, n, np
         |ORDER BY lift DESC, p.w1 ASC, p.w2 ASC LIMIT 25""".stripMargin,
+    // conjunctive retrieval: all three query terms present, ranked by total
+    // query-term occurrences (integral score, doc_id tiebreak)
+    "search_docs" ->
+      s"""WITH w AS (SELECT doc_id, word
+         |  FROM (SELECT doc_id, unnest(string_split_regex(text, '[^\\p{L}]+')) AS word
+         |        FROM documents) u
+         |  WHERE word IN ('spark', 'table', 'fast'))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS score
+         |FROM w GROUP BY doc_id HAVING count(DISTINCT word) = 3
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     // discrete p50/p90 per source: the value at ascending rank
     // ceil(p*n) = (n*p100 + 99) // 100 — an order statistic, all integral
     "source_quantiles" ->

@@ -127,6 +127,43 @@ object Corpus {
       .limit(k)
   }
 
+  /** Query terms for [[searchDocs]] — common fixture-vocabulary words so the
+    * conjunction is selective but never empty at any scale factor.
+    */
+  val SearchTerms: Seq[String] = Seq("spark", "table", "fast")
+
+  /** search_docs — conjunctive boolean retrieval over the same inverted
+    * index the reference's indexer workload builds
+    * (`src/mrapps/indexer.go:20-39` maps word → doc list; this is the query
+    * side of that index): documents containing ALL query terms, ranked by
+    * total query-term occurrences (an integral score — ranking stays exact,
+    * no IDF float weighting; [[graft.operators.TextOps.tfidf]] carries the
+    * weighted variant), doc_id as tiebreak.
+    *
+    * 100 TB plan: the term filter lands directly on the exploded token
+    * stream — everything not a query term drops before the shuffle, so the
+    * one exchange carries only matching postings (query-term-frequency ×
+    * docs, not corpus size). The distinct-term conjunction check rides the
+    * same per-doc aggregation, and the final top-k is a TakeOrdered over
+    * the per-doc scores. A real engine serves this from a materialized
+    * index (the indexer query IS that materialization); this operator is
+    * the scan-time formulation with identical semantics.
+    */
+  def searchDocs(s: SparkSession, dir: String,
+      terms: Seq[String] = SearchTerms, k: Int = 10): DataFrame = {
+    val q = terms.distinct
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), "[^\\p{L}]+"), t => t =!= "")).as("term"))
+      .filter(col("term").isin(q: _*))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("term")).as("n_terms"), count(lit(1)).as("score"))
+      .filter(col("n_terms") === q.length)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "score")
+  }
+
   /** source_quantiles — exact per-source order statistics of document
     * length: n_docs, min/max, and discrete p50/p90 (the value at ascending
     * rank ceil(p·n), doc_id as tiebreak — an order statistic, not an

@@ -104,4 +104,96 @@ class CorpusSpec extends AnyFunSuite {
     val r = Corpus.sourceQuantiles(spark, dir).collect().head
     assert(r.getAs[Long]("p50_chars") == 2L && r.getAs[Long]("p90_chars") == 2L)
   }
+
+  // ------------------------------------------------------------ searchDocs
+
+  test("searchDocs: conjunction requires every term, score is total hits") {
+    val dir = writeDocs(Seq(
+      (1L, "spark table fast spark", "en", "s0"),   // all 3 -> score 4
+      (2L, "spark table table spark table", "en", "s0"), // missing fast
+      (3L, "fast table spark fast fast", "en", "s0"),    // all 3 -> score 5
+      (4L, "unrelated words only", "en", "s0")))
+    val rows = Corpus.searchDocs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score")))
+    assert(rows.toSeq == Seq((3L, 5L), (1L, 4L)))
+  }
+
+  test("searchDocs: score ties rank by ascending doc_id, k caps the answer") {
+    val dir = writeDocs((1 to 5).map(i => (i.toLong, "spark table fast", "en", "s0")))
+    val rows = Corpus.searchDocs(spark, dir, k = 3).collect()
+      .map(r => r.getAs[Long]("doc_id"))
+    assert(rows.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  // ------------------------------------------- randomized differentials
+
+  private def randTexts(n: Int, seed: Long): Seq[String] = {
+    import org.scalacheck.{Gen, rng}
+    // small alphabet so frequencies collide and the OOV tail is real
+    val word = Gen.choose(1, 3).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf('a' to 'f')).map(_.mkString))
+    val text = Gen.choose(1, 60).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    Gen.listOfN(n, text).apply(Gen.Parameters.default, rng.Seed(seed))
+      .getOrElse(fail("generator produced no sample"))
+  }
+
+  test("vocabEncode differential: ids == brute-force model on a random corpus") {
+    val texts = randTexts(40, 31L)
+    val dir = writeDocs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") })
+    val k = 10
+    val got = Corpus.vocabEncode(spark, dir, k = k).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("oov_count"), r.getAs[String]("ids")))
+      .toMap
+    val docToks = texts.zipWithIndex.map { case (t, i) => i.toLong -> t.trim.split("\\s+").toSeq }
+    val freq = docToks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vid = freq.toSeq.sortBy { case (w, c) => (-c, w) }.take(k)
+      .zipWithIndex.map { case ((w, _), i) => w -> i }.toMap
+    val expected = docToks.map { case (id, toks) =>
+      val ids = toks.map(t => vid.getOrElse(t, -1))
+      id -> (toks.length.toLong, ids.count(_ == -1).toLong, ids.mkString(","))
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("collocLift differential: top-k == brute-force model on a random corpus") {
+    val texts = randTexts(30, 47L)
+    val dir = writeDocs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") })
+    val got = Corpus.collocLift(spark, dir, k = 15).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"), r.getAs[Long]("pair_cnt"),
+        r.getAs[Long]("c1"), r.getAs[Long]("c2"), r.getAs[Double]("lift"))).toSeq
+    val docToks = texts.map(_.trim.split("\\s+").toSeq)
+    val uni = docToks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = docToks.map(_.size).sum.toLong
+    val bgs = docToks.flatMap(ts => ts.zip(ts.drop(1)))
+    val np = bgs.size.toLong
+    val expected = bgs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((w1, w2), pc) =>
+        val lift = ((pc.toDouble * n.toDouble) * n.toDouble) /
+          ((np.toDouble * uni(w1).toDouble) * uni(w2).toDouble)
+        (w1, w2, pc, uni(w1), uni(w2), lift)
+      }
+      .sortBy { case (w1, w2, _, _, _, lift) => (-lift, w1, w2) }
+      .take(15)
+    assert(got == expected)
+  }
+
+  test("sourceQuantiles differential: rank formulas == brute-force model") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 200).map { i =>
+      (i.toLong, "x" * (1 + rnd.nextInt(50)), "en", s"s${rnd.nextInt(5)}")
+    }
+    val dir = writeDocs(docs)
+    val got = Corpus.sourceQuantiles(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("min_chars"), r.getAs[Long]("max_chars"),
+          r.getAs[Long]("p50_chars"), r.getAs[Long]("p90_chars"))).toMap
+    val expected = docs.groupBy(_._4).map { case (src, ds) =>
+      val lens = ds.sortBy(d => (d._2.length, d._1)).map(_._2.length.toLong)
+      val n = lens.length
+      def at(p: Int) = lens((n * p + 99) / 100 - 1)
+      src -> (n.toLong, lens.min, lens.max, at(50), at(90))
+    }
+    assert(got == expected)
+  }
 }
