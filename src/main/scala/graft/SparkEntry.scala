@@ -127,6 +127,7 @@ object SparkEntry {
     "ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
+    "jl_project" -> ((s: SparkSession, d: String) => Ann.jlProject(s, d)),
     // threshold 0.4 here, NOT the 0.98 near-identical default: the fixture
     // plants no embedding near-dups (max pairwise cosine ≈0.48 at sf0.001,
     // ≈0.51 at sf0.01), so 0.98 ran vacuously (0 rows) at the gate. 0.4
@@ -297,6 +298,22 @@ object SparkEntry {
        |    ORDER BY score DESC, vec_id ASC) AS INTEGER) AS "rank",
        |  round(score, 4) AS score4
        | FROM scored) r WHERE "rank" <= 10""".stripMargin
+
+  /** JL projection replay: the seed-7 splitmix64 plane stream in closed
+    * form (16 planes × 64 dims), each projected coordinate the same
+    * ordered-IEEE dot product the LSH replay uses — bit-exact top-level
+    * doubles, no rounding needed.
+    */
+  private val jlProjectSql =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |pk AS (SELECT k, ${mod64(s"CAST(7 AS HUGEINT) + ${mod64(s"CAST(k + 1 AS HUGEINT) * $goldenGamma")}")} AS z0
+       |       FROM (SELECT unnest(range(0, 16 * 64)) AS k)),
+       |${splitmixCtes("k")},
+       |planes AS (SELECT CAST(k // 64 AS INTEGER) AS j,
+       |    list(CAST(${signed64("v")} AS DOUBLE) / 9223372036854775807.0 ORDER BY k) AS plane
+       |   FROM p3 GROUP BY k // 64)
+       |SELECT c.vec_id, p.j, ${dot64("p.plane", "c.vec")} AS proj
+       |FROM c, planes p""".stripMargin
 
   /** Full replay of the multi-table embedding near-dup path
     * (Ann.embedNearDup): 8 independent hyperplane tables (seed 42+t — the
@@ -1090,6 +1107,7 @@ object SparkEntry {
     "ann_lsh" -> annLshSql,
     "dedup_embed" -> embedNearDupSql,
     "ann_ivf" -> annIvfSql,
+    "jl_project" -> jlProjectSql,
     // no oracle: q19_approx only — Spark's approx_count_distinct is an
     // engine-specific HLL++ sketch whose estimate is defined by its own
     // buffer layout, not by the data; ApproxSpec bounds its error against

@@ -247,6 +247,41 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  /** Output dimensionality of [[jlProject]] (fixture embeddings are 64-d). */
+  val JlDim = 16
+
+  /** Hyperplane seed for [[jlProject]] — distinct from the LSH/near-dup
+    * seeds (42, 42+t) so the projection basis is independent of bucketing.
+    */
+  val JlSeed = 7L
+
+  /** jl_project — Johnson–Lindenstrauss random projection: every embedding
+    * is mapped from 64 to [[JlDim]] dimensions by dotting it with
+    * [[JlDim]] splitmix64-seeded random hyperplanes (the same deterministic
+    * plane stream [[lshTopK]] signs, used here at full precision). The
+    * dimensionality-reduction stage that precedes clustering / coarse ANN
+    * in an embedding pipeline: JL preserves pairwise distances within
+    * 1±ε with high probability while cutting vector bytes 4×.
+    *
+    * Output is (vec_id, j, proj) rows — the projected coordinate per output
+    * dimension — so the gate compares top-level doubles (each an ordered
+    * IEEE dot product, bit-replayed by the DuckDB oracle like the LSH dots).
+    *
+    * 100 TB plan: the projection matrix is a plan literal (16×64 doubles —
+    * kilobytes, shipped with the task closure), the dots are codegen'd
+    * [[graft.functions.GraftFunctions.arrayDot]] kernels, and the whole
+    * operator is one scan with NO shuffle — it scales with read bandwidth.
+    */
+  def jlProject(s: SparkSession, dir: String,
+      outDim: Int = JlDim, seed: Long = JlSeed): DataFrame = {
+    val planes = hyperplanes(64, outDim, seed)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("vec"))
+      .select(col("vec_id"),
+        posexplode(array(planes.map(p =>
+          arrayDot(col("vec"), array(p.map(lit): _*))): _*)).as(Seq("j", "proj")))
+  }
+
   /** Independent hash tables for [[embedNearDup]] — the hyperplane analog of
     * MinHash LSH's OR-over-bands: a pair is a candidate if it collides in ANY
     * table, so recall at cosine c is 1−(1−p^nbits)^nTables with p = 1−θ/π.

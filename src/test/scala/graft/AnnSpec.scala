@@ -120,6 +120,42 @@ class AnnSpec extends AnyFunSuite {
     TransientCache.release(spark)
   }
 
+  test("jlProject: coordinates == driver-side ordered dot with the seed-7 planes") {
+    val planes = Ann.hyperplanes(64, Ann.JlDim, Ann.JlSeed)
+    val got = Ann.jlProject(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("j")) -> r.getAs[Double]("proj"))
+      .toMap
+    assert(got.size == vecs.size * Ann.JlDim)
+    // exact bit equality: same products, same ascending-index summation
+    vecs.foreach { case (id, v) =>
+      planes.zipWithIndex.foreach { case (p, j) =>
+        var dot = 0.0; var i = 0
+        while (i < 64) { dot += v(i) * p(i); i += 1 }
+        assert(got((id, j)) == dot, s"vec $id dim $j")
+      }
+    }
+  }
+
+  test("jlProject: projection roughly preserves relative cosine structure") {
+    // JL with 16 dims is loose; assert direction, not tightness: the most
+    // similar fixture pair under full cosine stays above the median pair
+    // similarity in projected space
+    val proj = Ann.jlProject(spark, Sf0001).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getAs[Int]("j")).map(_.getAs[Double]("proj")).toArray
+      }
+    val ids = vecs.keys.toSeq.sorted.take(60)
+    val pairs = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val full = pairs.map { case (a, b) => (a, b) -> cos(vecs(a), vecs(b)) }.toMap
+    val low = pairs.map { case (a, b) => (a, b) -> cos(proj(a), proj(b)) }.toMap
+    val best = pairs.maxBy(full)
+    val lowVals = pairs.map(low).sorted
+    val median = lowVals(lowVals.size / 2)
+    assert(low(best) > median,
+      s"best full-space pair fell below the projected-space median ($median)")
+  }
+
   test("cosine column agrees with driver-side cosine") {
     import org.apache.spark.sql.functions._
     val s = spark

@@ -178,6 +178,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("searchDocs differential: top-k == brute-force model on a random corpus") {
+    val texts = randTexts(60, 59L)
+    val dir = writeDocs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") })
+    val terms = Seq("a", "b", "c") // single letters are common in the generator
+    val got = Corpus.searchDocs(spark, dir, terms = terms, k = 7).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+    val expected = texts.zipWithIndex.flatMap { case (t, i) =>
+      val toks = t.split("[^\\p{L}]+").filter(_.nonEmpty)
+      val hits = toks.filter(terms.contains)
+      if (terms.forall(hits.contains)) Some((i.toLong, hits.length.toLong)) else None
+    }.sortBy { case (id, sc) => (-sc, id) }.take(7)
+    assert(got == expected)
+  }
+
+  test("plan shapes: no unpartitioned window; search filter precedes the shuffle") {
+    val dir = writeDocs(Seq((1L, "spark table fast", "en", "s0")))
+    // vocab_encode must not reintroduce a single-partition WindowExec: the
+    // id assignment is TakeOrdered + zipWithIndex by construction
+    val vplan = Corpus.vocabEncode(spark, dir).queryExecution.executedPlan.toString
+    assert(!vplan.contains("Window"), s"unexpected WindowExec in:\n$vplan")
+    // search_docs: the term filter must sit below the exchange so the
+    // shuffle carries only query-term postings
+    val splan = Corpus.searchDocs(spark, dir).queryExecution.executedPlan.toString
+    val exchangeAt = splan.indexOf("Exchange")
+    val filterAt = splan.lastIndexOf("Filter")
+    assert(exchangeAt >= 0 && filterAt > exchangeAt,
+      s"expected a Filter below (after, in tree print) the Exchange:\n$splan")
+  }
+
   test("sourceQuantiles differential: rank formulas == brute-force model") {
     val rnd = new scala.util.Random(7)
     val docs = (0 until 200).map { i =>
