@@ -114,6 +114,10 @@ object SparkEntry {
     "chunk_docs" -> ((s: SparkSession, d: String) => graft.operators.Curation.chunkDocs(s, d)),
     "tfidf" -> ((s: SparkSession, d: String) => TextOps.tfidf(s, d)),
     "split_assign" -> (graft.operators.Curation.splitAssign _),
+    "epoch_order" -> ((s: SparkSession, d: String) => graft.operators.Curation.epochOrder(s, d)),
+    "stratified_sample" -> ((s: SparkSession, d: String) => graft.operators.Curation.stratifiedSample(s, d)),
+    "dedup_canonical" -> ((s: SparkSession, d: String) => Dedup.canonical(s, d)),
+    "bm25_search" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bm25Search(s, d)),
     // --- corpus statistics: vocabulary build, collocations, order stats ---
     "vocab_encode" -> ((s: SparkSession, d: String) => graft.operators.Corpus.vocabEncode(s, d)),
     "colloc_lift" -> ((s: SparkSession, d: String) => graft.operators.Corpus.collocLift(s, d)),
@@ -908,6 +912,23 @@ object SparkEntry {
       s"""WITH RECURSIVE
          |$clustersCte
          |SELECT doc_id, cluster_id FROM cl""".stripMargin,
+    // canonical-representative election over the same recursive closure:
+    // longest member wins (n_chars desc, doc_id asc), kept rows ARE the
+    // deduplicated corpus
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE
+         |$clustersCte,
+         |j AS (SELECT d.doc_id, d.n_chars, c.cluster_id
+         |      FROM documents d JOIN cl c ON d.doc_id = c.doc_id),
+         |r AS (SELECT doc_id, cluster_id, n_chars,
+         |       row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         |       count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j)
+         |SELECT r.doc_id, r.cluster_id, w.canonical_id,
+         | CAST(r.n_members AS BIGINT) AS n_members,
+         | r.doc_id = w.canonical_id AS kept
+         |FROM r JOIN (SELECT cluster_id, doc_id AS canonical_id FROM r WHERE rn = 1) w
+         | USING (cluster_id)""".stripMargin,
     "dedup_ngram" ->
       """SELECT doc1, doc2, jaccard FROM (
         | SELECT a.doc_id AS doc1, b.doc_id AS doc2,
@@ -996,6 +1017,27 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |   substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS coin
         |  FROM documents) t""".stripMargin,
+    // multi-epoch training shuffle order: per-epoch salted coin, shard =
+    // first coin hex digit, position by coin within (epoch, shard)
+    "epoch_order" ->
+      """WITH c AS (SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+        |   md5('epoch:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS coin
+        |  FROM (SELECT doc_id, unnest(range(0, 3)) AS epoch FROM documents) e)
+        |SELECT epoch,
+        | CAST(strpos('0123456789abcdef', substring(coin, 1, 1)) - 1 AS INTEGER) AS shard,
+        | CAST(row_number() OVER (
+        |  PARTITION BY epoch, substring(coin, 1, 1) ORDER BY coin ASC, doc_id ASC)
+        |  AS INTEGER) AS pos,
+        | doc_id
+        |FROM c""".stripMargin,
+    // exact-k-per-stratum uniform sample: smallest salted coins win; the
+    // "strat:" salt keeps the coin independent of split/mix decisions
+    "stratified_sample" ->
+      """SELECT lang, CAST(rn AS INTEGER) AS rank_in_stratum, doc_id FROM (
+        | SELECT lang, doc_id, row_number() OVER (
+        |  PARTITION BY lang ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)) ASC,
+        |  doc_id ASC) AS rn
+        | FROM documents) t WHERE rn <= 40""".stripMargin,
     // frequency-ranked top-20 vocabulary (ties lexicographic), documents
     // re-emitted as position-ordered id strings with OOV = -1; parallel
     // unnests zip positionally in DuckDB, giving each token its ordinal
@@ -1039,6 +1081,33 @@ object SparkEntry {
          |  WHERE word IN ('spark', 'table', 'fast'))
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS score
          |FROM w GROUP BY doc_id HAVING count(DISTINCT word) = 3
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // disjunctive BM25 with the rational Robertson idf (N−df+½)/(df+½) —
+    // no libm log; every factor is an int-derived double, the expression
+    // tree is parenthesized identically to the Scala plan, and the per-doc
+    // term sum folds in lexicographic term order (ordered-fold discipline).
+    // 2.2 is the literal k1+1: 1.2+1.0 rounds to exactly the double 2.2
+    "bm25_search" ->
+      s"""WITH tok AS (SELECT doc_id, word AS term
+         |  FROM (SELECT doc_id, unnest(string_split_regex(text, '[^\\p{L}]+')) AS word
+         |        FROM documents) u WHERE word <> ''),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |tot AS (SELECT count(*) AS n_docs, sum(dl) AS tot_toks FROM dl),
+         |post AS (SELECT term, doc_id, count(*) AS tf FROM tok
+         |         WHERE term IN ('spark', 'table', 'fast') GROUP BY term, doc_id),
+         |df AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+         |sc AS (SELECT p.doc_id, p.term,
+         |   ((CAST(t.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5)
+         |    / (CAST(df.df AS DOUBLE) + 0.5)
+         |    * ((CAST(p.tf AS DOUBLE) * 2.2)
+         |      / (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+         |        * (CAST(dl.dl AS DOUBLE)
+         |          / (CAST(t.tot_toks AS DOUBLE) / CAST(t.n_docs AS DOUBLE)))))) AS tscore
+         |  FROM post p JOIN df USING (term) JOIN dl ON p.doc_id = dl.doc_id, tot t)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(tscore ORDER BY term)),
+         |  (x, y) -> x + y) AS score
+         |FROM sc GROUP BY doc_id
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     // discrete p50/p90 per source: the value at ascending rank
     // ceil(p*n) = (n*p100 + 99) // 100 — an order statistic, all integral

@@ -164,6 +164,70 @@ object Corpus {
       .select("doc_id", "score")
   }
 
+  /** BM25 shape parameters (the standard Robertson defaults). `Bm25K1` is
+    * deliberately the literal 1.2 — the SQL oracle spells the same literal,
+    * so both engines parse the identical nearest-double.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** bm25_search — DISJUNCTIVE ranked retrieval over the inverted index,
+    * scored by BM25 with the rational Robertson idf `(N − df + ½)/(df + ½)`
+    * instead of its log (same monotone ranking for the fixture's df range;
+    * no libm `log` call, whose last-ulp behavior differs across engines — the
+    * same discipline as [[collocLift]]'s un-logged lift). Every factor is an
+    * integer-derived double and the expression tree is fully parenthesized,
+    * so DuckDB replays bit-identical scores; the per-document sum over query
+    * terms folds in LEXICOGRAPHIC term order on both engines (the ordered-
+    * fold discipline of the ANN dot products). Complements [[searchDocs]]:
+    * that is the boolean AND with an integral score, this is the weighted OR
+    * every retrieval pipeline actually ranks with.
+    *
+    * 100 TB plan: document lengths are one map-side-combined aggregation of
+    * the token stream (shared scan with the postings via the transient
+    * cache); the postings shuffle carries ONLY query-term rows (the filter
+    * sits on the exploded stream, before the exchange), df and the corpus
+    * totals are scalar/K-row broadcasts, and the final ranking is a
+    * distributed TakeOrdered. Nothing corpus-sized moves except the one
+    * doc-length aggregation every BM25 engine needs.
+    */
+  def bm25Search(s: SparkSession, dir: String,
+      terms: Seq[String] = SearchTerms, k: Int = 10): DataFrame = {
+    val q = terms.distinct
+    val toks = graft.TransientCache.cache(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), "[^\\p{L}]+"), t => t =!= "")).as("term")))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_toks"))
+    val post = toks.filter(col("term").isin(q: _*))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val df = post.groupBy("term").agg(count(lit(1)).as("df"))
+    post
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("avgdl",
+        col("tot_toks").cast("double") / col("n_docs").cast("double"))
+      .withColumn("tscore",
+        ((col("n_docs").cast("double") - col("df").cast("double")) + lit(0.5))
+          / (col("df").cast("double") + lit(0.5))
+          * ((col("tf").cast("double") * lit(Bm25K1 + 1.0))
+            / (col("tf").cast("double")
+              + lit(Bm25K1) * (lit(1.0 - Bm25B)
+                + lit(Bm25B) * (col("dl").cast("double") / col("avgdl"))))))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("tscore")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("tscore")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "n_terms", "score")
+  }
+
   /** source_quantiles — exact per-source order statistics of document
     * length: n_docs, min/max, and discrete p50/p90 (the value at ascending
     * rank ceil(p·n), doc_id as tiebreak — an order statistic, not an

@@ -219,4 +219,74 @@ object Curation {
       .withColumn("mean_freq",
         col("freq_sum").cast("double") / col("n_toks").cast("double"))
   }
+
+  /** Epoch count / shard fan-out for [[epochOrder]]. 16 shards is fixture-
+    * sized; a real run sets shards ≈ executor-cores × small constant so
+    * shard files are write-parallel.
+    */
+  val Epochs = 3
+  val OrderShards = 16
+
+  /** epoch_order — deterministic multi-epoch training shuffle order: every
+    * document gets, per epoch, a salted md5 coin, a shard (top 4 coin bits
+    * here), and its position within that (epoch, shard) by coin order. The
+    * total training order for epoch e is (shard, pos) lexicographic — the
+    * sharded-shuffle layout pretraining loaders consume (shard files, each
+    * internally ordered), with a FRESH permutation per epoch because the
+    * coin is salted with the epoch number.
+    *
+    * Determinism under retry/repartition is the whole point (same property
+    * as [[splitAssign]]): re-running any epoch reproduces byte-identical
+    * shard files, so a resumed training run sees the same example order.
+    *
+    * 100 TB plan: one shuffle keyed on (epoch, shard) — 16 shards here,
+    * thousands in production, so each window partition is corpus/shards and
+    * the per-partition sort is Spark's external sort. Deliberately NOT a
+    * global row_number over the epoch: a dense corpus-wide rank needs either
+    * a single-partition window (doesn't scale) or a second prefix-sum pass;
+    * the (shard, pos) pair encodes the same total order for free.
+    */
+  def epochOrder(s: SparkSession, dir: String,
+      epochs: Int = Epochs, shards: Int = OrderShards): DataFrame = {
+    require(shards == 16, "shard = first coin hex digit; other fan-outs need a wider substring")
+    val w = Window.partitionBy("epoch", "shard").orderBy(col("coin").asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("coin",
+        md5(concat(lit("epoch:"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard", conv(substring(col("coin"), 1, 1), 16, 10).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select("epoch", "shard", "pos", "doc_id")
+  }
+
+  /** Per-stratum sample size for [[stratifiedSample]]. */
+  val StratumK = 40
+
+  /** stratified_sample — exact-k-per-stratum deterministic sample: within
+    * each language, keep the k documents with the smallest salted md5 coins
+    * (coin order is uniform, so this is a uniform without-replacement sample
+    * of each stratum — unlike [[domainCap]], which deliberately PREFERS long
+    * documents). The eval-set / ablation-corpus builder: "40 random docs per
+    * language, reproducibly, regardless of cluster size or retry".
+    *
+    * The coin salt ("strat:") keeps this decision independent of the
+    * split coin ("split:") and [[Pipeline.mix]]'s sampling coin — the same
+    * coin-isolation rule splitAssign documents.
+    *
+    * 100 TB plan: identical shape to domain_cap — one hash shuffle on lang
+    * with Catalyst's WindowGroupLimit(Partial) keeping ≤ k rows per stratum
+    * map-side before the exchange, so a billion-doc language ships k rows
+    * per map partition, not its corpus. Exact-k without any global sort or
+    * per-stratum scan-twice reservoir pass.
+    */
+  def stratifiedSample(s: SparkSession, dir: String, k: Int = StratumK): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("coin").asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("strat:"), col("doc_id").cast("string"))).as("coin"))
+      .withColumn("rank_in_stratum", row_number().over(w))
+      .filter(col("rank_in_stratum") <= k)
+      .select("lang", "rank_in_stratum", "doc_id")
+  }
 }

@@ -437,6 +437,35 @@ object Dedup {
     labels
   }
 
+  /** dedup_canonical — the "apply the dedup" step: for every near-dup
+    * cluster ([[clusters]] labels), elect one representative — the longest
+    * member (`n_chars` desc, doc_id asc as the total-order tiebreak) — and
+    * emit, per document, its cluster, the elected canonical id, the cluster
+    * size, and the keep/drop verdict a downstream corpus writer filters on.
+    * Singleton clusters keep themselves, so `kept` rows ARE the deduplicated
+    * corpus; this is the operator a pipeline actually runs after candidate
+    * generation + clustering have decided who duplicates whom.
+    *
+    * 100 TB plan: one hash shuffle on `cluster_id`; all three window frames
+    * (election rank, the first_value broadcastback of the winner, and the
+    * member count) share that single exchange + per-partition sort. Cluster
+    * partitions are near-dup components — quasi-cliques of a few docs — so
+    * the per-key row count is bounded by dedup semantics itself, never by
+    * corpus size (contrast source/lang keys, which need cap/salt guards).
+    */
+  def canonical(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val elect = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val whole = elect.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .join(clusters(s, dir, threshold), "doc_id")
+      .withColumn("canonical_id", first("doc_id").over(whole))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        col("n_members"), (col("doc_id") === col("canonical_id")).as("kept"))
+  }
+
   // ------------------------------------------------------ substring dedup
 
   /** Token-window length for [[substringDups]] (50 in the Lee et al. paper's

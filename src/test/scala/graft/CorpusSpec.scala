@@ -192,6 +192,47 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("bm25Search differential: scores == driver-side model, bit-exact") {
+    val texts = randTexts(80, 83L)
+    val dir = writeDocs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") })
+    val terms = Seq("a", "b", "c")
+    val got = Corpus.bm25Search(spark, dir, terms = terms, k = 12).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms"), r.getAs[Double]("score")))
+      .toSeq
+    // model replicates the exact double expression tree and fold order
+    val toks = texts.map(_.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq)
+    val n = toks.count(_.nonEmpty)
+    val avgdl = toks.map(_.length.toLong).sum.toDouble / n.toDouble
+    val dfm = terms.map(t => t -> toks.count(_.contains(t))).toMap
+    import Corpus.{Bm25B => b, Bm25K1 => k1}
+    val expected = toks.zipWithIndex.flatMap { case (tk, i) =>
+      val present = terms.filter(tk.contains).sorted
+      if (present.isEmpty) None else {
+        val score = present.foldLeft(0.0) { (acc, t) =>
+          val tf = tk.count(_ == t).toDouble
+          val idf = ((n.toDouble - dfm(t).toDouble) + 0.5) / (dfm(t).toDouble + 0.5)
+          acc + idf * ((tf * (k1 + 1.0))
+            / (tf + k1 * ((1.0 - b) + b * (tk.length.toDouble / avgdl))))
+        }
+        Some((i.toLong, present.length.toLong, score))
+      }
+    }.sortBy { case (id, _, s) => (-s, id) }.take(12)
+    assert(got == expected)
+  }
+
+  test("bm25Search: rarer term outranks commoner term at equal tf and length") {
+    // 'rare' appears in 2 docs, 'common' in 10; probes are same length/tf,
+    // so only idf separates them — BM25 must rank the rare-term doc first
+    val filler = (0 until 8).map(i => s"pad$i w x y z").toSeq
+    val docs = Seq((0L, "rare one two three"), (1L, "common one two three")) ++
+      (2L until 10L).map(i => (i, s"common ${filler((i - 2).toInt)}")) ++
+      Seq((10L, s"rare ${filler(0)}"))
+    val dir = writeDocs(docs.map { case (id, t) => (id, t, "en", "s") })
+    val got = Corpus.bm25Search(spark, dir, terms = Seq("rare", "common"), k = 20)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(got(0L) > got(1L), s"rare-term doc must outrank: ${got(0L)} vs ${got(1L)}")
+  }
+
   test("plan shapes: no unpartitioned window; search filter precedes the shuffle") {
     val dir = writeDocs(Seq((1L, "spark table fast", "en", "s0")))
     // vocab_encode must not reintroduce a single-partition WindowExec: the

@@ -249,6 +249,59 @@ class CurationSpec extends AnyFunSuite {
     assert(rows == expected)
   }
 
+  // ------------------------------------------------------------ epochOrder
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  test("epochOrder: per-epoch shard/position matches the driver-side coin model") {
+    val dir = writeDocs((0L until 50L).map(i => (i, s"doc $i", "en", "s0")))
+    val got = Curation.epochOrder(spark, dir).collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Int]("shard"),
+        r.getAs[Int]("pos"), r.getAs[Long]("doc_id")))
+    assert(got.length == 150)
+    val expected = (0 until 3).flatMap { e =>
+      (0L until 50L).map(id => (md5hex(s"epoch:$e:$id"), id))
+        .groupBy { case (coin, _) => Integer.parseInt(coin.substring(0, 1), 16) }
+        .flatMap { case (shard, rows) =>
+          rows.sorted.zipWithIndex.map { case ((_, id), i) => (e, shard, i + 1, id) }
+        }
+    }.toSet
+    assert(got.toSet == expected)
+    // each epoch is a full permutation of the corpus
+    (0 until 3).foreach { e =>
+      assert(got.filter(_._1 == e).map(_._4).sorted.toSeq == (0L until 50L))
+    }
+    // the epoch salt gives each epoch a genuinely different order
+    def order(e: Int) = got.filter(_._1 == e).sortBy(t => (t._2, t._3)).map(_._4).toSeq
+    assert(order(0) != order(1) && order(1) != order(2))
+  }
+
+  // ------------------------------------------------------ stratifiedSample
+
+  test("stratifiedSample: exact k per stratum by coin order; short strata keep all") {
+    val dir = writeDocs(
+      (0L until 100L).map(i => (i, s"doc $i", if (i < 80) "en" else "fr", "s0")))
+    val got = Curation.stratifiedSample(spark, dir, k = 25).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rank_in_stratum"),
+        r.getAs[Long]("doc_id")))
+    val en = got.filter(_._1 == "en")
+    val fr = got.filter(_._1 == "fr")
+    assert(en.length == 25 && fr.length == 20) // fr stratum has only 20 docs
+    // model: smallest "strat:" coins win, rank follows coin order
+    def model(ids: Seq[Long], k: Int) =
+      ids.map(id => (md5hex(s"strat:$id"), id)).sorted.take(k)
+        .zipWithIndex.map { case ((_, id), i) => (i + 1, id) }
+    assert(en.map(t => (t._2, t._3)).sortBy(_._1).toSeq == model(0L until 80L, 25))
+    assert(fr.map(t => (t._2, t._3)).sortBy(_._1).toSeq == model(80L until 100L, 25))
+    // re-run identical (pure function of doc_id — retry-safe)
+    val again = Curation.stratifiedSample(spark, dir, k = 25).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rank_in_stratum"),
+        r.getAs[Long]("doc_id")))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
   // ----------------------------------------------------------- splitAssign
 
   test("splitAssign: deterministic, exhaustive, independent of the mix coin") {

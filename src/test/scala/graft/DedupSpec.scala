@@ -127,6 +127,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 0L, 3L -> 0L, 2L -> 2L, 4L -> 4L))
   }
 
+  test("canonical: longest member elected, kept rows are the deduplicated corpus") {
+    val got = Dedup.canonical(spark, dir, threshold = 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("canonical_id"),
+          r.getAs[Long]("n_members"), r.getAs[Boolean]("kept")))).toMap
+    // component {0,1,3}: doc 1 (base + " extra") is the longest -> canonical
+    assert(got(0L) == ((0L, 1L, 3L, false)))
+    assert(got(1L) == ((0L, 1L, 3L, true)))
+    assert(got(3L) == ((0L, 1L, 3L, false)))
+    // singletons keep themselves
+    assert(got(2L) == ((2L, 2L, 1L, true)))
+    assert(got(4L) == ((4L, 4L, 1L, true)))
+    // exactly one survivor per cluster — the kept set IS the deduped corpus
+    val survivors = got.values.groupBy(_._1).map { case (c, vs) => c -> vs.count(_._4) }
+    assert(survivors.values.forall(_ == 1))
+  }
+
   test("clusters: a CHAIN a~b~c lands in one cluster even if a!~c") {
     val s = spark
     import s.implicits._
