@@ -118,6 +118,8 @@ object SparkEntry {
     "stratified_sample" -> ((s: SparkSession, d: String) => graft.operators.Curation.stratifiedSample(s, d)),
     "dedup_canonical" -> ((s: SparkSession, d: String) => Dedup.canonical(s, d)),
     "bm25_search" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bm25Search(s, d)),
+    "substring_scrub" -> ((s: SparkSession, d: String) => Dedup.substringScrub(s, d)),
+    "budget_sample" -> ((s: SparkSession, d: String) => graft.operators.Curation.budgetSample(s, d)),
     // --- corpus statistics: vocabulary build, collocations, order stats ---
     "vocab_encode" -> ((s: SparkSession, d: String) => graft.operators.Corpus.vocabEncode(s, d)),
     "colloc_lift" -> ((s: SparkSession, d: String) => graft.operators.Corpus.collocLift(s, d)),
@@ -1030,6 +1032,17 @@ object SparkEntry {
         |  AS INTEGER) AS pos,
         | doc_id
         |FROM c""".stripMargin,
+    // token-budget mixture allocation: keep docs in salted-coin order while
+    // the tokens BEFORE them fit the per-source budget (overshoot ≤ 1 doc)
+    "budget_sample" ->
+      """SELECT source, doc_id, n_toks, CAST(cum AS BIGINT) AS cum FROM (
+        | SELECT source, doc_id, n_toks, sum(n_toks) OVER (
+        |  PARTITION BY source
+        |  ORDER BY md5('budget:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS cum
+        | FROM (SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_toks
+        |   FROM documents) t) w
+        |WHERE cum - n_toks < 256""".stripMargin,
     // exact-k-per-stratum uniform sample: smallest salted coins win; the
     // "strat:" salt keeps the coin independent of split/mix decisions
     "stratified_sample" ->
@@ -1129,6 +1142,28 @@ object SparkEntry {
         |       ELSE [] END)) AS gram FROM t)
         |SELECT gram, count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM w GROUP BY gram HAVING count(*) >= 2""".stripMargin,
+    // ExactSubstr DEDUPLICATION (the apply step): positions covered by a
+    // shared 8-token run are removed everywhere except the run's first
+    // occurrence (min doc_id); parallel unnests zip positionally
+    "substring_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |o AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS st, array_to_string(toks[i:i+7], ' ') AS gram
+        |      FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 6, 1))) AS i FROM t) u),
+        |sh AS (SELECT gram, min(doc_id) AS keep_id FROM o
+        |       GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |f AS (SELECT DISTINCT o.doc_id, o.st FROM o JOIN sh USING (gram)
+        |      WHERE o.doc_id <> sh.keep_id),
+        |pos AS (SELECT doc_id, unnest(toks) AS tok,
+        |        CAST(unnest(range(0, len(toks))) AS INTEGER) AS p FROM t),
+        |cov AS (SELECT DISTINCT pos.doc_id, pos.p FROM pos
+        |        JOIN f ON pos.doc_id = f.doc_id AND pos.p >= f.st AND pos.p < f.st + 8),
+        |sel AS (SELECT pos.doc_id, pos.p, pos.tok, cov.p IS NOT NULL AS covered
+        |        FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        | CAST(count(CASE WHEN covered THEN 1 END) AS BIGINT) AS n_removed,
+        | coalesce(string_agg(CASE WHEN NOT covered THEN tok END, ' ' ORDER BY p), '')
+        |  AS scrubbed_text
+        |FROM sel GROUP BY doc_id""".stripMargin,
     // the full stub decode replayed in SQL: seed = byte-poly hash of the
     // utf-8 payload (hex-pair fold), pixels = a 64-bit LCG stepped w*h times
     // inside a recursive CTE that carries the running double sums — fully

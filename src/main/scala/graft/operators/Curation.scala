@@ -260,6 +260,38 @@ object Curation {
       .select("epoch", "shard", "pos", "doc_id")
   }
 
+  /** Per-source token budget for [[budgetSample]] (fixture-sized; a real
+    * run sets this to the mixture allocation, e.g. "30B tokens of code").
+    */
+  val SourceBudget = 256
+
+  /** budget_sample — token-budget mixture allocation: each source
+    * contributes documents, visited in salted-coin order (uniform random
+    * but deterministic), until its TOKEN budget fills — a document is kept
+    * iff the tokens before it in coin order fit under the budget, so the
+    * last kept document may overshoot by at most itself (the same
+    * starting-offset discipline as [[packSequences]]' bins). This is the
+    * "N tokens per domain" step of mixture construction — [[Pipeline.mix]]
+    * downsamples by RATE; this allocates by absolute token count, which is
+    * how training mixtures are actually specified.
+    *
+    * 100 TB plan: one shuffle on source; the running sum shares the
+    * per-source sort. A mega-source sorts corpus/source rows per partition
+    * (external sort); when budget ≪ source size, a two-phase refinement
+    * (cap by rank ≤ budget/min_doc_tokens map-side first) bounds the sort
+    * input — documented trade, not needed at fixture scale.
+    */
+  def budgetSample(s: SparkSession, dir: String, budget: Int = SourceBudget): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("coin").asc, col("doc_id").asc)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_toks"),
+        md5(concat(lit("budget:"), col("doc_id").cast("string"))).as("coin"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .filter(col("cum") - col("n_toks") < budget)
+      .select(col("source"), col("doc_id"), col("n_toks"), col("cum"))
+  }
+
   /** Per-stratum sample size for [[stratifiedSample]]. */
   val StratumK = 40
 

@@ -537,6 +537,97 @@ object Dedup {
       .filter(col("n_docs") >= 2)
   }
 
+  /** Positional `w`-token windows of a document: EVERY occurrence with its
+    * 0-based starting token index (contrast [[windowGrams]], which dedupes
+    * for the gram-level aggregate — scrubbing needs positions, not just
+    * membership). Same trim + `\s+` tokenization; docs shorter than `w`
+    * emit nothing.
+    */
+  private[graft] def windowStarts(text: String, w: Int): IndexedSeq[(Int, String)] = {
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    val toks = text.substring(b, e).split("\\s+")
+    if (toks.length < w) return IndexedSeq.empty
+    val sb = new java.lang.StringBuilder
+    (0 to toks.length - w).map { i =>
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      (i, sb.toString)
+    }
+  }
+
+  /** substring_scrub — the "apply" step of substring dedup (Lee et al.'s
+    * ExactSubstr DEDUPLICATION, not just detection): every token position
+    * covered by a shared `w`-token run is REMOVED from every document
+    * except the run's first occurrence (min doc_id keeps all its text),
+    * and the surviving tokens are re-joined. Overlapping shared runs union
+    * their coverage, so boilerplate paragraphs vanish wholesale; a run a
+    * document repeats internally with no second document sharing it is NOT
+    * scrubbed (internal repetition is text_repetition's dimension, not
+    * cross-document duplication).
+    *
+    * Output per document: token count, removed-token count, and the
+    * scrubbed text — the corpus the next pipeline stage actually trains on.
+    *
+    * 100 TB plan: the positional occurrence table is token-stream-sized
+    * (the same working set wc/indexer shuffle) and is cached once for its
+    * two consumers; the shared-run aggregate is one map-side-combined
+    * shuffle on the gram (hot boilerplate grams partial-aggregate before
+    * moving); flagged starts come back as ONE shuffle on doc_id carrying
+    * only flagged occurrences; the rebuild is a per-row typed map (same
+    * tier as the MinHash signature pass — per-doc imperative logic with no
+    * cross-row state). No pairing, no candidate explosion: scrub cost is
+    * linear in corpus tokens regardless of how duplicated the corpus is.
+    */
+  def substringScrub(s: SparkSession, dir: String,
+      window: Int = SubstringWindow): DataFrame = {
+    import s.implicits._
+    val occ = graft.TransientCache.cache(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          windowStarts(t, window).map { case (st, g) => (id, st, g) }
+        }
+        .toDF("doc_id", "start", "gram"))
+    val shared = occ.groupBy("gram")
+      .agg(count_distinct(col("doc_id")).as("n_docs"), min("doc_id").as("keep_id"))
+      .filter(col("n_docs") >= 2)
+      .select("gram", "keep_id")
+    val flagged = occ.join(shared, "gram")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("start")).as("starts"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .join(flagged, Seq("doc_id"), "left")
+      .as[(Long, String, Option[Seq[Int]])]
+      .map { case (id, text, starts) =>
+        var b = 0
+        var e = text.length
+        while (b < e && text.charAt(b) == ' ') b += 1
+        while (e > b && text.charAt(e - 1) == ' ') e -= 1
+        val toks = text.substring(b, e).split("\\s+")
+        val covered = new Array[Boolean](toks.length)
+        starts.getOrElse(Nil).foreach { st =>
+          var p = st
+          val end = math.min(st + window, toks.length)
+          while (p < end) { covered(p) = true; p += 1 }
+        }
+        val kept = toks.indices.filterNot(covered)
+        (id, toks.length.toLong, covered.count(identity).toLong,
+          kept.map(toks).mkString(" "))
+      }
+      .toDF("doc_id", "n_toks", "n_removed", "scrubbed_text")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of a token sequence, computed in one pass of plain

@@ -53,6 +53,74 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("gram") == boiler))
   }
 
+  // ------------------------------------------------------- substringScrub
+
+  test("substringScrub: shared run removed everywhere but the first occurrence") {
+    val boiler = "all rights reserved contact us terms of service" // 8 tokens
+    val dir = writeDocs(Seq(
+      (1L, s"alpha beta gamma $boiler", "en", "src0"),
+      (2L, s"$boiler delta epsilon", "en", "src1"),
+      (3L, "totally unrelated words here nothing shared at all", "en", "src2")))
+    val got = Dedup.substringScrub(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("scrubbed_text")))).toMap
+    // doc 1 is the first occurrence (min doc_id) — keeps everything
+    assert(got(1L) == ((11L, 0L, s"alpha beta gamma $boiler")))
+    // doc 2 loses exactly the 8 boilerplate tokens, keeps its own tail
+    assert(got(2L) == ((10L, 8L, "delta epsilon")))
+    // doc 3 shares nothing — untouched
+    assert(got(3L) == ((8L, 0L, "totally unrelated words here nothing shared at all")))
+  }
+
+  test("substringScrub: overlapping shared runs union their coverage") {
+    // docs 1 and 2 share a 9-token run -> two overlapping 8-windows in each;
+    // doc 2 must lose all 9 tokens, not 8
+    val run = "a b c d e f g h i" // 9 tokens
+    val dir = writeDocs(Seq(
+      (1L, s"$run tail1 tail2", "en", "s0"),
+      (2L, s"front $run", "en", "s1")))
+    val got = Dedup.substringScrub(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("scrubbed_text")))).toMap
+    assert(got(1L) == ((0L, s"$run tail1 tail2")))
+    assert(got(2L) == ((9L, "front")))
+  }
+
+  test("substringScrub: internal repetition without a second doc is NOT scrubbed") {
+    val run = "w x y z p q r t" // 8 tokens, repeated inside one doc only
+    val dir = writeDocs(Seq(
+      (1L, s"$run $run", "en", "s0"),
+      (2L, "some other totally different words go right here", "en", "s1")))
+    val got = Dedup.substringScrub(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_removed")).toMap
+    assert(got(1L) == 0L && got(2L) == 0L)
+  }
+
+  // --------------------------------------------------------- budgetSample
+
+  test("budgetSample: coin-order prefix fill, overshoot at most one doc") {
+    // 6 docs x 10 tokens in src0; budget 256 -> all fit. src1: 6 x 100
+    // tokens, budget 256 -> first 2 fit fully, 3rd starts at 200 < 256
+    // (overshoot), 4th starts at 300 -> dropped
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val hundred = (1 to 100).map(i => s"h$i").mkString(" ")
+    val dir = writeDocs(
+      (0L until 6L).map(i => (i, ten, "en", "src0")) ++
+        (6L until 12L).map(i => (i, hundred, "en", "src1")))
+    val got = Curation.budgetSample(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_toks"), r.getAs[Long]("cum")))
+    assert(got.count(_._1 == "src0") == 6)
+    val src1 = got.filter(_._1 == "src1").sortBy(_._4)
+    assert(src1.length == 3) // 100+100 under budget, third overshoots, rest drop
+    assert(src1.map(_._4).toSeq == Seq(100L, 200L, 300L))
+    // the kept ids are the ones with the 3 smallest "budget:" coins
+    val expectIds = (6L until 12L)
+      .sortBy(id => md5hex(s"budget:$id")).take(3).toSet
+    assert(src1.map(_._2).toSet == expectIds)
+  }
+
   // ------------------------------------------------------------- decontam
 
   test("decontam: grams shared with the benchmark doc are counted, others zero") {
