@@ -120,6 +120,7 @@ object SparkEntry {
     "bm25_search" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bm25Search(s, d)),
     "substring_scrub" -> ((s: SparkSession, d: String) => Dedup.substringScrub(s, d)),
     "budget_sample" -> ((s: SparkSession, d: String) => graft.operators.Curation.budgetSample(s, d)),
+    "hash_embed" -> ((s: SparkSession, d: String) => graft.operators.Corpus.hashEmbed(s, d)),
     // --- corpus statistics: vocabulary build, collocations, order stats ---
     "vocab_encode" -> ((s: SparkSession, d: String) => graft.operators.Corpus.vocabEncode(s, d)),
     "colloc_lift" -> ((s: SparkSession, d: String) => graft.operators.Corpus.collocLift(s, d)),
@@ -1032,6 +1033,16 @@ object SparkEntry {
         |  AS INTEGER) AS pos,
         | doc_id
         |FROM c""".stripMargin,
+    // feature-hashing embedding: per-token FNV-64 (HUGEINT replay), bucket
+    // = low 5 bits, sign = bit 32, integral vote sums — sparse rows only
+    "hash_embed" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |           FROM documents),
+         |h AS (SELECT doc_id, ${fnvFold(codeUnits("tok"))} AS hu FROM tk),
+         |v AS (SELECT doc_id, CAST(hu & 31 AS INTEGER) AS dim,
+         |       CASE WHEN ((hu >> 32) & 1) = 0 THEN 1 ELSE -1 END AS vote FROM h)
+         |SELECT doc_id, dim, CAST(sum(vote) AS BIGINT) AS val
+         |FROM v GROUP BY doc_id, dim HAVING sum(vote) <> 0""".stripMargin,
     // token-budget mixture allocation: keep docs in salted-coin order while
     // the tokens BEFORE them fit the per-source budget (overshoot ≤ 1 doc)
     "budget_sample" ->

@@ -228,6 +228,45 @@ object Corpus {
       .select("doc_id", "n_terms", "score")
   }
 
+  /** Bucket count for [[hashEmbed]] — 32 keeps collisions real on the
+    * fixture vocabulary (a power of two so bucketing is a bitmask, the same
+    * trick the replay oracles use to avoid 128-bit divmod).
+    */
+  val HashEmbedDims = 32
+
+  /** hash_embed — feature-hashing document embeddings (the hashing trick /
+    * "Weinberger" embedding): every token occurrence votes ±1 into one of
+    * [[HashEmbedDims]] buckets — bucket = low 5 bits of the token's FNV-64
+    * hash, sign = bit 32 — and a document's embedding is the per-bucket vote
+    * sum. The cheap, vocabulary-free text→vector bridge: no training, no
+    * dictionary, deterministic across engines, and the output feeds the same
+    * ANN/near-dup machinery the `embeddings` table does. Counts stay
+    * INTEGRAL (no normalization), so the oracle compare is exact — a
+    * downstream consumer normalizes at read time if it needs unit vectors.
+    *
+    * Emitted sparse: (doc_id, dim, val) rows for nonzero buckets only —
+    * top-level scalars, never array columns (driver canonicalization).
+    *
+    * 100 TB plan: one codegen'd scan (tokenize + the native fnv64
+    * `Expression` + bitmask) into one map-side-combined shuffle on
+    * (doc_id, dim) — the wc plan with a 5-bit key appended; ~32 rows per
+    * document out. No joins, no windows, no driver state.
+    */
+  def hashEmbed(s: SparkSession, dir: String, dims: Int = HashEmbedDims): DataFrame = {
+    require((dims & (dims - 1)) == 0, "dims must be a power of two (bitmask bucketing)")
+    val h = graft.functions.GraftFunctions.fnv64(col("tok"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"),
+        h.bitwiseAND(lit((dims - 1).toLong)).cast("int").as("dim"),
+        when(shiftright(h, 32).bitwiseAND(lit(1L)) === 0L, lit(1L))
+          .otherwise(lit(-1L)).as("vote"))
+      .groupBy("doc_id", "dim")
+      .agg(sum("vote").as("val"))
+      .filter(col("val") =!= 0L)
+  }
+
   /** source_quantiles — exact per-source order statistics of document
     * length: n_docs, min/max, and discrete p50/p90 (the value at ascending
     * rank ceil(p·n), doc_id as tiebreak — an order statistic, not an

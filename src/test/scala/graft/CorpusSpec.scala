@@ -233,6 +233,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(0L) > got(1L), s"rare-term doc must outrank: ${got(0L)} vs ${got(1L)}")
   }
 
+  test("hashEmbed differential: vote sums == driver-side FNV model") {
+    val texts = randTexts(50, 91L)
+    val dir = writeDocs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") })
+    val got = Corpus.hashEmbed(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("dim")) -> r.getAs[Long]("val"))
+      .toMap
+    val expected = texts.zipWithIndex.flatMap { case (t, i) =>
+      t.trim.split("\\s+").filter(_.nonEmpty).map { tok =>
+        val h = graft.functions.HashFunctions.fnv64(tok)
+        ((h & 31L).toInt, if (((h >> 32) & 1L) == 0L) 1L else -1L)
+      }.groupBy(_._1).map { case (dim, vs) => (i.toLong, dim) -> vs.map(_._2).sum }
+    }.toMap.filter(_._2 != 0L)
+    assert(got == expected)
+    // sparse contract: no zero votes emitted, dims inside [0, 32)
+    assert(got.values.forall(_ != 0L))
+    assert(got.keys.forall { case (_, d) => d >= 0 && d < 32 })
+  }
+
   test("plan shapes: no unpartitioned window; search filter precedes the shuffle") {
     val dir = writeDocs(Seq((1L, "spark table fast", "en", "s0")))
     // vocab_encode must not reintroduce a single-partition WindowExec: the
