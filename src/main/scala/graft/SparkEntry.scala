@@ -1036,8 +1036,9 @@ object SparkEntry {
     // feature-hashing embedding: per-token FNV-64 (HUGEINT replay), bucket
     // = low 5 bits, sign = bit 32, integral vote sums — sparse rows only
     "hash_embed" ->
-      s"""WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-         |           FROM documents),
+      s"""WITH tk AS (SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |    FROM documents) u WHERE tok <> ''),
          |h AS (SELECT doc_id, ${fnvFold(codeUnits("tok"))} AS hu FROM tk),
          |v AS (SELECT doc_id, CAST(hu & 31 AS INTEGER) AS dim,
          |       CASE WHEN ((hu >> 32) & 1) = 0 THEN 1 ELSE -1 END AS vote FROM h)

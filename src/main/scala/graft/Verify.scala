@@ -20,6 +20,12 @@ object Verify {
     // dumps the full registry
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must fail loudly: silently dumping nothing would leave
+    // stale parquet from a prior run for the cross-check to false-pass on
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown SPARK_GRAFT_VERIFY_ONLY queries: $unknown")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries

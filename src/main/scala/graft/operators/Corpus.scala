@@ -258,6 +258,10 @@ object Corpus {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
+      // an empty/whitespace-only document splits to one "" token; dropping
+      // it keeps the all-zero embedding an empty doc should have (fnv64("")
+      // would otherwise cast a spurious vote into its bucket)
+      .filter(col("tok") =!= "")
       .select(col("doc_id"),
         h.bitwiseAND(lit((dims - 1).toLong)).cast("int").as("dim"),
         when(shiftright(h, 32).bitwiseAND(lit(1L)) === 0L, lit(1L))

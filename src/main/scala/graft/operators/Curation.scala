@@ -221,8 +221,9 @@ object Curation {
   }
 
   /** Epoch count / shard fan-out for [[epochOrder]]. 16 shards is fixture-
-    * sized; a real run sets shards ≈ executor-cores × small constant so
-    * shard files are write-parallel.
+    * sized; a real run sets shards ≈ executor-cores × small constant
+    * (any power of 16 — the shard is a coin hex prefix) so shard files are
+    * write-parallel.
     */
   val Epochs = 3
   val OrderShards = 16
@@ -248,14 +249,22 @@ object Curation {
     */
   def epochOrder(s: SparkSession, dir: String,
       epochs: Int = Epochs, shards: Int = OrderShards): DataFrame = {
-    require(shards == 16, "shard = first coin hex digit; other fan-outs need a wider substring")
+    // shard = first k coin hex digits, so the fan-out must be a power of 16
+    // (16 at fixture scale, 256/4096/… in production); the prefix length is
+    // log16(shards)
+    val hexDigits = {
+      val tz = java.lang.Integer.numberOfTrailingZeros(shards)
+      require(shards >= 16 && java.lang.Integer.bitCount(shards) == 1 && tz % 4 == 0,
+        s"shards must be a power of 16, got $shards")
+      tz / 4
+    }
     val w = Window.partitionBy("epoch", "shard").orderBy(col("coin").asc, col("doc_id").asc)
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
       .withColumn("coin",
         md5(concat(lit("epoch:"), col("epoch").cast("string"),
           lit(":"), col("doc_id").cast("string"))))
-      .withColumn("shard", conv(substring(col("coin"), 1, 1), 16, 10).cast("int"))
+      .withColumn("shard", conv(substring(col("coin"), 1, hexDigits), 16, 10).cast("int"))
       .withColumn("pos", row_number().over(w))
       .select("epoch", "shard", "pos", "doc_id")
   }

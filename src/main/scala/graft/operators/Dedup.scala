@@ -474,17 +474,27 @@ object Dedup {
     */
   val SubstringWindow = 8
 
+  /** Space-trim + `\s+` tokenization shared by the whole substring-dedup
+    * family — ONE definition, because [[windowStarts]]' occurrence
+    * positions, [[windowGrams]]' gram strings, and [[substringScrub]]'s
+    * rebuild must stay byte-identical to each other and to the oracle's
+    * `trim` + `string_split_regex` or scrub coverage silently drifts.
+    */
+  private[graft] def trimmedTokens(text: String): Array[String] = {
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    text.substring(b, e).split("\\s+")
+  }
+
   /** Distinct sliding `w`-token windows of a document (space-joined), with
     * the same space-trim + `\s+` tokenization as [[shingleSet]]. Documents
     * shorter than `w` tokens emit nothing: a window that IS the whole short
     * doc is exact-dedup's job, not substring dedup's.
     */
   private[graft] def windowGrams(text: String, w: Int): IndexedSeq[String] = {
-    var b = 0
-    var e = text.length
-    while (b < e && text.charAt(b) == ' ') b += 1
-    while (e > b && text.charAt(e - 1) == ' ') e -= 1
-    val toks = text.substring(b, e).split("\\s+")
+    val toks = trimmedTokens(text)
     if (toks.length < w) return IndexedSeq.empty
     val out = new java.util.LinkedHashSet[String]((toks.length - w + 1) * 2)
     val sb = new java.lang.StringBuilder
@@ -544,11 +554,7 @@ object Dedup {
     * emit nothing.
     */
   private[graft] def windowStarts(text: String, w: Int): IndexedSeq[(Int, String)] = {
-    var b = 0
-    var e = text.length
-    while (b < e && text.charAt(b) == ' ') b += 1
-    while (e > b && text.charAt(e - 1) == ' ') e -= 1
-    val toks = text.substring(b, e).split("\\s+")
+    val toks = trimmedTokens(text)
     if (toks.length < w) return IndexedSeq.empty
     val sb = new java.lang.StringBuilder
     (0 to toks.length - w).map { i =>
@@ -610,11 +616,7 @@ object Dedup {
       .join(flagged, Seq("doc_id"), "left")
       .as[(Long, String, Option[Seq[Int]])]
       .map { case (id, text, starts) =>
-        var b = 0
-        var e = text.length
-        while (b < e && text.charAt(b) == ' ') b += 1
-        while (e > b && text.charAt(e - 1) == ' ') e -= 1
-        val toks = text.substring(b, e).split("\\s+")
+        val toks = trimmedTokens(text)
         val covered = new Array[Boolean](toks.length)
         starts.getOrElse(Nil).foreach { st =>
           var p = st

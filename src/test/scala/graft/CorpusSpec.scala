@@ -235,7 +235,10 @@ class CorpusSpec extends AnyFunSuite {
 
   test("hashEmbed differential: vote sums == driver-side FNV model") {
     val texts = randTexts(50, 91L)
-    val dir = writeDocs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") })
+    val dir = writeDocs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") }
+      // empty / whitespace-only docs must embed to the zero vector (no rows),
+      // not cast a spurious fnv64("") vote
+      ++ Seq((1000L, "", "en", "s"), (1001L, "   ", "en", "s")))
     val got = Corpus.hashEmbed(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("dim")) -> r.getAs[Long]("val"))
       .toMap
@@ -249,6 +252,7 @@ class CorpusSpec extends AnyFunSuite {
     // sparse contract: no zero votes emitted, dims inside [0, 32)
     assert(got.values.forall(_ != 0L))
     assert(got.keys.forall { case (_, d) => d >= 0 && d < 32 })
+    assert(!got.keys.exists(_._1 >= 1000L), "empty docs must emit no rows")
   }
 
   test("plan shapes: no unpartitioned window; search filter precedes the shuffle") {
@@ -258,12 +262,19 @@ class CorpusSpec extends AnyFunSuite {
     val vplan = Corpus.vocabEncode(spark, dir).queryExecution.executedPlan.toString
     assert(!vplan.contains("Window"), s"unexpected WindowExec in:\n$vplan")
     // search_docs: the term filter must sit below the exchange so the
-    // shuffle carries only query-term postings
-    val splan = Corpus.searchDocs(spark, dir).queryExecution.executedPlan.toString
-    val exchangeAt = splan.indexOf("Exchange")
-    val filterAt = splan.lastIndexOf("Filter")
-    assert(exchangeAt >= 0 && filterAt > exchangeAt,
-      s"expected a Filter below (after, in tree print) the Exchange:\n$splan")
+    // shuffle carries only query-term postings. Match the term IN-filter
+    // LINE specifically: a bare "Filter" search is unconditionally true
+    // because the parquet scan line prints "PushedFilters:" below every
+    // Exchange (sparkPlan has no exchanges yet — EnsureRequirements runs
+    // in executedPlan, so line depth in that tree is the check)
+    val lines = Corpus.searchDocs(spark, dir).queryExecution.executedPlan
+      .toString.linesIterator.toIndexedSeq
+    val exchangeAt = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val filterAt = lines.indexWhere(l => l.contains("Filter") && l.contains("IN (spark"))
+    assert(exchangeAt >= 0, s"expected a shuffle in:\n${lines.mkString("\n")}")
+    assert(filterAt > exchangeAt,
+      s"term IN-filter (line $filterAt) is not below the exchange (line $exchangeAt):\n${
+        lines.mkString("\n")}")
   }
 
   test("sourceQuantiles differential: rank formulas == brute-force model") {

@@ -346,6 +346,21 @@ class CurationSpec extends AnyFunSuite {
     assert(order(0) != order(1) && order(1) != order(2))
   }
 
+  test("epochOrder: wider fan-outs take a longer coin hex prefix; non-16-powers fail") {
+    val dir = writeDocs((0L until 40L).map(i => (i, s"doc $i", "en", "s0")))
+    val got = Curation.epochOrder(spark, dir, epochs = 1, shards = 256).collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Int]("pos"), r.getAs[Long]("doc_id")))
+    val expected = (0L until 40L).map(id => (md5hex(s"epoch:0:$id"), id))
+      .groupBy { case (coin, _) => Integer.parseInt(coin.substring(0, 2), 16) }
+      .flatMap { case (shard, rows) =>
+        rows.sorted.zipWithIndex.map { case ((_, id), i) => (shard, i + 1, id) }
+      }.toSet
+    assert(got.toSet == expected)
+    intercept[IllegalArgumentException] {
+      Curation.epochOrder(spark, dir, shards = 10)
+    }
+  }
+
   // ------------------------------------------------------ stratifiedSample
 
   test("stratifiedSample: exact k per stratum by coin order; short strata keep all") {
