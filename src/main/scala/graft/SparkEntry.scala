@@ -126,6 +126,7 @@ object SparkEntry {
     "colloc_lift" -> ((s: SparkSession, d: String) => graft.operators.Corpus.collocLift(s, d)),
     "source_quantiles" -> (graft.operators.Corpus.sourceQuantiles _),
     "search_docs" -> ((s: SparkSession, d: String) => graft.operators.Corpus.searchDocs(s, d)),
+    "heavy_hitters" -> ((s: SparkSession, d: String) => graft.operators.Corpus.heavyHitters(s, d)),
     // --- multimodal columns (stubbed decode, real plumbing) ---
     "mm_features" -> (Multimodal.features _),
     "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
@@ -1097,6 +1098,16 @@ object SparkEntry {
         |  / ((CAST(np.n_pairs AS DOUBLE) * CAST(u1.c AS DOUBLE)) * CAST(u2.c AS DOUBLE)) AS lift
         |FROM p JOIN u u1 ON p.w1 = u1.w1 JOIN u u2 ON p.w2 = u2.w1, n, np
         |ORDER BY lift DESC, p.w1 ASC, p.w2 ASC LIMIT 25""".stripMargin,
+    // exact top-20 token frequencies — the MG sketch only bounds the
+    // candidate shuffle, the recount makes the answer exact, so the oracle
+    // is the plain frequency table (rank window before the limit, cnt-desc
+    // then token-asc ties — the same total order the TakeOrdered uses)
+    "heavy_hitters" ->
+      """WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+        |f AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
+        |SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+        | CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS INTEGER) AS "rank"
+        |FROM f ORDER BY cnt DESC, tok ASC LIMIT 20""".stripMargin,
     // conjunctive retrieval: all three query terms present, ranked by total
     // query-term occurrences (integral score, doc_id tiebreak)
     "search_docs" ->

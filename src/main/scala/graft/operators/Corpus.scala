@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.sources.Tables
 
@@ -269,6 +269,110 @@ object Corpus {
       .groupBy("doc_id", "dim")
       .agg(sum("vote").as("val"))
       .filter(col("val") =!= 0L)
+  }
+
+  /** Misra–Gries counter budget per partition for [[heavyHitters]]. Sized
+    * so the fixture vocabulary (~60 words) never evicts — the sketch is a
+    * pass-through there and the guard below proves it — while at 100 TB the
+    * same budget bounds per-task state to ~counters strings regardless of
+    * how many billions of distinct junk tokens the crawl contains.
+    */
+  val MgCounters = 4096
+
+  /** Result rows kept by [[heavyHitters]]. */
+  val HhTopK = 20
+
+  /** heavy_hitters — exact top-K most frequent tokens via a Misra–Gries
+    * candidate sketch plus an exact recount of the candidates only. The
+    * point at 100 TB is the VOCABULARY EXPLOSION, not the top of the
+    * distribution: a naive `groupBy(token)` shuffles one partial-count row
+    * per distinct token per task, and a web crawl's distinct-token count
+    * (typos, hashes, URLs) grows unboundedly with corpus size. The sketch
+    * caps that: each task folds its token stream into ≤ `counters` MG
+    * survivors (amortized O(1) per token), so the candidate union — and
+    * therefore the recount shuffle — is bounded by counters × tasks
+    * whatever the vocabulary does.
+    *
+    * The answer stays EXACT, not sketch-approximate: Misra–Gries guarantees
+    * every token with global frequency > n/(counters+1) survives in at
+    * least one partition (if freq_p ≤ n_p/(C+1) everywhere, summing gives
+    * freq ≤ n/(C+1) — contradiction), so the candidate union is a provable
+    * superset of every such token; the recount then replaces sketch
+    * estimates with true counts. A loud `require` asserts the K-th recount
+    * clears the n/(counters+1) floor — if a flatter distribution ever
+    * violated it, the run fails instead of silently returning a plausible
+    * wrong list (raise `counters` and rerun).
+    *
+    * Tokenization is [[TextOps.wsTokens]] — the same `split(trim(text),
+    * '\s+')` stream [[vocabEncode]]'s frequency table counts, so the oracle
+    * replays it verbatim. Final ranking is a distributed TakeOrdered +
+    * zipWithIndex (the [[vocabEncode]] idiom — never an unpartitioned
+    * window); the candidate recount joins against a broadcast of the
+    * candidate set so non-candidates drop map-side, before the exchange.
+    */
+  def heavyHitters(s: SparkSession, dir: String,
+      k: Int = HhTopK, counters: Int = MgCounters): DataFrame = {
+    import s.implicits._
+    val toks = graft.TransientCache.cache(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (_, text) => TextOps.wsTokens(text) }
+        .toDF("tok"))
+    val candidates = toks.as[String]
+      .mapPartitions(it => mgSurvivors(it, counters))
+      .toDF("tok")
+      .distinct()
+    val exact = graft.TransientCache.cache(
+      toks.join(broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(count(lit(1)).as("cnt")))
+    val top = exact.orderBy(col("cnt").desc, col("tok").asc).limit(k)
+    val ranked = s.createDataFrame(
+      top.rdd.zipWithIndex().map { case (r, i) =>
+        Row(r.getString(0), r.getLong(1), (i + 1).toInt)
+      },
+      StructType(Seq(StructField("tok", StringType), StructField("cnt", LongType),
+        StructField("rank", IntegerType))))
+    // completeness guard: the K-th heaviest recount must clear the MG
+    // survival floor, else tokens below the floor could belong in the list
+    val n = toks.agg(count(lit(1))).head.getLong(0)
+    // a flat-enough distribution can evict EVERY counter (empty candidate
+    // set -> NULL min) — that's the same guarantee violation, reported by
+    // the same require instead of an NPE
+    val kthRow = top.agg(min(col("cnt"))).head
+    val kth = if (kthRow.isNullAt(0)) 0L else kthRow.getLong(0)
+    require(kth * (counters + 1L) > n,
+      s"heavy_hitters completeness guarantee unmet: k-th count $kth <= n/(C+1) " +
+        s"= $n/${counters + 1} — raise counters")
+    ranked
+  }
+
+  /** One Misra–Gries pass over a partition's token stream: ≤ `counters`
+    * tracked tokens; an untracked arrival with the budget full decrements
+    * every counter (dropping zeros) instead of inserting. Survivors are the
+    * partition's candidate set. Long-in-array so the hot path mutates in
+    * place instead of re-boxing.
+    */
+  private[graft] def mgSurvivors(it: Iterator[String], counters: Int): Iterator[String] = {
+    require(counters > 0, "counters must be positive")
+    val m = new java.util.HashMap[String, Array[Long]](counters * 2)
+    while (it.hasNext) {
+      val t = it.next()
+      val c = m.get(t)
+      if (c != null) c(0) += 1
+      else if (m.size < counters) m.put(t, Array(1L))
+      else {
+        val entries = m.entrySet().iterator()
+        while (entries.hasNext) {
+          val e = entries.next()
+          e.getValue()(0) -= 1
+          if (e.getValue()(0) == 0L) entries.remove()
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    m.keySet().asScala.iterator.toArray.iterator
   }
 
   /** source_quantiles — exact per-source order statistics of document

@@ -277,6 +277,56 @@ class CorpusSpec extends AnyFunSuite {
         lines.mkString("\n")}")
   }
 
+  // ------------------------------------------------------- heavyHitters
+
+  test("heavyHitters: exact top-k under real MG eviction pressure") {
+    // counters=4 forces evictions (22 distinct tokens); guarantee holds:
+    // n=100, floor n/(C+1)=20, and the 2nd-ranked count 30 > 20
+    val junk = (1 to 20).map(i => s"junk$i")
+    val text = (Seq.fill(50)("hot") ++ Seq.fill(30)("warm") ++ junk).mkString(" ")
+    val dir = writeDocs(Seq((1L, text, "en", "s0")))
+    val got = Corpus.heavyHitters(spark, dir, k = 2, counters = 4).collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("cnt"), r.getAs[Int]("rank")))
+    assert(got.toSeq == Seq(("hot", 50L, 1), ("warm", 30L, 2)))
+  }
+
+  test("heavyHitters differential: == brute-force top-k on a random corpus") {
+    val texts = randTexts(40, 59L)
+    val dir = writeDocs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") })
+    val got = Corpus.heavyHitters(spark, dir, k = 12).collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("cnt"), r.getAs[Int]("rank"))).toSeq
+    val freq = texts.flatMap(t => operators.TextOps.wsTokens(t))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val expected = freq.sortBy { case (w, c) => (-c, w) }.take(12)
+      .zipWithIndex.map { case ((w, c), i) => (w, c, i + 1) }
+    assert(got == expected)
+  }
+
+  test("mgSurvivors: survivors are a superset of tokens above the MG floor") {
+    // skewed stream: token t_i appears 2^i times, shuffled deterministically
+    val stream = (0 until 10).flatMap(i => Seq.fill(1 << i)(s"t$i"))
+    val shuffled = new scala.util.Random(13).shuffle(stream)
+    val counters = 3
+    val n = shuffled.size
+    // split into 4 "partitions"; union of per-partition survivors
+    val parts = shuffled.grouped((n + 3) / 4).toSeq
+    val survivors = parts.flatMap(p => Corpus.mgSurvivors(p.iterator, counters)).toSet
+    val freq = stream.groupBy(identity).view.mapValues(_.size).toMap
+    val mustSurvive = freq.collect {
+      case (t, c) if c.toLong * (counters + 1) > n => t
+    }.toSet
+    assert(mustSurvive.nonEmpty && mustSurvive.subsetOf(survivors))
+  }
+
+  test("heavyHitters: completeness guard fails loudly on a flat distribution") {
+    // 30 distinct tokens, once each; counters=2 -> floor n/3 = 10 > every count
+    val dir = writeDocs(Seq((1L, (1 to 30).map(i => s"w$i").mkString(" "), "en", "s0")))
+    val e = intercept[IllegalArgumentException] {
+      Corpus.heavyHitters(spark, dir, k = 5, counters = 2)
+    }
+    assert(e.getMessage.contains("completeness guarantee unmet"))
+  }
+
   test("sourceQuantiles differential: rank formulas == brute-force model") {
     val rnd = new scala.util.Random(7)
     val docs = (0 until 200).map { i =>
