@@ -143,6 +143,13 @@ object SparkEntry {
     // answer at both fixture scales; the 0.98 planted-pair semantics stay
     // asserted in AnnSpec.
     "dedup_embed" -> ((s: SparkSession, d: String) => Ann.embedNearDup(s, d, threshold = 0.4)),
+    // cluster-scoped semantic dedup on the SAME k-means the IVF index fits
+    // (threshold matches dedup_embed's fixture-meaningful 0.4)
+    "semdedup" -> ((s: SparkSession, d: String) => Ann.semDedup(s, d)),
+    // --- PII redaction (deterministically augmented corpus; see piiScrub) ---
+    "pii_scrub" -> (graft.operators.Curation.piiScrub _),
+    // --- sources/sinks: gzip JSON-lines round-trip, content-verified ---
+    "docs_jsonl" -> (graft.sources.Jsonl.docsJsonlStats _),
   )
 
   // DuckDB money discipline: exact DECIMAL accumulation, DOUBLE at the end —
@@ -378,7 +385,13 @@ object SparkEntry {
     *     the codegen'd cellCol does (different rounding than the training
     *     loop's (v−c)² — replayed as written, not as algebra).
     */
-  private val annIvfSql = {
+  /** Shared CTE prefix (corpus → xxhash64 sample → splitmix init → 10-round
+    * recursive Lloyd loop → per-vector cell assignment) used by BOTH ann_ivf
+    * and semdedup — the two consumers of the IVF clustering, which share
+    * `Ann.fitCentroids`/`cellCol` on the Scala side too. Factored so the
+    * replays cannot drift apart.
+    */
+  private val ivfKmeansCtes = {
     // rotl on HUGEINT < 2^64: the shifted halves occupy disjoint bit
     // ranges, so + stands in for |
     def rotl(x: String, r: Int): String =
@@ -389,8 +402,7 @@ object SparkEntry {
     val xp4 = "CAST(9650029242287828579 AS HUGEINT)"  // XXH64 prime 4
     // seed 42 + prime5 + length 8, pre-folded
     val c0 = java.lang.Long.toUnsignedString(42L + 0x27D4EB2F165667C5L + 8L)
-    s"""WITH RECURSIVE
-       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    s"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
        |x0 AS (SELECT vec_id, vec, ${mulmod64("CAST(vec_id AS HUGEINT)", xp2)} AS k1 FROM c),
        |x1 AS (SELECT vec_id, vec,
        |        xor(CAST($c0 AS HUGEINT), ${mulmod64(rotl("k1", 31), xp1)}) AS h1 FROM x0),
@@ -437,7 +449,12 @@ object SparkEntry {
        |assigned AS (SELECT c.vec_id, c.vec,
        |        sqrt(${dot64("c.vec", "c.vec")}) AS nrm,
        |        min(struct_pack(d := k.csq - 2.0 * ${dot64("c.vec", "k.cent")}, c := k.cid)).c AS cell
-       |       FROM c, c2 k GROUP BY c.vec_id, c.vec),
+       |       FROM c, c2 k GROUP BY c.vec_id, c.vec)""".stripMargin
+  }
+
+  private val annIvfSql =
+    s"""WITH RECURSIVE
+       |$ivfKmeansCtes,
        |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm FROM assigned WHERE vec_id < 8),
        |probed AS (SELECT query_id, qvec, qnrm, cid AS cell FROM (
        |   SELECT q.query_id, q.qvec, q.qnrm, k.cid,
@@ -453,7 +470,22 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, vec_id ASC) AS INTEGER) AS "rank"
        | FROM scored) r WHERE "rank" <= 10""".stripMargin
-  }
+
+  /** semdedup replay on the SAME clustering: within-cell pairs at cosine ≥
+    * 0.4 (the ordered-IEEE dot + the same (nrm1*nrm2) product), a doc is
+    * dropped iff some LOWER-id cellmate is that similar — `keep` is the
+    * surviving-corpus flag. The kmeans prefix is byte-shared with ann_ivf.
+    */
+  private val semDedupSql =
+    s"""WITH RECURSIVE
+       |$ivfKmeansCtes,
+       |prs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |         ${dot64("a.vec", "b.vec")} / (a.nrm * b.nrm) AS cos
+       |        FROM assigned a JOIN assigned b
+       |         ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |drp AS (SELECT DISTINCT id2 FROM prs WHERE cos >= 0.4)
+       |SELECT a.vec_id, a.cell, d.id2 IS NULL AS keep
+       |FROM assigned a LEFT JOIN drp d ON a.vec_id = d.id2""".stripMargin
 
   /** Shared asset-geometry + stub-decode-seed CTE body for the multimodal
     * oracles: seed = byte-poly hash of the utf-8 payload via a hex-pair
@@ -1234,7 +1266,40 @@ object SparkEntry {
     "ann_lsh" -> annLshSql,
     "dedup_embed" -> embedNearDupSql,
     "ann_ivf" -> annIvfSql,
+    "semdedup" -> semDedupSql,
     "jl_project" -> jlProjectSql,
+    // the deterministic footer augmentation replayed verbatim, then the same
+    // ordered count-then-replace chain (patterns are RE2-safe by design, so
+    // Java regex here and DuckDB's RE2 agree)
+    "pii_scrub" ->
+      """WITH a AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |       || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+        |       || '.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |       || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |       || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |       || ' tel ' || CAST(5550000000 + doc_id * 13 AS VARCHAR)
+        |       || CASE WHEN doc_id % 3 = 0 THEN ' alt 192.168.1.77' ELSE '' END AS t0
+        | FROM documents),
+        |e AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INTEGER) AS n_emails,
+        |  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS t1 FROM a),
+        |i AS (SELECT doc_id, n_emails,
+        |  CAST(len(regexp_extract_all(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ips,
+        |  regexp_replace(t1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS t2 FROM e)
+        |SELECT doc_id, n_emails, n_ips,
+        | CAST(len(regexp_extract_all(t2, '[0-9]{7,}')) AS INTEGER) AS n_nums,
+        | regexp_replace(t2, '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+        |FROM i""".stripMargin,
+    // the JSONL round-trip must reproduce the parquet corpus byte-for-byte:
+    // the oracle aggregates the ORIGINAL parquet, so any codec infidelity
+    // in the Spark-side JSON write/read flips a distinct-md5 fingerprint
+    "docs_jsonl" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        | count(DISTINCT md5(text)) AS n_uniq,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        | max(doc_id) AS max_doc
+        |FROM documents GROUP BY source, lang""".stripMargin,
     // no oracle: q19_approx only — Spark's approx_count_distinct is an
     // engine-specific HLL++ sketch whose estimate is defined by its own
     // buffer layout, not by the data; ApproxSpec bounds its error against

@@ -282,6 +282,58 @@ object Ann {
           arrayDot(col("vec"), array(p.map(lit): _*))): _*)).as(Seq("j", "proj")))
   }
 
+  /** semdedup — cluster-scoped semantic deduplication (the SemDeDup recipe:
+    * k-means the embedding space, then drop near-duplicate members WITHIN
+    * each cluster). Complements [[embedNearDup]]: LSH tables answer "find me
+    * the near-dup PAIRS"; this answers the curation question "which docs
+    * survive" with a clustering that also bounds the pairing scope. Reuses
+    * the IVF machinery verbatim — the same capped-sample [[fitCentroids]]
+    * fit and the same codegen'd nearest-centroid assignment — so one
+    * clustering can serve both ANN probing and semantic dedup in a real
+    * pipeline.
+    *
+    * Drop rule (deterministic, order-free): a doc is dropped iff SOME
+    * lower-id doc in its cell has cosine ≥ threshold with it. This is the
+    * one-pass approximation of SemDeDup's keep-one-per-ε-ball: independent
+    * per-pair decisions, no greedy chain, so the answer is a pure function
+    * of the data — identical under any partitioning, and replayable by the
+    * oracle. Every doc appears in the output with its cell and keep flag.
+    *
+    * 100 TB plan: one scan to assign cells (centroid table is a plan
+    * literal), one shuffle on `cell` for the within-cell self-join. The
+    * pairing is quadratic in CELL size, not corpus size — production runs
+    * raise nCells with the corpus (cells of ~10³ docs each, the SemDeDup
+    * paper's regime) so per-cell work stays constant while cells
+    * parallelize; AQE's skew split handles an imbalanced cell. The
+    * threshold default matches the registered dedup_embed threshold (the
+    * fixture plants no >0.9-cosine twins).
+    */
+  def semDedup(s: SparkSession, dir: String, nCells: Int = 16,
+      threshold: Double = 0.4): DataFrame = {
+    // cached: consumed by the train sample, the assignment, and both join
+    // sides of the within-cell pairing
+    val c = graft.TransientCache.cache(corpus(s, dir))
+    val train = c.orderBy(xxhash64(col("vec_id"))).limit(IvfTrainCap)
+      .select("vec").collect().map(_.getSeq[Double](0).toArray)
+    val cents = fitCentroids(train, nCells, iters = 10)
+    val assigned = graft.TransientCache.cache(
+      c.withColumn("cell", cellCol(col("vec"), cents))
+        .select(col("vec_id"), col("cell"), col("vec"), col("nrm")))
+    val lo = assigned.select(col("cell"), col("vec_id").as("id1"),
+      col("vec").as("v1"), col("nrm").as("nrm1"))
+    val hi = assigned.select(col("cell"), col("vec_id").as("id2"),
+      col("vec").as("v2"), col("nrm").as("nrm2"))
+    val dropped = lo.join(hi, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", arrayDot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id2").as("vec_id"))
+      .distinct()
+      .withColumn("dropped", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dropped").isNull.as("keep"))
+  }
+
   /** Independent hash tables for [[embedNearDup]] — the hyperplane analog of
     * MinHash LSH's OR-over-bands: a pair is a candidate if it collides in ANY
     * table, so recall at cosine c is 1−(1−p^nbits)^nTables with p = 1−θ/π.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -329,5 +329,62 @@ object Curation {
       .withColumn("rank_in_stratum", row_number().over(w))
       .filter(col("rank_in_stratum") <= k)
       .select("lang", "rank_in_stratum", "doc_id")
+  }
+
+  /** Redaction patterns for [[piiScrub]]. Deliberately RE2-compatible (no
+    * lookaround, no backreferences) so the identical pattern strings run in
+    * Java's regex engine here and in RE2-based engines (DuckDB, Go) — one
+    * pattern set, one semantics, every engine.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val LongNumRe = "[0-9]{7,}"
+
+  /** The scrub core: count-then-replace each pattern IN ORDER (emails, then
+    * IPv4, then ≥7-digit runs), each pattern evaluated against the text
+    * state its replacement applies to — so a digit run inside an email is
+    * redacted as part of the email, never double-counted. Pure codegen'd
+    * builtins (`regexp_extract_all` + `regexp_replace`), one scan, zero
+    * shuffle: scrubbing scales with read bandwidth like every other
+    * per-document text operator.
+    */
+  private[graft] def scrub(df: DataFrame, textCol: Column): DataFrame =
+    df
+      .withColumn("n_emails", size(regexp_extract_all(textCol, lit(EmailRe), lit(0))))
+      .withColumn("t1", regexp_replace(textCol, EmailRe, "<EMAIL>"))
+      .withColumn("n_ips", size(regexp_extract_all(col("t1"), lit(Ipv4Re), lit(0))))
+      .withColumn("t2", regexp_replace(col("t1"), Ipv4Re, "<IP>"))
+      .withColumn("n_nums", size(regexp_extract_all(col("t2"), lit(LongNumRe), lit(0))))
+      .withColumn("scrubbed", regexp_replace(col("t2"), LongNumRe, "<NUM>"))
+      .drop("t1", "t2")
+
+  /** pii_scrub — PII redaction, the compliance step every crawl-derived
+    * training corpus runs before anything else sees the text: emails, IPv4
+    * addresses, and long digit runs (phone/account numbers) are counted and
+    * replaced with typed placeholder tokens.
+    *
+    * The fixture corpus is synthetic word salad with NO digits or PII, so
+    * scrubbing it raw would be vacuous (every count 0, text unchanged — the
+    * dedup_embed lesson from round 6). The registered query therefore first
+    * appends a deterministic contact footer — email, IP, phone, each a pure
+    * function of doc_id, plus an extra IP on every third doc so counts are
+    * not constant — and the DuckDB oracle replays the same augmentation
+    * before applying the same count/replace chain. The full redaction PLAN
+    * is exercised end-to-end with non-trivial counts and per-doc texts;
+    * real-PII pattern behavior (odd TLDs, digits inside emails, adjacent
+    * runs) is pinned on planted strings in CurationSpec.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com from 10."), (col("doc_id") % 256).cast("string"),
+      lit("."), (col("doc_id") % 100).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+      lit(" tel "), (lit(5550000000L) + col("doc_id") * 13).cast("string"),
+      when(col("doc_id") % 3 === 0, lit(" alt 192.168.1.77")).otherwise(lit("")))
+    scrub(Tables.documents(s, dir).select(col("doc_id"), aug.as("aug")), col("aug"))
+      .select("doc_id", "n_emails", "n_ips", "n_nums", "scrubbed")
   }
 }

@@ -156,6 +156,39 @@ class AnnSpec extends AnyFunSuite {
       s"best full-space pair fell below the projected-space median ($median)")
   }
 
+  test("semDedup: keep flags are exactly the lower-id-cellmate rule") {
+    val rows = Ann.semDedup(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Boolean]("keep")))
+    // total function of the corpus: every vector, exactly once
+    assert(rows.map(_._1).sorted.toSeq == vecs.keys.toSeq.sorted)
+    // replay the drop rule driver-side from the returned cell assignment
+    val byCell = rows.groupBy(_._2)
+    rows.foreach { case (id, cell, keep) =>
+      val expected = !byCell(cell).exists { case (other, _, _) =>
+        other < id && cos(vecs(other), vecs(id)) >= 0.4
+      }
+      assert(keep == expected, s"vec $id in cell $cell")
+    }
+    // the fixture threshold is meaningful: some docs drop, most survive
+    val kept = rows.count(_._3)
+    assert(kept < rows.length && kept > rows.length / 2, s"kept $kept/${rows.length}")
+  }
+
+  test("semDedup: a planted duplicate vector is dropped, the lower id kept") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    val base = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val far = Array.tabulate(8)(i => math.cos(3 * i + 2).toFloat)
+    Seq((0L, base.toSeq, 0), (1L, far.toSeq, 0), (2L, base.toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Ann.semDedup(spark, dir, nCells = 1, threshold = 0.999)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(got == Map(0L -> true, 1L -> true, 2L -> false))
+  }
+
   test("cosine column agrees with driver-side cosine") {
     import org.apache.spark.sql.functions._
     val s = spark

@@ -434,4 +434,54 @@ class CurationSpec extends AnyFunSuite {
     assert(rows((3L, "cherry")) == ((3L, 2L, 4.5, 1)))
     assert(rows.size == 5)
   }
+
+  // -------------------------------------------------------------- piiScrub
+
+  private def scrubOne(text: String): (Int, Int, Int, String) = {
+    val s = spark
+    import s.implicits._
+    val r = Curation.scrub(Seq(text).toDF("t"),
+      org.apache.spark.sql.functions.col("t")).head
+    (r.getAs[Int]("n_emails"), r.getAs[Int]("n_ips"), r.getAs[Int]("n_nums"),
+      r.getAs[String]("scrubbed"))
+  }
+
+  test("scrub: planted PII — emails, IPs, digit runs, each counted once") {
+    assert(scrubOne("reach john.doe+x@sub.example.co.uk today") ==
+      ((1, 0, 0, "reach <EMAIL> today")))
+    assert(scrubOne("hosts 10.0.0.1 and 192.168.001.255 up") ==
+      ((0, 2, 0, "hosts <IP> and <IP> up")))
+    assert(scrubOne("call 5551234567 or 123456789012345 now") ==
+      ((0, 0, 2, "call <NUM> or <NUM> now")))
+  }
+
+  test("scrub: digits inside an email are redacted as the email, not double-counted") {
+    assert(scrubOne("acct a123456789@b.com end") == ((1, 0, 0, "acct <EMAIL> end")))
+    // 6-digit run is below the >=7 threshold and survives
+    assert(scrubOne("pin 123456 ok") == ((0, 0, 0, "pin 123456 ok")))
+  }
+
+  test("scrub: order is emails then IPs then digit runs, applied to the prior state") {
+    // the IP match greedily takes 3 digits per octet ("123.456.789.123"),
+    // and the leftover "4567" is below the 7-digit NUM floor — it survives
+    assert(scrubOne("x 123.456.789.1234567 y") == ((0, 1, 0, "x <IP>4567 y")))
+    // a full 7-digit run adjacent to the IP IS redacted as a number
+    assert(scrubOne("x 10.0.0.1 7654321 y") == ((0, 1, 1, "x <IP> <NUM> y")))
+  }
+
+  test("piiScrub: fixture augmentation yields the analytic counts") {
+    val rows = Curation.piiScrub(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("n_emails") == 1, s"doc $id emails")
+      assert(r.getAs[Int]("n_ips") == (if (id % 3 == 0) 2 else 1), s"doc $id ips")
+      assert(r.getAs[Int]("n_nums") == 1, s"doc $id nums")
+      val t = r.getAs[String]("scrubbed")
+      assert(t.contains("<EMAIL>") && t.contains("<IP>") && t.contains("<NUM>"),
+        s"doc $id placeholders")
+      assert(!t.contains("@") && !"\\d{7,}".r.findFirstIn(t).isDefined,
+        s"doc $id residual PII")
+    }
+  }
 }

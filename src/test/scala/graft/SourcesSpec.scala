@@ -51,4 +51,21 @@ class SourcesSpec extends AnyFunSuite {
       .executedPlan.toString
     assert(plan.contains("PushedFilters") || plan.toLowerCase.contains("orc"))
   }
+
+  test("gzip jsonl round-trip preserves the documents corpus byte-for-byte") {
+    val orig = graft.sources.Tables.documents(spark, Sf0001)
+    val back = graft.sources.Jsonl.documentsViaJsonl(spark, Sf0001)
+    assert(back.schema == orig.schema)
+    // row-level equality including full text payloads — any JSON escaping or
+    // encoding infidelity in the write/read pair shows up here
+    assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
+    // the shards really are gzip (not plain .json)
+    val stage = new java.io.File(back.inputFiles.head.stripPrefix("file:"))
+    assert(stage.getName.endsWith(".json.gz"), stage.getName)
+    // and the registered stats query is non-degenerate on the fixture
+    val stats = graft.sources.Jsonl.docsJsonlStats(spark, Sf0001).collect()
+    assert(stats.nonEmpty)
+    assert(stats.map(_.getAs[Long]("n_docs")).sum ==
+      graft.sources.Tables.documents(spark, Sf0001).count())
+  }
 }
