@@ -389,7 +389,11 @@ object SparkEntry {
     * recursive Lloyd loop → per-vector cell assignment) used by BOTH ann_ivf
     * and semdedup — the two consumers of the IVF clustering, which share
     * `Ann.fitCentroids`/`cellCol` on the Scala side too. Factored so the
-    * replays cannot drift apart.
+    * replays cannot drift apart. The final `assigned` CTE is MATERIALIZED:
+    * DuckDB inlines CTEs per reference by default, and semdedup references
+    * `assigned` three times — without the hint the whole 10-round recursive
+    * k-means replay re-executes per reference (>9 min at sf0.1 vs 3 s with
+    * it; measured 2026-08-13).
     */
   private val ivfKmeansCtes = {
     // rotl on HUGEINT < 2^64: the shifted halves occupy disjoint bit
@@ -446,7 +450,7 @@ object SparkEntry {
        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |          list_transform(range(1, 65), i -> cent[i] * cent[i])), (x, y) -> x + y) AS csq
        |       FROM kmeans WHERE iter = 10),
-       |assigned AS (SELECT c.vec_id, c.vec,
+       |assigned AS MATERIALIZED (SELECT c.vec_id, c.vec,
        |        sqrt(${dot64("c.vec", "c.vec")}) AS nrm,
        |        min(struct_pack(d := k.csq - 2.0 * ${dot64("c.vec", "k.cent")}, c := k.cid)).c AS cell
        |       FROM c, c2 k GROUP BY c.vec_id, c.vec)""".stripMargin

@@ -36,11 +36,18 @@ def canon(rows, cols):
 
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
+    # optional third arg: comma-separated query subset, for iterating on a
+    # SPARK_GRAFT_VERIFY_ONLY dump without paying every DuckDB replay
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only is not None:
+        unknown = only - set(oracle)
+        assert not unknown, f"unknown queries: {unknown}"
+        oracle = {k: v for k, v in oracle.items() if k in only}
     failures = 0
     for name in sorted(oracle):
         sql = oracle[name]
