@@ -53,6 +53,9 @@ object SparkEntry {
     "q14_join_range" -> (Relational.q14JoinRange _),
     "q15_events_window" -> (Relational.q15EventsWindow _),
     "q16_sessions" -> (Relational.q16Sessions _),
+    // --- behavioral analytics over the same events table ---
+    "funnel" -> (graft.operators.Behavior.funnel _),
+    "cohort_retention" -> (graft.operators.Behavior.cohortRetention _),
     "q17_asof" -> (Relational.q17Asof _),
     "q35_asof_native" -> (graft.operators.AsOf.q35AsofNative _),
     "q18_skew_agg" -> (graft.operators.Skew.q18SkewAgg _),
@@ -696,6 +699,37 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, o.o_orderkey
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    // min-chaining replay of the funnel fold: step k+1 = earliest event of
+    // its type strictly after step k and within 7 days of step 1 — the same
+    // rule the streaming state machine applies in time order
+    "funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |                     JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY e.user_id)
+        |SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name, count(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), 'click', count(*) FROM s2
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), 'purchase', count(*) FROM s3""".stripMargin,
+    // cohort day = date of the user's first event; week offset = floor
+    // epoch-day difference / 7 (all integral; positive timestamps, so
+    // truncating and floor division agree)
+    "cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT e.user_id, CAST(f.t0 AS DATE) AS cohort_day,
+        |        (epoch_us(e.ts) // 86400000000 - epoch_us(f.t0) // 86400000000) // 7
+        |          AS week_offset
+        |      FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort_day, week_offset, count(*) AS n_users
+        |FROM a GROUP BY cohort_day, week_offset""".stripMargin,
     "q18_skew_agg" ->
       "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
     "q20_cube" ->
