@@ -124,6 +124,7 @@ object SparkEntry {
     "substring_scrub" -> ((s: SparkSession, d: String) => Dedup.substringScrub(s, d)),
     "budget_sample" -> ((s: SparkSession, d: String) => graft.operators.Curation.budgetSample(s, d)),
     "hash_embed" -> ((s: SparkSession, d: String) => graft.operators.Corpus.hashEmbed(s, d)),
+    "classifier_score" -> ((s: SparkSession, d: String) => graft.operators.Corpus.classifierScore(s, d)),
     // --- corpus statistics: vocabulary build, collocations, order stats ---
     "vocab_encode" -> ((s: SparkSession, d: String) => graft.operators.Corpus.vocabEncode(s, d)),
     "colloc_lift" -> ((s: SparkSession, d: String) => graft.operators.Corpus.collocLift(s, d)),
@@ -1115,6 +1116,28 @@ object SparkEntry {
          |       CASE WHEN ((hu >> 32) & 1) = 0 THEN 1 ELSE -1 END AS vote FROM h)
          |SELECT doc_id, dim, CAST(sum(vote) AS BIGINT) AS val
          |FROM v GROUP BY doc_id, dim HAVING sum(vote) <> 0""".stripMargin,
+    // linear classifier over the same feature-hash space: the splitmix64
+    // weight stream (state = seed + (b+1)·gamma, low 4 bits − 8) replayed
+    // exactly, then per-token vote × weight summed per doc — all integral.
+    // The "" token of an empty document contributes 0 via the NULL dim.
+    "classifier_score" ->
+      s"""WITH pk AS (SELECT b, ${mod64(s"CAST(${graft.operators.Corpus.ClsSeed} AS HUGEINT) + ${mod64(s"CAST(b + 1 AS HUGEINT) * $goldenGamma")}")} AS z0
+         |       FROM (SELECT unnest(range(0, 32)) AS b)),
+         |${splitmixCtes("b")},
+         |weights AS (SELECT CAST(b AS INTEGER) AS dim,
+         |        CAST((v & 15) AS BIGINT) - 8 AS w FROM p3),
+         |tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |       FROM documents),
+         |hh AS (SELECT doc_id, tok, ${fnvFold(codeUnits("tok"))} AS hu FROM tk),
+         |vv AS (SELECT doc_id,
+         |        CASE WHEN tok = '' THEN NULL ELSE CAST(hu & 31 AS INTEGER) END AS dim,
+         |        CASE WHEN tok = '' THEN 0
+         |             WHEN ((hu >> 32) & 1) = 0 THEN 1 ELSE -1 END AS vote
+         |       FROM hh),
+         |sc AS (SELECT doc_id,
+         |        sum(CASE WHEN w.w IS NULL THEN 0 ELSE vv.vote * w.w END) AS score
+         |       FROM vv LEFT JOIN weights w ON vv.dim = w.dim GROUP BY doc_id)
+         |SELECT doc_id, CAST(score AS BIGINT) AS score, score > 0 AS label FROM sc""".stripMargin,
     // token-budget mixture allocation: keep docs in salted-coin order while
     // the tokens BEFORE them fit the per-source budget (overshoot ≤ 1 doc)
     "budget_sample" ->

@@ -271,6 +271,55 @@ object Corpus {
       .filter(col("val") =!= 0L)
   }
 
+  /** Weight-stream seed for [[classifierScore]]. */
+  val ClsSeed = 7777L
+
+  /** Deterministic integral weight per feature bucket: the same splitmix64
+    * stream discipline as `Ann.hyperplanes` (state = seed + (b+1)·golden
+    * gamma, then the three-round finalizer), truncated to the low 4 bits
+    * minus 8 — a signed weight in [−8, 7]. At seed 7777 the fixture's 32
+    * buckets draw 11 positive / 21 negative, no zeros, so scores and labels
+    * are non-degenerate. Integral by construction: the score sum is exact
+    * on any engine.
+    */
+  private[graft] def clsWeights(dims: Int, seed: Long = ClsSeed): Array[Long] =
+    Array.tabulate(dims) { b =>
+      (Dedup.mix64(seed + b.toLong * 0x9E3779B97F4A7C15L) & 15L) - 8L
+    }
+
+  /** classifier_score — linear document classifier over the feature-hashing
+    * space: the fastText-style quality gate every crawl pipeline runs
+    * (score each doc with a trained linear model; keep score > 0). The
+    * model here is the deterministic [[clsWeights]] stand-in — in
+    * production the weight array is the trained model's coefficients,
+    * loaded the same way; nothing else changes.
+    *
+    * Algebra: score(doc) = Σ_dims val(doc,dim)·w(dim) = Σ_tokens
+    * vote(tok)·w(bucket(tok)) — so the score folds DIRECTLY per token with
+    * no intermediate per-dim embedding: one codegen'd scan (fnv64 + bitmask
+    * + a plan-literal weight lookup), one map-side-combined shuffle on
+    * doc_id alone. The weight table rides the plan as a 32-element array
+    * literal — no broadcast, no join. Empty documents keep their one ""
+    * split token with a zero contribution, so every doc_id emits exactly
+    * one row (score 0, label false) without a fill-in join.
+    */
+  def classifierScore(s: SparkSession, dir: String, dims: Int = HashEmbedDims): DataFrame = {
+    require((dims & (dims - 1)) == 0, "dims must be a power of two (bitmask bucketing)")
+    val w = clsWeights(dims)
+    val h = graft.functions.GraftFunctions.fnv64(col("tok"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"),
+        when(col("tok") === "", lit(0L)).otherwise(
+          when(shiftright(h, 32).bitwiseAND(lit(1L)) === 0L, lit(1L)).otherwise(lit(-1L)) *
+            element_at(array(w.map(lit): _*),
+              h.bitwiseAND(lit((dims - 1).toLong)).cast("int") + 1)).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score"))
+      .withColumn("label", col("score") > 0L)
+  }
+
   /** Misra–Gries counter budget per partition for [[heavyHitters]]. Sized
     * so the fixture vocabulary (~60 words) never evicts — the sketch is a
     * pass-through there and the guard below proves it — while at 100 TB the

@@ -255,6 +255,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(!got.keys.exists(_._1 >= 1000L), "empty docs must emit no rows")
   }
 
+  test("classifierScore differential: scores == driver-side fold of votes × weights") {
+    val texts = randTexts(50, 137L)
+    val dir = writeDocs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") }
+      ++ Seq((1000L, "", "en", "s"), (1001L, "   ", "en", "s")))
+    val w = Corpus.clsWeights(32)
+    // the stand-in model must be non-degenerate: both signs present, no zeros
+    assert(w.exists(_ > 0) && w.exists(_ < 0) && w.forall(_ != 0))
+    val got = Corpus.classifierScore(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("score"), r.getAs[Boolean]("label")))).toMap
+    val expected = (texts.zipWithIndex.map { case (t, i) =>
+      val score = t.trim.split("\\s+").filter(_.nonEmpty).map { tok =>
+        val h = graft.functions.HashFunctions.fnv64(tok)
+        val vote = if (((h >> 32) & 1L) == 0L) 1L else -1L
+        vote * w((h & 31L).toInt)
+      }.sum
+      i.toLong -> ((score, score > 0L))
+    } ++ Seq(1000L -> ((0L, false)), 1001L -> ((0L, false)))).toMap
+    assert(got == expected)
+  }
+
   test("plan shapes: no unpartitioned window; search filter precedes the shuffle") {
     val dir = writeDocs(Seq((1L, "spark table fast", "en", "s0")))
     // vocab_encode must not reintroduce a single-partition WindowExec: the
