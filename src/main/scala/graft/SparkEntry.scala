@@ -56,6 +56,7 @@ object SparkEntry {
     // --- behavioral analytics over the same events table ---
     "funnel" -> (graft.operators.Behavior.funnel _),
     "cohort_retention" -> (graft.operators.Behavior.cohortRetention _),
+    "ts_resample" -> (graft.operators.TimeSeries.tsResample _),
     "q17_asof" -> (Relational.q17Asof _),
     "q35_asof_native" -> (graft.operators.AsOf.q35AsofNative _),
     "q18_skew_agg" -> (graft.operators.Skew.q18SkewAgg _),
@@ -131,12 +132,14 @@ object SparkEntry {
     "source_quantiles" -> (graft.operators.Corpus.sourceQuantiles _),
     "search_docs" -> ((s: SparkSession, d: String) => graft.operators.Corpus.searchDocs(s, d)),
     "heavy_hitters" -> ((s: SparkSession, d: String) => graft.operators.Corpus.heavyHitters(s, d)),
+    "lm_score" -> (graft.operators.Corpus.lmScore _),
     // --- multimodal columns (stubbed decode, real plumbing) ---
     "mm_features" -> (Multimodal.features _),
     "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     // --- similarity search ---
     "ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
+    "embed_quantize" -> (Ann.embedQuantize _),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
     "jl_project" -> ((s: SparkSession, d: String) => Ann.jlProject(s, d)),
@@ -731,6 +734,32 @@ object SparkEntry {
         |      FROM events e JOIN f ON e.user_id = f.user_id)
         |SELECT cohort_day, week_offset, count(*) AS n_users
         |FROM a GROUP BY cohort_day, week_offset""".stripMargin,
+    // per-user daily grid (DATE + i day arithmetic), last-event-of-day by
+    // the same (µs, event_id) total order the Spark fold uses, then an
+    // IGNORE NULLS running last_value for the forward fill; `value` doubles
+    // are carried, never combined, so the compare is exact
+    "ts_resample" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS ts_us,
+        |             event_id, value FROM events),
+        |cnts AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events
+        |         FROM e GROUP BY user_id, day),
+        |lastv AS (SELECT user_id, day, value AS day_value FROM (
+        |    SELECT user_id, day, value, row_number() OVER (
+        |      PARTITION BY user_id, day ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM e) x WHERE rn = 1),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY user_id),
+        |grid AS (SELECT user_id, d0 + CAST(i AS INTEGER) AS day
+        |         FROM (SELECT user_id, d0, d1,
+        |               unnest(range(0, date_diff('day', d0, d1) + 1)) AS i FROM span) g)
+        |SELECT g.user_id, g.day,
+        | CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events,
+        | l.day_value,
+        | last_value(l.day_value IGNORE NULLS) OVER (
+        |   PARTITION BY g.user_id ORDER BY g.day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM grid g
+        |LEFT JOIN cnts c ON g.user_id = c.user_id AND g.day = c.day
+        |LEFT JOIN lastv l ON g.user_id = l.user_id AND g.day = l.day""".stripMargin,
     "q18_skew_agg" ->
       "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
     "q20_cube" ->
@@ -1138,6 +1167,30 @@ object SparkEntry {
          |        sum(CASE WHEN w.w IS NULL THEN 0 ELSE vv.vote * w.w END) AS score
          |       FROM vv LEFT JOIN weights w ON vv.dim = w.dim GROUP BY doc_id)
          |SELECT doc_id, CAST(score AS BIGINT) AS score, score > 0 AS label FROM sc""".stripMargin,
+    // bigram LM scoring: p(y|x) = c(x,y)/c(x,·) — each addend an exact
+    // integer ratio — folded in POSITION order (the bm25 ordered-fold
+    // discipline) so sum_p is the identical IEEE double on both engines;
+    // sub-2-token docs restored as explicit zero rows
+    "lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |b AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |        toks[CAST(i + 1 AS INTEGER)] AS x, toks[CAST(i + 2 AS INTEGER)] AS y
+        |      FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i FROM t) u),
+        |cxy AS (SELECT x, y, count(*) AS c FROM b GROUP BY x, y),
+        |cx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cxy GROUP BY x),
+        |p AS (SELECT b.doc_id, b.pos,
+        |        CAST(cxy.c AS DOUBLE) / CAST(cx.cx AS DOUBLE) AS p,
+        |        CASE WHEN cxy.c = 1 THEN 1 ELSE 0 END AS singleton
+        |      FROM b JOIN cxy ON b.x = cxy.x AND b.y = cxy.y JOIN cx ON b.x = cx.x),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(singleton) AS BIGINT) AS n_singleton,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
+        |           (acc, x) -> acc + x) AS sum_p
+        |        FROM p GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        | CAST(coalesce(a.n_singleton, 0) AS BIGINT) AS n_singleton,
+        | coalesce(a.sum_p, CAST(0.0 AS DOUBLE)) AS sum_p
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
     // token-budget mixture allocation: keep docs in salted-coin order while
     // the tokens BEFORE them fit the per-source budget (overshoot ≤ 1 doc)
     "budget_sample" ->
@@ -1313,6 +1366,19 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, CAST(n_chars % 30 + 1 AS INTEGER) AS n_frames,
         | CAST(unnest(generate_series(0, n_chars % 30, 5)) AS INTEGER) AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    // int8 scalar quantization: float widens to double (exact), and
+    // max-abs / divide / floor(x+0.5) is the same IEEE double sequence on
+    // both engines (floor, not round — engines disagree on half ties)
+    "embed_quantize" ->
+      """WITH b AS (SELECT vec_id, CAST(i AS INTEGER) AS dim,
+        |             CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) AS vd
+        |           FROM (SELECT vec_id, embedding,
+        |                 unnest(range(0, len(embedding))) AS i FROM embeddings) u),
+        |s AS (SELECT vec_id, max(abs(vd)) AS scale FROM b GROUP BY vec_id)
+        |SELECT b.vec_id, b.dim, s.scale,
+        | CAST(CASE WHEN s.scale = 0 THEN 0
+        |           ELSE floor(b.vd * 127.0 / s.scale + 0.5) END AS INTEGER) AS q
+        |FROM b JOIN s USING (vec_id)""".stripMargin,
     "ann_brute" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         |q AS (SELECT vec_id AS query_id, vec AS qvec FROM c WHERE vec_id < 8)

@@ -386,4 +386,40 @@ object Ann {
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos4"))
   }
+
+  /** embed_quantize — int8 scalar quantization of the embedding corpus:
+    * per vector, scale = max |component| and each component maps to
+    * round(127·v/scale), the symmetric per-row quantization every vector
+    * store ships (a 4× footprint cut before the ANN index is built — at
+    * 100 TB of embeddings the difference between the index fitting on the
+    * cluster and not). Emitted EXPLODED — (vec_id, dim, scale, q) rows,
+    * top-level scalars only — both for the driver canonicalization the
+    * other gates use and because a columnar sink RLE-compresses the
+    * repeated scale to nothing.
+    *
+    * Exactness: float components widen to double (exact), and scale /
+    * divide / floor(x + 0.5) is the same IEEE double sequence on any
+    * engine — `floor(x + 0.5)` rather than `round` because engines
+    * disagree on half-even vs half-away ties, while floor is a single
+    * well-defined IEEE operation (ties round toward +∞ on both sides).
+    * max(|v|) is order-free, so partitioning cannot perturb the scale.
+    * All-zero vectors quantize to zeros under a scale-0 guard instead of
+    * NaN-poisoning the row.
+    *
+    * 100 TB plan: ONE shuffle (the per-vec_id scale reduction, map-side
+    * combined); the quantize itself is a codegen'd elementwise pass over
+    * the exploded stream, and AQE picks broadcast-vs-shuffle for the
+    * scale join by measured size. No driver participation, no windows.
+    */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val comps = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), col("v").cast("double").as("vd"))
+    val scales = comps.groupBy("vec_id").agg(max(abs(col("vd"))).as("scale"))
+    comps.join(scales, "vec_id")
+      .select(col("vec_id"), col("dim"), col("scale"),
+        when(col("scale") === 0.0, lit(0))
+          .otherwise(floor(col("vd") * lit(127.0) / col("scale") + lit(0.5))
+            .cast("int")).as("q"))
+  }
 }

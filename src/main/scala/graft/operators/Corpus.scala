@@ -456,4 +456,73 @@ object Corpus {
         max(when(col("rn") === expr("(cnt * 90 + 99) DIV 100"), col("n_chars")))
           .as("p90_chars"))
   }
+
+  /** lm_score — bigram language-model fluency scoring, the CCNet /
+    * Wikipedia-LM quality filter reduced to its exact-arithmetic core:
+    * train bigram statistics on the corpus itself, then score every
+    * document by how predictable its token transitions are under that
+    * model. Per document:
+    *
+    *   - `n_bigrams`   — adjacent token pairs (n_tokens − 1; 0 for docs
+    *     under 2 tokens),
+    *   - `n_singleton` — bigrams occurring nowhere else in the corpus
+    *     (corpus count 1): the "never seen" tail that drives perplexity
+    *     filters,
+    *   - `sum_p`       — Σ over positions of p(y|x) = c(x,y)/c(x,·),
+    *     folded in POSITION order so the IEEE double sum is identical on
+    *     any engine (the bm25 ordered-fold discipline; each addend is an
+    *     exact integer ratio). Consumers derive avg p or a pseudo-log-
+    *     perplexity downstream — the sum is the bit-stable primitive.
+    *
+    * A low-`sum_p`/high-`n_singleton` doc is gibberish, boilerplate hash
+    * soup, or wrong-language — exactly what the production filter drops.
+    * In production the count tables come from a trusted reference corpus
+    * (train once, broadcast forever); here they come from the corpus under
+    * scoring, which changes nothing structural.
+    *
+    * 100 TB plan: bigram extraction is one window pass on the doc_id
+    * exchange (lead over position — no self-join of the token stream);
+    * c(x,y) is one map-side-combined shuffle on the pair; c(x,·) re-groups
+    * the ALREADY-AGGREGATED pair table (vocabulary², not corpus, rows).
+    * Scoring joins the token stream against the count tables on their
+    * natural keys — AQE broadcasts them when the vocabulary is small, and
+    * falls back to shuffled hash joins when a web crawl's isn't — and the
+    * per-doc fold buffers one document's positions, the same bound
+    * chunk_docs lives with. Zipf head skew on c(x,·) lands on the
+    * already-reduced pair table, not the stream.
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val big = graft.TransientCache.cache(
+      toks.withColumn("y", lead(col("tok"), 1).over(byDoc))
+        .filter(col("y").isNotNull)
+        .select(col("doc_id"), col("pos"), col("tok").as("x"), col("y")))
+    val cxy = big.groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+    val cx = cxy.groupBy("x").agg(sum("cxy").as("cx"))
+    val scored = big
+      .join(cxy, Seq("x", "y"))
+      .join(cx, Seq("x"))
+      .select(col("doc_id"), col("pos"),
+        (col("cxy").cast("double") / col("cx").cast("double")).as("p"),
+        when(col("cxy") === 1L, 1L).otherwise(0L).as("singleton"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum("singleton").as("n_singleton"),
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("p")).as("sum_p"))
+    // docs under 2 tokens have no bigrams: restore them as explicit zero
+    // rows (a quality gate must SEE the empty doc to drop it)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_singleton"), lit(0L)).as("n_singleton"),
+        coalesce(col("sum_p"), lit(0.0)).as("sum_p"))
+  }
 }

@@ -197,4 +197,43 @@ class AnnSpec extends AnyFunSuite {
     val self = df.withColumn("c", Ann.cosine(col("v"), col("v"))).collect()
     self.foreach(r => assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-9))
   }
+
+  // --------------------------------------------------------- embedQuantize
+
+  test("embedQuantize: q is bounded, scale is the row max-abs, dequant error ≤ half a step") {
+    val vecs = Tables.embeddings(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    val rows = Ann.embedQuantize(spark, Sf0001).collect()
+    assert(rows.length == vecs.valuesIterator.map(_.length).sum)
+    rows.foreach { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      val scale = r.getAs[Double]("scale")
+      val q = r.getAs[Int]("q")
+      val vd = v(r.getAs[Int]("dim")).toDouble
+      assert(scale == v.map(x => math.abs(x.toDouble)).max)
+      assert(q >= -127 && q <= 127)
+      // symmetric quantization reconstructs within half a quantization step
+      assert(math.abs(q * scale / 127.0 - vd) <= scale / 127.0 / 2.0 + 1e-12)
+    }
+  }
+
+  test("embedQuantize: all-zero vectors quantize to zeros under the scale-0 guard") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("quant").toString
+    Seq((0L, Seq.fill(4)(0f), 0), (1L, Seq(1f, -2f, 0.5f, 2f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Ann.embedQuantize(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("dim")) ->
+        ((r.getAs[Double]("scale"), r.getAs[Int]("q")))).toMap
+    (0 until 4).foreach(d => assert(got((0L, d)) == ((0.0, 0))))
+    // scale 2: 1 -> round(63.5) -> 64 (floor(x+.5) rounds half toward +inf),
+    // -2 -> -127, 0.5 -> round(31.75) -> 32, 2 -> 127
+    assert(got((1L, 0)) == ((2.0, 64)))
+    assert(got((1L, 1)) == ((2.0, -127)))
+    assert(got((1L, 2)) == ((2.0, 32)))
+    assert(got((1L, 3)) == ((2.0, 127)))
+  }
 }

@@ -366,4 +366,69 @@ class CorpusSpec extends AnyFunSuite {
     }
     assert(got == expected)
   }
+
+  // ------------------------------------------------------------- lmScore
+
+  private def lmRows(dir: String): Map[Long, (Long, Long, Double)] =
+    Corpus.lmScore(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_singleton"),
+          r.getAs[Double]("sum_p")))).toMap
+
+  test("lmScore: hand-computed bigram conditionals on a planted corpus") {
+    // bigrams: doc1 (a,b)(b,a)(a,b); doc2 (a,b)(b,c); doc3 none.
+    // c(a,b)=3 c(b,a)=1 c(b,c)=1; c(a,.)=3 c(b,.)=2.
+    // doc1: 3/3 + 1/2 + 3/3 = 2.5, one singleton (b,a)
+    // doc2: 3/3 + 1/2     = 1.5, one singleton (b,c)
+    // doc3: explicit zero row (no bigrams)
+    val dir = writeDocs(Seq(
+      (1L, "a b a b", "en", "s0"),
+      (2L, "a b c", "en", "s0"),
+      (3L, "x", "en", "s0")))
+    val got = lmRows(dir)
+    assert(got(1L) == ((3L, 1L, 2.5)))
+    assert(got(2L) == ((2L, 1L, 1.5)))
+    assert(got(3L) == ((0L, 0L, 0.0)))
+  }
+
+  test("lmScore differential: fixture == driver-side bigram model, bit-exact") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def toks(t: String) = graft.operators.TextOps.wsTokens(t)
+    val bigrams = docs.flatMap { case (id, t) =>
+      val w = toks(t)
+      (0 until w.length - 1).map(i => (id, i, w(i), w(i + 1)))
+    }
+    val cxy = bigrams.groupBy(b => (b._3, b._4)).map { case (k, v) => k -> v.length.toLong }
+    val cx = cxy.groupBy(_._1._1).map { case (x, m) => x -> m.values.sum }
+    val expected = docs.map { case (id, t) =>
+      val w = toks(t)
+      val ps = (0 until w.length - 1).map { i =>
+        (cxy((w(i), w(i + 1))), cx(w(i)))
+      }
+      // fold in position order — the same IEEE sequence the operator uses
+      var sum = 0.0
+      ps.foreach { case (c, n) => sum += c.toDouble / n.toDouble }
+      id -> ((ps.length.toLong, ps.count(_._1 == 1L).toLong, sum))
+    }.toMap
+    assert(lmRows(TestSpark.Sf0001) == expected)
+  }
+
+  test("lmScore: predictable transitions outscore scattered ones") {
+    // the quality-filter direction: a looped phrase's transitions are
+    // certain (p=1); a head with many distinct continuations splits its
+    // mass. NOTE a head occurring ONCE also gives p=1 under a train==score
+    // corpus — uncertainty needs the head to recur with different tails,
+    // which is what doc 2 plants ("one" → two/three/four).
+    val dir = writeDocs(Seq(
+      (1L, "spam spam spam spam spam spam", "en", "s0"),
+      (2L, "one two one three one four", "en", "s0")))
+    val got = lmRows(dir)
+    val avg1 = got(1L)._3 / got(1L)._1
+    val avg2 = got(2L)._3 / got(2L)._1
+    assert(avg1 == 1.0) // five (spam,spam) bigrams, all mass on one tail
+    assert(avg2 < 0.7) // (3×1/3 + 2×1) / 5 = 0.6
+    assert(got(2L)._2 == got(2L)._1) // every doc-2 bigram is a singleton
+  }
 }

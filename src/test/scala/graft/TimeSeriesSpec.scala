@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TimeSeries
+
+/** ts_resample: per-user daily gap-fill + forward fill — hand-computed grid
+  * on planted event streams, plus structural invariants on the fixture.
+  */
+class TimeSeriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val Day = 86400L * 1000000L // micros
+
+  /** Temp events.parquet with the fixture's shape — `ts` raw NANOSECOND
+    * longs (the nanosAsLong read path), offsets in micros from a
+    * 2024-01-01 UTC base. Each row carries its own `value`.
+    */
+  private def writeEvents(rows: Seq[(Long, Long, Long, Double)]): String = {
+    val s = spark
+    import s.implicits._
+    val baseUs = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("timeseries").toString
+    rows.map { case (eid, us, uid, v) =>
+      (eid, (baseUs + us) * 1000L, uid, "metric", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def grid(dir: String): Map[(Long, String), (Long, Option[Double], Option[Double])] =
+    TimeSeries.tsResample(spark, dir).collect().map { r =>
+      (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toString) ->
+        ((r.getAs[Long]("n_events"),
+          Option(r.getAs[java.lang.Double]("day_value")).map(_.doubleValue()),
+          Option(r.getAs[java.lang.Double]("filled_value")).map(_.doubleValue())))
+    }.toMap
+
+  test("gap days appear with n_events 0 and carry the forward-filled value") {
+    // user 1: events on day 0 (v=10.0) and day 3 (v=30.0) — days 1,2 are gaps
+    val dir = writeEvents(Seq(
+      (1L, 0L, 1L, 10.0),
+      (2L, 3 * Day, 1L, 30.0)))
+    val g = grid(dir)
+    assert(g.size == 4) // full span, inclusive
+    assert(g((1L, "2024-01-01")) == ((1L, Some(10.0), Some(10.0))))
+    assert(g((1L, "2024-01-02")) == ((0L, None, Some(10.0)))) // gap: filled
+    assert(g((1L, "2024-01-03")) == ((0L, None, Some(10.0))))
+    assert(g((1L, "2024-01-04")) == ((1L, Some(30.0), Some(30.0))))
+  }
+
+  test("day_value is the day's LAST event by (ts, event_id); ties break on event_id") {
+    val dir = writeEvents(Seq(
+      (1L, 0L, 1L, 1.0),
+      (2L, 3600L * 1000000L, 1L, 2.0), // later that day: wins
+      // same-microsecond pair on day 2: higher event_id wins
+      (3L, Day, 1L, 5.0),
+      (4L, Day, 1L, 6.0)))
+    val g = grid(dir)
+    assert(g((1L, "2024-01-01")) == ((2L, Some(2.0), Some(2.0))))
+    assert(g((1L, "2024-01-02")) == ((2L, Some(6.0), Some(6.0))))
+  }
+
+  test("users are independent: spans do not bleed and fills never cross users") {
+    val dir = writeEvents(Seq(
+      (1L, 0L, 1L, 1.0),
+      (2L, 2 * Day, 1L, 2.0),
+      (3L, 5 * Day, 2L, 9.0))) // user 2: single-day span
+    val g = grid(dir)
+    assert(g.keys.count(_._1 == 1L) == 3)
+    assert(g.keys.count(_._1 == 2L) == 1)
+    assert(g((2L, "2024-01-06")) == ((1L, Some(9.0), Some(9.0))))
+    assert(g((1L, "2024-01-02"))._3 == Some(1.0)) // filled from user 1, not 2
+  }
+
+  test("fixture invariants: dense per-user grid, fill always defined, counts add up") {
+    val rows = TimeSeries.tsResample(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    // first grid day of each user is an event day, so filled_value is
+    // non-null on every row of the grid
+    rows.foreach { r =>
+      assert(r.getAs[java.lang.Double]("filled_value") != null)
+      if (r.getAs[Long]("n_events") == 0L)
+        assert(r.getAs[java.lang.Double]("day_value") == null)
+    }
+    // span density: each user's row count == day span, and total event
+    // count is preserved
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rs) =>
+      val days = rs.map(_.getAs[java.sql.Date]("day").toLocalDate.toEpochDay)
+      assert(days.max - days.min + 1 == rs.length)
+      assert(days.distinct.length == rs.length)
+    }
+    val nEvents = graft.sources.Tables.events(spark, Sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == nEvents)
+  }
+}
