@@ -56,7 +56,12 @@ object SparkEntry {
     // --- behavioral analytics over the same events table ---
     "funnel" -> (graft.operators.Behavior.funnel _),
     "cohort_retention" -> (graft.operators.Behavior.cohortRetention _),
+    "anomaly_days" -> (graft.operators.Behavior.anomalyDays _),
+    "event_transitions" -> (graft.operators.Behavior.eventTransitions _),
     "ts_resample" -> (graft.operators.TimeSeries.tsResample _),
+    // --- graph analytics over the events-implied user↔item graph ---
+    "pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pagerank(s, d)),
+    "item_cooccur" -> ((s: SparkSession, d: String) => graft.operators.Graph.itemCooccur(s, d)),
     "q17_asof" -> (Relational.q17Asof _),
     "q35_asof_native" -> (graft.operators.AsOf.q35AsofNative _),
     "q18_skew_agg" -> (graft.operators.Skew.q18SkewAgg _),
@@ -734,6 +739,62 @@ object SparkEntry {
         |      FROM events e JOIN f ON e.user_id = f.user_id)
         |SELECT cohort_day, week_offset, count(*) AS n_users
         |FROM a GROUP BY cohort_day, week_offset""".stripMargin,
+    // exact integer z-test: |c − μ| > 2σ with denominators cleared —
+    // (c·n − s)² > 4·(n·ss − s²) — squared terms in HUGEINT (Spark side:
+    // DECIMAL(38,0)) so a power user's counts can't overflow the compare
+    "anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+        |  FROM events GROUP BY user_id, epoch_us(ts) // 86400000000),
+        |st AS (SELECT user_id, count(*) AS n, sum(cnt) AS s, sum(cnt*cnt) AS ss
+        |       FROM daily GROUP BY user_id)
+        |SELECT d.user_id, d.day, d.cnt
+        |FROM daily d JOIN st ON st.user_id = d.user_id
+        |WHERE st.n >= 7
+        |  AND CAST(d.cnt * st.n - st.s AS HUGEINT) * CAST(d.cnt * st.n - st.s AS HUGEINT)
+        |      > CAST(4 AS HUGEINT) * CAST(st.n * st.ss - st.s * st.s AS HUGEINT)""".stripMargin,
+    // consecutive-event bigram in the shared (ts µs, event_id) total order
+    "event_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events)
+        |SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+        |FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type""".stripMargin,
+    // fixed-point PageRank replay: the recursive CTE carries (node, rank)
+    // through all 10 rounds with the SAME truncating `//` arithmetic the
+    // Spark loop's `DIV` uses — integer sums are order-free, so the replay
+    // is exact with no float discipline needed
+    "pagerank" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         1000000 + CAST(json_extract(props, '$.k') AS BIGINT) AS i FROM events),
+        |ed AS (SELECT u AS src, i AS dst FROM base
+        |       UNION ALL SELECT i AS src, u AS dst FROM base),
+        |deg AS (SELECT src, count(*) AS d FROM ed GROUP BY src),
+        |e AS (SELECT ed.src, ed.dst, deg.d FROM ed JOIN deg ON deg.src = ed.src),
+        |pr(iter, node, rank) AS (
+        |  SELECT 0, src, CAST(1000000 AS BIGINT) FROM deg
+        |  UNION ALL
+        |  (WITH cur AS (SELECT * FROM pr)
+        |   SELECT cur.iter + 1, e.dst, 150000 + (sum(cur.rank // e.d) * 85) // 100
+        |   FROM cur JOIN e ON e.src = cur.node
+        |   WHERE cur.iter < 10
+        |   GROUP BY cur.iter + 1, e.dst))
+        |SELECT node, rank FROM pr WHERE iter = 10""".stripMargin,
+    // hot-user cap (HAVING count ≤ 200) replayed exactly; top-5 by the
+    // (n_users desc, partner asc) total order so row_number is deterministic
+    "item_cooccur" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS u,
+        |              1000000 + CAST(json_extract(props, '$.k') AS BIGINT) AS i FROM events),
+        |ok AS (SELECT u FROM ui GROUP BY u HAVING count(*) <= 200),
+        |uif AS (SELECT ui.u, ui.i FROM ui JOIN ok ON ok.u = ui.u),
+        |pairs AS (SELECT a.i AS item, b.i AS partner, count(*) AS n_users
+        |          FROM uif a JOIN uif b ON a.u = b.u AND a.i <> b.i
+        |          GROUP BY a.i, b.i)
+        |SELECT item, partner, n_users, rk FROM (
+        |  SELECT item, partner, n_users, row_number() OVER (
+        |    PARTITION BY item ORDER BY n_users DESC, partner) AS rk FROM pairs) t
+        |WHERE rk <= 5""".stripMargin,
     // per-user daily grid (DATE + i day arithmetic), last-event-of-day by
     // the same (µs, event_id) total order the Spark fold uses, then an
     // IGNORE NULLS running last_value for the forward fill; `value` doubles

@@ -154,4 +154,66 @@ object Behavior {
           col("cohort_day").cast("int")).as("cohort_day"),
         col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
+
+  /** anomaly_days — per-user daily-volume outliers: the (user_id, day, cnt)
+    * rows where the user's event count that day deviates from THEIR OWN
+    * daily mean by more than 2σ (population), over users with ≥ 7 observed
+    * days. The z-test is evaluated in EXACT integer algebra — |c − μ| > 2σ
+    * with μ = s/n, σ² = (n·ss − s²)/n² clears denominators to
+    *   (c·n − s)² > 4·(n·ss − s²),
+    * every term an integer — so the flag is a pure function of the counts,
+    * independent of partitioning or float summation order, and the DuckDB
+    * oracle replays it verbatim (HUGEINT there, DECIMAL(38,0) here: a power
+    * user's c ~ 10⁸ over n ~ 365 days squares past the BIGINT range, so the
+    * squared comparison runs in 128-bit on both sides).
+    *
+    * Plan shape: the raw event stream collapses to per-(user, day) counts
+    * map-side before the first exchange; the per-user moment sums (n, s,
+    * ss) ride a window over the SAME user-hashed data — a user's day
+    * cardinality is bounded by the calendar span, never by event volume,
+    * so the window sort is O(span), and a 10⁸-event user costs no more
+    * than their day count.
+    */
+  def anomalyDays(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("user_id")
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum("cnt").over(w))
+      .withColumn("ss", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("n") >= 7)
+      .withColumn("dev", col("cnt") * col("n") - col("s"))
+      .filter(
+        col("dev").cast("decimal(38,0)") * col("dev") >
+          lit(4).cast("decimal(38,0)") *
+            (col("n").cast("decimal(38,0)") * col("ss") -
+              col("s").cast("decimal(38,0)") * col("s")))
+      .select("user_id", "day", "cnt")
+  }
+
+  /** event_transitions — the Markov-chain builder: counts of consecutive
+    * event-type transitions per user, in (ts, event_id) order (the same
+    * total order every event fold in this file uses, so ties are
+    * deterministic). One window pass on the user_id exchange — `lag` over
+    * the user partition, never a self-join of the event stream — then a
+    * map-side combined count on the (from, to) pair: 25 output rows per
+    * 5-type fixture regardless of corpus size, and the transition-matrix
+    * normalization is a downstream division away (kept integral here to
+    * stay float-free at the gate).
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

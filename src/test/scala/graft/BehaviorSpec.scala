@@ -129,4 +129,59 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.length == got.distinct.length)
     assert(got.toSet == expected)
   }
+
+  test("anomalyDays: fixture flags exactly the brute-force 2-sigma set") {
+    val events = graft.sources.Tables.events(spark, Sf0001)
+      .selectExpr("user_id", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us") / Day))
+    val expected = events.groupBy(_._1).iterator.flatMap { case (u, evs) =>
+      val daily = evs.groupBy(_._2).map { case (d, es) => (d, es.size.toLong) }
+      val n = daily.size.toLong
+      val s = daily.values.sum
+      val ss = daily.values.map(c => c * c).sum
+      // exact BigInt evaluation of (c·n − s)² > 4·(n·ss − s²)
+      daily.collect {
+        case (d, c) if n >= 7 &&
+          BigInt(c * n - s).pow(2) > BigInt(4) * (BigInt(n) * ss - BigInt(s) * s) =>
+          (u, d, c)
+      }
+    }.toSet
+    val got = Behavior.anomalyDays(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day"),
+        r.getAs[Long]("cnt"))).toSet
+    assert(got == expected)
+  }
+
+  test("anomalyDays: constant-volume users flag nothing; one spike day flags") {
+    // user 1: 8 days of exactly 1 event -> sigma 0, no day deviates
+    val flat = (0 until 8).map(d => ((d + 10).toLong, d * Day, 1L, "view"))
+    // user 2: 7 quiet days + one 10-event burst on day 7
+    val quiet = (0 until 7).map(d => ((d + 50).toLong, d * Day, 2L, "view"))
+    val burst = (0 until 10).map(j => ((j + 80).toLong, 7 * Day + j, 2L, "click"))
+    val got = Behavior.anomalyDays(spark, writeEvents(flat ++ quiet ++ burst))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cnt"))).toSet
+    val day0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond / 86400L
+    assert(got == Set((2L, 10L)))
+    val full = Behavior.anomalyDays(spark, writeEvents(flat ++ quiet ++ burst))
+      .collect().map(r => r.getAs[Long]("day")).toSet
+    assert(full == Set(day0 + 7))
+  }
+
+  test("eventTransitions: fixture bigrams match brute force in (ts, event_id) order") {
+    val events = graft.sources.Tables.events(spark, Sf0001)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val expected = events.groupBy(_._1).iterator.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      ordered.iterator.zip(ordered.iterator.drop(1))
+    }.toSeq.groupBy(identity).map { case (p, ps) => (p._1, p._2, ps.size.toLong) }
+      .toSet
+    val got = Behavior.eventTransitions(spark, Sf0001).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("n"))).toSet
+    assert(got == expected)
+  }
 }

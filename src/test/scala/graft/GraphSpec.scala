@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Graph-operator semantics: the distributed fixed-point PageRank against a
+  * driver-side brute-force replay (same integer arithmetic, same rounds) on
+  * both a planted graph and the sf0.001 fixture, plus co-occurrence pair
+  * counting and the hot-user cap.
+  */
+class GraphSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Temp events.parquet holding one event per (user, item) pair — ts as
+    * raw nanos like the driver fixture; only user_id and props matter here.
+    */
+  private def writeInteractions(pairs: Seq[(Long, Long)]): String = {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graph").toString
+    pairs.zipWithIndex.map { case ((u, k), idx) =>
+      (idx.toLong, 1704067200000000000L + idx * 1000000000L, u, "view", 1.0,
+        s"""{"k": $k}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  /** Driver-side replay of the documented recurrence: bidirected edges,
+    * rank⁰ = Scale, rankⁿ⁺¹ = 150000 + 85% of Σ rankⁿ(u) ÷ d(u) — all
+    * truncating Long division, exactly as the distributed loop and the
+    * DuckDB recursive CTE compute it.
+    */
+  private def bruteRank(interactions: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val edges = interactions.distinct.flatMap { case (u, k) =>
+      val i = Graph.ItemBase + k
+      Seq((u, i), (i, u))
+    }
+    val out = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var rank: Map[Long, Long] = out.keys.map(_ -> Graph.Scale).toMap
+    for (_ <- 0 until rounds) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (src, dst) => contrib(dst) += rank(src) / out(src) }
+      rank = rank.keys.map(n => n -> (150000L + contrib(n) * 85L / 100L)).toMap
+    }
+    rank
+  }
+
+  private def collectRanks(dir: String): Map[Long, Long] =
+    Graph.pagerank(spark, dir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank")).toMap
+
+  test("pagerank: planted star graph matches the brute-force integer replay") {
+    // user 1 touches items 10,11,12; users 2,3 each touch item 10 — item 10
+    // is the hub and must outrank the leaf items
+    val pairs = Seq[(Long, Long)]((1, 10), (1, 11), (1, 12), (2, 10), (3, 10))
+    val dir = writeInteractions(pairs)
+    val got = collectRanks(dir)
+    assert(got === bruteRank(pairs, Graph.Rounds))
+    val hub = got(Graph.ItemBase + 10)
+    assert(hub > got(Graph.ItemBase + 11) && hub > got(Graph.ItemBase + 12))
+  }
+
+  test("pagerank: sf0.001 fixture matches the brute-force replay node-for-node") {
+    val evs = sources.Tables.events(spark, Sf0001)
+      .selectExpr("user_id",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) AS k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(collectRanks(Sf0001) === bruteRank(evs, Graph.Rounds))
+  }
+
+  test("itemCooccur: planted pairs count co-touching users with a total-order top-k") {
+    // users 1,2 touch {10,11}; user 3 touches {10,12}
+    val dir = writeInteractions(
+      Seq[(Long, Long)]((1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 12)))
+    val got = Graph.itemCooccur(spark, dir).collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Long]("partner")) ->
+        (r.getAs[Long]("n_users"), r.getAs[Int]("rk"))).toMap
+    val i = Graph.ItemBase
+    assert(got((i + 10, i + 11)) === ((2L, 1)))  // 2 shared users, top partner
+    assert(got((i + 10, i + 12)) === ((1L, 2)))
+    assert(got((i + 11, i + 10)) === ((2L, 1)))  // symmetric count
+    assert(got((i + 12, i + 10)) === ((1L, 1)))
+    // counts are symmetric across the ordered-pair mirror
+    got.keys.foreach { case (a, b) =>
+      got.get((b, a)).foreach { case (n, _) => assert(n === got((a, b))._1) }
+    }
+  }
+
+  test("itemCooccur: a user past MaxItemsPerUser is excluded entirely") {
+    val bot = (0 until Graph.MaxItemsPerUser + 1).map(k => (99L, k.toLong))
+    val normal = Seq[(Long, Long)]((1, 0), (1, 1), (2, 0), (2, 1))
+    val got = Graph.itemCooccur(spark, writeInteractions(bot ++ normal)).collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Long]("partner")) -> r.getAs[Long]("n_users"))
+      .toMap
+    val i = Graph.ItemBase
+    // only the two normal users count; the bot's 201-item fan-out is gone
+    assert(got === Map((i + 0, i + 1) -> 2L, (i + 1, i + 0) -> 2L))
+  }
+}
