@@ -79,6 +79,9 @@ object SparkEntry {
     "q31_hof" -> (Relational.q31Hof _),
     "q32_unpivot" -> (Relational.q32Unpivot _),
     "q34_sort" -> (Relational.q34Sort _),
+    "q37_median" -> (Relational.q37Median _),
+    "profile_events" -> (graft.operators.Profile.profileEvents _),
+    "state_intervals" -> (graft.operators.Behavior.stateIntervals _),
     // --- structured streaming (bounded AvailableNow pass; == batch answer) ---
     "q25_stream_window" -> (graft.streaming.EventStreams.windowedCountsQuery _),
     "q33_stream_session" -> (graft.streaming.EventStreams.sessionQuery _),
@@ -739,6 +742,55 @@ object SparkEntry {
         |      FROM events e JOIN f ON e.user_id = f.user_id)
         |SELECT cohort_day, week_offset, count(*) AS n_users
         |FROM a GROUP BY cohort_day, week_offset""".stripMargin,
+    // exact order statistics by twin middle ranks / nearest rank — all rank
+    // targets integral ((n+1)÷2, (n+2)÷2, (9n+9)÷10) so no engine-specific
+    // percentile interpolation is in play; the ÷2 mean is exact in DOUBLE
+    "q37_median" ->
+      """WITH r AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |             row_number() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)) AS rn,
+        |             count(*) OVER (PARTITION BY l_returnflag) AS n
+        |           FROM lineitem)
+        |SELECT l_returnflag, max(n) AS n_items,
+        |  CAST(sum(q) FILTER (rn = (n+1)//2 OR rn = (n+2)//2) AS DOUBLE)
+        |    / count(*) FILTER (rn = (n+1)//2 OR rn = (n+2)//2) AS median,
+        |  max(q) FILTER (rn = (9*n+9)//10) AS p90
+        |FROM r WHERE (rn = (n+1)//2 OR rn = (n+2)//2 OR rn = (9*n+9)//10)
+        |GROUP BY l_returnflag""".stripMargin,
+    // one-pass exact profile; n_distinct via count(DISTINCT) on both sides
+    "profile_events" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |              CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events),
+        |a AS (SELECT count(*) AS n_rows,
+        |        count(event_id) AS nn1, count(DISTINCT event_id) AS nd1,
+        |        min(event_id) AS mn1, max(event_id) AS mx1,
+        |        count(user_id) AS nn2, count(DISTINCT user_id) AS nd2,
+        |        min(user_id) AS mn2, max(user_id) AS mx2,
+        |        count(k) AS nn3, count(DISTINCT k) AS nd3,
+        |        min(k) AS mn3, max(k) AS mx3
+        |      FROM ev)
+        |SELECT 'event_id' AS column_name, n_rows, n_rows - nn1 AS n_nulls,
+        |       nd1 AS n_distinct, mn1 AS min_v, mx1 AS max_v FROM a
+        |UNION ALL SELECT 'user_id', n_rows, n_rows - nn2, nd2, mn2, mx2 FROM a
+        |UNION ALL SELECT 'k', n_rows, n_rows - nn3, nd3, mn3, mx3 FROM a""".stripMargin,
+    // gaps-and-islands in the shared (ts µs, event_id) total order; run ids
+    // from a running sum of change flags, validity half-open via lead
+    "state_intervals" ->
+      """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id) AS prev
+        |           FROM events),
+        |m AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+        |                     THEN 1 ELSE 0 END AS st FROM o),
+        |rn AS (SELECT *, sum(st) OVER (PARTITION BY user_id
+        |         ORDER BY ts_us, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM m),
+        |runs AS (SELECT user_id, run_id, min(event_type) AS event_type,
+        |           min(ts_us) AS valid_from_us, count(*) AS n_events
+        |         FROM rn GROUP BY user_id, run_id)
+        |SELECT user_id, run_id, event_type, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to_us,
+        |  n_events
+        |FROM runs""".stripMargin,
     // exact integer z-test: |c − μ| > 2σ with denominators cleared —
     // (c·n − s)² > 4·(n·ss − s²) — squared terms in HUGEINT (Spark side:
     // DECIMAL(38,0)) so a power user's counts can't overflow the compare

@@ -216,4 +216,41 @@ object Behavior {
       .groupBy(col("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** state_intervals — the SCD-type-2 builder (gaps-and-islands): collapse
+    * each user's event stream into maximal runs of one event_type, emitting
+    * (user_id, run_id, event_type, valid_from_us, valid_to_us, n_events)
+    * with half-open validity — `valid_to_us` is the NEXT run's start, NULL
+    * on the user's current (last) state. This is how a change-event log
+    * becomes a slowly-changing dimension you can as-of join against (q17 /
+    * q35 consume exactly this shape).
+    *
+    * One user_id exchange carries all four window passes (lag → run-start
+    * flag → running-sum run ids → lead over the collapsed runs); the
+    * between-pass data is per-RUN, not per-event, so the lead pass sorts
+    * orders of magnitude fewer rows than the input. All arithmetic is
+    * integral microseconds in the shared (ts, event_id) total order.
+    */
+  def stateIntervals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val runs = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(byTime))
+      .withColumn("is_start",
+        when(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum("is_start").over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id")
+      .agg(min("event_type").as("event_type"),
+        min("ts_us").as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    runs
+      .withColumn("valid_to_us", lead("valid_from_us", 1).over(
+        Window.partitionBy("user_id").orderBy("run_id")))
+      .select("user_id", "run_id", "event_type", "valid_from_us",
+        "valid_to_us", "n_events")
+  }
 }

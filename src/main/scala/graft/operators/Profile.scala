@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Dataset profiling — the "what is actually in this table" pass every
+  * ingest pipeline runs before trusting a new drop: per column, row count,
+  * null count, EXACT distinct cardinality, and min/max. Profiles are how
+  * partition strategies get chosen (distinct counts size shuffles, min/max
+  * bound range partitions), so the numbers must be exact, not sketched —
+  * the approx sibling for quick looks is q19_approx.
+  *
+  * Plan shape: ONE scan of the three profiled columns feeds a single
+  * aggregate computing every metric; the multi-`count(distinct)` expands
+  * the aggregate buffer per distinct column (Spark's Expand — rows ×3) but
+  * each distinct is still partially aggregated map-side, so the exchange
+  * carries near-distinct cardinality, not raw rows. The per-column layout
+  * is then a 3-row `stack` of the one-row aggregate — no second pass.
+  */
+object Profile {
+
+  /** profile_events — profile of the events table's integral columns
+    * (event_id, user_id, and the JSON-extracted props.k).
+    */
+  def profileEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        from_json(col("props"), "k BIGINT", Map.empty[String, String])
+          .getField("k").as("k"))
+    val cols = Seq("event_id", "user_id", "k")
+    val metrics = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).as(s"mn_$c"),
+      max(col(c)).as(s"mx_$c")))
+    val stackArgs = cols
+      .map(c => s"'$c', n_rows, n_rows - nn_$c, nd_$c, mn_$c, mx_$c")
+      .mkString(", ")
+    ev.agg(metrics.head, metrics.tail: _*)
+      .select(expr(s"stack(${cols.length}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, min_v, max_v)"))
+  }
+}

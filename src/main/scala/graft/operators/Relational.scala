@@ -435,4 +435,42 @@ object Relational {
         sum("k").as("sum_k"),
         min("k").as("min_k"),
         max("k").as("max_k"))
+
+  /** q37_median — exact order statistics per group WITHOUT an interpolating
+    * percentile: the median is the mean of the values at the twin middle
+    * ranks ((n+1)÷2 and (n+2)÷2 — equal when n is odd), p90 the value at
+    * rank ⌈0.9·n⌉ (nearest-rank). Built from `row_number` over the sorted
+    * group, so the answer depends only on the value MULTISET (ties are
+    * interchangeable at any rank) — unlike `percentile`/`quantile_cont`,
+    * whose a+(b−a)·f float interpolation is engine-specific and would
+    * hash-mismatch the oracle. The ÷2 lands on halves, exact in DOUBLE.
+    *
+    * Scale: one shuffle on the group key; the rank window sorts within each
+    * group partition — groups here are the 3 return flags, so a production
+    * deployment ranges-partitions the sort (this is the same shape as
+    * q34_sort's distributed range sort, per-group). Quantity is cast to
+    * BIGINT first so both engines rank the same integral key.
+    */
+  def q37Median(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+    val w = Window.partitionBy("l_returnflag")
+    val ranked = li
+      .withColumn("rn", row_number().over(w.orderBy("q")))
+      .withColumn("n", count(lit(1)).over(w))
+    // all rank targets in integer arithmetic: (n+1)÷2, (n+2)÷2, and
+    // ⌈9n/10⌉ = (9n+9)÷10 — a float 0.9·n would round differently across
+    // engines (DuckDB parses 0.9 as DECIMAL(1,1); Spark as DOUBLE)
+    val mid = col("rn") === expr("(n + 1) DIV 2") || col("rn") === expr("(n + 2) DIV 2")
+    val p90 = col("rn") === expr("(9 * n + 9) DIV 10")
+    ranked
+      .filter(mid || p90)
+      .groupBy("l_returnflag")
+      .agg(
+        max("n").as("n_items"),
+        (sum(when(mid, col("q"))).cast("double") /
+          count(when(mid, true))).as("median"),
+        max(when(p90, col("q"))).as("p90"))
+  }
 }

@@ -168,6 +168,47 @@ class BehaviorSpec extends AnyFunSuite {
     assert(full == Set(day0 + 7))
   }
 
+  test("stateIntervals: planted runs collapse with half-open validity") {
+    // user 1: view view click view  -> runs (view,2) (click,1) (view,1)
+    val dir = writeEvents(Seq(
+      (1L, 0L, 1L, "view"), (2L, 10L, 1L, "view"), (3L, 20L, 1L, "click"),
+      (4L, 30L, 1L, "view"),
+      // user 2: a single state, valid_to stays NULL
+      (5L, 0L, 2L, "signup")))
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val got = Behavior.stateIntervals(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("run_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("valid_from_us"),
+        Option(r.getAs[Any]("valid_to_us")).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("n_events"))).toSet
+    assert(got == Set(
+      (1L, 1L, "view", base, Some(base + 20L), 2L),
+      (1L, 2L, "click", base + 20L, Some(base + 30L), 1L),
+      (1L, 3L, "view", base + 30L, None, 1L),
+      (2L, 1L, "signup", base, None, 1L)))
+  }
+
+  test("stateIntervals: fixture intervals tile each user's event span") {
+    val rows = Behavior.stateIntervals(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("run_id"),
+        r.getAs[Long]("valid_from_us"),
+        Option(r.getAs[Any]("valid_to_us")).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("n_events")))
+    val nEvents = graft.sources.Tables.events(spark, Sf0001).count()
+    assert(rows.map(_._5).sum == nEvents) // every event is in exactly one run
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1L to ordered.length).toSeq)
+      // each run's valid_to is the successor's valid_from; only the last is open
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3))
+        case _ =>
+      }
+      assert(ordered.last._4.isEmpty)
+    }
+  }
+
   test("eventTransitions: fixture bigrams match brute force in (ts, event_id) order") {
     val events = graft.sources.Tables.events(spark, Sf0001)
       .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")

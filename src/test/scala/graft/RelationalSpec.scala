@@ -152,4 +152,44 @@ class RelationalSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("l_quantity")).collect()(0).getDouble(0)
     assert(math.abs(pivotTotal - qtyTotal) < 1e-6)
   }
+
+  test("q37_median matches a driver-side sort on the fixture") {
+    val qs = Tables.lineitem(spark, Sf0001)
+      .selectExpr("l_returnflag", "CAST(l_quantity AS BIGINT) AS q").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (f, rs) => f -> rs.map(_._2).sorted }
+    val expected = qs.map { case (f, v) =>
+      val n = v.length
+      val median = (v((n + 1) / 2 - 1) + v((n + 2) / 2 - 1)) / 2.0
+      val p90 = v((9 * n + 9) / 10 - 1)
+      f -> ((n.toLong, median, p90))
+    }
+    val got = Relational.q37Median(spark, Sf0001).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        ((r.getAs[Long]("n_items"), r.getAs[Double]("median"),
+          r.getAs[Long]("p90")))).toMap
+    assert(got == expected)
+  }
+
+  test("profile_events matches brute-force exact cardinalities") {
+    val ev = Tables.events(spark, Sf0001)
+      .selectExpr("event_id", "user_id",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) AS k").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val n = ev.length.toLong
+    val ks = ev.flatMap(_._3)
+    val expected = Map(
+      "event_id" -> ((n, 0L, ev.map(_._1).distinct.length.toLong,
+        ev.map(_._1).min, ev.map(_._1).max)),
+      "user_id" -> ((n, 0L, ev.map(_._2).distinct.length.toLong,
+        ev.map(_._2).min, ev.map(_._2).max)),
+      "k" -> ((n, n - ks.length, ks.distinct.length.toLong, ks.min, ks.max)))
+    val got = graft.operators.Profile.profileEvents(spark, Sf0001).collect()
+      .map(r => r.getAs[String]("column_name") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
+          r.getAs[Long]("n_distinct"), r.getAs[Long]("min_v"),
+          r.getAs[Long]("max_v")))).toMap
+    assert(got == expected)
+  }
 }
