@@ -105,6 +105,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "text_fingerprint_poly" -> (TextOps.textFingerprintPoly _),
     "text_langid" -> (TextOps.textLangId _),
+    "text_normalize" -> (TextOps.textNormalize _),
+    "value_histogram" -> (graft.operators.Profile.valueHistogram _),
     // --- deduplication ---
     "dedup_exact" -> (Dedup.exact _),
     "dedup_exact_dups" -> (Dedup.exactDups _),
@@ -742,6 +744,28 @@ object SparkEntry {
         |      FROM events e JOIN f ON e.user_id = f.user_id)
         |SELECT cohort_day, week_offset, count(*) AS n_users
         |FROM a GROUP BY cohort_day, week_offset""".stripMargin,
+    // deterministic doc_id-keyed mangling (same pattern as pii_scrub's
+    // augmentation), then the explicit-class normalize; ASCII lower/upper
+    // agree across engines, md5 of the normalized text is the dedup key
+    "text_normalize" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN '  ' || upper(text) || chr(9)
+        |         WHEN doc_id % 5 = 1 THEN regexp_replace(text, ' ', '  ', 'g')
+        |         WHEN doc_id % 5 = 2 THEN text || chr(10) || ' '
+        |         ELSE text END AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw,
+        |        trim(regexp_replace(lower(raw), '[ \t\r\n\f]+', ' ', 'g')) AS norm
+        |      FROM m)
+        |SELECT doc_id, length(raw) AS n_raw, length(norm) AS n_norm,
+        |  CAST(norm <> raw AS BIGINT) AS changed, md5(norm) AS norm_md5
+        |FROM n""".stripMargin,
+    // exact integer-cents histogram: round to cents, then pure BIGINT
+    "value_histogram" ->
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT cents // 500 AS bucket, (cents // 500) * 500 AS lo_cents,
+        |       count(*) AS n, sum(cents) AS sum_cents
+        |FROM c GROUP BY cents // 500""".stripMargin,
     // exact order statistics by twin middle ranks / nearest rank — all rank
     // targets integral ((n+1)÷2, (n+2)÷2, (9n+9)÷10) so no engine-specific
     // percentile interpolation is in play; the ÷2 mean is exact in DOUBLE

@@ -42,4 +42,21 @@ object Profile {
       .select(expr(s"stack(${cols.length}, $stackArgs) AS " +
         "(column_name, n_rows, n_nulls, n_distinct, min_v, max_v)"))
   }
+
+  /** value_histogram — fixed-width ($5) histogram of the events `value`
+    * column, computed in EXACT integer cents: the doubles carry two
+    * decimals, so `round(value·100)` recovers the integral cents (the
+    * stored double sits within ε of it, far from any .5 boundary — both
+    * engines round to the same integer), and from there bucketing and the
+    * per-bucket sum are pure BIGINT arithmetic, order-free and exact.
+    * One map-side-combined shuffle on the bucket id; bucket count is
+    * value-range/width regardless of row count.
+    */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(expr("cents DIV 500").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .withColumn("lo_cents", col("bucket") * 500)
+      .select("bucket", "lo_cents", "n", "sum_cents")
 }

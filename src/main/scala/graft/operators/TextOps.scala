@@ -311,4 +311,47 @@ object TextOps {
         best.getField("lang").as("pred_lang"),
         (-best.getField("neg")).as("marker_hits"))
   }
+
+  /** text_normalize — the canonicalization pass that feeds fingerprint-based
+    * dedup: casefold + collapse every whitespace run to one space + trim.
+    * Emitted as (doc_id, n_raw, n_norm, changed, norm_md5) — the digest of
+    * the NORMALIZED text is what a canonical-form dedup keys on (the raw
+    * md5 is dedup_exact's key), and `changed` is the data-quality signal.
+    *
+    * The fixture corpus is already lowercase/single-spaced, which would
+    * leave the operator vacuous at the gate (`changed` = 0 everywhere) —
+    * so, exactly like [[graft.operators.Curation.piiScrub]]'s PII
+    * augmentation, the input is a DETERMINISTIC doc_id-keyed mangling of
+    * the corpus (uppercased + padded / double-spaced / trailing-newline
+    * classes), replayed verbatim by the oracle; real-corpus behavior
+    * (mixed case, tab runs) is pinned on planted strings in CurationSpec.
+    * Every mangle class canonicalizes back to the CLEAN document's digest
+    * — asserted in the spec, and the property that makes normalize-then-
+    * dedup catch formatting near-dups exact dedup misses.
+    *
+    * The whitespace class is spelled `[ \t\r\n\f]+` explicitly, NOT `\s` —
+    * the engines' `\s` sets differ at the edges (Java: vertical tab;
+    * RE2: unicode option-dependent), and an explicit class has ONE meaning
+    * everywhere, so the oracle can replay the normalization verbatim.
+    * Casefolding is `lower`, identical across engines on the (asserted-
+    * ASCII) corpus; a unicode corpus would swap in ICU casefolding on both
+    * sides. Zero shuffle — pure codegen'd string ops at scan speed.
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val mangled = when(col("doc_id") % 5 === 0,
+      concat(lit("  "), upper(col("text")), lit("\t")))
+      .when(col("doc_id") % 5 === 1,
+        regexp_replace(col("text"), " ", "  "))
+      .when(col("doc_id") % 5 === 2, concat(col("text"), lit("\n ")))
+      .otherwise(col("text"))
+    val norm = trim(regexp_replace(lower(col("raw")), "[ \\t\\r\\n\\f]+", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), mangled.as("raw"))
+      .select(col("doc_id"), col("raw"), norm.as("norm"))
+      .select(col("doc_id"),
+        length(col("raw")).as("n_raw"),
+        length(col("norm")).as("n_norm"),
+        (col("norm") =!= col("raw")).cast("long").as("changed"),
+        md5(col("norm")).as("norm_md5"))
+  }
 }

@@ -484,4 +484,54 @@ class CurationSpec extends AnyFunSuite {
         s"doc $id residual PII")
     }
   }
+
+  test("textNormalize: casefold + whitespace collapse + trim, md5 keys equal forms") {
+    // doc_ids 3, 4, 8 fall in the pass-through mangle classes (%5 ∉ {0,1,2})
+    // so the planted strings reach the normalizer verbatim
+    val dir = writeDocs(Seq(
+      (3L, "Hello   World", "en", "web"),
+      (4L, "  hello\tworld\n", "en", "web"),
+      (8L, "already normal", "en", "web")))
+    val got = graft.operators.TextOps.textNormalize(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_raw"), r.getAs[Int]("n_norm"),
+          r.getAs[Long]("changed"), r.getAs[String]("norm_md5")))).toMap
+    assert(got(3L)._3 == 1L && got(4L)._3 == 1L && got(8L)._3 == 0L)
+    assert(got(3L)._2 == "hello world".length && got(4L)._2 == "hello world".length)
+    // both messy forms canonicalize to the same dedup key
+    assert(got(3L)._4 == got(4L)._4)
+    assert(got(8L)._4 != got(3L)._4)
+  }
+
+  test("textNormalize: every mangle class canonicalizes back to the clean digest") {
+    import org.apache.spark.sql.functions.md5
+    val clean = graft.sources.Tables.documents(spark, Sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        md5(org.apache.spark.sql.functions.col("text")).as("fp")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
+    val rows = graft.operators.TextOps.textNormalize(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("changed")).sum > 0) // non-vacuous on fixture
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // the fixture corpus is already canonical, so normalizing the mangled
+      // form must recover the clean document's digest for every class
+      assert(r.getAs[String]("norm_md5") == clean(id), s"doc $id")
+      assert(r.getAs[Long]("changed") == (if (id % 5 <= 2) 1L else 0L), s"doc $id")
+    }
+  }
+
+  test("valueHistogram: buckets tile the rows and total the exact cents") {
+    val ev = graft.sources.Tables.events(spark, Sf0001)
+      .selectExpr("CAST(round(value * 100) AS BIGINT) AS cents").collect()
+      .map(_.getLong(0))
+    val got = graft.operators.Profile.valueHistogram(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("lo_cents"), r.getAs[Long]("n"), r.getAs[Long]("sum_cents"))))
+    assert(got.map(_._2._2).sum == ev.length)
+    assert(got.map(_._2._3).sum == ev.sum)
+    got.foreach { case (b, (lo, _, _)) => assert(lo == b * 500) }
+    val expected = ev.groupBy(_ / 500).map { case (b, cs) =>
+      b -> ((b * 500, cs.length.toLong, cs.sum)) }
+    assert(got.toMap == expected)
+  }
 }
