@@ -143,6 +143,7 @@ object SparkEntry {
     "search_docs" -> ((s: SparkSession, d: String) => graft.operators.Corpus.searchDocs(s, d)),
     "heavy_hitters" -> ((s: SparkSession, d: String) => graft.operators.Corpus.heavyHitters(s, d)),
     "lm_score" -> (graft.operators.Corpus.lmScore _),
+    "word_edit1" -> ((s: SparkSession, d: String) => graft.operators.Corpus.wordEdit1(s, d)),
     // --- multimodal columns (stubbed decode, real plumbing) ---
     "mm_features" -> (Multimodal.features _),
     "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
@@ -744,6 +745,18 @@ object SparkEntry {
         |      FROM events e JOIN f ON e.user_id = f.user_id)
         |SELECT cohort_day, week_offset, count(*) AS n_users
         |FROM a GROUP BY cohort_day, week_offset""".stripMargin,
+    // deterministically augmented vocabulary (fixture has no natural edit-1
+    // pairs); the oracle verifies ALL-PAIRS — the engine's deletion-key
+    // blocking must reproduce it exactly, which gates blocking completeness
+    "word_edit1" ->
+      """WITH v0 AS (SELECT DISTINCT unnest(string_split_regex(text, '[^a-zA-Z]+')) AS w
+        |            FROM documents),
+        |v1 AS (SELECT w FROM v0 WHERE w <> ''),
+        |aug AS (SELECT w FROM v1
+        |        UNION SELECT substring(w, 2) FROM v1 WHERE length(w) >= 5
+        |        UNION SELECT 'x' || substring(w, 2) FROM v1 WHERE length(w) >= 5)
+        |SELECT a.w AS w1, b.w AS w2
+        |FROM aug a JOIN aug b ON a.w < b.w AND levenshtein(a.w, b.w) = 1""".stripMargin,
     // deterministic doc_id-keyed mangling (same pattern as pii_scrub's
     // augmentation), then the explicit-class normalize; ASCII lower/upper
     // agree across engines, md5 of the normalized text is the dedup key

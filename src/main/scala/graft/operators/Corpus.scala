@@ -525,4 +525,48 @@ object Corpus {
         coalesce(col("n_singleton"), lit(0L)).as("n_singleton"),
         coalesce(col("sum_p"), lit(0.0)).as("sum_p"))
   }
+
+  /** word_edit1 — fuzzy vocabulary matching: every UNORDERED word pair at
+    * Levenshtein distance exactly 1 (the spell-correction / typo-cluster
+    * candidate set). Candidates come from DELETION-NEIGHBORHOOD blocking
+    * (FastSS): two words are within edit distance 1 iff they share a key in
+    * {word} ∪ {word minus one char} — substitution at i matches the two
+    * i-deletions, insertion/deletion matches word-vs-deletion, so the
+    * blocking is COMPLETE and each length-L word fans out to only L+1 keys.
+    * The equi-join on keys replaces the all-pairs O(|V|²) comparison — at a
+    * 10⁷-word crawl vocabulary that is the difference between 10⁸ keyed
+    * rows and 10¹⁴ pairs. Keys can also pair distance-2 words (e.g. a
+    * transposition's two deletions), so every candidate is verified with
+    * one `levenshtein` call — a codegen'd builtin on the already-tiny
+    * candidate set.
+    *
+    * The fixture vocabulary has no natural edit-1 pairs, so (the pii_scrub
+    * / text_normalize augmentation pattern) the vocabulary is
+    * deterministically augmented with planted typos — each word of length
+    * ≥ 5 contributes its first-char deletion and an 'x' substitution —
+    * replayed verbatim by the oracle, which verifies via all-pairs
+    * `levenshtein` (oracle-side only; the engine never joins all-pairs).
+    */
+  def wordEdit1(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(col("text"), "[^a-zA-Z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    val planted = vocab.filter(length(col("w")) >= 5)
+    val aug = vocab
+      .unionByName(planted.select(expr("substring(w, 2)").as("w")))
+      .unionByName(planted.select(concat(lit("x"), expr("substring(w, 2)")).as("w")))
+      .distinct()
+    // the word itself + each single-deletion form, exploded to (key, w)
+    val keyed = aug.select(col("w"), explode(expr(
+      """array_union(array(w),
+        |  transform(sequence(1, length(w)),
+        |    i -> concat(substring(w, 1, i - 1), substring(w, i + 1))))"""
+        .stripMargin)).as("key"))
+    keyed.as("a").join(keyed.as("b"), "key")
+      .filter(col("a.w") < col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+      .distinct()
+      .filter(levenshtein(col("w1"), col("w2")) === 1)
+  }
 }

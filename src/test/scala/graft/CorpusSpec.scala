@@ -431,4 +431,47 @@ class CorpusSpec extends AnyFunSuite {
     assert(avg2 < 0.7) // (3×1/3 + 2×1) / 5 = 0.6
     assert(got(2L)._2 == got(2L)._1) // every doc-2 bigram is a singleton
   }
+
+  private def edit1Pairs(dir: String): Set[(String, String)] =
+    graft.operators.Corpus.wordEdit1(spark, dir).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSet
+
+  test("wordEdit1: deletion-key blocking finds every edit class, rejects distance 2") {
+    // words < 5 chars dodge the augmentation, so the planted vocabulary is
+    // exactly these tokens: substitution (cat/bat), deletion (cat/at),
+    // insertion (cat/cart) all distance 1; act is a TRANSPOSITION of cat
+    // (distance 2 — its deletion keys collide, the verify must reject it);
+    // dog is isolated
+    val dir = writeDocs(Seq((1L, "cat bat at cart act dog", "en", "web")))
+    val got = edit1Pairs(dir)
+    assert(got.contains(("bat", "cat"))) // substitution
+    assert(got.contains(("at", "cat"))) // deletion
+    assert(got.contains(("cart", "cat"))) // insertion
+    assert(!got.contains(("act", "cat")) && !got.contains(("cat", "act")))
+    assert(!got.exists(p => p._1 == "dog" || p._2 == "dog"))
+    got.foreach { case (a, b) => assert(a < b, s"unordered pair ($a,$b)") }
+  }
+
+  test("wordEdit1: fixture matches brute-force all-pairs levenshtein") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = graft.sources.Tables.documents(spark, Sf0001)
+      .selectExpr("explode(split(text, '[^a-zA-Z]+')) AS w")
+      .filter("w <> ''").distinct().collect().map(_.getString(0)).toSet
+    val aug = vocab ++
+      vocab.filter(_.length >= 5).map(_.drop(1)) ++
+      vocab.filter(_.length >= 5).map(w => "x" + w.drop(1))
+    val expected = (for {
+      a <- aug; b <- aug if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    assert(edit1Pairs(Sf0001) == expected)
+    assert(expected.nonEmpty) // augmentation keeps the query non-vacuous
+  }
 }
