@@ -26,17 +26,29 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
-    * read it as a raw nanosecond long (legacy conf) and expose both the long
-    * (`ts_ns`) and a µs-truncated proper timestamp (`ts`) — the truncation
-    * matches how µs-native engines (e.g. DuckDB) read the same file.
+  /** `events.ts` has shipped in two fixture generations: parquet
+    * TIMESTAMP(NANOS) — which Spark's reader rejects, so it is read as a raw
+    * nanosecond long (legacy conf) — and a plain µs timestamp (possibly
+    * NTZ). Both are normalized to the same two columns every consumer and
+    * oracle uses: `ts`, a µs `TimestampType` (NTZ wall clocks are
+    * reinterpreted in the session's UTC zone, the same instant DuckDB's
+    * epoch_us sees), and `ts_ns`, the epoch-nanos long (µs-resolution when
+    * the file itself is µs). The dispatch is on the FILE schema, so spec
+    * fixtures written as nanos longs keep exercising the legacy path.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -21,24 +21,37 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema (file streaming sources require an explicit schema). `ts`
-    * is nanos in the fixture parquet; normalized to a µs timestamp exactly as
-    * the batch loader does (`graft.sources.Tables.events`).
+  /** events schema (file streaming sources require an explicit schema),
+    * parameterized on the fixture generation's `ts` type — nanos-as-long or
+    * a (possibly NTZ) µs timestamp (see `graft.sources.Tables.events`).
     */
-  val eventSchema: StructType = StructType(Seq(
+  def eventSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long (legacy conf)
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over a parquet directory of events. */
+  /** Streaming source over a parquet directory of events, normalized to the
+    * same `ts` (µs TimestampType) + `ts_ns` (epoch-nanos long) columns as
+    * the batch loader. The one-time batch schema probe (a driver-side file
+    * footer read, no data scan) picks the fixture generation — streaming
+    * sources require the schema up front, so it can't be inferred lazily.
+    */
   def readEvents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(eventSchema).parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    val tsType = s.read.parquet(dir).schema("ts").dataType
+    val src = s.readStream.schema(eventSchema(tsType)).parquet(dir)
+    tsType match {
+      case LongType =>
+        src.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case _ =>
+        src.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
   }
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark — the streaming
