@@ -59,9 +59,14 @@ object SparkEntry {
     "anomaly_days" -> (graft.operators.Behavior.anomalyDays _),
     "event_transitions" -> (graft.operators.Behavior.eventTransitions _),
     "ts_resample" -> (graft.operators.TimeSeries.tsResample _),
+    "rolling_active" -> (graft.operators.TimeSeries.rollingActive _),
+    "winsorize" -> (graft.operators.Profile.winsorize _),
+    "bpe_merges" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bpeMerges(s, d)),
     // --- graph analytics over the events-implied user↔item graph ---
     "pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pagerank(s, d)),
     "item_cooccur" -> ((s: SparkSession, d: String) => graft.operators.Graph.itemCooccur(s, d)),
+    "triangle_count" -> (graft.operators.Graph.triangleCount _),
+    "bfs_hops" -> ((s: SparkSession, d: String) => graft.operators.Graph.bfsHops(s, d)),
     "q17_asof" -> (Relational.q17Asof _),
     "q35_asof_native" -> (graft.operators.AsOf.q35AsofNative _),
     "q18_skew_agg" -> (graft.operators.Skew.q18SkewAgg _),
@@ -884,6 +889,105 @@ object SparkEntry {
         |  SELECT item, partner, n_users, row_number() OVER (
         |    PARTITION BY item ORDER BY n_users DESC, partner) AS rk FROM pairs) t
         |WHERE rk <= 5""".stripMargin,
+    // NAIVE all-pairs triangle enumeration (a < b < c triple join) — the
+    // degree-ordered-orientation plan must reproduce it node-for-node, so
+    // the orientation's once-per-triangle completeness is itself gated
+    "triangle_count" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS u,
+        |              1000000 + CAST(json_extract(props, '$.k') AS BIGINT) AS i FROM events),
+        |ok AS (SELECT u FROM ui GROUP BY u HAVING count(*) <= 200),
+        |uif AS (SELECT ui.u, ui.i FROM ui JOIN ok ON ok.u = ui.u),
+        |e AS (SELECT a.i AS x, b.i AS y FROM uif a JOIN uif b ON a.u = b.u AND a.i < b.i
+        |      GROUP BY a.i, b.i HAVING count(*) >= 2),
+        |t AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |      FROM e e1 JOIN e e2 ON e2.x = e1.y
+        |                 JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |n AS (SELECT a AS node FROM t
+        |      UNION ALL SELECT b FROM t
+        |      UNION ALL SELECT c FROM t)
+        |SELECT node, count(*) AS n_triangles FROM n GROUP BY node""".stripMargin,
+    // BFS as a recursive CTE: UNION (not UNION ALL) dedups (node, hop)
+    // tuples, so the recursion is bounded by nodes × horizon, not by walk
+    // count; min(hop) over the tuples IS the BFS distance (walks only ever
+    // revisit at larger hops). The frontier plan must match it exactly.
+    "bfs_hops" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         1000000 + CAST(json_extract(props, '$.k') AS BIGINT) AS i FROM events),
+        |e AS (SELECT u AS src, i AS dst FROM base
+        |      UNION ALL SELECT i AS src, u AS dst FROM base),
+        |bfs(node, hop) AS (
+        |  SELECT min(user_id), CAST(0 AS BIGINT) FROM events
+        |  UNION
+        |  SELECT e.dst, bfs.hop + 1 FROM bfs JOIN e ON e.src = bfs.node
+        |  WHERE bfs.hop < 6)
+        |SELECT node, min(hop) AS hop FROM bfs GROUP BY node""".stripMargin,
+    // the same inverted-window kernel: (user, active-day) distinct, ×7
+    // covered-day fan-out, distinct, count — replayed literally (both
+    // engines agree because every step is integral set algebra)
+    "rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d0 FROM events),
+        |cov AS (SELECT DISTINCT user_id, d0 + CAST(i AS INTEGER) AS day
+        |        FROM ud CROSS JOIN (SELECT range AS i FROM range(0, 7)) t)
+        |SELECT day, count(*) AS n_active_7d FROM cov GROUP BY day""".stripMargin,
+    // nearest-rank p99 replayed on the same exact-cents histogram; the
+    // clip keeps `value` doubles carried-not-combined, and the only float
+    // op (p99_cents / 100.0) is the identical IEEE division on both sides
+    "winsorize" ->
+      """WITH ev AS (SELECT event_id, event_type, value,
+        |                   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |hist AS (SELECT event_type, cents, count(*) AS c FROM ev
+        |         GROUP BY event_type, cents),
+        |cum AS (SELECT event_type, cents,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |          sum(c) OVER (PARTITION BY event_type) AS n FROM hist),
+        |th AS (SELECT event_type, min(cents) AS p99_cents FROM cum
+        |       WHERE cum >= (99 * n + 99) // 100 GROUP BY event_type)
+        |SELECT ev.event_id, ev.event_type, ev.value,
+        |       CAST(p99_cents AS DOUBLE) / 100.0 AS p99,
+        |       CASE WHEN ev.cents > th.p99_cents
+        |            THEN CAST(p99_cents AS DOUBLE) / 100.0
+        |            ELSE ev.value END AS clipped
+        |FROM ev JOIN th ON th.event_type = ev.event_type""".stripMargin,
+    // the full 8-round BPE learn replayed as a recursive CTE over the
+    // bracket-wrapped symbol encoding: pair stats re-derived per round,
+    // winner by (weight desc, lft, rgt), merge applied with the same
+    // literal left-to-right replace; the final merge table is recomputed
+    // per-iteration from the CTE's accumulated state rows
+    "bpe_merges" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word),
+        |st(iter, word, freq, sym) AS (
+        |  SELECT 0, word, freq,
+        |         '[' || array_to_string(str_split(word, ''), '][') || ']' FROM w
+        |  UNION ALL
+        |  (WITH cur AS (SELECT * FROM st WHERE iter < 8),
+        |   spl AS (SELECT iter, word, freq,
+        |             str_split(substr(sym, 2, len(sym) - 2), '][') AS l FROM cur),
+        |   pairs AS (SELECT l[CAST(i AS INT)] AS lft, l[CAST(i + 1 AS INT)] AS rgt,
+        |               sum(freq) AS wgt
+        |             FROM spl CROSS JOIN (SELECT range AS i FROM range(1, 64)) t
+        |             WHERE i + 1 <= len(l) GROUP BY 1, 2),
+        |   best AS (SELECT lft, rgt FROM pairs ORDER BY wgt DESC, lft, rgt LIMIT 1)
+        |   SELECT cur.iter + 1, cur.word, cur.freq,
+        |          replace(cur.sym, '[' || best.lft || '][' || best.rgt || ']',
+        |                  '[' || best.lft || best.rgt || ']')
+        |   FROM cur, best)),
+        |spl2 AS (SELECT iter, freq,
+        |           str_split(substr(sym, 2, len(sym) - 2), '][') AS l
+        |         FROM st WHERE iter < 8),
+        |pairs2 AS (SELECT iter, l[CAST(i AS INT)] AS lft, l[CAST(i + 1 AS INT)] AS rgt,
+        |             sum(freq) AS wgt
+        |           FROM spl2 CROSS JOIN (SELECT range AS i FROM range(1, 64)) t
+        |           WHERE i + 1 <= len(l) GROUP BY 1, 2, 3),
+        |ranked AS (SELECT iter, lft, rgt, wgt, row_number() OVER (
+        |             PARTITION BY iter ORDER BY wgt DESC, lft, rgt) AS rk FROM pairs2)
+        |SELECT CAST(iter + 1 AS BIGINT) AS step, lft, rgt, lft || rgt AS merged,
+        |       wgt AS weight
+        |FROM ranked WHERE rk = 1""".stripMargin,
     // per-user daily grid (DATE + i day arithmetic), last-event-of-day by
     // the same (µs, event_id) total order the Spark fold uses, then an
     // IGNORE NULLS running last_value for the forward fill; `value` doubles

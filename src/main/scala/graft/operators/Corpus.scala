@@ -569,4 +569,86 @@ object Corpus {
       .distinct()
       .filter(levenshtein(col("w1"), col("w2")) === 1)
   }
+
+  /** Merge rounds learned by [[bpeMerges]]. */
+  val BpeRounds = 8
+
+  /** Symbol-count bound the oracle's adjacency generator unrolls to; the
+    * engine asserts it so the two replays can never silently diverge on a
+    * pathological word.
+    */
+  val BpeMaxSymbols = 64
+
+  /** bpe_merges — byte-pair-encoding merge learning over the corpus
+    * word-frequency table: [[BpeRounds]] rounds of "count adjacent symbol
+    * pairs (weighted by word frequency, overlapping positions included),
+    * merge the most frequent pair everywhere" — the vocabulary-induction
+    * step of every modern tokenizer, with the canonical greedy-left merge
+    * application. Output: (step, lft, rgt, merged, weight) — the learned
+    * merge table, in order.
+    *
+    * ENGINE-PARITY ENCODING: a word's symbol sequence is carried as the
+    * bracket-wrapped string `[l][o][w]`. Applying a merge is then ONE
+    * literal string replace of `[a][b]` with `[ab]` — no regex, no
+    * per-symbol loop — and because every match starts at '[' and symbols
+    * ([a-z]+ by the vocabulary filter) can never contain a bracket,
+    * left-to-right non-overlapping replace (the shared semantics of Java's
+    * `String.replace` and DuckDB's `replace`) merges EXACTLY the
+    * occurrences canonical greedy-left BPE merges: consecutive identical
+    * pairs consume like `[a][a][a]` → `[aa][a]` (floor(k/2) leftmost
+    * merges), and non-identical adjacent occurrences never share a
+    * character, so both merge. The DuckDB oracle replays all
+    * [[BpeRounds]] rounds as a recursive CTE over the same encoding and
+    * must reproduce the merge table row-for-row.
+    *
+    * 100 TB plan: the corpus is touched ONCE (token count → word-frequency
+    * table, map-side combined); every round then runs on the
+    * VOCABULARY-sized table — pair stats are a map-side-combined aggregate
+    * over ≤ 63 adjacent positions per word, and the round's winner is a
+    * distributed TakeOrdered(1) whose single metadata row is the only
+    * thing the driver ever sees (the same bounded control-plane collect as
+    * the IVF centroid step). The vocabulary is localCheckpoint'd once, so
+    * the 8 rounds never re-scan the corpus; the nested replaces stay one
+    * narrow projection — no shuffle inside the loop at all.
+    */
+  def bpeMerges(s: SparkSession, dir: String, rounds: Int = BpeRounds): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    val words0 = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val before = sc.getPersistentRDDs.keySet
+    val words = words0.localCheckpoint(true)
+    graft.TransientCache.adoptRddIds((sc.getPersistentRDDs.keySet -- before).toSet)
+    val maxLen = words.agg(max(length(col("word")))).head.getInt(0)
+    require(maxLen <= BpeMaxSymbols,
+      s"bpe_merges: word of length $maxLen exceeds the oracle's " +
+        s"$BpeMaxSymbols-symbol adjacency unroll — raise BpeMaxSymbols in both replays")
+    var st = words.select(col("word"), col("freq"),
+      concat(lit("["), array_join(split(col("word"), ""), "]["), lit("]")).as("sym"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var r = 0
+    while (r < rounds) {
+      val pairs = st
+        .select(col("freq"),
+          split(expr("substring(sym, 2, length(sym) - 2)"), "\\]\\[").as("l"))
+        .select(col("freq"),
+          slice(col("l"), lit(1), size(col("l")) - 1).as("ls"),
+          slice(col("l"), lit(2), size(col("l")) - 1).as("rs"))
+        .select(col("freq"), explode(arrays_zip(col("ls"), col("rs"))).as("pr"))
+        .groupBy(col("pr.ls").as("lft"), col("pr.rs").as("rgt"))
+        .agg(sum("freq").as("wgt"))
+      val top = pairs.orderBy(col("wgt").desc, col("lft"), col("rgt")).limit(1).collect()
+      require(top.nonEmpty,
+        s"bpe_merges: vocabulary exhausted at round $r — fewer than $rounds " +
+          "merges exist, which the fixed-round oracle replay cannot express")
+      val (lft, rgt, wgt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((r + 1L, lft, rgt, lft + rgt, wgt))
+      st = st.withColumn("sym",
+        expr(s"replace(sym, '[$lft][$rgt]', '[$lft$rgt]')"))
+      r += 1
+    }
+    merges.toSeq.toDF("step", "lft", "rgt", "merged", "weight")
+  }
 }

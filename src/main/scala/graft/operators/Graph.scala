@@ -121,6 +121,132 @@ object Graph {
     ranks
   }
 
+  /** Minimum co-touching users for an item–item edge in [[triangleCount]]'s
+    * projection graph — single-user co-occurrence is dominated by individual
+    * browsing noise; ≥ 2 users is the conventional support floor.
+    */
+  val MinSharedUsers = 2L
+
+  /** BFS horizon for [[bfsHops]] — 6 rounds covers the fixture graph's
+    * diameter-relevant neighborhood and keeps the oracle's recursive replay
+    * bounded; production picks the horizon from the application (e.g. "within
+    * k hops" recommendation radius).
+    */
+  val BfsRounds = 6
+
+  /** Undirected item–item projection edges: (i, j), i < j, co-touched by at
+    * least [[MinSharedUsers]] un-capped users. Built from the same
+    * hot-user-filtered interactions as [[itemCooccur]], so the quadratic
+    * per-user fan-out stays ≤ cap² by construction.
+    */
+  private[graft] def itemEdges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ui = userItems(s, dir)
+      .withColumn("n_items", count(lit(1)).over(Window.partitionBy("u")))
+      .filter(col("n_items") <= MaxItemsPerUser)
+      .select("u", "i")
+    val a = ui.as("a")
+    val b = ui.as("b")
+    a.join(b, col("a.u") === col("b.u") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("x"), col("b.i").as("y"))
+      .agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= MinSharedUsers)
+      .select("x", "y")
+  }
+
+  /** triangle_count — per-node triangle counts over the item–item projection
+    * graph ([[itemEdges]]): for every node in at least one triangle, the
+    * number of triangles it closes.
+    *
+    * Plan: DEGREE-ORDERED ORIENTATION (the compact-forward algorithm). Each
+    * undirected edge is directed from the endpoint lower in the
+    * (degree, node) total order to the higher one; wedges are then built
+    * only from each node's OUT-neighbors and closed against oriented edges.
+    * Out-degree under this orientation is O(√m) on any graph, so the wedge
+    * join — the quadratic step — is bounded by m·√m regardless of hub
+    * degree: the plan that survives a power-law degree distribution at
+    * 100×, where the naive "join edges on shared endpoint" explodes on the
+    * hottest node. The oracle replays the NAIVE all-pairs formulation
+    * (a < b < c triple join), so orientation completeness itself is gated:
+    * every triangle is counted exactly once in (key-order) canonical form
+    * before the per-node explode.
+    */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val edges = itemEdges(s, dir)
+    // (degree, node) total order — degree breaks hubs, node breaks ties
+    val deg = edges.select(col("x").as("n")).unionByName(edges.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withK = edges
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+    val oriented = withK.select(
+      when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")), col("x")).otherwise(col("y")).as("src"),
+      when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")), col("y")).otherwise(col("x")).as("dst"),
+      when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")), col("dy")).otherwise(col("dx")).as("dk"))
+    // wedge (u; v, w) with v before w in the (degree, node) order, closed by
+    // the oriented edge v→w — each triangle appears exactly once
+    val e1 = oriented.select(col("src").as("u"), col("dst").as("v"), col("dk").as("vk"))
+    val e2 = oriented.select(col("src").as("u2"), col("dst").as("w"), col("dk").as("wk"))
+    val wedges = e1.join(e2,
+      col("u") === col("u2") && (struct(col("vk"), col("v")) < struct(col("wk"), col("w"))))
+      .select(col("u"), col("v"), col("w"))
+    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** bfs_hops — multi-round breadth-first hop distance from the seed node
+    * (the minimum user_id, a deterministic anchor) over the bidirected
+    * user↔item graph, horizon [[BfsRounds]]. Output (node, hop) — the
+    * shortest hop count ≤ 6 for every reachable node.
+    *
+    * Plan: frontier BFS. `dist` holds settled (node, hop); each round joins
+    * ONLY the previous frontier with the edge list (hash-partitioned on the
+    * same key every round, so AQE reuses the exchange), dedups the
+    * candidates map-side, and anti-joins `dist` to keep genuinely new
+    * nodes. Work per round is O(frontier-adjacent edges), not O(all edges
+    * × rounds); per-round localCheckpoint keeps the plan flat (the same
+    * superlinear-planning trap [[pagerank]] documents). The seed is an
+    * aggregate row, not a collect — no driver-side data path anywhere.
+    */
+  def bfsHops(s: SparkSession, dir: String, rounds: Int = BfsRounds): DataFrame = {
+    val sc = s.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit = {
+      val live = sc.getPersistentRDDs
+      ids.foreach(id => live.get(id).foreach(_.unpersist(false)))
+    }
+    val base = userItems(s, dir)
+    val edges = base.select(col("u").as("src"), col("i").as("dst"))
+      .unionByName(base.select(col("i").as("src"), col("u").as("dst")))
+    val (edgesCp, edgeIds) = checkpointTracked(edges)
+    val seed = Tables.events(s, dir).agg(min(col("user_id")).as("node"))
+      .withColumn("hop", lit(0L))
+    var (dist, distIds) = checkpointTracked(seed)
+    var (frontier, frontierIds) = checkpointTracked(seed)
+    var round = 1
+    while (round <= rounds) {
+      val (next, nextIds) = checkpointTracked(
+        frontier.join(edgesCp, frontier("node") === edgesCp("src"))
+          .select(edgesCp("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .withColumn("hop", lit(round.toLong)))
+      val (nd, ndIds) = checkpointTracked(dist.unionByName(next))
+      free(distIds); free(frontierIds)
+      dist = nd; distIds = ndIds
+      frontier = next; frontierIds = nextIds
+      round += 1
+    }
+    free(edgeIds); free(frontierIds)
+    graft.TransientCache.adoptRddIds(distIds)
+    dist
+  }
+
   /** item_cooccur — for every ordered item pair (i, j), i ≠ j, the number
     * of (un-capped) users who touched both, keeping each item's top-5
     * partners (by n_users desc, j asc — a total order, so the top-k set is

@@ -59,4 +59,51 @@ object Profile {
       .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
       .withColumn("lo_cents", col("bucket") * 500)
       .select("bucket", "lo_cents", "n", "sum_cents")
+
+  /** Winsorization quantile numerator/denominator: clip at the nearest-rank
+    * p99 (rank = ⌈0.99·n⌉, the same discrete-order-statistic convention as
+    * source_quantiles — the quantile is a VALUE FROM THE DATA, never an
+    * interpolation, so the compare stays exact).
+    */
+  val WinsorNum = 99L
+  val WinsorDen = 100L
+
+  /** winsorize — per-event-type p99 clipping of the `value` column (the
+    * robust-statistics tail tamer run before any mean-based feature): each
+    * event row is re-emitted with `clipped` = min(value, that type's p99).
+    *
+    * Execution shape: the naive plan — a rank window partitioned by
+    * event_type — serializes each type's FULL row set through one
+    * partition's sort (event_type has ~5 values; at 100 TB that is 20 TB
+    * per window partition — the skew non-starter). Instead the quantile is
+    * computed on the (type, cents) HISTOGRAM: exact integer cents (the
+    * value_histogram trick) make (type, cents) a bounded-cardinality key —
+    * value-range × types, independent of row count — so the count
+    * aggregation is map-side combined, the cumulative rank walks only the
+    * tiny histogram (a window over thousands of rows, not billions), and
+    * the per-type thresholds broadcast back onto the scan. Two scans of
+    * `value`, zero large sorts, no skewed exchange.
+    */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val hist = ev.groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+    val cum = hist.select(col("event_type"), col("cents"), col("c"),
+      sum(col("c")).over(Window.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum(col("c")).over(Window.partitionBy("event_type")).as("n"))
+    // nearest-rank p99: the smallest cents whose cumulative count reaches
+    // ⌈0.99·n⌉ = (99·n + 99) DIV 100 in integer arithmetic
+    val thresh = cum
+      .filter(col("cum") >= expr(s"($WinsorNum * n + $WinsorDen - 1) DIV $WinsorDen"))
+      .groupBy("event_type").agg(min(col("cents")).as("p99_cents"))
+    ev.join(broadcast(thresh), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        (col("p99_cents").cast("double") / lit(100.0)).as("p99"),
+        when(col("cents") > col("p99_cents"),
+          col("p99_cents").cast("double") / lit(100.0))
+          .otherwise(col("value")).as("clipped"))
+  }
 }

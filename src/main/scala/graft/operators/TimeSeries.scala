@@ -68,4 +68,36 @@ object TimeSeries {
         col("day_value"),
         last(col("day_value"), ignoreNulls = true).over(w).as("filled_value"))
   }
+
+  /** Trailing window width for [[rollingActive]], in days (the WAU
+    * convention).
+    */
+  val RollingDays = 7
+
+  /** rolling_active — trailing-7-day distinct active users per day (the
+    * DAU/WAU family): for every day d, the number of distinct users with at
+    * least one event in [d−6, d]. Days up to 6 past the last event are
+    * included (the trailing window is still defined there) — the consumer
+    * truncates to its reporting range.
+    *
+    * Execution shape: rolling COUNT DISTINCT is the classic window
+    * non-starter — distinct doesn't decompose over sliding frames, and a
+    * global day-ordered window would serialize on one partition. Instead
+    * the kernel inverts the window: dedup to (user, active-day) — a
+    * map-side-combinable distinct that collapses a power user's 10⁸ events
+    * to their ≤365 active days — then fan each active day out to the ≤7
+    * days it covers (a bounded ×7 generate, NOT a range join), dedup
+    * (user, covered-day), and count. Every step is a hash aggregate on a
+    * bounded-growth key set; nothing global, nothing sorted, no per-day
+    * scan of a 7-day range at 100 TB.
+    */
+  def rollingActive(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d0"))
+      .distinct()
+      .select(col("user_id"),
+        explode(sequence(col("d0"), date_add(col("d0"), RollingDays - 1))).as("day"))
+      .distinct()
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active_7d"))
 }

@@ -474,4 +474,74 @@ class CorpusSpec extends AnyFunSuite {
     assert(edit1Pairs(Sf0001) == expected)
     assert(expected.nonEmpty) // augmentation keeps the query non-vacuous
   }
+
+  // --------------------------------------------------------- bpeMerges
+
+  /** Canonical driver-side BPE reference: overlapping-position pair counts
+    * weighted by word frequency; winner by (weight desc, left, right);
+    * greedy-left merge application per word.
+    */
+  private def bruteBpe(words: Map[String, Long], rounds: Int): Seq[(Long, String, String, String, Long)] = {
+    var syms: Map[List[String], Long] =
+      words.map { case (w, f) => w.split("").toList -> f }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      syms.foreach { case (l, f) =>
+        l.zip(l.tail).foreach(p => counts(p) += f)
+      }
+      val ((lft, rgt), wgt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+      out += ((r.toLong, lft, rgt, lft + rgt, wgt))
+      def apply(l: List[String]): List[String] = l match {
+        case a :: b :: rest if a == lft && b == rgt => (a + b) :: apply(rest)
+        case a :: rest => a :: apply(rest)
+        case Nil => Nil
+      }
+      syms = syms.toSeq.map { case (l, f) => apply(l) -> f }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+    out.toSeq
+  }
+
+  private def mergeTable(dir: String, rounds: Int): Seq[(Long, String, String, String, Long)] =
+    Corpus.bpeMerges(spark, dir, rounds).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("lft"), r.getAs[String]("rgt"),
+        r.getAs[String]("merged"), r.getAs[Long]("weight")))
+      .sortBy(_._1).toSeq
+
+  test("bpeMerges: hand-computed merges incl. a multi-char merge and tie-break") {
+    // freqs: "abab"×3, "ab"×2 → pairs: (a,b)=8 (overlap-counted twice in
+    // abab), (b,a)=3. Round 1 merges ab; round 2: (ab,ab)=3 from abab
+    val dir = writeDocs(Seq(
+      (1L, "abab abab ab", "en", "s0"),
+      (2L, "abab ab", "en", "s0")))
+    val got = mergeTable(dir, 2)
+    assert(got(0) == ((1L, "a", "b", "ab", 8L)))
+    assert(got(1) == ((2L, "ab", "ab", "abab", 3L)))
+  }
+
+  test("bpeMerges: identical-pair runs merge floor(k/2) leftmost occurrences") {
+    // "aaa"×4: pairs (a,a)=8 overlapping; after merging, each word is
+    // [aa][a] so round 2's top pair is (aa, a) with weight 4
+    val dir = writeDocs(Seq((1L, "aaa aaa aaa aaa", "en", "s0")))
+    val got = mergeTable(dir, 2)
+    assert(got(0) == ((1L, "a", "a", "aa", 8L)))
+    assert(got(1) == ((2L, "aa", "a", "aaa", 4L)))
+  }
+
+  test("bpeMerges: non-alpha words are excluded from the vocabulary") {
+    val dir = writeDocs(Seq((1L, "ab ab x9 ?! ab", "en", "s0")))
+    val got = mergeTable(dir, 1)
+    assert(got(0) == ((1L, "a", "b", "ab", 3L)))
+  }
+
+  test("bpeMerges: fixture matches the canonical driver-side reference") {
+    val words = graft.sources.Tables.documents(spark, Sf0001)
+      .selectExpr("explode(split(trim(text), '\\\\s+')) AS w")
+      .filter("w rlike '^[a-z]+$'")
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(mergeTable(Sf0001, Corpus.BpeRounds) ===
+      bruteBpe(words, Corpus.BpeRounds))
+  }
 }

@@ -98,4 +98,115 @@ class GraphSpec extends AnyFunSuite {
     // only the two normal users count; the bot's 201-item fan-out is gone
     assert(got === Map((i + 0, i + 1) -> 2L, (i + 1, i + 0) -> 2L))
   }
+
+  /** Interactions giving each wanted item–item edge exactly
+    * [[Graph.MinSharedUsers]] dedicated co-touching users, so the planted
+    * projection graph is exactly the edge list (no accidental edges: each
+    * user touches only one pair).
+    */
+  private def edgeInteractions(edges: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    edges.zipWithIndex.flatMap { case ((a, b), idx) =>
+      (0 until Graph.MinSharedUsers.toInt).flatMap { r =>
+        val u = 1000L + idx * 10L + r
+        Seq((u, a), (u, b))
+      }
+    }
+
+  /** Driver-side naive triangle count over an explicit undirected edge set:
+    * per-node number of closed triples.
+    */
+  private def bruteTriangles(edges: Set[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val nodes = es.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      ai <- nodes.indices; bi <- (ai + 1) until nodes.size; ci <- (bi + 1) until nodes.size
+      a = nodes(ai); b = nodes(bi); c = nodes(ci)
+      if es((a, b)) && es((a, c)) && es((b, c))
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    counts.toMap
+  }
+
+  private def collectTriangles(dir: String): Map[Long, Long] =
+    Graph.triangleCount(spark, dir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_triangles")).toMap
+
+  test("triangleCount: planted sparse graph — one triangle, a pendant edge excluded") {
+    val i = Graph.ItemBase
+    // triangle {10,11,12} plus pendant edge (11,13): 13 is in no triangle
+    val edges = Seq[(Long, Long)]((i + 10, i + 11), (i + 10, i + 12),
+      (i + 11, i + 12), (i + 11, i + 13))
+    val dir = writeInteractions(
+      edgeInteractions(edges.map { case (a, b) => (a - i, b - i) }))
+    assert(collectTriangles(dir) ===
+      Map((i + 10) -> 1L, (i + 11) -> 1L, (i + 12) -> 1L))
+  }
+
+  test("triangleCount: overlapping triangles count each closure once per node") {
+    val i = Graph.ItemBase
+    // K4 on {10,11,12,13}: four triangles, each node in exactly three
+    val edges = for {
+      a <- 10L to 13L; b <- (a + 1) to 13L
+    } yield (a, b)
+    val dir = writeInteractions(edgeInteractions(edges))
+    assert(collectTriangles(dir) === (10L to 13L).map(k => (i + k) -> 3L).toMap)
+  }
+
+  test("triangleCount: sf0.001 fixture matches the naive driver-side replay") {
+    // rebuild the projection edges with the operator's own semantics, then
+    // count triangles naively — the degree-ordered plan must agree
+    val ui = sources.Tables.events(spark, Sf0001)
+      .selectExpr("user_id AS u",
+        s"${Graph.ItemBase} + CAST(get_json_object(props, '$$.k') AS BIGINT) AS i")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val byUser = ui.groupBy(_._1).filter(_._2.size <= Graph.MaxItemsPerUser)
+    val pairCounts = byUser.values.toSeq.flatMap { is =>
+      val items = is.map(_._2).sorted
+      for (x <- items.indices; y <- (x + 1) until items.size)
+        yield (items(x), items(y))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+    val edges = pairCounts.filter(_._2 >= Graph.MinSharedUsers).keys.toSet
+    assert(collectTriangles(Sf0001) === bruteTriangles(edges))
+  }
+
+  private def collectHops(dir: String): Map[Long, Long] =
+    Graph.bfsHops(spark, dir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("hop")).toMap
+
+  /** Driver-side BFS from the minimum user over the bidirected graph. */
+  private def bruteBfs(interactions: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val adj = interactions.distinct.flatMap { case (u, k) =>
+      val i = Graph.ItemBase + k
+      Seq((u, i), (i, u))
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seed = interactions.map(_._1).min
+    var dist = Map(seed -> 0L)
+    var frontier = Set(seed)
+    for (h <- 1 to rounds) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil)) -- dist.keySet
+      dist ++= next.map(_ -> h.toLong)
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfsHops: planted chain — alternating user/item hops, horizon cut at 6") {
+    // chain u1–i10–u2–i11–u3–i12–u4–i13–u5: hops 0..8; 7 and 8 fall past
+    // the horizon
+    val pairs = Seq[(Long, Long)](
+      (1, 10), (2, 10), (2, 11), (3, 11), (3, 12), (4, 12), (4, 13), (5, 13))
+    val dir = writeInteractions(pairs)
+    val i = Graph.ItemBase
+    assert(collectHops(dir) === Map(
+      1L -> 0L, (i + 10) -> 1L, 2L -> 2L, (i + 11) -> 3L,
+      3L -> 4L, (i + 12) -> 5L, 4L -> 6L))
+  }
+
+  test("bfsHops: sf0.001 fixture matches the driver-side BFS") {
+    val evs = sources.Tables.events(spark, Sf0001)
+      .selectExpr("user_id",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) AS k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(collectHops(Sf0001) === bruteBfs(evs, Graph.BfsRounds))
+  }
 }

@@ -95,4 +95,39 @@ class TimeSeriesSpec extends AnyFunSuite {
     val nEvents = graft.sources.Tables.events(spark, Sf0001).count()
     assert(rows.map(_.getAs[Long]("n_events")).sum == nEvents)
   }
+
+  private def rolling(dir: String): Map[String, Long] =
+    TimeSeries.rollingActive(spark, dir).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("n_active_7d")).toMap
+
+  test("rollingActive: hand-computed trailing-7-day distinct users") {
+    // user 1 active day 0; user 2 active days 0 and 8; user 3 active day 3.
+    // Multiple same-day events must not double-count a user.
+    val dir = writeEvents(Seq(
+      (1L, 0L, 1L, 1.0),
+      (2L, 3600L * 1000000L, 1L, 1.0), // same user, same day: one active-day
+      (3L, 0L, 2L, 1.0),
+      (4L, 8 * Day, 2L, 1.0),
+      (5L, 3 * Day, 3L, 1.0)))
+    val g = rolling(dir)
+    assert(g("2024-01-01") == 2L) // users 1,2 (day 0)
+    assert(g("2024-01-04") == 3L) // + user 3 (day 3)
+    assert(g("2024-01-07") == 3L) // day 0 still inside [d-6, d]
+    assert(g("2024-01-08") == 1L) // day-0 activity aged out; only user 3
+    assert(g("2024-01-09") == 2L) // user 2 returns on day 8; user 3 still in
+    assert(g("2024-01-10") == 2L)
+    // trailing windows extend 6 days past the last active day, then stop
+    assert(g.contains("2024-01-15") && !g.contains("2024-01-16"))
+  }
+
+  test("rollingActive: fixture matches the driver-side sliding-set replay") {
+    val active = graft.sources.Tables.events(spark, Sf0001)
+      .selectExpr("user_id", "CAST(ts AS DATE) AS day").distinct().collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay))
+    val expected = active.flatMap { case (u, d) => (0 until 7).map(i => (u, d + i)) }
+      .distinct.groupBy(_._2).view.mapValues(_.length.toLong)
+      .map { case (d, n) => java.time.LocalDate.ofEpochDay(d).toString -> n }.toMap
+    assert(rolling(Sf0001) === expected)
+  }
 }
