@@ -62,6 +62,7 @@ object SparkEntry {
     "rolling_active" -> (graft.operators.TimeSeries.rollingActive _),
     "winsorize" -> (graft.operators.Profile.winsorize _),
     "bpe_merges" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bpeMerges(s, d)),
+    "bpe_encode" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bpeEncode(s, d)),
     // --- graph analytics over the events-implied user↔item graph ---
     "pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pagerank(s, d)),
     "item_cooccur" -> ((s: SparkSession, d: String) => graft.operators.Graph.itemCooccur(s, d)),
@@ -988,6 +989,34 @@ object SparkEntry {
         |SELECT CAST(iter + 1 AS BIGINT) AS step, lft, rgt, lft || rgt AS merged,
         |       wgt AS weight
         |FROM ranked WHERE rk = 1""".stripMargin,
+    // the apply side: the same recursive learn, projected at the final
+    // iteration — every word's post-merge segmentation
+    "bpe_encode" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word),
+        |st(iter, word, freq, sym) AS (
+        |  SELECT 0, word, freq,
+        |         '[' || array_to_string(str_split(word, ''), '][') || ']' FROM w
+        |  UNION ALL
+        |  (WITH cur AS (SELECT * FROM st WHERE iter < 8),
+        |   spl AS (SELECT iter, word, freq,
+        |             str_split(substr(sym, 2, len(sym) - 2), '][') AS l FROM cur),
+        |   pairs AS (SELECT l[CAST(i AS INT)] AS lft, l[CAST(i + 1 AS INT)] AS rgt,
+        |               sum(freq) AS wgt
+        |             FROM spl CROSS JOIN (SELECT range AS i FROM range(1, 64)) t
+        |             WHERE i + 1 <= len(l) GROUP BY 1, 2),
+        |   best AS (SELECT lft, rgt FROM pairs ORDER BY wgt DESC, lft, rgt LIMIT 1)
+        |   SELECT cur.iter + 1, cur.word, cur.freq,
+        |          replace(cur.sym, '[' || best.lft || '][' || best.rgt || ']',
+        |                  '[' || best.lft || best.rgt || ']')
+        |   FROM cur, best))
+        |SELECT word, freq, CAST(len(l) AS BIGINT) AS n_syms,
+        |       array_to_string(l, ' ') AS toks
+        |FROM (SELECT word, freq,
+        |        str_split(substr(sym, 2, len(sym) - 2), '][') AS l
+        |      FROM st WHERE iter = 8) f""".stripMargin,
     // per-user daily grid (DATE + i day arithmetic), last-event-of-day by
     // the same (µs, event_id) total order the Spark fold uses, then an
     // IGNORE NULLS running last_value for the forward fill; `value` doubles

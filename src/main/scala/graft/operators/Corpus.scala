@@ -613,6 +613,33 @@ object Corpus {
     */
   def bpeMerges(s: SparkSession, dir: String, rounds: Int = BpeRounds): DataFrame = {
     import s.implicits._
+    bpeLearn(s, dir, rounds)._2
+      .toDF("step", "lft", "rgt", "merged", "weight")
+  }
+
+  /** bpe_encode — the apply side of [[bpeMerges]]: every vocabulary word's
+    * final segmentation after the learned merges, (word, freq, n_syms,
+    * toks) with `toks` the space-joined symbol sequence. This is the
+    * word → subword lookup table a tokenizer ships; encoding a document is
+    * a broadcast join of its words against it (the vocabulary-sized table
+    * never re-derives per document). Same plan as the learn — the output
+    * is the loop's final state, projected.
+    */
+  def bpeEncode(s: SparkSession, dir: String, rounds: Int = BpeRounds): DataFrame = {
+    val st = bpeLearn(s, dir, rounds)._1
+    st.select(col("word"), col("freq"),
+      split(expr("substring(sym, 2, length(sym) - 2)"), "\\]\\[").as("l"))
+      .select(col("word"), col("freq"),
+        size(col("l")).cast("long").as("n_syms"),
+        array_join(col("l"), " ").as("toks"))
+  }
+
+  /** Shared BPE learn loop: returns the final per-word symbol state and the
+    * ordered merge list. See [[bpeMerges]] for the encoding and parity
+    * argument, [[bpeEncode]] for the apply side.
+    */
+  private def bpeLearn(s: SparkSession, dir: String, rounds: Int)
+      : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
     val sc = s.sparkContext
     val words0 = Tables.documents(s, dir)
       .select(explode(split(trim(col("text")), "\\s+")).as("word"))
@@ -649,6 +676,6 @@ object Corpus {
         expr(s"replace(sym, '[$lft][$rgt]', '[$lft$rgt]')"))
       r += 1
     }
-    merges.toSeq.toDF("step", "lft", "rgt", "merged", "weight")
+    (st, merges.toSeq)
   }
 }

@@ -535,6 +535,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(0) == ((1L, "a", "b", "ab", 3L)))
   }
 
+  test("bpeEncode: segmentation reflects the learned merges; frequencies preserved") {
+    // after round 1 (a,b)->ab and round 2 (ab,ab)->abab:
+    //   abab -> [abab], ab -> [ab], ba -> [b][a] (untouched pair order)
+    val dir = writeDocs(Seq(
+      (1L, "abab abab ab ba", "en", "s0"),
+      (2L, "abab ab", "en", "s0")))
+    val got = Corpus.bpeEncode(spark, dir, rounds = 2).collect()
+      .map(r => r.getAs[String]("word") ->
+        ((r.getAs[Long]("freq"), r.getAs[Long]("n_syms"), r.getAs[String]("toks")))).toMap
+    assert(got("abab") == ((3L, 1L, "abab")))
+    assert(got("ab") == ((2L, 1L, "ab")))
+    assert(got("ba") == ((1L, 2L, "b a")))
+  }
+
+  test("bpeEncode: fixture — concatenated toks recover each word, counts shrink") {
+    val rows = Corpus.bpeEncode(spark, Sf0001, Corpus.BpeRounds).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[String]("word")
+      val toks = r.getAs[String]("toks").split(" ")
+      assert(toks.mkString == w, s"segmentation must tile $w")
+      assert(r.getAs[Long]("n_syms") == toks.length.toLong)
+      assert(toks.length <= w.length)
+    }
+    // the merges actually compress something on the fixture
+    assert(rows.exists(r => r.getAs[Long]("n_syms") < r.getAs[String]("word").length))
+  }
+
   test("bpeMerges: fixture matches the canonical driver-side reference") {
     val words = graft.sources.Tables.documents(spark, Sf0001)
       .selectExpr("explode(split(trim(text), '\\\\s+')) AS w")
