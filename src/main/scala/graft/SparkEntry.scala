@@ -63,6 +63,8 @@ object SparkEntry {
     "winsorize" -> (graft.operators.Profile.winsorize _),
     "bpe_merges" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bpeMerges(s, d)),
     "bpe_encode" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bpeEncode(s, d)),
+    "skipgram" -> ((s: SparkSession, d: String) => graft.operators.Corpus.skipgram(s, d)),
+    "rank_normalize" -> (graft.operators.Profile.rankNormalize _),
     // --- graph analytics over the events-implied user↔item graph ---
     "pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pagerank(s, d)),
     "item_cooccur" -> ((s: SparkSession, d: String) => graft.operators.Graph.itemCooccur(s, d)),
@@ -989,6 +991,34 @@ object SparkEntry {
         |SELECT CAST(iter + 1 AS BIGINT) AS step, lft, rgt, lft || rgt AS merged,
         |       wgt AS weight
         |FROM ranked WHERE rk = 1""".stripMargin,
+    // NAIVE windowed self-join replay (b.pos BETWEEN a.pos−2 AND a.pos+2)
+    // — the offset-generation equi-join plan must reproduce its counts
+    "skipgram" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |p AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |        toks[CAST(i + 1 AS INTEGER)] AS tok
+        |      FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM t) u),
+        |pr AS (SELECT a.tok AS center, b.tok AS context
+        |       FROM p a JOIN p b ON a.doc_id = b.doc_id
+        |        AND b.pos BETWEEN a.pos - 2 AND a.pos + 2 AND b.pos <> a.pos)
+        |SELECT center, context, count(*) AS n FROM pr GROUP BY center, context""".stripMargin,
+    // min-rank + percentile replayed on the same exact-cents histogram;
+    // the one float op is the identical IEEE division
+    "rank_normalize" ->
+      """WITH ev AS (SELECT event_id, event_type, value,
+        |              CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |hist AS (SELECT event_type, cents, count(*) AS c FROM ev
+        |         GROUP BY event_type, cents),
+        |rk AS (SELECT event_type, cents,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS rnk,
+        |         sum(c) OVER (PARTITION BY event_type) AS n FROM hist)
+        |SELECT ev.event_id, ev.event_type, ev.value, rk.rnk,
+        |       CASE WHEN rk.n = 1 THEN 0.0
+        |            ELSE CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pct
+        |FROM ev JOIN rk ON rk.event_type = ev.event_type
+        |                AND rk.cents = ev.cents""".stripMargin,
     // the apply side: the same recursive learn, projected at the final
     // iteration — every word's post-merge segmentation
     "bpe_encode" ->

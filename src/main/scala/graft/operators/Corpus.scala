@@ -634,6 +634,40 @@ object Corpus {
         array_join(col("l"), " ").as("toks"))
   }
 
+  /** Skip-gram window radius for [[skipgram]] (the word2vec default ±2 on
+    * fixture-length documents).
+    */
+  val SkipgramWindow = 2
+
+  /** skipgram — (center, context) co-occurrence counts within a ±2 token
+    * window: the training-pair generator of every word2vec/GloVe-style
+    * embedding run, and the windowed generalization of [[collocLift]]'s
+    * adjacent bigrams. Output (center, context, n) over the whitespace
+    * token stream (positions from the same `split(trim(text))` semantics
+    * as every other token operator).
+    *
+    * 100 TB plan: the window is materialized by OFFSET GENERATION, not a
+    * join — each of the corpus's token positions explodes to the ≤ 2·W
+    * (offset ≠ 0) target positions, and one equi-join on (doc_id, pos)
+    * against the token stream itself resolves the context words. Fan-out
+    * is a fixed ×4 of the token stream (the same working set the wc
+    * shuffle already moves), the join key is exact — never a per-document
+    * range join — and the final count is map-side combined on a
+    * vocabulary² key space. Window edges fall out of the join (no target
+    * position, no row), so no boundary special-casing anywhere.
+    */
+  def skipgram(s: SparkSession, dir: String, window: Int = SkipgramWindow): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val offsets = (-window to window).filter(_ != 0)
+    val targets = toks.select(col("doc_id"), col("tok").as("center"),
+      explode(array(offsets.map(o => col("pos") + lit(o)): _*)).as("pos"))
+    targets.join(toks, Seq("doc_id", "pos"))
+      .groupBy(col("center"), col("tok").as("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Shared BPE learn loop: returns the final per-word symbol state and the
     * ordered merge list. See [[bpeMerges]] for the encoding and parity
     * argument, [[bpeEncode]] for the apply side.

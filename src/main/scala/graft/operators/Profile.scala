@@ -106,4 +106,38 @@ object Profile {
           col("p99_cents").cast("double") / lit(100.0))
           .otherwise(col("value")).as("clipped"))
   }
+
+  /** rank_normalize — per-event-type percentile-rank transform of `value`
+    * (the rank-based feature normalization that is immune to outliers,
+    * sibling of [[winsorize]]'s clipping): each event is re-emitted with
+    * its value's min-rank and `pct = (rank − 1) / (n − 1)` in [0, 1]
+    * (single-row groups pin pct to 0 — n = 1 has no spread). Ties share
+    * the min-rank, so the transform is a pure function of the value, not
+    * of row order.
+    *
+    * Execution shape: same skew-proof kernel as [[winsorize]] — ranks are
+    * computed once per DISTINCT (type, cents) on the exact-cents histogram
+    * (min-rank of a value = 1 + count of smaller values = the cumulative
+    * count up to the PREVIOUS bucket, a lag-free subtraction off the same
+    * cumulative window), then broadcast back onto the scan. The raw stream
+    * is never sorted or windowed; the one float op, (rank−1)/(n−1), is
+    * the identical IEEE division on both engines.
+    */
+  def rankNormalize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val hist = ev.groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+    val ranked = hist.select(col("event_type"), col("cents"),
+      (sum(col("c")).over(Window.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("c") + lit(1L))
+        .as("rnk"),
+      sum(col("c")).over(Window.partitionBy("event_type")).as("n"))
+    ev.join(broadcast(ranked), Seq("event_type", "cents"))
+      .select(col("event_id"), col("event_type"), col("value"), col("rnk"),
+        when(col("n") === 1L, lit(0.0))
+          .otherwise((col("rnk") - lit(1L)).cast("double") /
+            (col("n") - lit(1L)).cast("double")).as("pct"))
+  }
 }

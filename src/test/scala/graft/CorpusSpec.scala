@@ -475,6 +475,47 @@ class CorpusSpec extends AnyFunSuite {
     assert(expected.nonEmpty) // augmentation keeps the query non-vacuous
   }
 
+  // --------------------------------------------------------- skipgram
+
+  test("skipgram: hand-computed ±2 window counts with boundary truncation") {
+    // doc "a b c": windows — a:{b,c}, b:{a,c}, c:{a,b}; all pairs n=1
+    val dir = writeDocs(Seq((1L, "a b c", "en", "s0")))
+    val got = Corpus.skipgram(spark, dir).collect()
+      .map(r => (r.getAs[String]("center"), r.getAs[String]("context")) ->
+        r.getAs[Long]("n")).toMap
+    assert(got == Map(
+      ("a", "b") -> 1L, ("a", "c") -> 1L,
+      ("b", "a") -> 1L, ("b", "c") -> 1L,
+      ("c", "a") -> 1L, ("c", "b") -> 1L))
+  }
+
+  test("skipgram: repeated tokens accumulate counts; window never crosses docs") {
+    val dir = writeDocs(Seq(
+      (1L, "a a a", "en", "s0"), // each a sees the other two: (a,a) n=6
+      (2L, "b", "en", "s0")))    // singleton doc: no pairs, no cross-doc leak
+    val got = Corpus.skipgram(spark, dir).collect()
+      .map(r => (r.getAs[String]("center"), r.getAs[String]("context")) ->
+        r.getAs[Long]("n")).toMap
+    assert(got == Map(("a", "a") -> 6L))
+  }
+
+  test("skipgram: fixture matches a driver-side windowed replay") {
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .selectExpr("split(trim(text), '\\\\s+') AS toks").collect()
+      .map(_.getSeq[String](0).toArray)
+    val expected = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    docs.foreach { toks =>
+      for {
+        i <- toks.indices
+        j <- math.max(0, i - 2) to math.min(toks.length - 1, i + 2) if j != i
+      } expected((toks(i), toks(j))) += 1L
+    }
+    val got = Corpus.skipgram(spark, Sf0001).collect()
+      .map(r => (r.getAs[String]("center"), r.getAs[String]("context")) ->
+        r.getAs[Long]("n")).toMap
+    assert(got === expected.toMap)
+  }
+
   // --------------------------------------------------------- bpeMerges
 
   /** Canonical driver-side BPE reference: overlapping-position pair counts

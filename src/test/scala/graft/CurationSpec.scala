@@ -559,4 +559,29 @@ class CurationSpec extends AnyFunSuite {
     // the clip must actually fire somewhere on the fixture
     assert(got.values.exists { case (_, v, _, c) => c < v })
   }
+
+  test("rankNormalize: min-rank percentile matches a driver-side sort replay") {
+    val ev = graft.sources.Tables.events(spark, Sf0001)
+      .selectExpr("event_id", "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS cents").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byType = ev.groupBy(_._2).map { case (t, rows) =>
+      val sorted = rows.map(_._3).sorted
+      // min-rank of v = 1 + count of strictly smaller values
+      t -> ((sorted, sorted.length.toLong))
+    }
+    val got = graft.operators.Profile.rankNormalize(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("rnk"), r.getAs[Double]("pct")))).toMap
+    assert(got.size == ev.length)
+    ev.foreach { case (id, t, cents) =>
+      val (sorted, n) = byType(t)
+      val rnk = sorted.count(_ < cents).toLong + 1L
+      val (grnk, gpct) = got(id)
+      assert(grnk == rnk, s"event $id")
+      assert(gpct == (if (n == 1L) 0.0 else (rnk - 1).toDouble / (n - 1).toDouble))
+    }
+    // percentiles span the unit interval on the fixture
+    assert(got.values.exists(_._2 == 0.0) && got.values.exists(_._2 == 1.0))
+  }
 }
