@@ -94,6 +94,7 @@ object SparkEntry {
     "q25_stream_window" -> (graft.streaming.EventStreams.windowedCountsQuery _),
     "q33_stream_session" -> (graft.streaming.EventStreams.sessionQuery _),
     "q36_stream_neardup" -> (graft.streaming.EventStreams.nearDupQuery _),
+    "q38_stream_active" -> (graft.streaming.EventStreams.activeQuery _),
     // --- reference workloads, optimized DataFrame formulations ---
     "wc" -> (TextOps.wc _),
     "indexer" -> (TextOps.indexer _),
@@ -929,6 +930,13 @@ object SparkEntry {
     // covered-day fan-out, distinct, count — replayed literally (both
     // engines agree because every step is integral set algebra)
     "rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d0 FROM events),
+        |cov AS (SELECT DISTINCT user_id, d0 + CAST(i AS INTEGER) AS day
+        |        FROM ud CROSS JOIN (SELECT range AS i FROM range(0, 7)) t)
+        |SELECT day, count(*) AS n_active_7d FROM cov GROUP BY day""".stripMargin,
+    // the streaming chain (fMGWS dedup → agg) must land on the identical
+    // batch answer — same oracle as rolling_active
+    "q38_stream_active" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d0 FROM events),
         |cov AS (SELECT DISTINCT user_id, d0 + CAST(i AS INTEGER) AS day
         |        FROM ud CROSS JOIN (SELECT range AS i FROM range(0, 7)) t)

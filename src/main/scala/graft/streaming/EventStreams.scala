@@ -438,6 +438,60 @@ object EventStreams {
         col("openSince").as("open_since"))
   }
 
+  /** Streaming twin of `TimeSeries.rollingActive` — trailing-7-day distinct
+    * active users per day, maintained incrementally. The batch kernel's
+    * inversion (active-day → the ≤ 7 days it covers) is what makes this
+    * STREAMABLE at all: rolling COUNT DISTINCT has no incremental form, but
+    * "covered (user, day) emitted exactly once" does — per-user
+    * flatMapGroupsWithState state carries the covered days already emitted
+    * (Append mode), and the downstream count per day is then an ordinary
+    * streaming aggregation over exactly-once rows. fMGWS-in-Append followed
+    * by aggregation is the one stateful-after-stateful chaining Structured
+    * Streaming supports, which this operator is shaped around.
+    *
+    * State per user is its covered-day set — bounded by the user's active
+    * span, independent of event count (the same collapse as batch); an
+    * unbounded crawl adds a timeout that forgets days older than the
+    * horizon (covered days more than 7 days behind the user's max can never
+    * be emitted again, so eviction is lossless — noted, not wired, same as
+    * [[incrementalNearDup]]'s TTL).
+    */
+  def streamingRollingActive(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val window = graft.operators.TimeSeries.RollingDays
+    events
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01"))).as("d0"))
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (u: Long, rows: Iterator[(Long, Int)], state: GroupState[Set[Int]]) => {
+          val seen = state.getOption.getOrElse(Set.empty[Int])
+          val covered = rows.flatMap { case (_, d) => d until d + window }.toSet
+          val fresh = covered -- seen
+          if (fresh.nonEmpty) state.update(seen ++ fresh)
+          fresh.iterator.map(d2 => (u, d2))
+        })
+      .toDF("user_id", "cday")
+      .groupBy(col("cday"))
+      .agg(count(lit(1)).as("n_active_7d"))
+      .select(
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")), col("cday")).as("day"),
+        col("n_active_7d"))
+  }
+
+  /** q38_stream_active — the REGISTERED streaming rolling-actives query:
+    * one Complete-mode AvailableNow pass of [[streamingRollingActive]] over
+    * the staged events. A bounded pass emits every covered (user, day)
+    * exactly once, so the day counts equal the batch answer and the SAME
+    * DuckDB oracle as rolling_active verifies the two-stateful-operator
+    * chain end-to-end.
+    */
+  def activeQuery(s: SparkSession, dir: String): DataFrame =
+    runStagedViaFiles(s, dir, "q38_stream_active",
+      staged => streamingRollingActive(readEvents(s, staged)))
+
   /** Run a streaming DataFrame to completion over a bounded source (one
     * availableNow pass), collecting results through an in-memory sink table.
     * This is how the parity tests observe streaming output.

@@ -301,6 +301,57 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming rolling actives: bounded pass equals the batch inverted-window answer") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val streamed = EventStreams.runToMemory(
+      spark,
+      EventStreams.streamingRollingActive(EventStreams.readEvents(spark, eventsPath)),
+      "rolling_stream", OutputMode.Complete())
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("n_active_7d")).toMap
+    val batch = graft.operators.TimeSeries.rollingActive(spark, Sf0001)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("n_active_7d")).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming rolling actives: a later batch never re-emits covered days") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val day0 = 1704067200000L // 2024-01-01 UTC midnight, epoch millis
+    def ts(day: Int): Timestamp = new Timestamp(day0 + day * 86400000L)
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = EventStreams.streamingRollingActive(
+        input.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("rolling_two_batch")
+      .outputMode(OutputMode.Complete()).start()
+    def counts(): Map[String, Long] = s.table("rolling_two_batch").collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("n_active_7d")).toMap
+    try {
+      // batch 1: users 1 and 2 active on day 0 (user 1 twice — one cover)
+      input.addData((ts(0), 1L), (ts(0), 1L), (ts(0), 2L))
+      q.processAllAvailable()
+      val c1 = counts()
+      (0 to 6).foreach(d => assert(c1(s"2024-01-0${d + 1}") == 2L))
+      assert(c1.size == 7)
+      // batch 2: user 1 re-sends day 0 (fully covered — no effect) and adds
+      // day 3, whose cover 3..9 contributes only the fresh days 7..9
+      input.addData((ts(0), 1L), (ts(3), 1L))
+      q.processAllAvailable()
+      val c2 = counts()
+      (0 to 6).foreach(d => assert(c2(s"2024-01-0${d + 1}") == 2L,
+        "already-covered days must not double-count"))
+      (7 to 9).foreach(d => assert(c2(s"2024-01-${"%02d".format(d + 1)}") == 1L))
+      assert(c2.size == 10)
+    } finally q.stop()
+  }
+
   test("sessionize: stateful per-user aggregates match batch totals") {
     import org.apache.spark.sql.streaming.OutputMode
     val sessions = EventStreams.runToMemory(
