@@ -38,6 +38,26 @@ import graft.sources.Tables
   */
 object Graph {
 
+  /** Eager localCheckpoint that reports the RDD ids it pinned, so iterative
+    * loops can free superseded rounds and hand the survivors to
+    * `TransientCache` (the session-hygiene owner). Shared by every Graph
+    * operator that re-reads a derived frame: a checkpoint turns "N
+    * references re-derive the whole upstream subtree N times" into one
+    * materialization + N cheap reads — the difference between scanning the
+    * events table once and six times at 100 TB.
+    */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(true)
+    (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
+  private def free(s: SparkSession, ids: Set[Int]): Unit = {
+    val live = s.sparkContext.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(false)))
+  }
+
   /** Item node ids live at ItemBase + k so user and item ids share one
     * BIGINT node-id space without collision (fixture user_ids ≪ 10⁶; a
     * production deployment would partition the id space the same way).
@@ -86,16 +106,7 @@ object Graph {
     * a user, node ≥ 10⁶ an item.
     */
   def pagerank(s: SparkSession, dir: String, rounds: Int = Rounds): DataFrame = {
-    val sc = s.sparkContext
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
-    def free(ids: Set[Int]): Unit = {
-      val live = sc.getPersistentRDDs
-      ids.foreach(id => live.get(id).foreach(_.unpersist(false)))
-    }
+    def free(ids: Set[Int]): Unit = Graph.free(s, ids)
     val (edges, edgeIds) = checkpointTracked(edgesWithDeg(s, dir))
     var (ranks, rankIds) = checkpointTracked(
       edges.select(col("src").as("node")).distinct()
@@ -172,17 +183,23 @@ object Graph {
     * before the per-node explode.
     */
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val edges = itemEdges(s, dir)
+    // edges feeds degree counting AND the orientation join; oriented feeds
+    // both wedge sides AND the closing-edge probe — checkpoint each once so
+    // the projection-graph build (scan → distinct → hot-user window →
+    // self-join → agg) runs exactly once, not once per reference
+    val (edges, edgeIds) = checkpointTracked(itemEdges(s, dir))
     // (degree, node) total order — degree breaks hubs, node breaks ties
     val deg = edges.select(col("x").as("n")).unionByName(edges.select(col("y").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val withK = edges
       .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
       .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
-    val oriented = withK.select(
+    val oriented0 = withK.select(
       when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")), col("x")).otherwise(col("y")).as("src"),
       when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")), col("y")).otherwise(col("x")).as("dst"),
       when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")), col("dy")).otherwise(col("dx")).as("dk"))
+    val (oriented, orientedIds) = checkpointTracked(oriented0)
+    free(s, edgeIds)
     // wedge (u; v, w) with v before w in the (degree, node) order, closed by
     // the oriented edge v→w — each triangle appears exactly once
     val e1 = oriented.select(col("src").as("u"), col("dst").as("v"), col("dk").as("vk"))
@@ -192,6 +209,7 @@ object Graph {
       .select(col("u"), col("v"), col("w"))
     val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
     val tris = wedges.join(closing, Seq("v", "w"))
+    graft.TransientCache.adoptRddIds(orientedIds)
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
@@ -211,16 +229,7 @@ object Graph {
     * aggregate row, not a collect — no driver-side data path anywhere.
     */
   def bfsHops(s: SparkSession, dir: String, rounds: Int = BfsRounds): DataFrame = {
-    val sc = s.sparkContext
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
-    def free(ids: Set[Int]): Unit = {
-      val live = sc.getPersistentRDDs
-      ids.foreach(id => live.get(id).foreach(_.unpersist(false)))
-    }
+    def free(ids: Set[Int]): Unit = Graph.free(s, ids)
     val base = userItems(s, dir)
     val edges = base.select(col("u").as("src"), col("i").as("dst"))
       .unionByName(base.select(col("i").as("src"), col("u").as("dst")))
