@@ -58,6 +58,9 @@ object SparkEntry {
     "cohort_retention" -> (graft.operators.Behavior.cohortRetention _),
     "anomaly_days" -> (graft.operators.Behavior.anomalyDays _),
     "event_transitions" -> (graft.operators.Behavior.eventTransitions _),
+    "debounce" -> ((s: SparkSession, d: String) =>
+      graft.operators.Behavior.debounce(s, d, graft.operators.Behavior.GateDebounceUs)),
+    "attribution" -> (graft.operators.Behavior.attribution _),
     "ts_resample" -> (graft.operators.TimeSeries.tsResample _),
     "rolling_active" -> (graft.operators.TimeSeries.rollingActive _),
     "winsorize" -> (graft.operators.Profile.winsorize _),
@@ -934,6 +937,54 @@ object SparkEntry {
         |cov AS (SELECT DISTINCT user_id, d0 + CAST(i AS INTEGER) AS day
         |        FROM ud CROSS JOIN (SELECT range AS i FROM range(0, 7)) t)
         |SELECT day, count(*) AS n_active_7d FROM cov GROUP BY day""".stripMargin,
+    // anchor-chain debounce replayed as a recursive CTE: each iteration
+    // advances every key's anchor to the earliest event ≥ last + 12 h (the
+    // GATE window — the production 5 s default is vacuous on hour-gapped
+    // fixture data; see Behavior.GateDebounceUs) (the
+    // per-key row_number picks it); suppressed counts are pure integer
+    // position arithmetic (next anchor's rn − rn − 1), immune to µs ties
+    "debounce" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |tot AS (SELECT user_id, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+        |k(user_id, event_type, event_id, us, rn) AS (
+        |  SELECT user_id, event_type, event_id, us, rn FROM e WHERE rn = 1
+        |  UNION ALL
+        |  (WITH cur AS (SELECT * FROM k)
+        |   SELECT user_id, event_type, event_id, us, rn FROM (
+        |     SELECT e.user_id, e.event_type, e.event_id, e.us, e.rn,
+        |            row_number() OVER (PARTITION BY e.user_id, e.event_type
+        |                               ORDER BY e.us, e.event_id) AS rk
+        |     FROM cur JOIN e ON e.user_id = cur.user_id
+        |                    AND e.event_type = cur.event_type
+        |                    AND e.us >= cur.us + 43200000000) t
+        |   WHERE rk = 1)),
+        |a AS (SELECT k.*, lead(rn) OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY rn) AS next_rn FROM k)
+        |SELECT a.user_id, a.event_type, a.event_id, a.us AS ts_us,
+        |       CAST(coalesce(a.next_rn, tot.n + 1) - a.rn - 1 AS BIGINT) AS n_suppressed
+        |FROM a JOIN tot ON tot.user_id = a.user_id
+        |               AND tot.event_type = a.event_type""".stripMargin,
+    // the same last-touch register as the Spark window pass: IGNORE NULLS
+    // last over the strictly-preceding frame, lookback as a plain filter
+    "attribution" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |            FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT user_id, event_type, event_id, us,
+        |        last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_us,
+        |        last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id
+        |      FROM ev)
+        |SELECT user_id, event_id AS purchase_id, us AS purchase_us,
+        |       CASE WHEN us - click_us <= 3600000000 THEN click_id END AS click_id,
+        |       CASE WHEN us - click_us <= 3600000000 THEN us - click_us END AS latency_us
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
     // the streaming chain (fMGWS dedup → agg) must land on the identical
     // batch answer — same oracle as rolling_active
     "q38_stream_active" ->

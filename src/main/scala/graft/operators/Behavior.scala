@@ -253,4 +253,113 @@ object Behavior {
       .select("user_id", "run_id", "event_type", "valid_from_us",
         "valid_to_us", "n_events")
   }
+
+  /** Default debounce window: events of the same (user, type) closer than
+    * this to the PREVIOUS KEPT event are duplicates (5 s — the telemetry
+    * double-fire convention). The REGISTERED query uses [[GateDebounceUs]]
+    * (12 h) instead: fixture inter-event gaps are hours, so the production
+    * window would make the gate vacuous (zero suppressions) — the
+    * dedup_embed lesson; the 5 s shape is spec-tested on planted bursts.
+    */
+  val DebounceUs: Long = 5000000L
+
+  /** Fixture-meaningful gate window (12 h): suppresses ~20% of fixture
+    * events, so the anchor-chain rule is actually exercised at the gate.
+    */
+  val GateDebounceUs: Long = 43200000000L
+
+  /** debounce — per-(user, event_type) duplicate-fire suppression: an event
+    * is kept iff it is ≥ 5 s after the previous KEPT event of its key (the
+    * anchor-chain rule, not "≥ 5 s after the previous event" — a burst
+    * firing every second must collapse to one event per 5 s window, which
+    * the lag-only rule gets wrong by dropping everything after the first).
+    * Emits kept events only, with `n_suppressed` = how many raw events the
+    * kept event absorbed before the next anchor.
+    *
+    * Execution shape: one (user_id, event_type) exchange; inside each
+    * partition the anchor chain is a linear scan — implemented as a typed
+    * sorted fold (flatMapGroups over the secondary-sorted iterator, O(1)
+    * state: last kept µs + running suppressed count), the same
+    * hot-key-safe shape as KvStore.replay. No window function needed at
+    * all, and a 10⁸-event key streams through without buffering.
+    *
+    * Determinism: events sort by the repo's (ts_us, event_id) total order,
+    * so the anchor chain is a pure function of the data. All arithmetic is
+    * integral µs.
+    */
+  def debounce(s: SparkSession, dir: String,
+      windowUs: Long = DebounceUs): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey { case (u, t, _, _) => (u, t) }
+      .flatMapSortedGroups($"ts_us", $"event_id") { case ((u, t), rows) =>
+        var lastKeptUs = Long.MinValue
+        var keptId = 0L
+        var keptUs = 0L
+        var suppressed = 0L
+        var open = false
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
+        def close(): Unit = if (open) {
+          out += ((u, t, keptId, keptUs, suppressed)); open = false
+        }
+        rows.foreach { case (_, _, us, id) =>
+          if (lastKeptUs == Long.MinValue || us - lastKeptUs >= windowUs) {
+            close()
+            lastKeptUs = us; keptId = id; keptUs = us; suppressed = 0L; open = true
+          } else suppressed += 1L
+        }
+        close()
+        out.iterator
+      }
+      .toDF("user_id", "event_type", "event_id", "ts_us", "n_suppressed")
+  }
+
+  /** Attribution lookback: a conversion credits a click at most this far
+    * back (1 hour).
+    */
+  val AttributionUs: Long = 3600000000L
+
+  /** attribution — last-touch conversion attribution: every `purchase`
+    * event is attributed to the user's most recent `click` STRICTLY before
+    * it and within the 1 h lookback; purchases with no such click are
+    * emitted unattributed (NULL click columns) — the rows a marketing
+    * report must still count. This is the event-stream cousin of the as-of
+    * join (q17/q35): same "latest predecessor" semantics, but both sides
+    * live in ONE stream, so the right plan is a single per-user sorted
+    * scan carrying the last-click register — not a join at all.
+    *
+    * Execution shape: one user_id-partitioned window pass over (click ∪
+    * purchase) events: `last(click_us) IGNORE NULLS` over the unbounded
+    * preceding frame IS the last-touch register (ties in the total order
+    * resolved by (ts_us, event_id); a click and purchase at the same µs
+    * order by event_id, and "strictly before" means the same-row purchase
+    * never sees itself — the filter keeps only purchase rows, whose own
+    * click columns are NULL). O(events-per-user) per partition, no
+    * buffering beyond the window machinery, lookback applied as a plain
+    * filter afterwards.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("click_us",
+        last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true).over(w))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_us"),
+        when(col("ts_us") - col("click_us") <= AttributionUs, col("click_id"))
+          .as("click_id"),
+        when(col("ts_us") - col("click_us") <= AttributionUs,
+          col("ts_us") - col("click_us")).as("latency_us"))
+  }
 }

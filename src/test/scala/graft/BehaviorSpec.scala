@@ -225,4 +225,119 @@ class BehaviorSpec extends AnyFunSuite {
         r.getAs[Long]("n"))).toSet
     assert(got == expected)
   }
+
+  private def debounced(dir: String, windowUs: Long): Map[Long, (Long, Long)] =
+    Behavior.debounce(spark, dir, windowUs).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("ts_us"), r.getAs[Long]("n_suppressed")))).toMap
+
+  test("debounce: anchor-chain rule, not lag rule — steady burst keeps one per window") {
+    val S = 1000000L
+    // user 1 'click' every 2 s for 12 s: anchors at 0, 6, 12 (5 s window);
+    // the lag-only rule would keep only t=0. user 1 'view' at t=1 is its
+    // own key and untouched.
+    val dir = writeEvents(Seq(
+      (1L, 0L, 1L, "click"), (2L, 2 * S, 1L, "click"), (3L, 4 * S, 1L, "click"),
+      (4L, 6 * S, 1L, "click"), (5L, 8 * S, 1L, "click"), (6L, 10 * S, 1L, "click"),
+      (7L, 12 * S, 1L, "click"),
+      (8L, 1 * S, 1L, "view")))
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond * 1000000L
+    val got = debounced(dir, Behavior.DebounceUs)
+    assert(got.keySet == Set(1L, 4L, 7L, 8L))
+    assert(got(1L) == ((base, 2L)))          // absorbed events 2,3
+    assert(got(4L) == ((base + 6 * S, 2L)))  // absorbed 5,6
+    assert(got(7L) == ((base + 12 * S, 0L)))
+    assert(got(8L) == ((base + 1 * S, 0L)))
+  }
+
+  test("debounce: same-microsecond double-fire collapses; users are isolated") {
+    val dir = writeEvents(Seq(
+      (1L, 0L, 1L, "click"), (2L, 0L, 1L, "click"), // same µs: id order, one kept
+      (3L, 0L, 2L, "click")))                       // other user unaffected
+    val got = debounced(dir, Behavior.DebounceUs)
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L)._2 == 1L && got(3L)._2 == 0L)
+  }
+
+  test("debounce: fixture at the gate window matches a driver-side chain replay") {
+    val events = graft.sources.Tables.events(spark, Sf0001)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = events.groupBy(e => (e._1, e._2)).flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._4))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var lastKept = Long.MinValue
+      ordered.foreach { case (_, _, us, id) =>
+        if (lastKept == Long.MinValue || us - lastKept >= Behavior.GateDebounceUs) {
+          out += ((id, us, 0L)); lastKept = us
+        } else {
+          val (kid, kus, n) = out.last; out(out.length - 1) = (kid, kus, n + 1)
+        }
+      }
+      out
+    }.map { case (id, us, n) => id -> ((us, n)) }.toMap
+    val got = debounced(Sf0001, Behavior.GateDebounceUs)
+    assert(got === expected)
+    assert(got.values.exists(_._2 > 0L), "gate window must actually suppress")
+  }
+
+  private def attributed(dir: String): Map[Long, (Option[Long], Option[Long])] =
+    Behavior.attribution(spark, dir).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        ((Option(r.getAs[java.lang.Long]("click_id")).map(_.longValue()),
+          Option(r.getAs[java.lang.Long]("latency_us")).map(_.longValue())))).toMap
+
+  test("attribution: last click within lookback wins; outside or absent stays null") {
+    val S = 1000000L
+    val H = 3600L * S
+    val dir = writeEvents(Seq(
+      (1L, 0L, 1L, "click"),
+      (2L, 10 * S, 1L, "click"),          // latest click before purchase 3
+      (3L, 30 * S, 1L, "purchase"),
+      (4L, 30 * S + 2 * H, 1L, "purchase"), // 2 h after click 2: outside lookback
+      (5L, 0L, 2L, "purchase"),           // user 2 never clicked
+      (6L, 5 * S, 2L, "view")))           // non-participating type is ignored
+    val got = attributed(dir)
+    assert(got(3L) == ((Some(2L), Some(20 * S))))
+    assert(got(4L) == ((None, None)))
+    assert(got(5L) == ((None, None)))
+    assert(got.size == 3)
+  }
+
+  test("attribution: same-microsecond click attributes by event_id order") {
+    // click (id 1) and purchase (id 2) share a µs: the click is strictly
+    // before in the (ts_us, event_id) total order, so it is credited
+    val dir = writeEvents(Seq(
+      (1L, 0L, 1L, "click"),
+      (2L, 0L, 1L, "purchase"),
+      // purchase id 3 BEFORE click id 4 at the same µs: not credited
+      (3L, 1000L, 2L, "purchase"),
+      (4L, 1000L, 2L, "click")))
+    val got = attributed(dir)
+    assert(got(2L) == ((Some(1L), Some(0L))))
+    assert(got(3L) == ((None, None)))
+  }
+
+  test("attribution: fixture matches a driver-side last-touch replay") {
+    val events = graft.sources.Tables.events(spark, Sf0001)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .filter(e => e._2 == "click" || e._2 == "purchase")
+    val expected = events.groupBy(_._1).iterator.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._4))
+      var lastClick: Option[(Long, Long)] = None
+      ordered.iterator.flatMap { case (_, tpe, us, id) =>
+        if (tpe == "click") { lastClick = Some((id, us)); None }
+        else {
+          val inWin = lastClick.filter { case (_, cus) =>
+            us - cus <= Behavior.AttributionUs }
+          Some(id -> ((inWin.map(_._1), inWin.map(c => us - c._2))))
+        }
+      }
+    }.toMap
+    assert(attributed(Sf0001) === expected)
+    // both attributed and unattributed purchases occur on the fixture
+    assert(attributed(Sf0001).values.exists(_._1.isDefined))
+    assert(attributed(Sf0001).values.exists(_._1.isEmpty))
+  }
 }
