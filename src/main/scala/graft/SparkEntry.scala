@@ -60,6 +60,7 @@ object SparkEntry {
     "event_transitions" -> (graft.operators.Behavior.eventTransitions _),
     "debounce" -> ((s: SparkSession, d: String) =>
       graft.operators.Behavior.debounce(s, d, graft.operators.Behavior.GateDebounceUs)),
+    "churn_weeks" -> (graft.operators.Behavior.churnWeeks _),
     "attribution" -> (graft.operators.Behavior.attribution _),
     "ts_resample" -> (graft.operators.TimeSeries.tsResample _),
     "rolling_active" -> (graft.operators.TimeSeries.rollingActive _),
@@ -968,6 +969,16 @@ object SparkEntry {
         |       CAST(coalesce(a.next_rn, tot.n + 1) - a.rn - 1 AS BIGINT) AS n_suppressed
         |FROM a JOIN tot ON tot.user_id = a.user_id
         |               AND tot.event_type = a.event_type""".stripMargin,
+    // distinct (user, week) set algebra, replayed literally — week is the
+    // integral epoch-day DIV 7 on both engines
+    "churn_weeks" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |              (epoch_us(ts) // 86400000000) // 7 AS week FROM events)
+        |SELECT a.week, count(*) AS n_active,
+        |       sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS n_churned
+        |FROM uw a LEFT JOIN uw b
+        |  ON b.user_id = a.user_id AND b.week = a.week + 1
+        |GROUP BY a.week""".stripMargin,
     // the same last-touch register as the Spark window pass: IGNORE NULLS
     // last over the strictly-preceding frame, lookback as a plain filter
     "attribution" ->

@@ -317,6 +317,33 @@ object Behavior {
       .toDF("user_id", "event_type", "event_id", "ts_us", "n_suppressed")
   }
 
+  /** churn_weeks — weekly activity accounting: for every calendar week
+    * (integral epoch-day DIV 7) with any events, the distinct active users
+    * and how many of them have no event in the following week (churned —
+    * the complement of week-over-week retention; the final week reports
+    * all-churned by construction, which the consumer reads as "no next
+    * week observed yet"). All integral.
+    *
+    * Execution shape: events collapse map-side to distinct (user, week) —
+    * a power user's events become their ≤52 week rows before anything
+    * shuffles — then ONE self left-join on (user, week+1) marks survival
+    * and a map-side-combined count per week finishes. No windows, no
+    * distinct-count shuffle amplification (the pair set is already
+    * distinct), both joins on bounded-growth keys.
+    */
+  def churnWeeks(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("(unix_micros(ts) DIV 86400000000) DIV 7").as("week"))
+      .distinct()
+    val next = uw.select(col("user_id"), (col("week") - 1L).as("week"),
+      lit(1L).as("survives"))
+    uw.join(next, Seq("user_id", "week"), "left")
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("survives").isNull, 1L).otherwise(0L)).as("n_churned"))
+  }
+
   /** Attribution lookback: a conversion credits a click at most this far
     * back (1 hour).
     */

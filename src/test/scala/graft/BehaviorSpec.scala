@@ -281,6 +281,38 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0L), "gate window must actually suppress")
   }
 
+  test("churnWeeks: hand-computed weekly active/churned cells") {
+    val W = 7L * 86400L * 1000000L
+    // week 0: users 1, 2; week 1: user 1 only (2 churned at week 0);
+    // user 1 churns at week 1 (nothing in week 2)
+    val dir = writeEvents(Seq(
+      (1L, 0L, 1L, "view"), (2L, 1000000L, 1L, "view"), // dup week rows collapse
+      (3L, 0L, 2L, "view"),
+      (4L, W, 1L, "view")))
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val w0 = base / W
+    val got = Behavior.churnWeeks(spark, dir).collect()
+      .map(r => r.getAs[Long]("week") ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("n_churned")))).toMap
+    assert(got == Map(w0 -> ((2L, 1L)), (w0 + 1) -> ((1L, 1L))))
+  }
+
+  test("churnWeeks: fixture matches a driver-side set replay") {
+    val uw = graft.sources.Tables.events(spark, Sf0001)
+      .selectExpr("user_id", "(unix_micros(ts) DIV 86400000000) DIV 7 AS week")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = uw.groupBy(_._2).map { case (w, rows) =>
+      val users = rows.map(_._1)
+      w -> ((users.size.toLong,
+        users.count(u => !uw.contains((u, w + 1))).toLong))
+    }
+    val got = Behavior.churnWeeks(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("week") ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("n_churned")))).toMap
+    assert(got === expected)
+  }
+
   private def attributed(dir: String): Map[Long, (Option[Long], Option[Long])] =
     Behavior.attribution(spark, dir).collect()
       .map(r => r.getAs[Long]("purchase_id") ->
