@@ -69,6 +69,7 @@ object SparkEntry {
     "bpe_encode" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bpeEncode(s, d)),
     "skipgram" -> ((s: SparkSession, d: String) => graft.operators.Corpus.skipgram(s, d)),
     "rank_normalize" -> (graft.operators.Profile.rankNormalize _),
+    "dq_violations" -> (graft.operators.Profile.dqViolations _),
     // --- graph analytics over the events-implied user↔item graph ---
     "pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pagerank(s, d)),
     "item_cooccur" -> ((s: SparkSession, d: String) => graft.operators.Graph.itemCooccur(s, d)),
@@ -969,6 +970,44 @@ object SparkEntry {
         |       CAST(coalesce(a.next_rn, tot.n + 1) - a.rn - 1 AS BIGINT) AS n_suppressed
         |FROM a JOIN tot ON tot.user_id = a.user_id
         |               AND tot.event_type = a.event_type""".stripMargin,
+    // six rules over two LEFT joins, replayed literally; sample_key is the
+    // MIN violating key so the report row is deterministic
+    "dq_violations" ->
+      """WITH lj AS (SELECT l.l_orderkey, l.l_quantity, l.l_discount,
+        |              l.l_shipdate, o.o_orderkey, o.o_orderdate
+        |            FROM lineitem l LEFT JOIN orders o
+        |              ON o.o_orderkey = l.l_orderkey),
+        |la AS (SELECT count(*) AS li_n,
+        |         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS fk_li_v,
+        |         min(CASE WHEN o_orderkey IS NULL THEN l_orderkey END) AS fk_li_k,
+        |         sum(CASE WHEN o_orderkey IS NOT NULL AND l_shipdate < o_orderdate
+        |                  THEN 1 ELSE 0 END) AS ship_v,
+        |         min(CASE WHEN o_orderkey IS NOT NULL AND l_shipdate < o_orderdate
+        |                  THEN l_orderkey END) AS ship_k,
+        |         sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS qty_v,
+        |         min(CASE WHEN l_quantity <= 0 THEN l_orderkey END) AS qty_k,
+        |         sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |                  THEN 1 ELSE 0 END) AS disc_v,
+        |         min(CASE WHEN l_discount < 0 OR l_discount > 0.1
+        |                  THEN l_orderkey END) AS disc_k
+        |       FROM lj),
+        |oj AS (SELECT o.o_orderkey, o.o_totalprice, c.c_custkey
+        |       FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey),
+        |oa AS (SELECT count(*) AS o_n,
+        |         sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS fk_o_v,
+        |         min(CASE WHEN c_custkey IS NULL THEN o_orderkey END) AS fk_o_k,
+        |         sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS price_v,
+        |         min(CASE WHEN o_totalprice <= 0 THEN o_orderkey END) AS price_k
+        |       FROM oj)
+        |SELECT rule, n_checked, CAST(n_violations AS BIGINT) AS n_violations,
+        |       sample_key FROM (
+        |  SELECT 'fk_lineitem_orders' AS rule, li_n AS n_checked,
+        |         fk_li_v AS n_violations, fk_li_k AS sample_key FROM la
+        |  UNION ALL SELECT 'ship_before_order', li_n, ship_v, ship_k FROM la
+        |  UNION ALL SELECT 'nonpositive_quantity', li_n, qty_v, qty_k FROM la
+        |  UNION ALL SELECT 'discount_domain', li_n, disc_v, disc_k FROM la
+        |  UNION ALL SELECT 'fk_orders_customer', o_n, fk_o_v, fk_o_k FROM oa
+        |  UNION ALL SELECT 'nonpositive_total', o_n, price_v, price_k FROM oa) u""".stripMargin,
     // distinct (user, week) set algebra, replayed literally — week is the
     // integral epoch-day DIV 7 on both engines
     "churn_weeks" ->

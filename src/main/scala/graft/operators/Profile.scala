@@ -140,4 +140,66 @@ object Profile {
           .otherwise((col("rnk") - lit(1L)).cast("double") /
             (col("n") - lit(1L)).cast("double")).as("pct"))
   }
+
+  /** dq_violations — the declarative data-quality rule pass every ingest
+    * runs before publishing a drop: referential integrity, temporal sanity,
+    * and domain checks over the order tables, one row per rule with
+    * (rule, n_checked, n_violations, sample_key) — `sample_key` the MIN
+    * violating key (deterministic, and the first thing an on-call engineer
+    * asks for), NULL when the rule is clean. Zero-violation rows are part
+    * of the report: "checked and clean" is the signal, absence is not.
+    *
+    * Execution shape: all six rules ride TWO joined scans. The lineitem
+    * rules (FK to orders, ship-before-order, non-positive quantity,
+    * discount domain) share one lineitem⋈orders LEFT join — the FK check
+    * is the null side of the SAME join the temporal rule needs, so
+    * integrity does not cost its own anti-join pass — and the order rules
+    * (FK to customer, non-positive total) share one orders⋈customer LEFT
+    * join. Each pass is one map-side-combinable aggregate (conditional
+    * counts + conditional mins); the six rule rows are a `stack` of the
+    * two one-row aggregates. Dimension sides broadcast when small; at
+    * 100 TB the joins shuffle on the FK — the partitioning the fact
+    * tables already use.
+    */
+  def dqViolations(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+        col("l_shipdate"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"))
+    val liJoined = li.join(ord.select(col("o_orderkey"), col("o_orderdate")),
+      li("l_orderkey") === col("o_orderkey"), "left")
+    val liAgg = liJoined.agg(
+      count(lit(1)).as("li_n"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("fk_li_v"),
+      min(when(col("o_orderkey").isNull, col("l_orderkey"))).as("fk_li_k"),
+      sum(when(col("o_orderkey").isNotNull &&
+        col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)).as("ship_v"),
+      min(when(col("o_orderkey").isNotNull &&
+        col("l_shipdate") < col("o_orderdate"), col("l_orderkey"))).as("ship_k"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("qty_v"),
+      min(when(col("l_quantity") <= 0, col("l_orderkey"))).as("qty_k"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > lit(0.1), 1L)
+        .otherwise(0L)).as("disc_v"),
+      min(when(col("l_discount") < 0 || col("l_discount") > lit(0.1),
+        col("l_orderkey"))).as("disc_k"))
+    val ordAgg = ord.join(cust, ord("o_custkey") === col("c_custkey"), "left")
+      .agg(
+        count(lit(1)).as("o_n"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("fk_o_v"),
+        min(when(col("c_custkey").isNull, col("o_orderkey"))).as("fk_o_k"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("price_v"),
+        min(when(col("o_totalprice") <= 0, col("o_orderkey"))).as("price_k"))
+    liAgg.crossJoin(ordAgg).select(expr(
+      """stack(6,
+        |  'fk_lineitem_orders',  li_n, fk_li_v, fk_li_k,
+        |  'ship_before_order',   li_n, ship_v,  ship_k,
+        |  'nonpositive_quantity', li_n, qty_v,  qty_k,
+        |  'discount_domain',     li_n, disc_v,  disc_k,
+        |  'fk_orders_customer',  o_n,  fk_o_v,  fk_o_k,
+        |  'nonpositive_total',   o_n,  price_v, price_k)
+        | AS (rule, n_checked, n_violations, sample_key)""".stripMargin))
+  }
 }

@@ -560,6 +560,57 @@ class CurationSpec extends AnyFunSuite {
     assert(got.values.exists { case (_, v, _, c) => c < v })
   }
 
+  test("dqViolations: planted violations are counted with min sample keys; clean rules report zero") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dq").toString
+    val d = java.sql.Date.valueOf(_: String)
+    // customers 1, 2
+    Seq(Tuple1(1L), Tuple1(2L)).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // order 10 ok; order 11 references missing customer 9; order 12 has
+    // non-positive total
+    Seq(
+      (10L, 1L, "O", 100.0, d("2024-01-10"), "1-URGENT"),
+      (11L, 9L, "O", 50.0, d("2024-01-05"), "1-URGENT"),
+      (12L, 2L, "O", -1.0, d("2024-01-07"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // lines: order 10 ships before orderdate (violation) and after (ok);
+    // order 99 is an orphan; order 11's line has a domain-breaking discount
+    Seq(
+      (10L, 1L, 1L, 1, 5.0, 0.05, 0.0, "N", "O", d("2024-01-08")),
+      (10L, 1L, 1L, 2, 5.0, 0.05, 0.0, "N", "O", d("2024-01-12")),
+      (99L, 1L, 1L, 1, 5.0, 0.05, 0.0, "N", "O", d("2024-01-12")),
+      (11L, 1L, 1L, 1, 5.0, 0.90, 0.0, "N", "O", d("2024-01-06")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Profile.dqViolations(spark, dir).collect()
+      .map(r => r.getAs[String]("rule") ->
+        ((r.getAs[Long]("n_checked"), r.getAs[Long]("n_violations"),
+          Option(r.getAs[java.lang.Long]("sample_key")).map(_.longValue())))).toMap
+    assert(got("fk_lineitem_orders") == ((4L, 1L, Some(99L))))
+    assert(got("ship_before_order") == ((4L, 1L, Some(10L))))
+    assert(got("nonpositive_quantity") == ((4L, 0L, None)))
+    assert(got("discount_domain") == ((4L, 1L, Some(11L))))
+    assert(got("fk_orders_customer") == ((3L, 1L, Some(11L))))
+    assert(got("nonpositive_total") == ((3L, 1L, Some(12L))))
+  }
+
+  test("dqViolations: fixture — FK and domain rules clean, temporal rule fires") {
+    val got = graft.operators.Profile.dqViolations(spark, Sf0001).collect()
+      .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations")).toMap
+    assert(got.size == 6)
+    assert(got("fk_lineitem_orders") == 0L)
+    assert(got("fk_orders_customer") == 0L)
+    assert(got("nonpositive_quantity") == 0L)
+    assert(got("nonpositive_total") == 0L)
+    assert(got("ship_before_order") > 0L) // synthetic dates are independent
+  }
+
   test("rankNormalize: min-rank percentile matches a driver-side sort replay") {
     val ev = graft.sources.Tables.events(spark, Sf0001)
       .selectExpr("event_id", "event_type",
