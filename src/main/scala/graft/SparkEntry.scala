@@ -74,6 +74,7 @@ object SparkEntry {
     "pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pagerank(s, d)),
     "item_cooccur" -> ((s: SparkSession, d: String) => graft.operators.Graph.itemCooccur(s, d)),
     "triangle_count" -> (graft.operators.Graph.triangleCount _),
+    "ppr" -> ((s: SparkSession, d: String) => graft.operators.Graph.ppr(s, d)),
     "bfs_hops" -> ((s: SparkSession, d: String) => graft.operators.Graph.bfsHops(s, d)),
     "q17_asof" -> (Relational.q17Asof _),
     "q35_asof_native" -> (graft.operators.AsOf.q35AsofNative _),
@@ -883,6 +884,29 @@ object SparkEntry {
         |   FROM cur JOIN e ON e.src = cur.node
         |   WHERE cur.iter < 10
         |   GROUP BY cur.iter + 1, e.dst))
+        |SELECT node, rank FROM pr WHERE iter = 10""".stripMargin,
+    // personalized variant: teleport mass concentrated on the min-user
+    // seed; identical truncating integer arithmetic, so the replay is exact
+    "ppr" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         1000000 + CAST(json_extract(props, '$.k') AS BIGINT) AS i FROM events),
+        |ed AS (SELECT u AS src, i AS dst FROM base
+        |       UNION ALL SELECT i AS src, u AS dst FROM base),
+        |deg AS (SELECT src, count(*) AS d FROM ed GROUP BY src),
+        |e AS (SELECT ed.src, ed.dst, deg.d FROM ed JOIN deg ON deg.src = ed.src),
+        |sd AS (SELECT min(user_id) AS seed FROM events),
+        |pr(iter, node, rank) AS (
+        |  SELECT 0, src, CAST(CASE WHEN src = sd.seed THEN 1000000 ELSE 0 END AS BIGINT)
+        |  FROM deg, sd
+        |  UNION ALL
+        |  (WITH cur AS (SELECT * FROM pr)
+        |   SELECT cur.iter + 1, e.dst,
+        |          CASE WHEN e.dst = sd.seed THEN 150000 ELSE 0 END +
+        |          (sum(cur.rank // e.d) * 85) // 100
+        |   FROM cur JOIN e ON e.src = cur.node CROSS JOIN sd
+        |   WHERE cur.iter < 10
+        |   GROUP BY cur.iter + 1, e.dst, sd.seed))
         |SELECT node, rank FROM pr WHERE iter = 10""".stripMargin,
     // hot-user cap (HAVING count ≤ 200) replayed exactly; top-5 by the
     // (n_users desc, partner asc) total order so row_number is deterministic

@@ -256,6 +256,53 @@ object Graph {
     dist
   }
 
+  /** ppr — PERSONALIZED PageRank from the minimum-user seed: the same
+    * fixed-point recurrence as [[pagerank]] but with the teleport mass
+    * concentrated on one node —
+    *   rank⁰(v)   = Scale·[v = seed]
+    *   rankⁿ⁺¹(v) = 0.15·Scale·[v = seed] + 0.85·Σ_{u→v} rankⁿ(u) ÷ d(u)
+    * — so rank measures proximity to the SEED, not global centrality: the
+    * "items for this user" recommendation primitive (high-rank item nodes
+    * are the seed's neighborhood weighted by random-walk return
+    * probability). Same scale story as pagerank (one checkpointed edge
+    * list, one join + map-side sum per round, flat plans via per-round
+    * checkpoint, zero driver-side data — the seed is an aggregate row
+    * joined in, never a collected scalar), and the same
+    * integer-arithmetic-equals-oracle argument: truncating BIGINT math is
+    * order-free, so the recursive-CTE replay is exact.
+    */
+  def ppr(s: SparkSession, dir: String, rounds: Int = Rounds): DataFrame = {
+    def free(ids: Set[Int]): Unit = Graph.free(s, ids)
+    val (edges, edgeIds) = checkpointTracked(edgesWithDeg(s, dir))
+    val seed = Tables.events(s, dir).agg(min(col("user_id")).as("seed"))
+    var (ranks, rankIds) = checkpointTracked(
+      edges.select(col("src").as("node")).distinct()
+        .crossJoin(seed)
+        .withColumn("rank",
+          when(col("node") === col("seed"), lit(Scale)).otherwise(lit(0L)))
+        .select(col("node"), col("rank"), col("seed")))
+    var round = 0
+    while (round < rounds) {
+      val (next, nextIds) = checkpointTracked(
+        ranks.join(edges, ranks("node") === edges("src"))
+          .select(col("dst"), expr("rank DIV d").as("contrib"), col("seed"))
+          .groupBy(col("dst").as("node"), col("seed"))
+          .agg(expr(s"(sum(contrib) * $DampNum) DIV $DampDen").as("walk"))
+          .select(col("node"),
+            (when(col("node") === col("seed"),
+              lit(Scale - Scale * DampNum / DampDen)).otherwise(lit(0L)) +
+              col("walk")).as("rank"),
+            col("seed")))
+      free(rankIds)
+      ranks = next
+      rankIds = nextIds
+      round += 1
+    }
+    free(edgeIds)
+    graft.TransientCache.adoptRddIds(rankIds)
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** item_cooccur — for every ordered item pair (i, j), i ≠ j, the number
     * of (un-capped) users who touched both, keeping each item's top-5
     * partners (by n_users desc, j asc — a total order, so the top-k set is

@@ -70,6 +70,53 @@ class GraphSpec extends AnyFunSuite {
     assert(collectRanks(Sf0001) === bruteRank(evs, Graph.Rounds))
   }
 
+  /** Driver-side replay of the personalized recurrence: teleport mass on
+    * the minimum user only, same truncating Long arithmetic.
+    */
+  private def brutePpr(interactions: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val edges = interactions.distinct.flatMap { case (u, k) =>
+      val i = Graph.ItemBase + k
+      Seq((u, i), (i, u))
+    }
+    val out = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val seed = interactions.map(_._1).min
+    var rank: Map[Long, Long] =
+      out.keys.map(n => n -> (if (n == seed) Graph.Scale else 0L)).toMap
+    for (_ <- 0 until rounds) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (src, dst) => contrib(dst) += rank(src) / out(src) }
+      rank = rank.keys.map(n =>
+        n -> ((if (n == seed) 150000L else 0L) + contrib(n) * 85L / 100L)).toMap
+    }
+    rank
+  }
+
+  private def collectPpr(dir: String): Map[Long, Long] =
+    Graph.ppr(spark, dir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank")).toMap
+
+  test("ppr: proximity to the seed, not global centrality") {
+    // seed user 1 touches item 10; distant users 2,3,4 make item 20 the
+    // global hub. Global PageRank ranks the hub highest; personalized rank
+    // from user 1 must put item 10 above item 20.
+    val pairs = Seq[(Long, Long)]((1, 10), (2, 10), (2, 20), (3, 20), (4, 20))
+    val dir = writeInteractions(pairs)
+    val got = collectPpr(dir)
+    assert(got === brutePpr(pairs, Graph.Rounds))
+    assert(got(Graph.ItemBase + 10) > got(Graph.ItemBase + 20))
+    // the global ranking disagrees — the hub wins there
+    val global = collectRanks(dir)
+    assert(global(Graph.ItemBase + 20) > global(Graph.ItemBase + 10))
+  }
+
+  test("ppr: sf0.001 fixture matches the brute-force integer replay") {
+    val evs = sources.Tables.events(spark, Sf0001)
+      .selectExpr("user_id",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) AS k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(collectPpr(Sf0001) === brutePpr(evs, Graph.Rounds))
+  }
+
   test("itemCooccur: planted pairs count co-touching users with a total-order top-k") {
     // users 1,2 touch {10,11}; user 3 touches {10,12}
     val dir = writeInteractions(
