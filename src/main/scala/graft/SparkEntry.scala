@@ -61,6 +61,7 @@ object SparkEntry {
     "debounce" -> ((s: SparkSession, d: String) =>
       graft.operators.Behavior.debounce(s, d, graft.operators.Behavior.GateDebounceUs)),
     "churn_weeks" -> (graft.operators.Behavior.churnWeeks _),
+    "session_assign" -> (graft.operators.Behavior.sessionAssign _),
     "attribution" -> (graft.operators.Behavior.attribution _),
     "ts_resample" -> (graft.operators.TimeSeries.tsResample _),
     "rolling_active" -> (graft.operators.TimeSeries.rollingActive _),
@@ -1032,6 +1033,27 @@ object SparkEntry {
         |  UNION ALL SELECT 'discount_domain', li_n, disc_v, disc_k FROM la
         |  UNION ALL SELECT 'fk_orders_customer', o_n, fk_o_v, fk_o_k FROM oa
         |  UNION ALL SELECT 'nonpositive_total', o_n, price_v, price_k FROM oa) u""".stripMargin,
+    // the same two window passes, replayed literally in the shared
+    // (ts_us, event_id) total order
+    "session_assign" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |b AS (SELECT user_id, event_id, ts_us,
+        |        CASE WHEN lag(ts_us) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts_us, event_id) IS NULL
+        |               OR ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |                                           ORDER BY ts_us, event_id)
+        |                  > 1800000000
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM e),
+        |s AS (SELECT user_id, event_id, ts_us,
+        |        sum(new_sess) OVER (PARTITION BY user_id
+        |          ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM b)
+        |SELECT user_id, event_id, ts_us, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id, session_id
+        |         ORDER BY ts_us, event_id) AS BIGINT) AS pos_in_session
+        |FROM s""".stripMargin,
     // distinct (user, week) set algebra, replayed literally — week is the
     // integral epoch-day DIV 7 on both engines
     "churn_weeks" ->

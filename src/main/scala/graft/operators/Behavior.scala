@@ -317,6 +317,41 @@ object Behavior {
       .toDF("user_id", "event_type", "event_id", "ts_us", "n_suppressed")
   }
 
+  /** Session gap: a pause longer than this starts a new session (30 min,
+    * matching q16's sessionization rule).
+    */
+  val SessionGapUs: Long = 1800L * 1000000L
+
+  /** session_assign — the per-event twin of q16's session counting: every
+    * event is re-emitted with its (user-local) session ordinal and its
+    * position within that session — the labeling step that turns a raw
+    * event stream into session-grouped training sequences (and the input
+    * shape session-level features join against). Session boundary = gap
+    * > 30 min, the same rule q16 aggregates.
+    *
+    * Execution shape: one user_id exchange carries both window passes —
+    * the lag that marks boundaries and the running sum that turns
+    * boundary flags into ordinals; the within-session position is a
+    * row_number over the SAME (user, ts, event_id) order, so no second
+    * shuffle anywhere. All integral.
+    */
+  def sessionAssign(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(run))
+      .withColumn("pos_in_session", row_number().over(
+        Window.partitionBy("user_id", "session_id").orderBy("ts_us", "event_id"))
+        .cast("long"))
+      .select("user_id", "event_id", "ts_us", "session_id", "pos_in_session")
+  }
+
   /** churn_weeks — weekly activity accounting: for every calendar week
     * (integral epoch-day DIV 7) with any events, the distinct active users
     * and how many of them have no event in the following week (churned —

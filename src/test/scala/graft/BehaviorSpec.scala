@@ -281,6 +281,37 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0L), "gate window must actually suppress")
   }
 
+  test("sessionAssign: ordinals and positions follow the 30-min gap rule") {
+    val M = 60L * 1000000L
+    val dir = writeEvents(Seq(
+      (1L, 0L, 1L, "view"),
+      (2L, 10 * M, 1L, "view"),   // 10 min gap: same session
+      (3L, 50 * M, 1L, "view"),   // 40 min gap: new session
+      (4L, 55 * M, 1L, "view"),
+      (5L, 0L, 2L, "view")))      // other user: own numbering
+    val got = Behavior.sessionAssign(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("session_id"), r.getAs[Long]("pos_in_session")))).toMap
+    assert(got == Map(
+      1L -> ((1L, 1L)), 2L -> ((1L, 2L)),
+      3L -> ((2L, 1L)), 4L -> ((2L, 2L)),
+      5L -> ((1L, 1L))))
+  }
+
+  test("sessionAssign: fixture session count per user equals q16's aggregate") {
+    val perUser = Behavior.sessionAssign(spark, Sf0001)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("session_id").as("n_sessions"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events")))).toMap
+    val q16 = graft.operators.Relational.q16Sessions(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events")))).toMap
+    assert(perUser == q16)
+  }
+
   test("churnWeeks: hand-computed weekly active/churned cells") {
     val W = 7L * 86400L * 1000000L
     // week 0: users 1, 2; week 1: user 1 only (2 churned at week 0);
