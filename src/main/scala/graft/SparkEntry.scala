@@ -71,6 +71,7 @@ object SparkEntry {
     "skipgram" -> ((s: SparkSession, d: String) => graft.operators.Corpus.skipgram(s, d)),
     "rank_normalize" -> (graft.operators.Profile.rankNormalize _),
     "dq_violations" -> (graft.operators.Profile.dqViolations _),
+    "corpus_report" -> (graft.operators.Profile.corpusReport _),
     // --- graph analytics over the events-implied user↔item graph ---
     "pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pagerank(s, d)),
     "item_cooccur" -> ((s: SparkSession, d: String) => graft.operators.Graph.itemCooccur(s, d)),
@@ -995,6 +996,29 @@ object SparkEntry {
         |       CAST(coalesce(a.next_rn, tot.n + 1) - a.rn - 1 AS BIGINT) AS n_suppressed
         |FROM a JOIN tot ON tot.user_id = a.user_id
         |               AND tot.event_type = a.event_type""".stripMargin,
+    // one multi-metric aggregate + the dedup_exact digest shuffle reduced
+    // to two scalars; every value integral
+    "corpus_report" ->
+      """WITH base AS (SELECT count(*) AS n_docs,
+        |         count(DISTINCT source) AS n_sources,
+        |         count(DISTINCT lang) AS n_langs,
+        |         sum(n_chars) AS total_chars,
+        |         sum(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END) AS n_short_docs,
+        |         sum(len(string_split_regex(trim(text), '\s+'))) AS total_ws_tokens
+        |       FROM documents),
+        |d AS (SELECT md5(text) AS fp, count(*) AS c FROM documents GROUP BY 1),
+        |dup AS (SELECT sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_docs,
+        |          sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS n_surplus_docs
+        |        FROM d)
+        |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+        |  UNION ALL SELECT 'n_sources', n_sources FROM base
+        |  UNION ALL SELECT 'n_langs', n_langs FROM base
+        |  UNION ALL SELECT 'total_chars', total_chars FROM base
+        |  UNION ALL SELECT 'n_short_docs', n_short_docs FROM base
+        |  UNION ALL SELECT 'total_ws_tokens', total_ws_tokens FROM base
+        |  UNION ALL SELECT 'n_dup_docs', n_dup_docs FROM dup
+        |  UNION ALL SELECT 'n_surplus_docs', n_surplus_docs FROM dup) u""".stripMargin,
     // six rules over two LEFT joins, replayed literally; sample_key is the
     // MIN violating key so the report row is deterministic
     "dq_violations" ->

@@ -161,6 +161,50 @@ object Profile {
     * 100 TB the joins shuffle on the FK — the partitioning the fact
     * tables already use.
     */
+  /** Short-document threshold for [[corpusReport]] (chars). */
+  val ShortDocChars = 50L
+
+  /** corpus_report — the one-glance corpus health summary a curation
+    * pipeline publishes with every drop: document/source/language
+    * cardinalities, exact-duplicate pressure, short-doc pressure, and
+    * total volume in chars and whitespace tokens, as (metric, value) rows
+    * — every value an exact BIGINT (rates are a downstream division).
+    * `n_dup_docs` counts documents whose md5 digest is shared (all
+    * members, not just the surplus), the number dedup_exact would inspect;
+    * `n_surplus_docs` is what it would drop.
+    *
+    * Execution shape: one scan feeds a single multi-metric aggregate
+    * (cardinalities map-side partial, sums combinable); the duplicate
+    * pressure rides the SAME md5-digest shuffle dedup_exact uses, reduced
+    * to two scalars before joining the report. Output is a `stack` of the
+    * two one-row aggregates — constant-size regardless of corpus.
+    */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(when(col("n_chars") < ShortDocChars, 1L).otherwise(0L)).as("n_short_docs"),
+      sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("total_ws_tokens"))
+    val dup = docs.select(md5(col("text")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("c"))
+      .agg(
+        sum(when(col("c") > 1L, col("c")).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("c") > 1L, col("c") - 1L).otherwise(0L)).as("n_surplus_docs"))
+    base.crossJoin(dup).select(expr(
+      """stack(8,
+        |  'n_docs', n_docs,
+        |  'n_sources', n_sources,
+        |  'n_langs', n_langs,
+        |  'total_chars', total_chars,
+        |  'n_short_docs', n_short_docs,
+        |  'total_ws_tokens', total_ws_tokens,
+        |  'n_dup_docs', n_dup_docs,
+        |  'n_surplus_docs', n_surplus_docs) AS (metric, value)""".stripMargin))
+  }
+
   def dqViolations(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),

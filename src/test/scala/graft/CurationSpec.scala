@@ -560,6 +560,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got.values.exists { case (_, v, _, c) => c < v })
   }
 
+  test("corpusReport: planted corpus yields hand-computed metrics") {
+    // two identical docs (one dup group of 2), one short doc, two langs,
+    // two sources
+    val dir = writeDocs(Seq(
+      (1L, "spark rules the lake", "en", "s0"),
+      (2L, "spark rules the lake", "en", "s1"),
+      (3L, "ok", "de", "s0")))
+    val got = graft.operators.Profile.corpusReport(spark, dir).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    assert(got == Map(
+      "n_docs" -> 3L, "n_sources" -> 2L, "n_langs" -> 2L,
+      "total_chars" -> (20L + 20L + 2L),
+      "n_short_docs" -> 3L, // all under 50 chars
+      "total_ws_tokens" -> (4L + 4L + 1L),
+      "n_dup_docs" -> 2L, "n_surplus_docs" -> 1L))
+  }
+
+  test("corpusReport: fixture metrics agree with the operators they summarize") {
+    val got = graft.operators.Profile.corpusReport(spark, Sf0001).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+    assert(got("n_docs") == docs.count())
+    val surplus = docs.count() - graft.operators.Dedup.exact(spark, Sf0001).count()
+    assert(got("n_surplus_docs") == surplus)
+    val toks = graft.operators.TextOps.textTokens(spark, Sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n_ws_tokens")).head.getLong(0)
+    assert(got("total_ws_tokens") == toks)
+  }
+
   test("dqViolations: planted violations are counted with min sample keys; clean rules report zero") {
     val s = spark
     import s.implicits._
