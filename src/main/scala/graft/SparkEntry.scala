@@ -103,6 +103,7 @@ object SparkEntry {
     "q33_stream_session" -> (graft.streaming.EventStreams.sessionQuery _),
     "q36_stream_neardup" -> (graft.streaming.EventStreams.nearDupQuery _),
     "q38_stream_active" -> (graft.streaming.EventStreams.activeQuery _),
+    "q39_stream_debounce" -> (graft.streaming.EventStreams.debounceQuery _),
     // --- reference workloads, optimized DataFrame formulations ---
     "wc" -> (TextOps.wc _),
     "indexer" -> (TextOps.indexer _),
@@ -1105,6 +1106,27 @@ object SparkEntry {
         |       CASE WHEN us - click_us <= 3600000000 THEN click_id END AS click_id,
         |       CASE WHEN us - click_us <= 3600000000 THEN us - click_us END AS latency_us
         |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    // the incremental anchor state must keep exactly the batch chain's
+    // rows — same recursive CTE as debounce, projected to the kept set
+    "q39_stream_debounce" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |k(user_id, event_type, event_id, us, rn) AS (
+        |  SELECT user_id, event_type, event_id, us, rn FROM e WHERE rn = 1
+        |  UNION ALL
+        |  (WITH cur AS (SELECT * FROM k)
+        |   SELECT user_id, event_type, event_id, us, rn FROM (
+        |     SELECT e.user_id, e.event_type, e.event_id, e.us, e.rn,
+        |            row_number() OVER (PARTITION BY e.user_id, e.event_type
+        |                               ORDER BY e.us, e.event_id) AS rk
+        |     FROM cur JOIN e ON e.user_id = cur.user_id
+        |                    AND e.event_type = cur.event_type
+        |                    AND e.us >= cur.us + 43200000000) t
+        |   WHERE rk = 1))
+        |SELECT user_id, event_type, event_id, us AS ts_us FROM k""".stripMargin,
     // the streaming chain (fMGWS dedup → agg) must land on the identical
     // batch answer — same oracle as rolling_active
     "q38_stream_active" ->

@@ -481,6 +481,62 @@ object EventStreams {
         col("n_active_7d"))
   }
 
+  /** Streaming twin of `Behavior.debounce` — anchor-chain duplicate-fire
+    * suppression maintained incrementally: per-(user, event_type) state is
+    * ONE long (the last kept event's µs), and an event is emitted iff it is
+    * ≥ window past that anchor. Kept events only — a kept event's absorbed
+    * count keeps growing as later duplicates arrive, which Append mode
+    * cannot restate, so the streaming surface is the kept SET (the batch
+    * twin carries the counts).
+    *
+    * Within a micro-batch a key's arrivals are sorted by (ts_us, event_id)
+    * before the fold — the batch iterator is unordered, and anchor
+    * placement must follow the repo's total order to equal the batch
+    * answer. That sort is bounded by the key's rows IN THIS BATCH
+    * (backpressure sizes batches); cross-batch state stays O(1). Parity
+    * with batch debounce holds when batches arrive in event-time order
+    * (exactly true for the bounded one-batch gate pass; a production
+    * deployment pairs this with source ordering or a watermark, the same
+    * assumption every processing-order debounce makes).
+    */
+  def streamingDebounce(events: DataFrame, windowUs: Long): Dataset[(Long, String, Long, Long)] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey { case (u, t, _, _) => (u, t) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Long, String), rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[Long]) => {
+          var anchor = state.getOption.getOrElse(Long.MinValue)
+          val kept = List.newBuilder[(Long, String, Long, Long)]
+          rows.toSeq.sortBy { case (_, _, us, id) => (us, id) }.foreach {
+            case (_, _, us, id) =>
+              if (anchor == Long.MinValue || us - anchor >= windowUs) {
+                anchor = us
+                kept += ((key._1, key._2, id, us))
+              }
+          }
+          if (anchor != Long.MinValue) state.update(anchor)
+          kept.result().iterator
+        })
+  }
+
+  /** q39_stream_debounce — the REGISTERED streaming debounce: one
+    * Append-mode AvailableNow pass at the batch twin's gate window. The
+    * oracle is the same recursive anchor-chain CTE projected to the kept
+    * set, so the incremental anchor state must land on exactly the rows
+    * the batch fold keeps.
+    */
+  def debounceQuery(s: SparkSession, dir: String): DataFrame =
+    runStagedViaFiles(s, dir, "q39_stream_debounce",
+      staged => streamingDebounce(readEvents(s, staged),
+        graft.operators.Behavior.GateDebounceUs)
+        .toDF("user_id", "event_type", "event_id", "ts_us"),
+      OutputMode.Append())
+
   /** q38_stream_active — the REGISTERED streaming rolling-actives query:
     * one Complete-mode AvailableNow pass of [[streamingRollingActive]] over
     * the staged events. A bounded pass emits every covered (user, day)

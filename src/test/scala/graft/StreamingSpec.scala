@@ -352,6 +352,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming debounce: bounded pass keeps exactly the batch anchor chain") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val streamed = EventStreams.runToMemory(
+      spark,
+      EventStreams.streamingDebounce(EventStreams.readEvents(spark, eventsPath),
+        graft.operators.Behavior.GateDebounceUs)
+        .toDF("user_id", "event_type", "event_id", "ts_us"),
+      "debounce_stream", OutputMode.Append())
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    val batch = graft.operators.Behavior
+      .debounce(spark, Sf0001, graft.operators.Behavior.GateDebounceUs)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming debounce: the anchor survives batches — later duplicates stay suppressed") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t0 = 1704067200000L
+    def ts(sec: Long): Timestamp = new Timestamp(t0 + sec * 1000L)
+    val input = MemoryStream[(Timestamp, Long, String, Long)]
+    val q = EventStreams.streamingDebounce(
+        input.toDF().toDF("ts", "user_id", "event_type", "event_id"),
+        graft.operators.Behavior.DebounceUs)
+      .toDF("user_id", "event_type", "event_id", "ts_us")
+      .writeStream.format("memory").queryName("debounce_two_batch")
+      .outputMode(OutputMode.Append()).start()
+    def kept(): Set[Long] = s.table("debounce_two_batch").collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    try {
+      // batch 1 arrives unordered: events at t=2s (id 2) and t=0 (id 1) —
+      // the within-batch sort must anchor at id 1 and suppress id 2
+      input.addData((ts(2), 1L, "click", 2L), (ts(0), 1L, "click", 1L))
+      q.processAllAvailable()
+      assert(kept() == Set(1L))
+      // batch 2: t=4s is still within 5s of the batch-1 anchor (t=0) —
+      // suppressed only if the anchor persisted; t=6s starts a new anchor
+      input.addData((ts(4), 1L, "click", 3L), (ts(6), 1L, "click", 4L))
+      q.processAllAvailable()
+      assert(kept() == Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("sessionize: stateful per-user aggregates match batch totals") {
     import org.apache.spark.sql.streaming.OutputMode
     val sessions = EventStreams.runToMemory(
