@@ -50,6 +50,8 @@ object SparkEntry {
     "q11_scalar" -> (Relational.q11Scalar _),
     "q12_having" -> (Relational.q12Having _),
     "q13_rollup" -> (Relational.q13Rollup _),
+    "q40_grouping_sets" -> (Relational.q40GroupingSets _),
+    "q41_range_frame" -> (Relational.q41RangeFrame _),
     "q14_join_range" -> (Relational.q14JoinRange _),
     "q15_events_window" -> (Relational.q15EventsWindow _),
     "q16_sessions" -> (Relational.q16Sessions _),
@@ -700,6 +702,23 @@ object SparkEntry {
     "q13_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q40_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |       count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus), ())""".stripMargin,
+    // value-anchored frame: same-day peers are in-frame under RANGE
+    // regardless of tie order, so the count is deterministic
+    "q41_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS oday,
+        |       count(*) OVER (PARTITION BY o_custkey
+        |         ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |         RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING) - 1 AS n_nearby
+        |FROM orders""".stripMargin,
     "q14_join_range" ->
       """SELECT o_orderpriority, count(*) AS late_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

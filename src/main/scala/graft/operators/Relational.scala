@@ -155,6 +155,46 @@ object Relational {
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
 
+  /** q40_grouping_sets — arbitrary grouping-set combinations with
+    * `grouping()` disambiguation flags: the general form ROLLUP (q13) and
+    * CUBE (q20) are special cases of, expressed through `spark.sql` (the
+    * DataFrame API exposes only the two shorthands). The grouping flags
+    * are part of the output because NULL-as-subtotal is ambiguous against
+    * genuine NULL group keys — the flags are how a consumer tells them
+    * apart. Same single Expand + aggregate plan as rollup/cube; quantity
+    * sums are integral-valued doubles (exact under any order).
+    */
+  def q40GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |       count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus), ())""".stripMargin)
+  }
+
+  /** q41_range_frame — a VALUE-based window frame (RANGE BETWEEN), the
+    * frame family q29's ROWS frame can't express: for every order, the
+    * number of OTHER orders by the same customer within ±30 days. The
+    * frame is anchored on the integer epoch-day of the order date, so
+    * same-day peers are all in-frame regardless of row order — RANGE
+    * semantics make the count a pure function of the data where a ROWS
+    * frame would depend on tie order. One customer-partitioned sort, no
+    * self-join (the naive formulation is a per-customer range self-join —
+    * quadratic on a hot customer; the frame is linear after the sort).
+    */
+  def q41RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("oday")
+      .rangeBetween(-30, 30)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_date(col("o_orderdate").cast("date")).cast("long").as("oday"))
+      .withColumn("n_nearby", count(lit(1)).over(w) - lit(1L))
+  }
+
   /** q14_join_range — non-equi predicate alongside the equi key: order line
     * shipped more than 90 days after the order date. Equi part drives the
     * shuffle; the range predicate is post-join filter (no cartesian).

@@ -192,4 +192,50 @@ class RelationalSpec extends AnyFunSuite {
           r.getAs[Long]("max_v")))).toMap
     assert(got == expected)
   }
+
+  test("q40: grouping-set rows cover each declared set with correct flags") {
+    val li = graft.sources.Tables.lineitem(spark, Sf0001)
+      .selectExpr("l_returnflag", "l_linestatus", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val rows = Relational.q40GroupingSets(spark, Sf0001).collect()
+      .map(r => (Option(r.getAs[String]("l_returnflag")),
+        Option(r.getAs[String]("l_linestatus")),
+        r.getAs[Long]("g_flag"), r.getAs[Long]("g_status"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_qty")))
+    // grand total: both flags set, one row, full sums
+    val grand = rows.filter(r => r._3 == 1L && r._4 == 1L)
+    assert(grand.length == 1)
+    assert(grand.head._5 == li.length.toLong && grand.head._6 == li.map(_._3).sum)
+    // by-flag set: flag column present, status rolled up (g_status = 1)
+    val byFlag = rows.filter(r => r._3 == 0L && r._4 == 1L)
+    assert(byFlag.map(r => r._1.get -> r._5).toMap ==
+      li.groupBy(_._1).view.mapValues(_.length.toLong).toMap)
+    // full detail set: both flags 0
+    val detail = rows.filter(r => r._3 == 0L && r._4 == 0L)
+    assert(detail.map(r => (r._1.get, r._2.get) -> r._5).toMap ==
+      li.groupBy(t => (t._1, t._2)).view.mapValues(_.length.toLong).toMap)
+    // row count: |flags| + |status| + |pairs| + 1
+    val nf = li.map(_._1).distinct.length
+    val ns = li.map(_._2).distinct.length
+    val np = li.map(t => (t._1, t._2)).distinct.length
+    assert(rows.length == nf + ns + np + 1)
+  }
+
+  test("q41: RANGE frame counts same-customer orders within ±30 days, ties included") {
+    val orders = graft.sources.Tables.orders(spark, Sf0001)
+      .selectExpr("o_custkey", "o_orderkey",
+        "CAST(unix_date(CAST(o_orderdate AS DATE)) AS BIGINT) AS oday").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCust = orders.groupBy(_._1)
+    val got = Relational.q41RangeFrame(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("n_nearby")).toMap
+    assert(got.size == orders.length)
+    orders.foreach { case (c, k, d) =>
+      val expected = byCust(c).count { case (_, k2, d2) =>
+        k2 != k && math.abs(d2 - d) <= 30 }
+      assert(got(k) == expected.toLong, s"order $k")
+    }
+    // same-day sibling orders exist on the fixture, exercising tie inclusion
+    assert(orders.groupBy(t => (t._1, t._3)).exists(_._2.size > 1))
+  }
 }
