@@ -567,7 +567,10 @@ object Corpus {
       .filter(col("a.w") < col("b.w"))
       .select(col("a.w").as("w1"), col("b.w").as("w2"))
       .distinct()
-      .filter(levenshtein(col("w1"), col("w2")) === 1)
+      // threshold-banded levenshtein: O(k·n) early-exit per candidate
+      // (returns -1 past the bound) instead of the full O(n·m) matrix —
+      // the verify stays cheap even on long crawl-vocabulary tokens
+      .filter(levenshtein(col("w1"), col("w2"), 1) === 1)
   }
 
   /** Merge rounds learned by [[bpeMerges]]. */
