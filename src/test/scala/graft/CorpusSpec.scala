@@ -604,6 +604,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("n_syms") < r.getAs[String]("word").length))
   }
 
+  test("bpe bracket encoding: literal replace == canonical greedy-left merge on random sequences") {
+    // the engine-parity claim underlying bpe_merges: on the wrapped
+    // encoding, Java/DuckDB left-to-right non-overlapping replace merges
+    // exactly the occurrences canonical greedy-left BPE merges — including
+    // runs of identical pairs and multi-char symbols from earlier rounds
+    val rnd = new scala.util.Random(13)
+    val alphabet = Vector("a", "b", "c", "ab", "aa", "ba", "abc")
+    def canonical(seq: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < seq.length) {
+        if (i + 1 < seq.length && seq(i) == l && seq(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += seq(i); i += 1 }
+      }
+      out.result()
+    }
+    (1 to 2000).foreach { _ =>
+      val n = 1 + rnd.nextInt(10)
+      val seq = Vector.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+      val l = alphabet(rnd.nextInt(alphabet.length))
+      val r = alphabet(rnd.nextInt(alphabet.length))
+      val wrapped = seq.mkString("[", "][", "]")
+      val replaced = wrapped.replace(s"[$l][$r]", s"[$l$r]")
+      val unwrapped = replaced.substring(1, replaced.length - 1)
+        .split("\\]\\[").toVector
+      assert(unwrapped == canonical(seq, l, r),
+        s"seq=$seq merge=($l,$r) got=$unwrapped")
+    }
+  }
+
   test("bpeMerges: fixture matches the canonical driver-side reference") {
     val words = graft.sources.Tables.documents(spark, Sf0001)
       .selectExpr("explode(split(trim(text), '\\\\s+')) AS w")
