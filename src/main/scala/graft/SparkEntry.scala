@@ -125,6 +125,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.textFingerprint _),
     "text_fingerprint_poly" -> (TextOps.textFingerprintPoly _),
     "text_langid" -> (TextOps.textLangId _),
+    "lang_confusion" -> (TextOps.langConfusion _),
     "text_normalize" -> (TextOps.textNormalize _),
     "value_histogram" -> (graft.operators.Profile.valueHistogram _),
     // --- deduplication ---
@@ -1515,6 +1516,26 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (
         |  PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn FROM s) r
         |WHERE rn = 1""".stripMargin,
+    "lang_confusion" ->
+      """WITH t AS (SELECT doc_id, lang AS label_lang,
+        |  string_split_regex(lower(text), '[^\p{L}]+') AS toks FROM documents),
+        |s AS (
+        | SELECT doc_id, label_lang, 'de' AS cand,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS score FROM t
+        | UNION ALL SELECT doc_id, label_lang, 'en',
+        |  len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) FROM t
+        | UNION ALL SELECT doc_id, label_lang, 'es',
+        |  len(list_filter(toks, x -> x IN ('el','la','los','y','es'))) FROM t
+        | UNION ALL SELECT doc_id, label_lang, 'fr',
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) FROM t
+        | UNION ALL SELECT doc_id, label_lang, 'zh',
+        |  len(list_filter(toks, x -> x IN ('的','是','了','在','和'))) FROM t),
+        |p AS (SELECT doc_id, label_lang, cand AS pred_lang
+        |      FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn FROM s) r
+        |      WHERE rn = 1)
+        |SELECT label_lang, pred_lang, count(*) AS n_docs
+        |FROM p GROUP BY label_lang, pred_lang""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -312,6 +312,18 @@ object TextOps {
         (-best.getField("neg")).as("marker_hits"))
   }
 
+  /** lang_confusion — the declared-vs-detected language confusion matrix
+    * over [[textLangId]]'s predictions: (label_lang, pred_lang, n_docs).
+    * The corpus-QA aggregate that catches mislabeled sources (a source
+    * whose declared lang disagrees with its content shows up as an
+    * off-diagonal mass). Pure composition over the verified classifier —
+    * one extra map-side-combined count on a languages² key space.
+    */
+  def langConfusion(s: SparkSession, dir: String): DataFrame =
+    textLangId(s, dir)
+      .groupBy("label_lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+
   /** text_normalize — the canonicalization pass that feeds fingerprint-based
     * dedup: casefold + collapse every whitespace run to one space + trim.
     * Emitted as (doc_id, n_raw, n_norm, changed, norm_md5) — the digest of

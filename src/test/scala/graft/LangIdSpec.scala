@@ -39,4 +39,16 @@ class LangIdSpec extends AnyFunSuite {
       assert(hits > 0, s"doc $id: no marker hits at all")
     }
   }
+
+  test("langConfusion: cells regroup textLangId exactly and tile the corpus") {
+    val per = TextOps.textLangId(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getAs[String]("label_lang"), r.getAs[String]("pred_lang")))
+    val expected = per.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = TextOps.langConfusion(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getAs[String]("label_lang"), r.getAs[String]("pred_lang")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(got == expected)
+    assert(got.values.sum ==
+      graft.sources.Tables.documents(spark, TestSpark.Sf0001).count())
+  }
 }
