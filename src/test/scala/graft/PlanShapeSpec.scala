@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Plan-shape regression suite: the ".explain and iterate" discipline as
+  * enforced assertions. Each case pins the STRUCTURAL property that makes a
+  * registered query scale — pushdown reaching the scan, broadcast where a
+  * side is bounded, map-side window-group-limit pruning, the absence of
+  * cartesian fallbacks — so a refactor that silently degrades the plan
+  * (the triangle_count re-derivation incident this suite grew out of)
+  * fails CI instead of surviving to a 100× corpus.
+  *
+  * Assertions read the EXECUTED plan string after an action where AQE
+  * matters (AQE finalizes joins at runtime), and the analyzed/spark plan
+  * otherwise.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Executed-plan string AFTER running the query (AQE-final). */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, Sf0001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2_filter: predicate and projection reach the parquet scan") {
+    val df = SparkEntry.queries("q2_filter")(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), "filters must push to the scan")
+    assert(!plan.contains("PushedFilters: []"), "pushed filter list must be non-empty")
+    // projection pruning: the read schema must not materialize every column
+    val readSchema = "ReadSchema: struct<" +
+      plan.split("ReadSchema: struct<")(1).split(">")(0) + ">"
+    assert(readSchema.split(",").length < 10,
+      s"scan should read a pruned column set, got $readSchema")
+  }
+
+  test("q3_join_broadcast: the dimension side broadcasts (no shuffle join)") {
+    val plan = executedPlan("q3_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
+  test("winsorize and rank_normalize: thresholds broadcast back; raw stream never window-sorted") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    Seq("winsorize", "rank_normalize").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, Sf0001)
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        s"$q: histogram join must broadcast")
+      // every Window must sit ABOVE the histogram aggregate — a window whose
+      // subtree has no Aggregate would be sorting the raw event stream
+      val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$q: expected the histogram window passes")
+      wins.foreach { w =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"$q: a Window runs over the raw stream, not the histogram")
+      }
+    }
+  }
+
+  test("domain_cap and stratified_sample: map-side WindowGroupLimit pruning is present") {
+    Seq("domain_cap", "stratified_sample").foreach { q =>
+      val plan = executedPlan(q)
+      assert(plan.contains("WindowGroupLimit"), s"$q: top-k must prune map-side")
+    }
+  }
+
+  test("skipgram and q41_range_frame: no cartesian or nested-loop fallback anywhere") {
+    Seq("skipgram", "q41_range_frame").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: cartesian fallback")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: nested-loop fallback")
+    }
+  }
+
+  test("q14_join_range: the equi key drives the join; range stays a residual condition") {
+    val plan = executedPlan("q14_join_range")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "range predicate must not demote the join to a non-equi strategy")
+  }
+
+  test("dedup_exact: one digest shuffle, no join at all") {
+    val plan = executedPlan("dedup_exact")
+    assert(!plan.contains("Join"), "exact dedup is a pure aggregate")
+    assert(plan.split("\n").count(_.contains("Exchange")) <= 2,
+      "one logical shuffle on the digest (AQE may add a read stage)")
+  }
+
+  test("q5_topk: global top-k is a TakeOrdered, never a full sort") {
+    val plan = executedPlan("q5_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(300))
+  }
+
+  test("corpus_report: constant-size report plans stay join-light (one cross of two scalars)") {
+    val plan = executedPlan("corpus_report")
+    assert(!plan.contains("SortMergeJoin"),
+      "scalar aggregates must combine without a shuffle join")
+  }
+}
