@@ -106,6 +106,7 @@ object SparkEntry {
     "q36_stream_neardup" -> (graft.streaming.EventStreams.nearDupQuery _),
     "q38_stream_active" -> (graft.streaming.EventStreams.activeQuery _),
     "q39_stream_debounce" -> (graft.streaming.EventStreams.debounceQuery _),
+    "q42_stream_attribution" -> (graft.streaming.EventStreams.attributionQuery _),
     // --- reference workloads, optimized DataFrame formulations ---
     "wc" -> (TextOps.wc _),
     "indexer" -> (TextOps.indexer _),
@@ -1112,6 +1113,22 @@ object SparkEntry {
     // the same last-touch register as the Spark window pass: IGNORE NULLS
     // last over the strictly-preceding frame, lookback as a plain filter
     "attribution" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |            FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT user_id, event_type, event_id, us,
+        |        last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_us,
+        |        last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id
+        |      FROM ev)
+        |SELECT user_id, event_id AS purchase_id, us AS purchase_us,
+        |       CASE WHEN us - click_us <= 3600000000 THEN click_id END AS click_id,
+        |       CASE WHEN us - click_us <= 3600000000 THEN us - click_us END AS latency_us
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    // the streaming register must reproduce the batch window exactly
+    "q42_stream_attribution" ->
       """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
         |            FROM events WHERE event_type IN ('click', 'purchase')),
         |w AS (SELECT user_id, event_type, event_id, us,

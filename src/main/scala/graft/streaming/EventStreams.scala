@@ -537,6 +537,54 @@ object EventStreams {
         .toDF("user_id", "event_type", "event_id", "ts_us"),
       OutputMode.Append())
 
+  /** Streaming twin of `Behavior.attribution` — the last-touch register as
+    * per-user state: ONE (clickId, clickUs) pair per user. Clicks update
+    * the register; purchases emit immediately with the register's value
+    * (strictly-before holds because arrivals are folded in the repo's
+    * (ts_us, event_id) total order — a same-µs click with the lower id is
+    * processed first, exactly the batch window's frame semantics). The 1 h
+    * lookback is applied at emit. Same within-batch sort / in-order-batches
+    * caveat as [[streamingDebounce]]; cross-batch state is O(1) per user.
+    */
+  def streamingAttribution(events: DataFrame): Dataset[(Long, Long, Long, Option[Long], Option[Long])] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val lookback = graft.operators.Behavior.AttributionUs
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (u: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(Long, Long)]) => {
+          var reg = state.getOption
+          val out = List.newBuilder[(Long, Long, Long, Option[Long], Option[Long])]
+          rows.toSeq.sortBy { case (_, _, us, id) => (us, id) }.foreach {
+            case (_, tpe, us, id) =>
+              if (tpe == "click") reg = Some((id, us))
+              else {
+                val inWin = reg.filter { case (_, cus) => us - cus <= lookback }
+                out += ((u, id, us, inWin.map(_._1), inWin.map(us - _._2)))
+              }
+          }
+          reg.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
+  /** q42_stream_attribution — the REGISTERED streaming attribution: one
+    * Append-mode AvailableNow pass; the bounded in-order pass reproduces the
+    * batch window's register exactly, so the SAME oracle as `attribution`
+    * gates the stateful streaming path.
+    */
+  def attributionQuery(s: SparkSession, dir: String): DataFrame =
+    runStagedViaFiles(s, dir, "q42_stream_attribution",
+      staged => streamingAttribution(readEvents(s, staged))
+        .toDF("user_id", "purchase_id", "purchase_us", "click_id", "latency_us"),
+      OutputMode.Append())
+
   /** q38_stream_active — the REGISTERED streaming rolling-actives query:
     * one Complete-mode AvailableNow pass of [[streamingRollingActive]] over
     * the staged events. A bounded pass emits every covered (user, day)

@@ -400,6 +400,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming attribution: bounded pass equals the batch last-touch answer") {
+    import org.apache.spark.sql.streaming.OutputMode
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("purchase_id") ->
+        ((Option(r.getAs[java.lang.Long]("click_id")).map(_.longValue()),
+          Option(r.getAs[java.lang.Long]("latency_us")).map(_.longValue())))
+    val streamed = EventStreams.runToMemory(
+      spark,
+      EventStreams.streamingAttribution(EventStreams.readEvents(spark, eventsPath))
+        .toDF("user_id", "purchase_id", "purchase_us", "click_id", "latency_us"),
+      "attrib_stream", OutputMode.Append())
+      .collect().map(key).toMap
+    val batch = graft.operators.Behavior.attribution(spark, Sf0001)
+      .collect().map(key).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming attribution: the click register persists across batches") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t0 = 1704067200000L
+    def ts(sec: Long): Timestamp = new Timestamp(t0 + sec * 1000L)
+    val input = MemoryStream[(Timestamp, Long, String, Long)]
+    val q = EventStreams.streamingAttribution(
+        input.toDF().toDF("ts", "user_id", "event_type", "event_id"))
+      .toDF("user_id", "purchase_id", "purchase_us", "click_id", "latency_us")
+      .writeStream.format("memory").queryName("attrib_two_batch")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), 1L, "click", 1L))
+      q.processAllAvailable()
+      // batch 2's purchase must see batch 1's click through state
+      input.addData((ts(30), 1L, "purchase", 2L))
+      q.processAllAvailable()
+      val rows = s.table("attrib_two_batch").collect()
+        .map(r => r.getAs[Long]("purchase_id") ->
+          Option(r.getAs[java.lang.Long]("click_id")).map(_.longValue())).toMap
+      assert(rows == Map(2L -> Some(1L)))
+    } finally q.stop()
+  }
+
   test("sessionize: stateful per-user aggregates match batch totals") {
     import org.apache.spark.sql.streaming.OutputMode
     val sessions = EventStreams.runToMemory(
