@@ -296,23 +296,38 @@ object Behavior {
       .as[(Long, String, Long, Long)]
       .groupByKey { case (u, t, _, _) => (u, t) }
       .flatMapSortedGroups($"ts_us", $"event_id") { case ((u, t), rows) =>
-        var lastKeptUs = Long.MinValue
-        var keptId = 0L
-        var keptUs = 0L
-        var suppressed = 0L
-        var open = false
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
-        def close(): Unit = if (open) {
-          out += ((u, t, keptId, keptUs, suppressed)); open = false
+        // LAZY one-lookahead fold: a kept event is emitted when its
+        // successor anchor (or end-of-key) fixes its absorbed count, so the
+        // group streams through with O(1) live state — never an output
+        // buffer proportional to the key's kept rows
+        new Iterator[(Long, String, Long, Long, Long)] {
+          private var lastKeptUs = Long.MinValue
+          private var keptId = 0L
+          private var keptUs = 0L
+          private var suppressed = 0L
+          private var open = false
+          private var pending: (Long, String, Long, Long, Long) = _
+          private var hasPending = false
+          private def advance(): Unit = {
+            while (!hasPending && rows.hasNext) {
+              val (_, _, us, id) = rows.next()
+              if (lastKeptUs == Long.MinValue || us - lastKeptUs >= windowUs) {
+                if (open) { pending = ((u, t, keptId, keptUs, suppressed)); hasPending = true }
+                lastKeptUs = us; keptId = id; keptUs = us; suppressed = 0L; open = true
+              } else suppressed += 1L
+            }
+            if (!hasPending && open) {
+              pending = ((u, t, keptId, keptUs, suppressed)); hasPending = true; open = false
+            }
+          }
+          override def hasNext: Boolean = { advance(); hasPending }
+          override def next(): (Long, String, Long, Long, Long) = {
+            advance()
+            if (!hasPending) throw new NoSuchElementException
+            hasPending = false
+            pending
+          }
         }
-        rows.foreach { case (_, _, us, id) =>
-          if (lastKeptUs == Long.MinValue || us - lastKeptUs >= windowUs) {
-            close()
-            lastKeptUs = us; keptId = id; keptUs = us; suppressed = 0L; open = true
-          } else suppressed += 1L
-        }
-        close()
-        out.iterator
       }
       .toDF("user_id", "event_type", "event_id", "ts_us", "n_suppressed")
   }
@@ -367,10 +382,16 @@ object Behavior {
     * distinct), both joins on bounded-growth keys.
     */
   def churnWeeks(s: SparkSession, dir: String): DataFrame = {
-    val uw = Tables.events(s, dir)
+    val sc = s.sparkContext
+    val uw0 = Tables.events(s, dir)
       .select(col("user_id"),
         expr("(unix_micros(ts) DIV 86400000000) DIV 7").as("week"))
       .distinct()
+    // both join sides read the distinct pair set — checkpoint it once so
+    // the events scan + distinct run once, not per reference
+    val before = sc.getPersistentRDDs.keySet
+    val uw = uw0.localCheckpoint(true)
+    graft.TransientCache.adoptRddIds((sc.getPersistentRDDs.keySet -- before).toSet)
     val next = uw.select(col("user_id"), (col("week") - 1L).as("week"),
       lit(1L).as("survives"))
     uw.join(next, Seq("user_id", "week"), "left")
