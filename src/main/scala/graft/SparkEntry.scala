@@ -72,6 +72,7 @@ object SparkEntry {
     "bpe_encode" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bpeEncode(s, d)),
     "skipgram" -> ((s: SparkSession, d: String) => graft.operators.Corpus.skipgram(s, d)),
     "rank_normalize" -> (graft.operators.Profile.rankNormalize _),
+    "robust_scale" -> (graft.operators.Profile.robustScale _),
     "dq_violations" -> (graft.operators.Profile.dqViolations _),
     "corpus_report" -> (graft.operators.Profile.corpusReport _),
     // --- graph analytics over the events-implied user↔item graph ---
@@ -1018,6 +1019,29 @@ object SparkEntry {
         |       CAST(coalesce(a.next_rn, tot.n + 1) - a.rn - 1 AS BIGINT) AS n_suppressed
         |FROM a JOIN tot ON tot.user_id = a.user_id
         |               AND tot.event_type = a.event_type""".stripMargin,
+    // nearest-rank quartiles on the same exact-cents histogram; the one
+    // float op per output column is the identical IEEE division
+    "robust_scale" ->
+      """WITH ev AS (SELECT event_id, event_type, value,
+        |              CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |hist AS (SELECT event_type, cents, count(*) AS c FROM ev
+        |         GROUP BY event_type, cents),
+        |cum AS (SELECT event_type, cents,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |          sum(c) OVER (PARTITION BY event_type) AS n FROM hist),
+        |q AS (SELECT event_type,
+        |        min(CASE WHEN cum >= (25 * n + 99) // 100 THEN cents END) AS p25_cents,
+        |        min(CASE WHEN cum >= (50 * n + 99) // 100 THEN cents END) AS med_cents,
+        |        min(CASE WHEN cum >= (75 * n + 99) // 100 THEN cents END) AS p75_cents
+        |      FROM cum GROUP BY event_type)
+        |SELECT ev.event_id, ev.event_type, ev.value,
+        |       CAST(med_cents AS DOUBLE) / 100.0 AS median,
+        |       CAST(p75_cents - p25_cents AS DOUBLE) / 100.0 AS iqr,
+        |       CASE WHEN p75_cents = p25_cents THEN 0.0
+        |            ELSE CAST(ev.cents - med_cents AS DOUBLE) /
+        |                 CAST(p75_cents - p25_cents AS DOUBLE) END AS scaled
+        |FROM ev JOIN q ON q.event_type = ev.event_type""".stripMargin,
     // one multi-metric aggregate + the dedup_exact digest shuffle reduced
     // to two scalars; every value integral
     "corpus_report" ->

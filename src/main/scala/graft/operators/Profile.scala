@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -161,6 +161,43 @@ object Profile {
     * 100 TB the joins shuffle on the FK — the partitioning the fact
     * tables already use.
     */
+  /** robust_scale — the third histogram-kernel normalizer (clip =
+    * [[winsorize]], rank = [[rankNormalize]], robust-z = this): per
+    * event_type, scaled = (cents − median) / IQR with nearest-rank
+    * p25/p50/p75 — the outlier-immune standardization (mean/stddev moves
+    * with the tail; the median and quartiles don't). Quartiles are VALUES
+    * FROM THE DATA (nearest-rank, integral cents), the division is the one
+    * float op — same IEEE expression on both engines — and a degenerate
+    * IQR of 0 (constant-ish type) pins scaled to 0 explicitly.
+    *
+    * Same skew-proof shape as its siblings: quartiles from the bounded
+    * (type, cents) histogram's cumulative walk, broadcast back onto the
+    * scan; the raw stream is never sorted.
+    */
+  def robustScale(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val hist = ev.groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+    val cum = hist.select(col("event_type"), col("cents"), col("c"),
+      sum(col("c")).over(Window.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum(col("c")).over(Window.partitionBy("event_type")).as("n"))
+    def rank(q: Int): Column = expr(s"($q * n + 99) DIV 100")
+    val quart = cum.groupBy("event_type").agg(
+      min(when(col("cum") >= rank(25), col("cents"))).as("p25_cents"),
+      min(when(col("cum") >= rank(50), col("cents"))).as("med_cents"),
+      min(when(col("cum") >= rank(75), col("cents"))).as("p75_cents"))
+    ev.join(broadcast(quart), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        (col("med_cents").cast("double") / lit(100.0)).as("median"),
+        ((col("p75_cents") - col("p25_cents")).cast("double") / lit(100.0)).as("iqr"),
+        when(col("p75_cents") === col("p25_cents"), lit(0.0))
+          .otherwise((col("cents") - col("med_cents")).cast("double") /
+            (col("p75_cents") - col("p25_cents")).cast("double")).as("scaled"))
+  }
+
   /** Short-document threshold for [[corpusReport]] (chars). */
   val ShortDocChars = 50L
 

@@ -640,6 +640,34 @@ class CurationSpec extends AnyFunSuite {
     assert(got("ship_before_order") > 0L) // synthetic dates are independent
   }
 
+  test("robustScale: nearest-rank quartiles and IQR scaling match a driver-side replay") {
+    val ev = graft.sources.Tables.events(spark, Sf0001)
+      .selectExpr("event_id", "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS cents").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val quarts = ev.groupBy(_._2).map { case (t, rows) =>
+      val sorted = rows.map(_._3).sorted
+      def nr(q: Int) = sorted(((q * sorted.length + 99) / 100 - 1).max(0))
+      t -> ((nr(25), nr(50), nr(75)))
+    }
+    val got = graft.operators.Profile.robustScale(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Double]("median"), r.getAs[Double]("iqr"),
+          r.getAs[Double]("scaled")))).toMap
+    assert(got.size == ev.length)
+    ev.foreach { case (id, t, cents) =>
+      val (p25, med, p75) = quarts(t)
+      val (gmed, giqr, gscaled) = got(id)
+      assert(gmed == med.toDouble / 100.0)
+      assert(giqr == (p75 - p25).toDouble / 100.0)
+      val exp = if (p75 == p25) 0.0
+        else (cents - med).toDouble / (p75 - p25).toDouble
+      assert(gscaled == exp, s"event $id")
+    }
+    // the transform actually spreads: both signs occur on the fixture
+    assert(got.values.exists(_._3 < 0) && got.values.exists(_._3 > 0))
+  }
+
   test("rankNormalize: min-rank percentile matches a driver-side sort replay") {
     val ev = graft.sources.Tables.events(spark, Sf0001)
       .selectExpr("event_id", "event_type",
