@@ -67,6 +67,7 @@ object SparkEntry {
     "attribution" -> (graft.operators.Behavior.attribution _),
     "ts_resample" -> (graft.operators.TimeSeries.tsResample _),
     "rolling_active" -> (graft.operators.TimeSeries.rollingActive _),
+    "latency_quantiles" -> (graft.operators.TimeSeries.latencyQuantiles _),
     "winsorize" -> (graft.operators.Profile.winsorize _),
     "bpe_merges" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bpeMerges(s, d)),
     "bpe_encode" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bpeEncode(s, d)),
@@ -983,6 +984,24 @@ object SparkEntry {
     // the same inverted-window kernel: (user, active-day) distinct, ×7
     // covered-day fan-out, distinct, count — replayed literally (both
     // engines agree because every step is integral set algebra)
+    "latency_quantiles" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+        |g AS (SELECT event_type,
+        |        (us - lag(us) OVER (PARTITION BY user_id
+        |                            ORDER BY us, event_id)) // 1000000 AS gap_s
+        |      FROM e),
+        |gg AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+        |hist AS (SELECT event_type, gap_s, count(*) AS c FROM gg
+        |         GROUP BY event_type, gap_s),
+        |cum AS (SELECT event_type, gap_s,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY gap_s
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |          sum(c) OVER (PARTITION BY event_type) AS n FROM hist)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+        |       min(CASE WHEN cum >= (50 * n + 99) // 100 THEN gap_s END) AS p50_s,
+        |       min(CASE WHEN cum >= (90 * n + 99) // 100 THEN gap_s END) AS p90_s,
+        |       min(CASE WHEN cum >= (99 * n + 99) // 100 THEN gap_s END) AS p99_s
+        |FROM cum GROUP BY event_type""".stripMargin,
     "rolling_active" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d0 FROM events),
         |cov AS (SELECT DISTINCT user_id, d0 + CAST(i AS INTEGER) AS day

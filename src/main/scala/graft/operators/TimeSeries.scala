@@ -91,6 +91,38 @@ object TimeSeries {
     * bounded-growth key set; nothing global, nothing sorted, no per-day
     * scan of a 7-day range at 100 TB.
     */
+  /** latency_quantiles — per-event-type nearest-rank p50/p90/p99 of the
+    * INTER-EVENT gap (seconds between a user's consecutive events, keyed by
+    * the later event's type): the "time since last activity" SLO readout.
+    * Gaps are bucketed to integral seconds, which is what makes the
+    * quantile computable on a BOUNDED histogram — distinct gap-seconds are
+    * capped by the maximum gap (value range), not by row count, the same
+    * argument as the cents kernel in `Profile.winsorize`; sub-second SLOs
+    * would bucket to millis, same shape. One user_id window pass builds
+    * the gaps, one map-side-combined count builds the histogram, and the
+    * cumulative walk + nearest-rank picks run over histogram rows only.
+    */
+  def latencyQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_type"),
+        expr("(ts_us - prev_us) DIV 1000000").as("gap_s"))
+    val hist = gaps.groupBy("event_type", "gap_s").agg(count(lit(1)).as("c"))
+    val cum = hist.select(col("event_type"), col("gap_s"),
+      sum(col("c")).over(Window.partitionBy("event_type").orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum(col("c")).over(Window.partitionBy("event_type")).as("n"))
+    cum.groupBy("event_type").agg(
+      max(col("n")).as("n_gaps"),
+      min(when(col("cum") >= expr("(50 * n + 99) DIV 100"), col("gap_s"))).as("p50_s"),
+      min(when(col("cum") >= expr("(90 * n + 99) DIV 100"), col("gap_s"))).as("p90_s"),
+      min(when(col("cum") >= expr("(99 * n + 99) DIV 100"), col("gap_s"))).as("p99_s"))
+  }
+
   def rollingActive(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d0"))

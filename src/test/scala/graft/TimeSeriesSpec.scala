@@ -121,6 +121,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(g.contains("2024-01-15") && !g.contains("2024-01-16"))
   }
 
+  test("latencyQuantiles: nearest-rank gap percentiles match a driver-side replay") {
+    val ev = graft.sources.Tables.events(spark, Sf0001)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gaps = ev.groupBy(_._1).values.flatMap { rows =>
+      val ordered = rows.sortBy(e => (e._3, e._4))
+      ordered.iterator.zip(ordered.iterator.drop(1)).map { case (a, b) =>
+        (b._2, (b._3 - a._3) / 1000000L)
+      }
+    }.toSeq
+    val expected = gaps.groupBy(_._1).map { case (t, gs) =>
+      val sorted = gs.map(_._2).sorted
+      def nr(q: Int) = sorted(((q * sorted.length + 99) / 100 - 1).max(0))
+      t -> ((sorted.length.toLong, nr(50), nr(90), nr(99)))
+    }
+    val got = TimeSeries.latencyQuantiles(spark, Sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_gaps"), r.getAs[Long]("p50_s"),
+          r.getAs[Long]("p90_s"), r.getAs[Long]("p99_s")))).toMap
+    assert(got === expected)
+    // ordering sanity: quantiles are monotone per type
+    got.values.foreach { case (_, p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
   test("rollingActive: fixture matches the driver-side sliding-set replay") {
     val active = graft.sources.Tables.events(spark, Sf0001)
       .selectExpr("user_id", "CAST(ts AS DATE) AS day").distinct().collect()
