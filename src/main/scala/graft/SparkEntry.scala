@@ -65,7 +65,9 @@ object SparkEntry {
     "churn_weeks" -> (graft.operators.Behavior.churnWeeks _),
     "session_assign" -> (graft.operators.Behavior.sessionAssign _),
     "attribution" -> (graft.operators.Behavior.attribution _),
+    "cdc_apply" -> (graft.operators.Behavior.cdcApply _),
     "ts_resample" -> (graft.operators.TimeSeries.tsResample _),
+    "ts_ewma" -> (graft.operators.TimeSeries.tsEwma _),
     "rolling_active" -> (graft.operators.TimeSeries.rollingActive _),
     "latency_quantiles" -> (graft.operators.TimeSeries.latencyQuantiles _),
     "winsorize" -> (graft.operators.Profile.winsorize _),
@@ -75,6 +77,7 @@ object SparkEntry {
     "rank_normalize" -> (graft.operators.Profile.rankNormalize _),
     "robust_scale" -> (graft.operators.Profile.robustScale _),
     "dq_violations" -> (graft.operators.Profile.dqViolations _),
+    "corr_stats" -> (graft.operators.Profile.corrStats _),
     "corpus_report" -> (graft.operators.Profile.corpusReport _),
     // --- graph analytics over the events-implied user↔item graph ---
     "pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pagerank(s, d)),
@@ -109,6 +112,7 @@ object SparkEntry {
     "q38_stream_active" -> (graft.streaming.EventStreams.activeQuery _),
     "q39_stream_debounce" -> (graft.streaming.EventStreams.debounceQuery _),
     "q42_stream_attribution" -> (graft.streaming.EventStreams.attributionQuery _),
+    "q43_stream_join" -> (graft.streaming.EventStreams.streamJoinQuery _),
     // --- reference workloads, optimized DataFrame formulations ---
     "wc" -> (TextOps.wc _),
     "indexer" -> (TextOps.indexer _),
@@ -190,6 +194,7 @@ object SparkEntry {
     "semdedup" -> ((s: SparkSession, d: String) => Ann.semDedup(s, d)),
     // --- PII redaction (deterministically augmented corpus; see piiScrub) ---
     "pii_scrub" -> (graft.operators.Curation.piiScrub _),
+    "line_dedup" -> (graft.operators.Curation.lineDedup _),
     // --- sources/sinks: gzip JSON-lines round-trip, content-verified ---
     "docs_jsonl" -> (graft.sources.Jsonl.docsJsonlStats _),
   )
@@ -1122,6 +1127,31 @@ object SparkEntry {
         |  UNION ALL SELECT 'discount_domain', li_n, disc_v, disc_k FROM la
         |  UNION ALL SELECT 'fk_orders_customer', o_n, fk_o_v, fk_o_k FROM oa
         |  UNION ALL SELECT 'nonpositive_total', o_n, price_v, price_k FROM oa) u""".stripMargin,
+    // exact integral sufficient statistics: HUGEINT here vs DECIMAL(38,0)
+    // on the Spark side — both exact integers, compared by value
+    "corr_stats" ->
+      """WITH c AS (SELECT
+        |    CAST(round(l_quantity      * 100) AS HUGEINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS price,
+        |    CAST(round(l_discount      * 100) AS HUGEINT) AS disc,
+        |    CAST(round(l_tax           * 100) AS HUGEINT) AS tax
+        |  FROM lineitem),
+        |a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    sum(qty) AS s_qty, sum(qty*qty) AS ss_qty,
+        |    sum(price) AS s_price, sum(price*price) AS ss_price,
+        |    sum(disc) AS s_disc, sum(disc*disc) AS ss_disc,
+        |    sum(tax) AS s_tax, sum(tax*tax) AS ss_tax,
+        |    sum(qty*price) AS sp_qty_price, sum(qty*disc) AS sp_qty_disc,
+        |    sum(qty*tax) AS sp_qty_tax, sum(price*disc) AS sp_price_disc,
+        |    sum(price*tax) AS sp_price_tax, sum(disc*tax) AS sp_disc_tax
+        |  FROM c)
+        |SELECT 'qty' AS x, 'price' AS y, n, s_qty AS sum_x, s_price AS sum_y,
+        |       sp_qty_price AS sum_xy, ss_qty AS sum_xx, ss_price AS sum_yy FROM a
+        |UNION ALL SELECT 'qty', 'disc', n, s_qty, s_disc, sp_qty_disc, ss_qty, ss_disc FROM a
+        |UNION ALL SELECT 'qty', 'tax', n, s_qty, s_tax, sp_qty_tax, ss_qty, ss_tax FROM a
+        |UNION ALL SELECT 'price', 'disc', n, s_price, s_disc, sp_price_disc, ss_price, ss_disc FROM a
+        |UNION ALL SELECT 'price', 'tax', n, s_price, s_tax, sp_price_tax, ss_price, ss_tax FROM a
+        |UNION ALL SELECT 'disc', 'tax', n, s_disc, s_tax, sp_disc_tax, ss_disc, ss_tax FROM a""".stripMargin,
     // the same two window passes, replayed literally in the shared
     // (ts_us, event_id) total order
     "session_assign" ->
@@ -1170,7 +1200,31 @@ object SparkEntry {
         |       CASE WHEN us - click_us <= 3600000000 THEN click_id END AS click_id,
         |       CASE WHEN us - click_us <= 3600000000 THEN us - click_us END AS latency_us
         |FROM w WHERE event_type = 'purchase'""".stripMargin,
-    // the streaming register must reproduce the batch window exactly
+    // last-write-wins snapshot: the oracle replays the window-sort
+    // formulation; the engine's argmax must land on the same rows
+    "cdc_apply" ->
+      """SELECT user_id, ts_us, event_id, event_type, value_cents FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // the ordered float recurrence replayed step-for-step: same sequence,
+    // same IEEE ops (×0.5 is exact, one rounding add per step) ⇒ same bits
+    "ts_ewma" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |f(user_id, event_id, ts_us, ewma, rn) AS (
+        |  SELECT user_id, event_id, ts_us, value, rn FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.ts_us,
+        |         0.5 * e.value + (1.0 - 0.5) * f.ewma, e.rn
+        |  FROM f JOIN e ON e.user_id = f.user_id AND e.rn = f.rn + 1)
+        |SELECT user_id, event_id, ts_us, ewma FROM f""".stripMargin,
     "q42_stream_attribution" ->
       """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
         |            FROM events WHERE event_type IN ('click', 'purchase')),
@@ -1186,6 +1240,16 @@ object SparkEntry {
         |       CASE WHEN us - click_us <= 3600000000 THEN click_id END AS click_id,
         |       CASE WHEN us - click_us <= 3600000000 THEN us - click_us END AS latency_us
         |FROM w WHERE event_type = 'purchase'""".stripMargin,
+    // the symmetric-state stream-stream join must equal the batch
+    // interval join (bounded pass ⇒ no watermark drops)
+    "q43_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts
+        | AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000""".stripMargin,
     // the incremental anchor state must keep exactly the batch chain's
     // rows — same recursive CTE as debounce, projected to the kept set
     "q39_stream_debounce" ->
@@ -2032,6 +2096,30 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(t2, '[0-9]{7,}')) AS INTEGER) AS n_nums,
         | regexp_replace(t2, '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
         |FROM i""".stripMargin,
+    // full line-dedup replay: same 8-token tiling + footer augmentation,
+    // first occurrence by (doc_id, line_no), digest-of-digests identity
+    "line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |body AS (SELECT doc_id, i AS line_no,
+        |                md5(array_to_string(toks[i*8+1 : i*8+8], ' ')) AS lmd5
+        |         FROM t, LATERAL (SELECT unnest(range((len(toks)+7)//8)) AS i) g),
+        |foot AS (SELECT doc_id, (len(toks)+7)//8 AS line_no,
+        |                md5('boilerplate footer variant ' ||
+        |                    CAST(doc_id % 5 AS VARCHAR)) AS lmd5
+        |         FROM t WHERE doc_id % 3 = 0),
+        |lines AS (SELECT * FROM body UNION ALL SELECT * FROM foot),
+        |marked AS (SELECT doc_id, line_no, lmd5,
+        |             row_number() OVER (PARTITION BY lmd5
+        |                                ORDER BY doc_id, line_no) = 1 AS kept
+        |           FROM lines)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+        |  CASE WHEN sum(CASE WHEN kept THEN 1 ELSE 0 END) > 0
+        |    THEN md5(string_agg(lmd5, chr(10) ORDER BY line_no)
+        |             FILTER (WHERE kept))
+        |    ELSE NULL END AS kept_md5
+        |FROM marked GROUP BY doc_id""".stripMargin,
     // the JSONL round-trip must reproduce the parquet corpus byte-for-byte:
     // the oracle aggregates the ORIGINAL parquet, so any codec infidelity
     // in the Spark-side JSON write/read flips a distinct-md5 fingerprint

@@ -445,4 +445,42 @@ object Behavior {
         when(col("ts_us") - col("click_us") <= AttributionUs,
           col("ts_us") - col("click_us")).as("latency_us"))
   }
+
+  /** cdc_apply — change-data-capture apply / last-write-wins merge: collapse
+    * an event changelog into the CURRENT state per key. The events table is
+    * read as an upsert log keyed by user_id — each event is an upsert of
+    * (event_type, value) except `error`, which acts as a DELETE tombstone —
+    * and the applied state is, per user, the payload of the LATEST operation
+    * in the repo's (ts_us, event_id) total order; users whose latest op is a
+    * tombstone are absent from the output. This is the SCD-Type-1 sibling of
+    * [[stateIntervals]] (which keeps the full history as SCD2 validity
+    * intervals): the step every CDC ingest (Debezium-style logs, lakehouse
+    * MERGE) runs to materialize a snapshot from a log.
+    *
+    * Execution shape — argmax, NOT a window sort: `max(struct(ts_us,
+    * event_id, …payload))` under the lexicographic struct order IS
+    * last-write-wins (the (ts_us, event_id) prefix is the total order;
+    * event_id is unique so payload fields never decide a comparison). A
+    * hash aggregate partial-aggregates map-side, so each executor ships one
+    * candidate row per key — at 100 TB the exchange carries |keys| rows,
+    * where the row_number()-over-window formulation the oracle replays
+    * would shuffle and SORT the full log. The delete filter lands on the
+    * collapsed snapshot (|keys| rows), not the log.
+    *
+    * `value` travels as exact integer cents (value_histogram's trick), so
+    * the gate compare is exact.
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"))
+      .groupBy("user_id")
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+        col("value_cents"))).as("last"))
+      .select(col("user_id"), col("last.ts_us").as("ts_us"),
+        col("last.event_id").as("event_id"),
+        col("last.event_type").as("event_type"),
+        col("last.value_cents").as("value_cents"))
+      .filter(col("event_type") =!= "error")
 }

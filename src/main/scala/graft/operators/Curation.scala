@@ -374,6 +374,73 @@ object Curation {
     * real-PII pattern behavior (odd TLDs, digits inside emails, adjacent
     * runs) is pinned on planted strings in CurationSpec.
     */
+  /** Tokens per line for [[lineDedup]]'s tiling. */
+  val LineTokens = 8
+
+  /** A document as its dedup "lines": the token stream tiled into
+    * [[LineTokens]]-token lines (last tile short), plus — the deterministic
+    * non-vacuity augmentation, same pattern as pii_scrub — a boilerplate
+    * footer line (one of 5 variants keyed on doc_id) appended to every
+    * third document, so corpus-duplicated lines exist on the synthetic
+    * fixture. Tokenization is [[TextOps.wsTokens]], the exact semantics the
+    * oracle's `string_split_regex(trim(text), '\s+')` replays.
+    */
+  private[graft] def docLines(id: Long, text: String): Seq[(Long, Int, String)] = {
+    val toks = TextOps.wsTokens(text)
+    val nTiles = (toks.length + LineTokens - 1) / LineTokens
+    val body = (0 until nTiles).map { i =>
+      (id, i, toks.slice(i * LineTokens,
+        math.min(toks.length, (i + 1) * LineTokens)).mkString(" "))
+    }
+    if (id % 3 == 0) body :+ ((id, nTiles, s"boilerplate footer variant ${id % 5}"))
+    else body
+  }
+
+  /** line_dedup — corpus-wide duplicate-LINE removal, the C4 recipe: any
+    * line occurring more than once across the whole corpus is kept only at
+    * its FIRST occurrence (the (doc_id, line_no)-minimal one) and dropped
+    * everywhere else — the filter that strips navigation chrome, cookie
+    * banners and boilerplate footers that per-DOCUMENT dedup can never see.
+    * Sits between [[Dedup]]'s document granularity and
+    * `substring_scrub`'s token-run granularity: the unit is the line.
+    *
+    * Output per document: line count, kept-line count, and an md5 over the
+    * kept lines' digests in line order (null when nothing survives) — the
+    * cleaned document's identity without re-shipping its text.
+    *
+    * 100 TB plan: lines leave the scan as md5 DIGESTS (16 bytes, never raw
+    * text — the dedup_exact principle); first-occurrence election is
+    * `min(struct(doc_id, line_no))` per digest — ONE map-side-partial
+    * shuffle on the digest, no sort, no window (a boilerplate line shared
+    * by 10⁸ documents arrives at its reducer as one row per map partition,
+    * not 10⁸ rows); the digest-keyed join back is the same exchange reused,
+    * and the per-document reassembly groups on doc_id whose fan-in is the
+    * document's own line count.
+    */
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => docLines(id, text) }
+      .toDF("doc_id", "line_no", "line")
+      .select(col("doc_id"), col("line_no"), md5(col("line")).as("lmd5"))
+    val firsts = lines.groupBy("lmd5")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("first"))
+    lines.join(firsts, "lmd5")
+      .withColumn("kept",
+        col("doc_id") === col("first.doc_id") && col("line_no") === col("first.line_no"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        md5(concat_ws("\n", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("line_no"), col("lmd5"))))),
+          x => x.getField("lmd5")))).as("kept_md5_raw"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        when(col("n_kept") > 0, col("kept_md5_raw")).as("kept_md5"))
+  }
+
   def piiScrub(s: SparkSession, dir: String): DataFrame = {
     val aug = concat(
       col("text"),

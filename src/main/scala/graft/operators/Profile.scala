@@ -242,6 +242,55 @@ object Profile {
         |  'n_surplus_docs', n_surplus_docs) AS (metric, value)""".stripMargin))
   }
 
+  /** corr_stats — exact correlation sufficient statistics for every pair of
+    * lineitem's numeric measures: n, Σx, Σy, Σxy, Σx², Σy² per (x, y)
+    * column pair, all in EXACT integer arithmetic over cents (the
+    * value_histogram trick: the doubles carry ≤2 decimals, so round(v·100)
+    * recovers the integral value losslessly). Pearson r, covariance, and
+    * regression slopes are all pure functions of these six sums — computing
+    * THEM here would force a libm sqrt whose last bit the two engines may
+    * disagree on, while the sums are order-free integers, exact under any
+    * partitioning. This is how a distributed profiler actually ships
+    * correlation: sufficient statistics partial-aggregate map-side, one
+    * scalar row crosses the wire per partition, and the final division
+    * happens once at the consumer.
+    *
+    * Sums of squares of 10⁷-cent prices exceed int64 at fixture scale
+    * already (Σprice² ≈ 6·10¹⁹ at sf0.1), so accumulation is DECIMAL(38,0)
+    * on the Spark side and HUGEINT in the oracle — both exact integers.
+    *
+    * Plan: ONE scan, ONE global aggregate (map-side partials reduce each
+    * partition to a single 15-number row), then the 6 pair rows unfold from
+    * the scalar aggregate via explode — no second pass, no shuffle beyond
+    * the partial-aggregate gather.
+    */
+  def corrStats(s: SparkSession, dir: String): DataFrame = {
+    val measures = Seq("qty" -> "l_quantity", "price" -> "l_extendedprice",
+      "disc" -> "l_discount", "tax" -> "l_tax")
+    val names = measures.map(_._1)
+    val cents = Tables.lineitem(s, dir).select(
+      measures.map { case (n, c) =>
+        expr(s"CAST(CAST(round($c * 100) AS BIGINT) AS DECIMAL(38,0))").as(n)
+      }: _*)
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (names(i), names(j))
+    val aggCols =
+      count(lit(1)).cast("decimal(38,0)").as("n") +:
+      (names.flatMap(c => Seq(
+        sum(col(c)).as(s"s_$c"),
+        sum(col(c) * col(c)).as(s"ss_$c"))) ++
+       pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") })
+    val one = cents.agg(aggCols.head, aggCols.tail: _*)
+    val pairStructs = pairs.map { case (a, b) =>
+      struct(lit(a).as("x"), lit(b).as("y"), col("n"),
+        col(s"s_$a").as("sum_x"), col(s"s_$b").as("sum_y"),
+        col(s"sp_${a}_$b").as("sum_xy"),
+        col(s"ss_$a").as("sum_xx"), col(s"ss_$b").as("sum_yy"))
+    }
+    one.select(explode(array(pairStructs: _*)).as("p")).select("p.*")
+  }
+
   def dqViolations(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),

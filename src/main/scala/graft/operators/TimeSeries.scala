@@ -132,4 +132,50 @@ object TimeSeries {
       .distinct()
       .groupBy("day")
       .agg(count(lit(1)).as("n_active_7d"))
+
+  /** EWMA decay factor. ½ is deliberate: multiplying an IEEE double by 0.5
+    * only decrements the exponent (exact), so each smoothing step
+    * `0.5·v + 0.5·e` performs exactly ONE rounding operation (the add) —
+    * and an identical ordered replay lands on bit-identical doubles.
+    */
+  val EwmaAlpha = 0.5
+
+  /** ts_ewma — per-user exponentially-weighted moving average of `value`
+    * over the event sequence: e₁ = v₁, eᵢ = α·vᵢ + (1−α)·eᵢ₋₁ in the
+    * repo's (ts_us, event_id) total order — the standard smoothing /
+    * online-baseline signal (monitoring EWMAs, anomaly baselines, the
+    * momentum term of a training loop all share this fold).
+    *
+    * Unlike every other float in the gate (which travels as exact cents or
+    * rank-only), the EWMA is irreducibly a float RECURRENCE — it cannot be
+    * integerized without changing the operator. It stays oracle-exact
+    * anyway because the fold is order-pinned and each step rounds once
+    * (see [[EwmaAlpha]]): DuckDB replaying the same recurrence over the
+    * same sequence performs the same IEEE operations in the same order.
+    *
+    * Execution shape: one (user_id) exchange with secondary sort — the
+    * same hot-key-safe typed sorted fold as `Behavior.debounce` (O(1)
+    * state: the running average; a 10⁸-event key streams through without
+    * buffering). No window function: `avg` has no decayed form, and a
+    * window would buffer frames for what is a strict left fold.
+    */
+  def tsEwma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val alpha = EwmaAlpha
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"ts_us", $"event_id") { case (u, rows) =>
+        var ewma = 0.0
+        var first = true
+        rows.map { case (_, us, id, v) =>
+          ewma = if (first) { first = false; v }
+                 else alpha * v + (1.0 - alpha) * ewma
+          (u, id, us, ewma)
+        }
+      }
+      .toDF("user_id", "event_id", "ts_us", "ewma")
+  }
 }

@@ -596,6 +596,59 @@ object EventStreams {
     runStagedViaFiles(s, dir, "q38_stream_active",
       staged => streamingRollingActive(readEvents(s, staged)))
 
+  /** Stream–stream interval join — the one stateful streaming shape the
+    * engine had not yet exercised: clicks and purchases arrive as TWO
+    * independent streams, and every purchase joins every click by the same
+    * user within the [click, click + 1 h] window. Unlike
+    * [[streamingAttribution]] (last click only, a register fold), this is
+    * the full join — N clicks in the window produce N rows — which forces
+    * Spark's symmetric join state: each side buffers rows the OTHER side
+    * may still match.
+    *
+    * Both sides carry event-time watermarks and the join predicate bounds
+    * purchase time against click time in BOTH directions; from these Spark
+    * derives per-side state watermarks, so click state older than the 1 h
+    * window (plus the watermark delay) is evicted continuously — state is
+    * bounded by the stream's rate × horizon, not its history. That
+    * eviction contract is exactly what a 100 TB/day clickstream needs;
+    * joins without a time bound would buffer forever and are rejected by
+    * the engine in Append mode.
+    *
+    * Inner join only here: every emitted row is final the moment it
+    * matches (Append-safe); the outer variants would additionally wait out
+    * the watermark before emitting nulls.
+    */
+  def streamJoin(clicksSrc: DataFrame, purchasesSrc: DataFrame): DataFrame = {
+    val clicks = clicksSrc
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = purchasesSrc
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+  }
+
+  /** q43_stream_join — the REGISTERED stream–stream join: one Append-mode
+    * AvailableNow pass with the staged events read as two separate file
+    * streams. A bounded pass sees both sides in full before the watermark
+    * advances, so the inner-join output equals the batch interval join and
+    * the DuckDB batch oracle gates the symmetric-state path end-to-end.
+    */
+  def streamJoinQuery(s: SparkSession, dir: String): DataFrame =
+    runStagedViaFiles(s, dir, "q43_stream_join",
+      staged => streamJoin(readEvents(s, staged), readEvents(s, staged)),
+      OutputMode.Append())
+
   /** Run a streaming DataFrame to completion over a bounded source (one
     * availableNow pass), collecting results through an in-memory sink table.
     * This is how the parity tests observe streaming output.

@@ -403,4 +403,45 @@ class BehaviorSpec extends AnyFunSuite {
     assert(attributed(Sf0001).values.exists(_._1.isDefined))
     assert(attributed(Sf0001).values.exists(_._1.isEmpty))
   }
+
+  private def snapshot(dir: String): Map[Long, (Long, Long, String)] =
+    Behavior.cdcApply(spark, dir).collect().map { r =>
+      r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("ts_us"), r.getAs[Long]("event_id"),
+          r.getAs[String]("event_type")))
+    }.toMap
+
+  test("cdcApply: last write wins, tombstones delete, same-µs ties break on event_id") {
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val dir = writeEvents(Seq(
+      // user 1: two upserts — the later one is the state
+      (1L, 0L, 1L, "view"), (2L, 10L, 1L, "click"),
+      // user 2: upsert then tombstone — absent from the snapshot
+      (3L, 0L, 2L, "view"), (4L, 10L, 2L, "error"),
+      // user 3: tombstone then a LATER upsert — resurrected
+      (5L, 0L, 3L, "error"), (6L, 10L, 3L, "purchase"),
+      // user 4: two ops at the same µs — higher event_id wins
+      (7L, 0L, 4L, "view"), (8L, 0L, 4L, "click")))
+    val got = snapshot(dir)
+    assert(got(1L) == ((base + 10L, 2L, "click")))
+    assert(!got.contains(2L))
+    assert(got(3L) == ((base + 10L, 6L, "purchase")))
+    assert(got(4L) == ((base, 8L, "click")))
+  }
+
+  test("cdcApply: fixture matches a driver-side last-write-wins replay") {
+    val events = graft.sources.Tables.events(spark, Sf0001)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = events.groupBy(_._1).flatMap { case (u, evs) =>
+      val (_, us, id, tpe) = evs.maxBy(e => (e._2, e._3))
+      if (tpe == "error") None else Some(u -> ((us, id, tpe)))
+    }
+    assert(snapshot(Sf0001) == expected)
+    // both surviving users and tombstoned-away users occur on the fixture
+    val users = events.map(_._1).toSet
+    assert(snapshot(Sf0001).nonEmpty)
+    assert(snapshot(Sf0001).keySet != users)
+  }
 }

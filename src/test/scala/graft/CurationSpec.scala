@@ -692,4 +692,76 @@ class CurationSpec extends AnyFunSuite {
     // percentiles span the unit interval on the fixture
     assert(got.values.exists(_._2 == 0.0) && got.values.exists(_._2 == 1.0))
   }
+
+  // ------------------------------------------------------------ lineDedup
+
+  private def lineStats(dir: String): Map[Long, (Long, Long, Option[String])] =
+    Curation.lineDedup(spark, dir).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          Option(r.getAs[String]("kept_md5"))))
+    }.toMap
+
+  test("lineDedup: corpus-duplicated lines survive only at their first occurrence") {
+    // 8-token tiling: docs are built in whole tiles so the planted
+    // duplicate line aligns. Doc 1 and doc 2 share tile "a b c d e f g h";
+    // doc 2's second tile is unique; doc 5 is all-duplicate (its only tile
+    // equals doc 1's, first-seen there) — kept_md5 must be null.
+    val shared = "a b c d e f g h"
+    val dir = writeDocs(Seq(
+      (1L, shared, "en", "s"),
+      (2L, s"$shared u1 u2 u3 u4 u5 u6 u7 u8", "en", "s"),
+      (5L, shared, "en", "s")))
+    val g = lineStats(dir)
+    // doc 1: its tile is the (1,0) first occurrence, kept
+    assert(g(1L)._1 == 1L && g(1L)._2 == 1L && g(1L)._3.isDefined)
+    // doc 2: shared tile dropped (first seen at doc 1), unique tile kept
+    assert(g(2L)._1 == 2L && g(2L)._2 == 1L)
+    // doc 5: everything dropped — null identity
+    assert(g(5L) == ((1L, 0L, None)))
+    // the kept_md5 of doc 1 is the digest-of-digest of its single line
+    val lineMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(shared.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(lineMd5.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(g(1L)._3.contains(docMd5))
+  }
+
+  test("lineDedup: footer augmentation fires — every third doc gets a shared footer") {
+    // footer variant is doc_id % 5 on every doc_id % 3 == 0 doc, so two
+    // docs share a footer iff their ids differ by a multiple of 15: docs 0
+    // and 15 share variant 0 (15's dropped); doc 6 has variant 1, fresh
+    val dir = writeDocs(Seq(
+      (0L, "b0 x x x x x x x", "en", "s"),
+      (15L, "b15 x x x x x x x", "en", "s"),
+      (6L, "b6 x x x x x x x", "en", "s"),
+      (1L, "b1 x x x x x x x", "en", "s")))
+    val g = lineStats(dir)
+    assert(g(0L) == ((2L, 2L, g(0L)._3))) // body + footer v0, both first
+    assert(g(15L)._1 == 2L && g(15L)._2 == 1L) // footer v0 already seen at doc 0
+    assert(g(6L)._1 == 2L && g(6L)._2 == 2L) // footer v1 is fresh
+    assert(g(1L) == ((1L, 1L, g(1L)._3))) // doc 1 % 3 != 0: no footer
+  }
+
+  test("lineDedup: fixture matches a driver-side first-occurrence replay") {
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val lines = docs.flatMap { case (id, text) => Curation.docLines(id, text) }
+    val firstOf = lines.groupBy(_._3).view
+      .mapValues(_.map(l => (l._1, l._2)).min).toMap
+    val expected = lines.groupBy(_._1).map { case (id, ls) =>
+      val kept = ls.filter(l => firstOf(l._3) == ((l._1, l._2)))
+      val keptMd5 = if (kept.isEmpty) None else {
+        def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        Some(md5hex(kept.sortBy(_._2).map(l => md5hex(l._3)).mkString("\n")))
+      }
+      id -> ((ls.length.toLong, kept.length.toLong, keptMd5))
+    }
+    val got = lineStats(Sf0001)
+    assert(got == expected)
+    // the augmentation makes dedup non-vacuous on the fixture
+    assert(got.values.exists(v => v._1 != v._2))
+  }
 }

@@ -238,4 +238,42 @@ class RelationalSpec extends AnyFunSuite {
     // same-day sibling orders exist on the fixture, exercising tie inclusion
     assert(orders.groupBy(t => (t._1, t._3)).exists(_._2.size > 1))
   }
+
+  test("corr_stats: sufficient statistics match a BigInt brute-force replay") {
+    val li = Tables.lineitem(spark, Sf0001)
+      .selectExpr("CAST(round(l_quantity * 100) AS BIGINT)",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        "CAST(round(l_discount * 100) AS BIGINT)",
+        "CAST(round(l_tax * 100) AS BIGINT)")
+      .collect().map(r => Map("qty" -> r.getLong(0), "price" -> r.getLong(1),
+        "disc" -> r.getLong(2), "tax" -> r.getLong(3)))
+    val got = graft.operators.Profile.corrStats(spark, Sf0001).collect().map { r =>
+      def bi(c: String): BigInt = BigDecimal(r.getAs[java.math.BigDecimal](c)).toBigInt
+      (r.getAs[String]("x"), r.getAs[String]("y")) ->
+        ((bi("n"), bi("sum_x"), bi("sum_y"), bi("sum_xy"), bi("sum_xx"), bi("sum_yy")))
+    }.toMap
+    val names = Seq("qty", "price", "disc", "tax")
+    val pairs = for { i <- names.indices; j <- (i + 1) until names.size }
+      yield (names(i), names(j))
+    assert(got.keySet == pairs.toSet)
+    pairs.foreach { case (a, b) =>
+      def s(f: Map[String, Long] => BigInt) = li.map(f).sum
+      val expected = (BigInt(li.length), s(m => BigInt(m(a))), s(m => BigInt(m(b))),
+        s(m => BigInt(m(a)) * BigInt(m(b))), s(m => BigInt(m(a)) * BigInt(m(a))),
+        s(m => BigInt(m(b)) * BigInt(m(b))))
+      assert(got((a, b)) == expected, s"pair ($a, $b)")
+    }
+    // derived Pearson r is well-defined and in [-1, 1] for every pair —
+    // the consumer-side division the sums exist to support
+    pairs.foreach { case (a, b) =>
+      val g = got((a, b))
+      val (n, sx, sy, sxy, sxx, syy) = (BigDecimal(g._1), BigDecimal(g._2),
+        BigDecimal(g._3), BigDecimal(g._4), BigDecimal(g._5), BigDecimal(g._6))
+      val cov = n * sxy - sx * sy
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      assert(vx > 0 && vy > 0)
+      assert(cov * cov <= vx * vy) // Cauchy–Schwarz ⇒ |r| ≤ 1
+    }
+  }
 }

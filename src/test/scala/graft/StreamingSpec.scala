@@ -461,4 +461,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(perUser == batch)
     assert(perUser.values.sum == graft.sources.Tables.events(spark, Sf0001).count())
   }
+
+  test("stream-stream join: bounded pass equals the batch interval join") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    val streamed = EventStreams.runToMemory(
+      spark,
+      EventStreams.streamJoin(
+        EventStreams.readEvents(spark, eventsPath),
+        EventStreams.readEvents(spark, eventsPath)),
+      "join_stream", OutputMode.Append())
+      .collect().map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[Long]("gap_us"))).toSet
+    val ev = graft.sources.Tables.events(spark, Sf0001)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("cus"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("pus"))
+    val batch = c.join(p, col("cu") === col("pu") && col("pus") >= col("cus") &&
+        col("pus") - col("cus") <= expr("3600000000"))
+      .select(col("click_id"), col("purchase_id"), (col("pus") - col("cus")).as("gap_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // (multi-click fan-out — the rows last-touch attribution deliberately
+    // collapses — is pinned by the planted two-batch case below; the
+    // sf0.001 fixture happens to have at most one in-window click per
+    // purchase)
+  }
+
+  test("stream-stream join: clicks buffered in state match purchases from a later batch") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t0 = 1704067200000L
+    def ts(sec: Long): Timestamp = new Timestamp(t0 + sec * 1000L)
+    val clicks = MemoryStream[(Timestamp, Long, String, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, String, Long)]
+    def named(m: MemoryStream[(Timestamp, Long, String, Long)]) =
+      m.toDF().toDF("ts", "user_id", "event_type", "event_id")
+    val q = EventStreams.streamJoin(named(clicks), named(purchases))
+      .writeStream.format("memory").queryName("join_two_batch")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two clicks, no purchases yet — rows must wait in state
+      clicks.addData((ts(0), 1L, "click", 1L), (ts(60), 1L, "click", 2L))
+      purchases.addData()
+      q.processAllAvailable()
+      assert(s.table("join_two_batch").count() == 0)
+      // batch 2: one purchase inside both windows, one outside the hour
+      purchases.addData((ts(120), 1L, "purchase", 3L), (ts(3650), 1L, "purchase", 4L))
+      q.processAllAvailable()
+      val rows = s.table("join_two_batch").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+      // purchase 3 joins clicks 1 and 2; purchase 4 (t=3650s) is > 1 h
+      // after click 1 (t=0) but within the hour of click 2 (t=60)
+      assert(rows == Set((1L, 3L), (2L, 3L), (2L, 4L)))
+    } finally q.stop()
+  }
 }

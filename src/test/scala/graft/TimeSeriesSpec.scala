@@ -156,4 +156,45 @@ class TimeSeriesSpec extends AnyFunSuite {
       .map { case (d, n) => java.time.LocalDate.ofEpochDay(d).toString -> n }.toMap
     assert(rolling(Sf0001) === expected)
   }
+
+  private def ewma(dir: String): Map[Long, (Long, Long, Double)] =
+    TimeSeries.tsEwma(spark, dir).collect().map { r =>
+      r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"), r.getAs[Double]("ewma")))
+    }.toMap
+
+  test("tsEwma: hand-computed fold — seed, decay, user isolation, tie order") {
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val dir = writeEvents(Seq(
+      (1L, 0L, 1L, 10.0), // seed: e = v
+      (2L, 10L, 1L, 20.0), // 0.5·20 + 0.5·10 = 15
+      (3L, 20L, 1L, 4.0), // 0.5·4 + 0.5·15 = 9.5
+      // user 2 independent; two events at the SAME µs fold in event_id order
+      (4L, 0L, 2L, 8.0), (5L, 0L, 2L, 2.0)))
+    val g = ewma(dir)
+    assert(g(1L) == ((1L, base, 10.0)))
+    assert(g(2L) == ((1L, base + 10L, 15.0)))
+    assert(g(3L) == ((1L, base + 20L, 9.5)))
+    assert(g(4L) == ((2L, base, 8.0)))
+    assert(g(5L) == ((2L, base, 0.5 * 2.0 + 0.5 * 8.0)))
+  }
+
+  test("tsEwma: fixture matches a driver-side ordered-fold replay bit-for-bit") {
+    val ev = graft.sources.Tables.events(spark, Sf0001)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(e => (e._2, e._3))
+      var e = 0.0; var first = true
+      ordered.toSeq.map { case (_, us, id, v) =>
+        e = if (first) { first = false; v }
+            else TimeSeries.EwmaAlpha * v + (1.0 - TimeSeries.EwmaAlpha) * e
+        id -> ((u, us, e))
+      }
+    }
+    // exact == on doubles is deliberate: the fold is order-pinned, so the
+    // distributed result must be bit-identical to the sequential replay
+    assert(ewma(Sf0001) == expected)
+  }
 }
