@@ -103,6 +103,7 @@ object SparkEntry {
     "q32_unpivot" -> (Relational.q32Unpivot _),
     "q34_sort" -> (Relational.q34Sort _),
     "q37_median" -> (Relational.q37Median _),
+    "q45_outer_full" -> (Relational.q45OuterFull _),
     "profile_events" -> (graft.operators.Profile.profileEvents _),
     "state_intervals" -> (graft.operators.Behavior.stateIntervals _),
     // --- structured streaming (bounded AvailableNow pass; == batch answer) ---
@@ -113,6 +114,7 @@ object SparkEntry {
     "q39_stream_debounce" -> (graft.streaming.EventStreams.debounceQuery _),
     "q42_stream_attribution" -> (graft.streaming.EventStreams.attributionQuery _),
     "q43_stream_join" -> (graft.streaming.EventStreams.streamJoinQuery _),
+    "q44_stream_enrich" -> (graft.streaming.EventStreams.streamEnrichQuery _),
     // --- reference workloads, optimized DataFrame formulations ---
     "wc" -> (TextOps.wc _),
     "indexer" -> (TextOps.indexer _),
@@ -144,6 +146,7 @@ object SparkEntry {
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash" -> (Dedup.simhashSigs _),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "dedup_sorted" -> ((s: SparkSession, d: String) => Dedup.sortedNeighborhood(s, d)),
     // --- end-to-end curation (quality gate ∧ dedup survivor) ---
     "pipeline_keep" -> (graft.operators.Pipeline.keep _),
     "pipeline_mix" -> ((s: SparkSession, d: String) => graft.operators.Pipeline.mix(s, d)),
@@ -839,6 +842,20 @@ object SparkEntry {
         |  max(q) FILTER (rn = (9*n+9)//10) AS p90
         |FROM r WHERE (rn = (n+1)//2 OR rn = (n+2)//2 OR rn = (9*n+9)//10)
         |GROUP BY l_returnflag""".stripMargin,
+    // full outer reconciliation: both null sides must survive
+    "q45_outer_full" ->
+      """WITH act AS (SELECT user_id, count(*) AS n_events,
+        |               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |             FROM events GROUP BY user_id),
+        |seg AS (SELECT c_custkey,
+        |               CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |        FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT coalesce(user_id, c_custkey) AS entity,
+        |       n_events, value_cents, acctbal_cents,
+        |       CASE WHEN user_id IS NOT NULL AND c_custkey IS NOT NULL THEN 'both'
+        |            WHEN user_id IS NOT NULL THEN 'activity_only'
+        |            ELSE 'segment_only' END AS matched
+        |FROM act FULL OUTER JOIN seg ON user_id = c_custkey""".stripMargin,
     // one-pass exact profile; n_distinct via count(DISTINCT) on both sides
     "profile_events" ->
       """WITH ev AS (SELECT event_id, user_id,
@@ -1250,6 +1267,14 @@ object SparkEntry {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts
         | AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000""".stripMargin,
+    // stateless stream-static enrichment == the batch three-table join
+    "q44_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |       CAST(round(e.value * 100) AS BIGINT) AS value_cents,
+        |       c.c_mktsegment AS mktsegment, n.n_name AS nation
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
     // the incremental anchor state must keep exactly the batch chain's
     // rows — same recursive CTE as debounce, projected to the kept set
     "q39_stream_debounce" ->
@@ -1688,6 +1713,27 @@ object SparkEntry {
          |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
          | FROM ($shingled) a, ($shingled) b WHERE a.doc_id < b.doc_id) p
          |WHERE jaccard >= 0.5""".stripMargin,
+    // sorted-neighborhood replay: same fnv64 gram hashes, same
+    // (n_chars, doc_id) rank order, same w=4 window, same division
+    "dedup_sorted" ->
+      s"""WITH sh AS ($shingled),
+         |hs AS (SELECT s.doc_id, d.n_chars,
+         |         list_distinct(list_transform(s.sh,
+         |           x -> ${fnvFold(codeUnits("x"))})) AS hs
+         |       FROM sh s JOIN documents d ON d.doc_id = s.doc_id),
+         |r AS (SELECT doc_id, hs,
+         |        row_number() OVER (ORDER BY n_chars, doc_id) AS rnk FROM hs),
+         |cand AS (SELECT least(a.doc_id, b.doc_id) AS doc1,
+         |                greatest(a.doc_id, b.doc_id) AS doc2,
+         |                a.hs AS h1, b.hs AS h2
+         |         FROM r a JOIN r b
+         |           ON b.rnk >= a.rnk - 4 AND b.rnk <= a.rnk - 1),
+         |j AS (SELECT doc1, doc2, len(list_intersect(h1, h2)) AS ov,
+         |             len(h1) AS n1, len(h2) AS n2 FROM cand)
+         |SELECT doc1, doc2,
+         |       CAST(ov AS DOUBLE) / CAST(n1 + n2 - ov AS DOUBLE) AS jaccard
+         |FROM j
+         |WHERE CAST(ov AS DOUBLE) / CAST(n1 + n2 - ov AS DOUBLE) >= 0.5""".stripMargin,
     // connected components via recursive transitive closure — DuckDB's
     // WITH RECURSIVE against Spark's iterative min-label propagation
     "dedup_clusters" ->

@@ -372,6 +372,69 @@ object Dedup {
       jaccard3(s, dir, threshold).select(col("doc1"), col("doc2"))
     }
 
+  /** Sorted-neighborhood comparison window: each document is compared to
+    * this many predecessors in the (n_chars, doc_id) sort order.
+    */
+  val SortedWindow = 4
+
+  /** dedup_sorted — sorted-neighborhood near-dup detection (the
+    * Hernández–Stolfo merge/purge recipe): sort the corpus by a cheap
+    * blocking key (document length, doc_id tiebreak), slide a
+    * [[SortedWindow]]-row window down the sorted order, and exact-verify
+    * only pairs that fall in the same window. The third member of the
+    * candidate-generation family — LSH banding ([[minhash]]) buckets by
+    * content sketch, prefix filtering ([[jaccard3]]) by rare tokens, this
+    * one by a sort key — with the classic trade: O(n·w) candidates and ONE
+    * sort, but recall limited to pairs the key places near each other
+    * (near-dups differ by small edits, so their lengths — hence ranks —
+    * collide; a length-blind reorder defeats it). The oracle replays the
+    * same heuristic, so the gate checks the plan exactly, not recall.
+    *
+    * 100 TB shape: the global rank comes from a distributed range sort +
+    * `zipWithIndex` (per-partition counts and offsets — NO single-partition
+    * window, the same pattern as the prefix-filter dictionary); windows
+    * become an EQUI-join by exploding each doc's w predecessor ranks
+    * (skipgram's offset-generation trick — a range join would not
+    * hash-partition). Candidates carry only (rank, doc_id); the gram-hash
+    * sets (sorted distinct fnv64, 8 bytes/shingle — the minhash wire
+    * format) join back by doc_id for the exact-Jaccard verify.
+    */
+  def sortedNeighborhood(s: SparkSession, dir: String,
+      threshold: Double = 0.5, window: Int = SortedWindow): DataFrame = {
+    import s.implicits._
+    val docs = graft.TransientCache.cache(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), col("text"))
+        .as[(Long, Long, String)]
+        .map { case (id, nc, text) =>
+          (id, nc,
+            shingleSet(text).map(graft.functions.HashFunctions.fnv64)
+              .distinct.sorted.toArray)
+        }
+        .toDF("doc_id", "n_chars", "hs"))
+    val ranked = docs.select(col("n_chars"), col("doc_id"))
+      .orderBy(col("n_chars"), col("doc_id"))
+      .as[(Long, Long)].rdd
+      .zipWithIndex.map { case ((_, id), r) => (r, id) }
+      .toDF("rank", "doc_id")
+    val pred = ranked.select(col("rank").as("k"), col("doc_id").as("doc_b"))
+    val cur = ranked.select(
+      explode(sequence(col("rank") - window, col("rank") - 1)).as("k"),
+      col("doc_id").as("doc_a"))
+    val cand = cur.join(pred, "k").select(
+      least(col("doc_a"), col("doc_b")).as("doc1"),
+      greatest(col("doc_a"), col("doc_b")).as("doc2"))
+    val sets = docs.select(col("doc_id"), col("hs"))
+    cand
+      .join(sets.select(col("doc_id").as("doc1"), col("hs").as("h1")), "doc1")
+      .join(sets.select(col("doc_id").as("doc2"), col("hs").as("h2")), "doc2")
+      .withColumn("ov", size(array_intersect(col("h1"), col("h2"))))
+      .withColumn("jaccard", col("ov").cast("double") /
+        (size(col("h1")) + size(col("h2")) - col("ov")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc1", "doc2", "jaccard")
+  }
+
   def clusters(s: SparkSession, dir: String, threshold: Double = 0.5,
       maxRounds: Int = 50, pairs: Option[DataFrame] = None): DataFrame = {
     val sc = s.sparkContext

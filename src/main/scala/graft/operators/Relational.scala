@@ -513,4 +513,43 @@ object Relational {
           count(when(mid, true))).as("median"),
         max(when(p90, col("q"))).as("p90"))
   }
+
+  /** q45_outer_full — FULL outer join, the reconciliation shape: the
+    * activity log's per-user rollup against a CRM segment table, keeping
+    * rows from BOTH null sides — active users missing from the segment
+    * (left-only), segment members with no activity (right-only), and the
+    * matched middle. This completes the join-type matrix (inner, left
+    * outer, semi, anti, range, as-of, and now full outer); q23's left
+    * outer can never surface the "profile without activity" rows a
+    * reconciliation report exists to find.
+    *
+    * The segment side filters customers to one mktsegment, so both
+    * null-sides are populated on the fixture: event user_ids outside the
+    * segment are left-only, segment customers above the user_id range are
+    * right-only. Money travels as exact cents; `matched` makes the
+    * tri-state explicit for the report consumer.
+    *
+    * Plan: the log collapses to per-user scalars BEFORE the join (the
+    * full outer then joins |users| × |segment| rows, not raw events), one
+    * shuffle each side on the join key. A full outer cannot broadcast —
+    * both sides must surface unmatched rows, so Spark plans a sort-merge
+    * join; this is the one join type where that is the right answer.
+    */
+  def q45OuterFull(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+    val seg = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("acctbal_cents"))
+    act.join(seg, col("user_id") === col("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("c_custkey")).as("entity"),
+        col("n_events"), col("value_cents"), col("acctbal_cents"),
+        when(col("user_id").isNotNull && col("c_custkey").isNotNull, "both")
+          .when(col("user_id").isNotNull, "activity_only")
+          .otherwise("segment_only").as("matched"))
+  }
 }

@@ -649,6 +649,47 @@ object EventStreams {
       staged => streamJoin(readEvents(s, staged), readEvents(s, staged)),
       OutputMode.Append())
 
+  /** Stream–STATIC join — the enrichment shape: a live event stream joined
+    * to batch dimension tables (the user's CRM row, its nation) that do not
+    * stream. Complements [[streamJoin]] (stream×stream, symmetric state):
+    * stream×static is STATELESS — nothing buffers, because the static side
+    * is fully known every batch — so it needs no watermark and adds no
+    * state store. The static sides are `broadcast()` dims (the standard
+    * clickstream × user-profile layout at any scale: the stream never
+    * shuffles, each executor holds the dim hash table, and Spark re-plans
+    * the static side per micro-batch, picking up dim updates between
+    * batches for free).
+    *
+    * `value` travels as exact cents, so the batch oracle compares exactly.
+    */
+  def streamEnrich(events: DataFrame, dir: String): DataFrame = {
+    val s = events.sparkSession
+    val cust = broadcast(graft.sources.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")))
+    val nat = broadcast(graft.sources.Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name")))
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"))
+      .join(cust, col("user_id") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value_cents"), col("c_mktsegment").as("mktsegment"),
+        col("n_name").as("nation"))
+  }
+
+  /** q44_stream_enrich — the REGISTERED stream-static enrichment: one
+    * Append-mode AvailableNow pass joining the staged event stream to the
+    * batch customer + nation dims. Stateless, so the streamed rows are the
+    * batch join's rows exactly and the DuckDB three-table join oracles the
+    * path end-to-end (every fixture user_id resolves to a customer, so the
+    * inner join drops nothing).
+    */
+  def streamEnrichQuery(s: SparkSession, dir: String): DataFrame =
+    runStagedViaFiles(s, dir, "q44_stream_enrich",
+      staged => streamEnrich(readEvents(s, staged), dir),
+      OutputMode.Append())
+
   /** Run a streaming DataFrame to completion over a bounded source (one
     * availableNow pass), collecting results through an in-memory sink table.
     * This is how the parity tests observe streaming output.

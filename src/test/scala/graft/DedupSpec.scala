@@ -230,4 +230,62 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2")))
     assert(pairs.contains((0L, 3L)))
   }
+
+  // ------------------------------------------------------------ sortedNeighborhood
+
+  private def sortedPairs(d: String, window: Int = Dedup.SortedWindow) =
+    Dedup.sortedNeighborhood(spark, d, window = window).collect()
+      .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2"))).toSet
+
+  test("sortedNeighborhood: near-dups adjacent in length order are found; " +
+      "pairs pushed out of the window by rank are not (the documented trade)") {
+    val s = spark
+    import s.implicits._
+    val d = Files.createTempDirectory("dedup-sorted").toString
+    val nearA = base // length L
+    val nearB = base + " x" // L+2: rank-adjacent to A
+    // longer unrelated padding docs: they all sort AFTER the near-dup trio,
+    // so A,B,C stay rank-consecutive and the pads are pure negatives
+    val pads = (0 until 6).map { i =>
+      (10L + i,
+        s"pad document number $i with its own distinct words entirely unrelated" +
+          " filler" * (i + 1))
+    }
+    val nearC = base + " y" // same LENGTH as nearB, same content family
+    val rows = (Seq((0L, nearA), (1L, nearB), (2L, nearC)) ++ pads)
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // A(rank by len) < B == C in length; B and C tie-break by doc_id, so
+    // A,B,C are rank-consecutive and all pads sort AFTER them: the window
+    // finds all three pairs
+    val got = sortedPairs(d)
+    assert(got.contains((0L, 1L)) && got.contains((0L, 2L)) && got.contains((1L, 2L)))
+    // window 1: each doc sees ONE predecessor — (0,1) and (1,2) survive,
+    // the rank-distance-2 pair (0,2) is lost: recall is bounded by the
+    // window, the sorted-neighborhood contract
+    val w1 = sortedPairs(d, window = 1)
+    assert(w1.contains((0L, 1L)) && w1.contains((1L, 2L)) && !w1.contains((0L, 2L)))
+  }
+
+  test("sortedNeighborhood: fixture matches a driver-side rank-window replay") {
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .selectExpr("doc_id", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val hs = docs.map { case (id, _, t) =>
+      id -> Dedup.shingleSet(t).map(graft.functions.HashFunctions.fnv64).distinct.toSet
+    }.toMap
+    val ranked = docs.sortBy(d => (d._2, d._1)).map(_._1)
+    val expected = (for {
+      i <- ranked.indices
+      j <- math.max(0, i - Dedup.SortedWindow) until i
+      a = ranked(j); b = ranked(i)
+      ov = hs(a).intersect(hs(b)).size
+      jac = ov.toDouble / (hs(a).size + hs(b).size - ov).toDouble
+      if jac >= 0.5
+    } yield (math.min(a, b), math.max(a, b))).toSet
+    assert(sortedPairs(Sf0001) == expected)
+    // the fixture's planted near-dups are length-adjacent: non-vacuous
+    assert(expected.nonEmpty)
+  }
 }

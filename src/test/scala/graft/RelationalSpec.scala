@@ -276,4 +276,34 @@ class RelationalSpec extends AnyFunSuite {
       assert(cov * cov <= vx * vy) // Cauchy–Schwarz ⇒ |r| ≤ 1
     }
   }
+
+  test("q45_outer_full: reconciliation keeps both null sides and the matched middle") {
+    import org.apache.spark.sql.functions.col
+    val got = Relational.q45OuterFull(spark, Sf0001).collect().map { r =>
+      r.getAs[Long]("entity") ->
+        ((Option(r.getAs[java.lang.Long]("n_events")).map(_.longValue()),
+          Option(r.getAs[java.lang.Long]("acctbal_cents")).map(_.longValue()),
+          r.getAs[String]("matched")))
+    }.toMap
+    val users = Tables.events(spark, Sf0001)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val building = Tables.customer(spark, Sf0001)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    // one row per entity in the UNION of the two key sets — the whole
+    // point of full outer
+    assert(got.keySet == users.union(building))
+    got.foreach { case (e, (nEvents, acct, matched)) =>
+      val expected =
+        if (users(e) && building(e)) "both"
+        else if (users(e)) "activity_only"
+        else "segment_only"
+      assert(matched == expected, s"entity $e")
+      assert(nEvents.isDefined == users(e), s"entity $e")
+      assert(acct.isDefined == building(e), s"entity $e")
+    }
+    // all three states actually occur on the fixture
+    val states = got.values.map(_._3).toSet
+    assert(states == Set("both", "activity_only", "segment_only"))
+  }
 }

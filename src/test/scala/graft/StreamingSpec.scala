@@ -524,4 +524,27 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows == Set((1L, 3L), (2L, 3L), (2L, 4L)))
     } finally q.stop()
   }
+
+  test("stream-static enrich: every streamed event carries its batch dim row") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.functions.col
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getAs[Long]("event_id") ->
+        ((r.getAs[String]("mktsegment"), r.getAs[String]("nation")))
+    }.toMap
+    val streamed = key(EventStreams.runToMemory(
+      spark,
+      EventStreams.streamEnrich(EventStreams.readEvents(spark, eventsPath), Sf0001),
+      "enrich_stream", OutputMode.Append()))
+    val cust = graft.sources.Tables.customer(spark, Sf0001)
+    val nat = graft.sources.Tables.nation(spark, Sf0001)
+    val batch = key(graft.sources.Tables.events(spark, Sf0001)
+      .join(cust, col("user_id") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("event_id"), col("c_mktsegment").as("mktsegment"),
+        col("n_name").as("nation")))
+    assert(streamed == batch)
+    // stateless join: nothing dropped — one output row per event
+    assert(streamed.size == graft.sources.Tables.events(spark, Sf0001).count())
+  }
 }
