@@ -460,11 +460,15 @@ object Behavior {
     * Execution shape — argmax, NOT a window sort: `max(struct(ts_us,
     * event_id, …payload))` under the lexicographic struct order IS
     * last-write-wins (the (ts_us, event_id) prefix is the total order;
-    * event_id is unique so payload fields never decide a comparison). A
-    * hash aggregate partial-aggregates map-side, so each executor ships one
+    * event_id is unique so payload fields never decide a comparison). The
+    * aggregate partial-aggregates map-side, so each executor ships ONE
     * candidate row per key — at 100 TB the exchange carries |keys| rows,
     * where the row_number()-over-window formulation the oracle replays
-    * would shuffle and SORT the full log. The delete filter lands on the
+    * would shuffle and SORT the full log. (Spark lowers a struct-valued
+    * max to SortAggregate — struct buffers aren't hash-mutable — so each
+    * partition locally sorts by the grouping key; that cost is in-partition
+    * CPU, while the scale-critical property, shuffle volume, stays |keys|
+    * per mapper. PlanShapeSpec pins both.) The delete filter lands on the
     * collapsed snapshot (|keys| rows), not the log.
     *
     * `value` travels as exact integer cents (value_histogram's trick), so

@@ -99,4 +99,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       "scalar aggregates must combine without a shuffle join")
   }
+
+  test("cdc_apply: last-write-wins is a partial-aggregating argmax, never a window") {
+    val plan = executedPlan("cdc_apply").split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), "no window: the argmax replaces row_number")
+    // struct-valued max lowers to SortAggregate (struct buffers aren't
+    // hash-mutable); the scale property is that BOTH phases exist — the
+    // exchange carries one candidate per key per mapper, not the log
+    assert(plan.split("\n").count(_.contains("SortAggregate")) >= 2,
+      "partial + final aggregate: each mapper ships one candidate per key")
+    assert(plan.split("\n").count(_.contains("Exchange")) <= 2,
+      "one key shuffle (AQE may add a read stage)")
+  }
+
+  test("corr_stats: one scan, one global aggregate, pair rows unfold from the scalar") {
+    val plan = executedPlan("corr_stats").split("== Initial Plan ==")(0)
+    assert(plan.split("\n").count(_.contains("FileScan parquet")) == 1,
+      "all 15 sums come from a single lineitem scan")
+    assert(!plan.contains("Join"), "no join: the pair table explodes from one row")
+    assert(plan.contains("Exchange SinglePartition"),
+      "the only exchange gathers partition partials into the scalar row")
+  }
+
+  test("dedup_sorted: rank windows become equi-joins — no range join fallback, no global window") {
+    val plan = executedPlan("dedup_sorted")
+    assert(!plan.contains("CartesianProduct"), "cartesian fallback")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "offset explosion must keep the window join hash-partitionable")
+    assert(!plan.contains("Window"),
+      "rank comes from zipWithIndex, never a single-partition window")
+  }
+
+  test("line_dedup: lines travel as digests and elect firsts via partial aggregation") {
+    val plan = executedPlan("line_dedup")
+    assert(!plan.contains("Window"),
+      "first-occurrence election is min(struct), not row_number")
+    assert(plan.split("\n").count(_.contains("HashAggregate")) >= 2,
+      "digest election partial-aggregates map-side")
+  }
 }
