@@ -525,6 +525,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming debounce: anchors recover from the CHECKPOINT across a query restart") {
+    // The production restart path: the first query is STOPPED (process
+    // gone, in-memory state lost) and a new query resumes from the same
+    // checkpoint — suppression in batch 2 can only come from state
+    // restored off disk. Distinct from the two-batch case above, where
+    // one running query carries its state in memory.
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ckpt = Files.createTempDirectory("debounce-ckpt").toString
+    val outDir = Files.createTempDirectory("debounce-restart-out").toString
+    val t0 = 1704067200000L
+    def ts(sec: Long): Timestamp = new Timestamp(t0 + sec * 1000L)
+    val input = MemoryStream[(Timestamp, Long, String, Long)]
+    def start() = EventStreams.streamingDebounce(
+        input.toDF().toDF("ts", "user_id", "event_type", "event_id"),
+        graft.operators.Behavior.DebounceUs)
+      .toDF("user_id", "event_type", "event_id", "ts_us")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("append").parquet(outDir)
+      }
+      .start()
+    val q1 = start()
+    try {
+      input.addData((ts(0), 1L, "click", 1L)) // kept: the anchor
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // t=4s: inside the 5s window of the RESTORED anchor — suppressed;
+      // t=6s: outside — kept, re-anchors
+      input.addData((ts(4), 1L, "click", 2L), (ts(6), 1L, "click", 3L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val kept = s.read.parquet(outDir).collect().map(_.getAs[Long]("event_id")).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("stream-static enrich: every streamed event carries its batch dim row") {
     import org.apache.spark.sql.streaming.OutputMode
     import org.apache.spark.sql.functions.col
