@@ -192,6 +192,7 @@ object SparkEntry {
     // answer at both fixture scales; the 0.98 planted-pair semantics stay
     // asserted in AnnSpec.
     "dedup_embed" -> ((s: SparkSession, d: String) => Ann.embedNearDup(s, d, threshold = 0.4)),
+    "decontam_embed" -> ((s: SparkSession, d: String) => Ann.decontamEmbed(s, d)),
     // cluster-scoped semantic dedup on the SAME k-means the IVF index fits
     // (threshold matches dedup_embed's fixture-meaningful 0.4)
     "semdedup" -> ((s: SparkSession, d: String) => Ann.semDedup(s, d)),
@@ -2116,6 +2117,19 @@ object SparkEntry {
     // because every float step is an ordered IEEE operation on both engines
     "ann_lsh" -> annLshSql,
     "dedup_embed" -> embedNearDupSql,
+    // semantic decontam: ordered dot-product fold + order-free max ⇒ exact
+    "decontam_embed" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+         |           FROM embeddings),
+         |v AS (SELECT vec_id, vec, sqrt(${dot64("vec", "vec")}) AS nrm FROM c),
+         |b AS (SELECT vec AS bvec, nrm AS bnrm FROM v WHERE vec_id % 50 = 0),
+         |x AS (SELECT vec_id, vec, nrm FROM v WHERE vec_id % 50 <> 0),
+         |s AS (SELECT x.vec_id,
+         |        max(${dot64("x.vec", "b.bvec")} / (x.nrm * b.bnrm)) AS max_cos
+         |      FROM x, b GROUP BY x.vec_id)
+         |SELECT vec_id, round(max_cos, 4) AS max_cos4,
+         |       max_cos >= 0.35 AS contaminated
+         |FROM s""".stripMargin,
     "ann_ivf" -> annIvfSql,
     "semdedup" -> semDedupSql,
     "jl_project" -> jlProjectSql,

@@ -387,6 +387,50 @@ object Ann {
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos4"))
   }
 
+  /** Semantic-decontamination threshold: a corpus vector whose max cosine
+    * against any benchmark vector reaches this is flagged (0.35 sits inside
+    * the fixture's max-cos spread of ~0.01–0.45, so both outcomes occur at
+    * the gate — the dedup_embed vacuity lesson).
+    */
+  val DecontamCos = 0.35
+
+  /** decontam_embed — SEMANTIC benchmark decontamination: flag corpus
+    * vectors whose embedding is too close (cosine) to any held-out
+    * benchmark vector. The embedding-space sibling of `Curation.decontam`
+    * (n-gram overlap): paraphrased or translated test-set leakage shares no
+    * 3-grams but lands next to the benchmark in embedding space, which is
+    * why production decontamination runs BOTH. Benchmark membership is the
+    * same every-`benchmarkMod`-th stand-in as the n-gram side, so the two
+    * operators describe one corpus consistently.
+    *
+    * Output per non-benchmark vector: the max benchmark cosine (rounded to
+    * 4 dp like dedup_embed's score column) and the flag.
+    *
+    * 100 TB plan: the benchmark side is eval-set-sized — it BROADCASTS, the
+    * corpus streams through one scan scoring each row against the resident
+    * benchmark matrix (deliberately a broadcast product, ~|benchmark| dots
+    * per row; LSH pre-bucketing would only prune the scoring, and unlike
+    * dedup_embed the right side here is bounded by construction). The
+    * per-vector max partial-aggregates, so the exchange carries one row per
+    * corpus vector. `max` over IEEE doubles is order-free: the gate compare
+    * is exact, with the ordered `arrayDot` fold replayed in the oracle.
+    */
+  def decontamEmbed(s: SparkSession, dir: String,
+      benchmarkMod: Int = Curation.BenchmarkMod,
+      threshold: Double = DecontamCos): DataFrame = {
+    val base = graft.TransientCache.cache(corpus(s, dir))
+    val bench = base.filter(col("vec_id") % benchmarkMod === 0)
+      .select(col("vec").as("bvec"), col("nrm").as("bnrm"))
+    base.filter(col("vec_id") % benchmarkMod =!= 0)
+      .crossJoin(broadcast(bench))
+      .withColumn("cos",
+        arrayDot(col("vec"), col("bvec")) / (col("nrm") * col("bnrm")))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_cos"))
+      .select(col("vec_id"), round(col("max_cos"), 4).as("max_cos4"),
+        (col("max_cos") >= threshold).as("contaminated"))
+  }
+
   /** embed_quantize — int8 scalar quantization of the embedding corpus:
     * per vector, scale = max |component| and each component maps to
     * round(127·v/scale), the symmetric per-row quantization every vector

@@ -236,4 +236,39 @@ class AnnSpec extends AnyFunSuite {
     assert(got((1L, 2)) == ((2.0, 32)))
     assert(got((1L, 3)) == ((2.0, 127)))
   }
+
+  test("decontamEmbed: fixture max-cosines match a driver-side replay; planted leak flagged") {
+    val vecs = Tables.embeddings(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val bench = vecs.filter(_._1 % 50 == 0).values.toSeq
+    val expected = vecs.filter(_._1 % 50 != 0).map { case (id, v) =>
+      id -> bench.map(b => dot(v, b) / (nrm(v) * nrm(b))).max
+    }
+    val got = Ann.decontamEmbed(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("max_cos4"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, mc) =>
+      val (mc4, flag) = got(id)
+      assert(math.abs(mc4 - mc) <= 5e-5, s"vec $id: $mc4 vs $mc")
+      assert(flag == (mc >= Ann.DecontamCos), s"vec $id")
+    }
+    // a verbatim benchmark copy (cos 1) must be flagged
+    val s2 = spark
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("decontam-embed").toString
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), // the "benchmark" vector
+      (1L, Seq(1f, 0f, 0f, 0f), 0), // exact leak of it
+      (2L, Seq(0f, 1f, 0f, 0f), 0)) // orthogonal: clean
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val planted = Ann.decontamEmbed(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(planted == Map(1L -> true, 2L -> false))
+  }
 }
