@@ -104,6 +104,7 @@ object SparkEntry {
     "q34_sort" -> (Relational.q34Sort _),
     "q37_median" -> (Relational.q37Median _),
     "q45_outer_full" -> (Relational.q45OuterFull _),
+    "zorder_key" -> (graft.sources.Bucketing.zorderKey _),
     "profile_events" -> (graft.operators.Profile.profileEvents _),
     "state_intervals" -> (graft.operators.Behavior.stateIntervals _),
     // --- structured streaming (bounded AvailableNow pass; == batch answer) ---
@@ -228,6 +229,15 @@ object SparkEntry {
   // spent ~20 s in `% 2^64` chains; the mask form is ~10× faster). `&`
   // parses BELOW `+` in SQL, so every masked expression is parenthesized
   // explicitly via [[mod64]].
+  /** Morton interleave of two BIGINT columns' low 21 bits as a flat
+    * shift-mask-or chain — the same 42 exact integer ops as
+    * `Bucketing.mortonCol`, fully parenthesized.
+    */
+  private def mortonSql(x: String, y: String, bits: Int = 21): String =
+    (0 until bits).map { b =>
+      s"(((($x >> $b) & 1) << ${2 * b}) | ((($y >> $b) & 1) << ${2 * b + 1}))"
+    }.mkString("(", " | ", ")")
+
   private val twoPow64 = "CAST(18446744073709551616 AS HUGEINT)"
   private val twoPow63 = "CAST(9223372036854775808 AS HUGEINT)"
   private val mask64 = "CAST(18446744073709551615 AS HUGEINT)"
@@ -843,6 +853,13 @@ object SparkEntry {
         |  max(q) FILTER (rn = (9*n+9)//10) AS p90
         |FROM r WHERE (rn = (n+1)//2 OR rn = (n+2)//2 OR rn = (9*n+9)//10)
         |GROUP BY l_returnflag""".stripMargin,
+    // the same 42 exact integer bit ops as mortonCol, replayed flat
+    "zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |       zkey, zkey >> 34 AS zbucket
+         |FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |        ${mortonSql("l_partkey", "l_suppkey")} AS zkey
+         |      FROM lineitem) t""".stripMargin,
     // full outer reconciliation: both null sides must survive
     "q45_outer_full" ->
       """WITH act AS (SELECT user_id, count(*) AS n_events,

@@ -41,4 +41,41 @@ class BucketingSpec extends AnyFunSuite {
       assert(got.nonEmpty)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("mortonCol: hand-computed interleaves and round-trip bijectivity on the fixture") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // interleave(x=3 (11b), y=5 (101b)): x bits at even positions ->
+    // 0b000011_twice... bit-by-bit: x0=1->bit0, y0=1->bit1, x1=1->bit2,
+    // y1=0, x2=0, y2=1->bit5 => 0b100111 = 39
+    val hand = Seq((0L, 0L, 0L), (3L, 5L, 39L), (1L, 0L, 1L), (0L, 1L, 2L),
+      ((1L << 20), (1L << 20), (1L << 40) | (1L << 41)))
+    val got = hand.map { case (x, y, _) => (x, y) }.toDF("x", "y")
+      .select(col("x"), col("y"), Bucketing.mortonCol(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == hand.toSet)
+    // fixture round-trip: de-interleaving every zkey recovers exactly the
+    // (partkey, suppkey) it came from — the key is a bijection on the
+    // fixture's domain, so z-sorting loses no pruning information
+    val rows = Bucketing.zorderKey(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val z = r.getAs[Long]("zkey")
+      var x = 0L; var y = 0L
+      (0 until Bucketing.ZBits).foreach { b =>
+        x |= ((z >> (2 * b)) & 1L) << b
+        y |= ((z >> (2 * b + 1)) & 1L) << b
+      }
+      assert(x == r.getAs[Long]("l_partkey") && y == r.getAs[Long]("l_suppkey"))
+      assert(r.getAs[Long]("zbucket") == (z >> 34))
+    }
+    // locality: keys in the same zbucket agree on the high bits of BOTH
+    // coordinates (the property that keeps row-group stats tight on both)
+    rows.groupBy(_.getAs[Long]("zbucket")).values.foreach { grp =>
+      val hx = grp.map(r => r.getAs[Long]("l_partkey") >> (Bucketing.ZBits - 4)).distinct
+      val hy = grp.map(r => r.getAs[Long]("l_suppkey") >> (Bucketing.ZBits - 4)).distinct
+      assert(hx.size == 1 && hy.size == 1)
+    }
+  }
 }

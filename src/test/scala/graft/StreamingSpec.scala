@@ -570,6 +570,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("stream-stream LEFT OUTER join: null rows emit only after the watermark closes the window") {
+    // The semantics the inner-join gate can't show: an unmatched left row
+    // is NOT emitted when it arrives (a match may still come) — it emits
+    // with nulls only once the watermark proves no on-time match can
+    // exist. A later batch must advance the event-time watermark past the
+    // click's join window + delay for the null row to flush.
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t0 = 1704067200000L
+    def ts(sec: Long): Timestamp = new Timestamp(t0 + sec * 1000L)
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val c = clicks.toDF().toDF("click_ts", "c_user", "click_id")
+      .withWatermark("click_ts", "10 seconds")
+    val p = purchases.toDF().toDF("purchase_ts", "p_user", "purchase_id")
+      .withWatermark("purchase_ts", "10 seconds")
+    val joined = c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 MINUTE"),
+      "left_outer")
+    val q = joined
+      .select(col("click_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName("outer_join_stream")
+      .outputMode(OutputMode.Append()).start()
+    def rows(): Set[(Long, Option[Long])] =
+      s.table("outer_join_stream").collect()
+        .map(r => r.getAs[Long]("click_id") ->
+          Option(r.getAs[java.lang.Long]("purchase_id")).map(_.longValue())).toSet
+    try {
+      // batch 1: click 1 matches nothing yet, click 2 matches purchase 20
+      clicks.addData((ts(0), 1L, 1L), (ts(5), 2L, 2L))
+      purchases.addData((ts(10), 2L, 20L))
+      q.processAllAvailable()
+      // the matched row emits immediately; the unmatched click does NOT
+      assert(rows() == Set(2L -> Some(20L)))
+      // batch 2: late-horizon traffic far past click 1's window (60s) +
+      // watermark delay (10s) — the watermark advances and flushes the
+      // null row for click 1
+      clicks.addData((ts(500), 9L, 9L))
+      purchases.addData((ts(500), 8L, 80L))
+      q.processAllAvailable()
+      // one more empty pass lets the state-eviction batch run if the
+      // engine deferred it
+      clicks.addData(); purchases.addData()
+      q.processAllAvailable()
+      assert(rows().contains(1L -> None))
+      assert(!rows().contains(1L -> Some(20L)))
+    } finally q.stop()
+  }
+
   test("stream-static enrich: every streamed event carries its batch dim row") {
     import org.apache.spark.sql.streaming.OutputMode
     import org.apache.spark.sql.functions.col
