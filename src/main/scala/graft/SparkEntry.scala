@@ -105,6 +105,7 @@ object SparkEntry {
     "q37_median" -> (Relational.q37Median _),
     "q45_outer_full" -> (Relational.q45OuterFull _),
     "zorder_key" -> (graft.sources.Bucketing.zorderKey _),
+    "q46_rank_family" -> (Relational.q46RankFamily _),
     "profile_events" -> (graft.operators.Profile.profileEvents _),
     "state_intervals" -> (graft.operators.Behavior.stateIntervals _),
     // --- structured streaming (bounded AvailableNow pass; == batch answer) ---
@@ -853,6 +854,15 @@ object SparkEntry {
         |  max(q) FILTER (rn = (9*n+9)//10) AS p90
         |FROM r WHERE (rn = (n+1)//2 OR rn = (n+2)//2 OR rn = (9*n+9)//10)
         |GROUP BY l_returnflag""".stripMargin,
+    // identical rank definitions + one exact-int IEEE division each
+    "q46_rank_family" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |             ORDER BY l_quantity, l_orderkey, l_linenumber)""".stripMargin,
     // the same 42 exact integer bit ops as mortonCol, replayed flat
     "zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

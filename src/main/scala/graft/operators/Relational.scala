@@ -514,6 +514,32 @@ object Relational {
         max(when(p90, col("q"))).as("p90"))
   }
 
+  /** q46_rank_family — the remaining ranking-window members in one pass:
+    * ntile quartiles, percent_rank, and cume_dist per return flag, ordered
+    * by (quantity, orderkey, linenumber). That key is a total order up to
+    * EXACT duplicate rows (the fixture generator emits some): for those,
+    * percent_rank/cume_dist are rank-based — tied rows share a value, so
+    * both stay pure functions of the data — and ntile may split a run of
+    * identical rows across a tile boundary, which is deterministic AS A
+    * MULTISET (the tied rows are indistinguishable), the form the gate
+    * compares. The two fractional outputs are each ONE IEEE division of
+    * exact integers ((rank−1)/(n−1), peers≤current/n) with identical
+    * definitions in Spark and DuckDB. One hash exchange on the flag
+    * carries all three functions in a single window pass.
+    */
+  def q46RankFamily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .drop("l_quantity")
+  }
+
   /** q45_outer_full — FULL outer join, the reconciliation shape: the
     * activity log's per-user rollup against a CRM segment table, keeping
     * rows from BOTH null sides — active users missing from the segment

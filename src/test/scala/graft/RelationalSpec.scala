@@ -277,6 +277,39 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q46_rank_family: ntile/percent_rank/cume_dist match a driver-side replay") {
+    // the fixture has EXACT duplicate rows, so the comparison is by
+    // multiset (sorted row sequence): tied rows share rank-based
+    // pct_rank/cume, and ntile's split of an identical-row run across a
+    // tile boundary is multiset-deterministic
+    val li = Tables.lineitem(spark, Sf0001)
+      .selectExpr("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val expected = li.groupBy(_._3).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._1, r._2)).toIndexedSeq
+      val n = ordered.length
+      // rank-based stats per index: first/last index of the equal-key run
+      val keys = ordered.map(r => (r._4, r._1, r._2))
+      ordered.zipWithIndex.map { case ((ok, ln, flag, _), i) =>
+        val first = keys.indexOf(keys(i)) // rank - 1
+        val last = keys.lastIndexOf(keys(i)) // peers <= current - 1
+        val base = n / 4; val extra = n % 4
+        val tile =
+          if (i < (base + 1) * extra) i / (base + 1) + 1
+          else extra + (i - (base + 1) * extra) / base + 1
+        (ok, ln, flag, tile,
+          if (n == 1) 0.0 else first.toDouble / (n - 1).toDouble,
+          (last + 1).toDouble / n.toDouble)
+      }
+    }.sorted
+    val got = Relational.q46RankFamily(spark, Sf0001).collect().map { r =>
+      (r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber"),
+        r.getAs[String]("l_returnflag"), r.getAs[Int]("quartile"),
+        r.getAs[Double]("pct_rank"), r.getAs[Double]("cume"))
+    }.toSeq.sorted
+    assert(got == expected)
+  }
+
   test("q45_outer_full: reconciliation keeps both null sides and the matched middle") {
     import org.apache.spark.sql.functions.col
     val got = Relational.q45OuterFull(spark, Sf0001).collect().map { r =>
