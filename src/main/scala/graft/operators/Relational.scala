@@ -526,6 +526,14 @@ object Relational {
     * exact integers ((rank−1)/(n−1), peers≤current/n) with identical
     * definitions in Spark and DuckDB. One hash exchange on the flag
     * carries all three functions in a single window pass.
+    *
+    * Parallelism caveat: the window partitions by a 3-value flag, so at
+    * most 3 tasks carry the sort — the inherent cost of exact global
+    * ranks per low-cardinality group. When values are discretizable the
+    * scalable substitute is the histogram-kernel rank (`rank_normalize`:
+    * ranks from a bounded (group, value) histogram, raw stream never
+    * sorted); this query keeps the window form because it IS the ranking-
+    * family coverage.
     */
   def q46RankFamily(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
