@@ -78,6 +78,7 @@ object SparkEntry {
     "robust_scale" -> (graft.operators.Profile.robustScale _),
     "dq_violations" -> (graft.operators.Profile.dqViolations _),
     "corr_stats" -> (graft.operators.Profile.corrStats _),
+    "cogroup_fill" -> (graft.operators.Profile.cogroupFill _),
     "corpus_report" -> (graft.operators.Profile.corpusReport _),
     // --- graph analytics over the events-implied user↔item graph ---
     "pagerank" -> ((s: SparkSession, d: String) => graft.operators.Graph.pagerank(s, d)),
@@ -1172,6 +1173,19 @@ object SparkEntry {
         |  UNION ALL SELECT 'discount_domain', li_n, disc_v, disc_k FROM la
         |  UNION ALL SELECT 'fk_orders_customer', o_n, fk_o_v, fk_o_k FROM oa
         |  UNION ALL SELECT 'nonpositive_total', o_n, price_v, price_k FROM oa) u""".stripMargin,
+    // the cogroup surfaces BOTH unmatched sides; replayed as a full outer
+    "cogroup_fill" ->
+      """WITH la AS (SELECT l_orderkey, count(*) AS n_items,
+        |              sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS items_cents
+        |            FROM lineitem GROUP BY l_orderkey),
+        |o AS (SELECT o_orderkey,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+        |      FROM orders)
+        |SELECT coalesce(o.o_orderkey, la.l_orderkey) AS o_orderkey,
+        |       o.total_cents,
+        |       coalesce(la.n_items, 0) AS n_items,
+        |       coalesce(la.items_cents, 0) AS items_cents
+        |FROM o FULL OUTER JOIN la ON o.o_orderkey = la.l_orderkey""".stripMargin,
     // exact integral sufficient statistics: HUGEINT here vs DECIMAL(38,0)
     // on the Spark side — both exact integers, compared by value
     "corr_stats" ->

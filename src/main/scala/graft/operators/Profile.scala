@@ -291,6 +291,47 @@ object Profile {
     one.select(explode(array(pairStructs: _*)).as("p")).select("p.*")
   }
 
+  /** cogroup_fill — order-header vs line-item reconciliation through the
+    * typed COGROUP operator: per order key, the header's total (exact
+    * cents) next to the count and sum of its line items — the "does the
+    * invoice match its lines" accounting pass. Semantically a left join +
+    * aggregate (which the oracle replays), but expressed through
+    * `KeyValueGroupedDataset.cogroup` deliberately: it is the Dataset API's
+    * asymmetric-merge primitive — both sides arrive grouped on the same
+    * key in one function call — and the one typed-API member the engine
+    * had not yet exercised. The right plan shape for logic that needs BOTH
+    * sides' groups at once (here each side folds independently, so a join
+    * would also do; when the merge logic interleaves sides — e.g. matching
+    * line sequences against header amendments — cogroup is the only
+    * non-UDF home for it).
+    *
+    * Scale shape: one hash exchange per side on the shared key, NO join
+    * node; each group streams through its iterator (the fold is O(1)
+    * state, so a 10⁶-line order never buffers). Headerless line groups
+    * are surfaced with a null total — the reconciliation rows a left join
+    * would drop silently on the other side.
+    */
+  def cogroupFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("total_cents"))
+      .as[(Long, Long)]
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("item_cents"))
+      .as[(Long, Long)]
+    ord.groupByKey(_._1).cogroup(li.groupByKey(_._1)) { (k, os, ls) =>
+      var nItems = 0L; var itemCents = 0L
+      ls.foreach { case (_, v) => nItems += 1L; itemCents += v }
+      val headers = os.map(_._2).toList
+      if (headers.isEmpty)
+        // lines without a header: surface, don't drop
+        Iterator.single((k, Option.empty[Long], nItems, itemCents))
+      else headers.iterator.map(t => (k, Some(t), nItems, itemCents))
+    }.toDF("o_orderkey", "total_cents", "n_items", "items_cents")
+  }
+
   def dqViolations(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),

@@ -130,6 +130,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "rank comes from zipWithIndex, never a single-partition window")
   }
 
+  test("cogroup_fill: a CoGroup node, not a join — one exchange per side") {
+    val plan = executedPlan("cogroup_fill").split("== Initial Plan ==")(0)
+    assert(plan.contains("CoGroup"), "typed cogroup must plan as CoGroup")
+    assert(!plan.contains("Join"), "no join node anywhere")
+    assert(plan.split("\n").count(_.contains("Exchange")) <= 4,
+      "one hash exchange per side (AQE may add read stages)")
+  }
+
   test("line_dedup: lines travel as digests and elect firsts via partial aggregation") {
     val plan = executedPlan("line_dedup")
     assert(!plan.contains("Window"),

@@ -310,6 +310,49 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("cogroup_fill: both unmatched sides surface; sums match a driver replay") {
+    val s = spark
+    import s.implicits._
+    // planted: order 1 with two lines, order 2 with none, lines for
+    // order 3 with NO header (the rows a left join would silently drop)
+    val dir = java.nio.file.Files.createTempDirectory("cogroup").toString
+    Seq((1L, 10L, 100.00), (2L, 11L, 50.00))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .selectExpr("o_orderkey", "o_custkey", "o_totalprice",
+        "CAST('2024-01-01' AS TIMESTAMP) AS o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1, 60.00), (1L, 2, 40.50), (3L, 1, 7.25))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Profile.cogroupFill(spark, dir).collect().map { r =>
+      r.getAs[Long]("o_orderkey") ->
+        ((Option(r.getAs[java.lang.Long]("total_cents")).map(_.longValue()),
+          r.getAs[Long]("n_items"), r.getAs[Long]("items_cents")))
+    }.toMap
+    assert(got == Map(
+      1L -> ((Some(10000L), 2L, 10050L)),
+      2L -> ((Some(5000L), 0L, 0L)),
+      3L -> ((None, 1L, 725L))))
+    // fixture differential vs a driver-side fold
+    val ords = Tables.orders(spark, Sf0001)
+      .selectExpr("o_orderkey", "CAST(round(o_totalprice * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lis = Tables.lineitem(spark, Sf0001)
+      .selectExpr("l_orderkey", "CAST(round(l_extendedprice * 100) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val liAgg = lis.groupBy(_._1).view.mapValues(v => (v.length.toLong, v.map(_._2).sum))
+    val expected = ords.map { case (k, t) =>
+      val (n, c) = liAgg.getOrElse(k, (0L, 0L))
+      k -> ((Some(t), n, c))
+    }.toMap ++ liAgg.filterNot(kv => ords.exists(_._1 == kv._1))
+      .map { case (k, (n, c)) => k -> ((None, n, c)) }
+    assert(graft.operators.Profile.cogroupFill(spark, Sf0001).collect().map { r =>
+      r.getAs[Long]("o_orderkey") ->
+        ((Option(r.getAs[java.lang.Long]("total_cents")).map(_.longValue()),
+          r.getAs[Long]("n_items"), r.getAs[Long]("items_cents")))
+    }.toMap == expected)
+  }
+
   test("q45_outer_full: reconciliation keeps both null sides and the matched middle") {
     import org.apache.spark.sql.functions.col
     val got = Relational.q45OuterFull(spark, Sf0001).collect().map { r =>
