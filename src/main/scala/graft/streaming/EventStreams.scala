@@ -596,6 +596,57 @@ object EventStreams {
     runStagedViaFiles(s, dir, "q38_stream_active",
       staged => streamingRollingActive(readEvents(s, staged)))
 
+  /** The debounce anchor as a Spark 4 `StatefulProcessor` — the
+    * transformWithState twin of [[streamingDebounce]]. Same O(1) state
+    * (the last kept µs) and the same within-batch total-order sort; the
+    * API differences are the point of keeping both: typed named state
+    * (`ValueState` with an explicit encoder and per-state TTL config)
+    * instead of one opaque `GroupState` blob, and first-class timers.
+    * transformWithState requires the RocksDB state store provider — the
+    * 100 TB state path the near-dup RocksDB spec already pins.
+    */
+  class DebounceProcessor(windowUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Long, String), (Long, String, Long, Long), (Long, String, Long, Long)] {
+    @transient private var anchor: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      anchor = getHandle.getValueState[Long]("anchor",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: (Long, String),
+        rows: Iterator[(Long, String, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long, Long)] = {
+      var last = if (anchor.exists()) anchor.get() else Long.MinValue
+      val kept = rows.toSeq.sortBy(r => (r._3, r._4)).flatMap { case (u, t, us, id) =>
+        if (last == Long.MinValue || us - last >= windowUs) {
+          last = us
+          Some((u, t, id, us))
+        } else None
+      }
+      if (last != Long.MinValue) anchor.update(last)
+      kept.iterator
+    }
+  }
+
+  /** [[streamingDebounce]] re-expressed through `transformWithState`
+    * (spec-only: the registered q39 keeps the fMGWS form; StreamingSpec
+    * asserts both produce the identical kept set).
+    */
+  def streamingDebounceTws(events: DataFrame, windowUs: Long): Dataset[(Long, String, Long, Long)] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey { case (u, t, _, _) => (u, t) }
+      .transformWithState(new DebounceProcessor(windowUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Stream–stream interval join — the one stateful streaming shape the
     * engine had not yet exercised: clicks and purchases arrive as TWO
     * independent streams, and every purchase joins every click by the same

@@ -525,6 +525,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState debounce == fMGWS debounce (modern state API parity)") {
+    // Same anchor semantics through Spark 4's StatefulProcessor (typed
+    // named ValueState + per-state TTL config) — requires RocksDB, the
+    // provider the 100 TB state path uses anyway
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = 1704067200000L
+      def ts(sec: Long): Timestamp = new Timestamp(t0 + sec * 1000L)
+      val input = MemoryStream[(Timestamp, Long, String, Long)]
+      val q = EventStreams.streamingDebounceTws(
+          input.toDF().toDF("ts", "user_id", "event_type", "event_id"),
+          graft.operators.Behavior.DebounceUs)
+        .toDF("user_id", "event_type", "event_id", "ts_us")
+        .writeStream.format("memory").queryName("debounce_tws")
+        .outputMode(OutputMode.Append()).start()
+      def kept(): Set[Long] = s.table("debounce_tws").collect()
+        .map(_.getAs[Long]("event_id")).toSet
+      try {
+        // the same two-batch script as the fMGWS case above — unordered
+        // within-batch arrival, anchor persisting across batches
+        input.addData((ts(2), 1L, "click", 2L), (ts(0), 1L, "click", 1L))
+        q.processAllAvailable()
+        assert(kept() == Set(1L))
+        input.addData((ts(4), 1L, "click", 3L), (ts(6), 1L, "click", 4L))
+        q.processAllAvailable()
+        assert(kept() == Set(1L, 4L))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming debounce: anchors recover from the CHECKPOINT across a query restart") {
     // The production restart path: the first query is STOPPED (process
     // gone, in-memory state lost) and a new query resumes from the same
