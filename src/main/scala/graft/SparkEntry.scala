@@ -120,6 +120,7 @@ object SparkEntry {
     "q44_stream_enrich" -> (graft.streaming.EventStreams.streamEnrichQuery _),
     // --- reference workloads, optimized DataFrame formulations ---
     "wc" -> (TextOps.wc _),
+    "wc_udaf" -> (TextOps.wcUdaf _),
     "indexer" -> (TextOps.indexer _),
     "nocrash_meta" -> (TextOps.nocrashMeta _),
     // --- KV surface (declared in the reference, replayed as an op log) ---
@@ -1579,6 +1580,9 @@ object SparkEntry {
         | CAST(min(epoch_us(ts) // 1000000) AS BIGINT) AS open_since
         |FROM events GROUP BY user_id""".stripMargin,
     "wc" ->
+      s"SELECT word, count(*) AS cnt FROM ($tokenized) t WHERE word <> '' GROUP BY word",
+    // the SQL-registered Aggregator must land on the identical counts
+    "wc_udaf" ->
       s"SELECT word, count(*) AS cnt FROM ($tokenized) t WHERE word <> '' GROUP BY word",
     "indexer" ->
       s"""SELECT word, count(*) AS n_docs, string_agg(doc, ',' ORDER BY doc) AS docs

@@ -130,6 +130,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "rank comes from zipWithIndex, never a single-partition window")
   }
 
+  test("wc_udaf: the SQL-registered Aggregator still plans partial aggregation") {
+    val plan = executedPlan("wc_udaf").split("== Initial Plan ==")(0)
+    assert(plan.split("\n").count(_.contains("Aggregate")) >= 2,
+      "registry path must keep the map-side combine")
+    assert(plan.toLowerCase.contains("partial"),
+      "expected a partial aggregate phase around the Aggregator merge")
+  }
+
   test("cogroup_fill: a CoGroup node, not a join — one exchange per side") {
     val plan = executedPlan("cogroup_fill").split("== Initial Plan ==")(0)
     assert(plan.contains("CoGroup"), "typed cogroup must plan as CoGroup")
