@@ -109,6 +109,9 @@ object SparkEntry {
     "q46_rank_family" -> (Relational.q46RankFamily _),
     "profile_events" -> (graft.operators.Profile.profileEvents _),
     "state_intervals" -> (graft.operators.Behavior.stateIntervals _),
+    // --- mergeable sketches: bloom join pruning, HLL distinct rollup ---
+    "bloom_prune" -> (graft.operators.Sketch.bloomPrune _),
+    "hll_counts" -> (graft.operators.Sketch.hllCounts _),
     // --- structured streaming (bounded AvailableNow pass; == batch answer) ---
     "q25_stream_window" -> (graft.streaming.EventStreams.windowedCountsQuery _),
     "q33_stream_session" -> (graft.streaming.EventStreams.sessionQuery _),
@@ -921,6 +924,25 @@ object SparkEntry {
         |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to_us,
         |  n_events
         |FROM runs""".stripMargin,
+    // bloom pruning is answer-invariant (no false negatives; positives are
+    // removed by the exact join) — the oracle is the PLAIN join, which is
+    // the operator's whole contract
+    "bloom_prune" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority""".stripMargin,
+    // valid because the Datasketches HLL sketch is exact below its coupon
+    // promotion threshold (3072 at lgK=12) and the gate's distinct-user
+    // cardinalities sit far below it — see Sketch.hllCounts' doc
+    "hll_counts" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS nd_users
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'ALL', CAST(count(*) AS BIGINT),
+        |       CAST(count(DISTINCT user_id) AS BIGINT) FROM events""".stripMargin,
     // exact integer z-test: |c − μ| > 2σ with denominators cleared —
     // (c·n − s)² > 4·(n·ss − s²) — squared terms in HUGEINT (Spark side:
     // DECIMAL(38,0)) so a power user's counts can't overflow the compare
