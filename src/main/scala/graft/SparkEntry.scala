@@ -121,6 +121,8 @@ object SparkEntry {
     "q42_stream_attribution" -> (graft.streaming.EventStreams.attributionQuery _),
     "q43_stream_join" -> (graft.streaming.EventStreams.streamJoinQuery _),
     "q44_stream_enrich" -> (graft.streaming.EventStreams.streamEnrichQuery _),
+    "q47_stream_dedup" -> (graft.streaming.EventStreams.dedupQuery _),
+    "q48_stream_rollup" -> (graft.streaming.EventStreams.rollupQuery _),
     // --- reference workloads, optimized DataFrame formulations ---
     "wc" -> (TextOps.wc _),
     "wc_udaf" -> (TextOps.wcUdaf _),
@@ -1340,6 +1342,26 @@ object SparkEntry {
         |FROM events e
         |JOIN customer c ON e.user_id = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+    // one bounded batch emits each key exactly once; projecting to the key
+    // columns makes the emitted set DISTINCT — arrival order (which ROW
+    // survives) never reaches the output
+    "q47_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    // replays Append-mode chained-window emission exactly: watermark =
+    // max event time truncated to ms minus the 2 h delay; a 1-hour window
+    // emits iff its END <= watermark (equality EMITS — pinned by
+    // StreamingSpec's boundary case), and every 15-min subwindow of an
+    // emitted hour has then necessarily closed and been consumed upstream
+    "q48_stream_rollup" ->
+      """WITH mx AS (SELECT (max(epoch_us(ts)) // 1000) - 7200000 AS wm_ms FROM events),
+        |l1 AS (SELECT event_type, epoch_us(ts) // 900000000 AS w1, count(*) AS n
+        |       FROM events GROUP BY event_type, epoch_us(ts) // 900000000)
+        |SELECT CAST((w1 // 4) * 3600 AS BIGINT) AS wstart, event_type,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(count(*) AS BIGINT) AS n_subwindows
+        |FROM l1, mx
+        |GROUP BY w1 // 4, event_type, wm_ms
+        |HAVING ((w1 // 4) + 1) * 3600000 <= wm_ms""".stripMargin,
     // the incremental anchor state must keep exactly the batch chain's
     // rows — same recursive CTE as debounce, projected to the kept set
     "q39_stream_debounce" ->

@@ -741,6 +741,80 @@ object EventStreams {
       staged => streamEnrich(readEvents(s, staged), dir),
       OutputMode.Append())
 
+  /** Streaming dedup via Spark's built-in `dropDuplicatesWithinWatermark` —
+    * the engine-native twin of [[incrementalDedup]]: state per key is
+    * managed by the operator itself and EVICTED once the key is older than
+    * the watermark horizon, which is the piece the hand-rolled fMGWS form
+    * leaves to an explicit timeout. At 100 TB/day this is the right default
+    * exact-dedup shape: state is bounded by rate × horizon, not by distinct
+    * keys ever seen (the trade: a duplicate farther apart than the horizon
+    * re-emits — the dedup-horizon contract every TTL'd dedup makes).
+    *
+    * Output is the KEY COLUMNS ONLY: the operator keeps the first-ARRIVING
+    * row per key, and arrival order within a batch is partition order —
+    * nondeterministic. Projecting to the key makes the emitted set exactly
+    * DISTINCT(user_id, event_type) for a bounded pass, which is what the
+    * oracle replays (the determinism discipline every registered query
+    * follows).
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
+  /** q47_stream_dedup — the REGISTERED watermark-scoped dedup: one
+    * Append-mode AvailableNow pass; a single bounded batch emits each
+    * distinct (user_id, event_type) exactly once, so the DuckDB DISTINCT
+    * oracle gates Spark's built-in streaming-dedup operator end-to-end.
+    */
+  def dedupQuery(s: SparkSession, dir: String): DataFrame =
+    runStagedViaFiles(s, dir, "q47_stream_dedup",
+      staged => dedupWithinWatermark(readEvents(s, staged)),
+      OutputMode.Append())
+
+  /** Chained streaming aggregations — Spark's multiple-stateful-operator
+    * support (3.4+): 15-minute windowed counts per event_type rolled up
+    * into 1-hour windows IN THE SAME STREAMING QUERY, grouping the second
+    * level on `window(window_time(w1), "1 hour")`. Pre-3.4 this took two
+    * queries with an intermediate sink; the single-query form is the
+    * streaming mirror of the batch pre-aggregation pattern (the same
+    * motivation as [[graft.operators.Sketch.hllCounts]]' rollup): the
+    * 1-hour state consumes CLOSED 15-minute rows — K rows per hour per
+    * type — not raw events.
+    *
+    * Append-mode semantics (the only mode chained aggs support): a level-1
+    * window emits when the watermark passes its end, and a level-2 window
+    * emits when the watermark passes ITS end — at which point every 15-min
+    * subwindow it covers has necessarily closed and been consumed. End of a
+    * bounded pass leaves the trailing 2 h + 1 h of windows withheld; the
+    * oracle replays exactly that boundary (wstart ≤ watermark − window,
+    * with the watermark Spark computes: max event time truncated to ms,
+    * minus the 2 h delay). The withholding is not an artifact to paper
+    * over — it IS the operator's contract, so the gate pins it.
+    */
+  def windowRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "15 minutes").as("w1"), col("event_type"))
+      .agg(count(lit(1)).as("n_sub"))
+      .groupBy(window(window_time(col("w1")), "1 hour").as("w2"), col("event_type"))
+      .agg(sum(col("n_sub")).as("n_events"), count(lit(1)).as("n_subwindows"))
+      .select(unix_timestamp(col("w2.start")).as("wstart"), col("event_type"),
+        col("n_events"), col("n_subwindows"))
+
+  /** q48_stream_rollup — the REGISTERED chained-aggregation query: one
+    * Append-mode AvailableNow pass of [[windowRollup]]. The engine runs the
+    * post-data flush batches itself (watermark advances after the final
+    * data batch; closed level-1 windows cascade into level 2), so the final
+    * emitted set is exactly the windows the oracle's watermark predicate
+    * selects.
+    */
+  def rollupQuery(s: SparkSession, dir: String): DataFrame =
+    runStagedViaFiles(s, dir, "q48_stream_rollup",
+      staged => windowRollup(readEvents(s, staged)),
+      OutputMode.Append())
+
   /** Run a streaming DataFrame to completion over a bounded source (one
     * availableNow pass), collecting results through an in-memory sink table.
     * This is how the parity tests observe streaming output.

@@ -691,4 +691,63 @@ class StreamingSpec extends AnyFunSuite {
     // stateless join: nothing dropped — one output row per event
     assert(streamed.size == graft.sources.Tables.events(spark, Sf0001).count())
   }
+
+  test("dropDuplicatesWithinWatermark: cross-batch duplicate inside the horizon suppressed") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t0 = 1700000000000L
+    def ts(ms: Long) = new Timestamp(t0 + ms)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.dedupWithinWatermark(
+        input.toDF().toDF("ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), 1L, "click"))
+      q.processAllAvailable()
+      // same key again in a LATER batch, 10 min on — still inside the 2 h
+      // horizon, so the operator's cross-batch state must suppress it
+      input.addData((ts(600_000L), 1L, "click"), (ts(600_000L), 2L, "view"))
+      q.processAllAvailable()
+      val got = s.table("wm_dedup").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toList
+      assert(got.sorted == List((1L, "click"), (2L, "view")))
+    } finally q.stop()
+  }
+
+  test("chained window rollup: end == watermark EMITS (oracle boundary pinned)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val hour0 = 1700000000000L / 3600_000L * 3600_000L
+    def ts(ms: Long): Timestamp = new Timestamp(ms)
+    val input = MemoryStream[(Timestamp, String)]
+    val q = EventStreams.windowRollup(input.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("rollup_boundary")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(hour0 + 5 * 60_000L), "a"))
+      q.processAllAvailable()
+      // watermark after this batch = (hour0 + 3 h) − 2 h = hour0 + 1 h,
+      // EXACTLY the end of level-2 window [hour0, hour0+1h). The q48
+      // oracle's `window_end <= watermark` HAVING clause assumes equality
+      // emits — this is the case that keeps that assumption honest.
+      input.addData((ts(hour0 + 3 * 3600_000L), "a"))
+      q.processAllAvailable()
+      input.addData((ts(hour0 + 3 * 3600_000L + 1), "a")) // cascade flush batch
+      q.processAllAvailable()
+      val atBoundary = s.table("rollup_boundary")
+        .filter(s"wstart = ${hour0 / 1000L}").collect()
+      assert(atBoundary.length == 1, "window whose end equals the watermark must emit")
+      val r = atBoundary.head
+      assert(r.getAs[Long]("n_events") == 1L && r.getAs[Long]("n_subwindows") == 1L)
+    } finally q.stop()
+  }
 }
