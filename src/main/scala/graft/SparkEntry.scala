@@ -208,6 +208,8 @@ object SparkEntry {
     // --- PII redaction (deterministically augmented corpus; see piiScrub) ---
     "pii_scrub" -> (graft.operators.Curation.piiScrub _),
     "line_dedup" -> (graft.operators.Curation.lineDedup _),
+    // --- custom DSv2 connector: the reference's mr-out text format ---
+    "mrout_roundtrip" -> (graft.sources.MrOut.wcRoundtrip _),
     // --- sources/sinks: gzip JSON-lines round-trip, content-verified ---
     "docs_jsonl" -> (graft.sources.Jsonl.docsJsonlStats _),
   )
@@ -1624,6 +1626,10 @@ object SparkEntry {
         | CAST(min(epoch_us(ts) // 1000000) AS BIGINT) AS open_since
         |FROM events GROUP BY user_id""".stripMargin,
     "wc" ->
+      s"SELECT word, count(*) AS cnt FROM ($tokenized) t WHERE word <> '' GROUP BY word",
+    // identical answer via the custom DSv2 round-trip — the connector must
+    // preserve every (word, cnt) pair byte-for-byte through its text format
+    "mrout_roundtrip" ->
       s"SELECT word, count(*) AS cnt FROM ($tokenized) t WHERE word <> '' GROUP BY word",
     // the SQL-registered Aggregator must land on the identical counts
     "wc_udaf" ->
