@@ -53,6 +53,7 @@ object SparkEntry {
     "q40_grouping_sets" -> (Relational.q40GroupingSets _),
     "q41_range_frame" -> (Relational.q41RangeFrame _),
     "q14_join_range" -> (Relational.q14JoinRange _),
+    "q49_interval_join" -> (Relational.q49IntervalJoin _),
     "q15_events_window" -> (Relational.q15EventsWindow _),
     "q16_sessions" -> (Relational.q16Sessions _),
     // --- behavioral analytics over the same events table ---
@@ -193,6 +194,7 @@ object SparkEntry {
     "embed_quantize" -> (Ann.embedQuantize _),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
+    "ann_pq" -> ((s: SparkSession, d: String) => Ann.pqTopK(s, d)),
     "jl_project" -> ((s: SparkSession, d: String) => Ann.jlProject(s, d)),
     // threshold 0.4 here, NOT the 0.98 near-identical default: the fixture
     // plants no embedding near-dups (max pairwise cosine ≈0.48 at sf0.001,
@@ -466,7 +468,13 @@ object SparkEntry {
     * k-means replay re-executes per reference (>9 min at sf0.1 vs 3 s with
     * it; measured 2026-08-13).
     */
-  private val ivfKmeansCtes = {
+  /** Shared capped-sample prefix: corpus → Spark-xxhash64-ordered bounded
+    * train sample → splitmix64 distinct-index init. Byte-shared by the IVF
+    * clustering replay AND the PQ per-subspace codebook replay — on the
+    * Scala side the same `Ann.fitCentroids` seed stream serves both, so the
+    * init indices are identical there too.
+    */
+  private val ivfSampleCtes = {
     // rotl on HUGEINT < 2^64: the shifted halves occupy disjoint bit
     // ranges, so + stands in for |
     def rotl(x: String, r: Int): String =
@@ -497,7 +505,11 @@ object SparkEntry {
        |                     + (SELECT n FROM ntrain)) % (SELECT n FROM ntrain) AS idx FROM dz2),
        |init AS (SELECT idx, row_number() OVER (ORDER BY fj) - 1 AS cid
        |         FROM (SELECT idx, min(j) AS fj FROM draws GROUP BY idx) f
-       |         QUALIFY cid < 16),
+       |         QUALIFY cid < 16)""".stripMargin
+  }
+
+  private val ivfKmeansCtes = {
+    s"""$ivfSampleCtes,
        |kmeans(iter, cid, cent) AS (
        |  SELECT 0, CAST(init.cid AS INTEGER), t.vec FROM init JOIN train t ON t.sidx = init.idx + 1
        |  UNION ALL
@@ -545,6 +557,77 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, vec_id ASC) AS INTEGER) AS "rank"
        | FROM scored) r WHERE "rank" <= 10""".stripMargin
+
+  /** Full replay of ann_pq (Ann.pqTopK): product quantization with ADC.
+    * Reuses the byte-shared [[ivfSampleCtes]] prefix (same xxhash64 train
+    * sample, same splitmix64 init indices — on the Scala side every
+    * subspace's fitCentroids consumes the identical seed-42 draw stream, so
+    * ONE init CTE serves all 8 subspaces), then runs the 10 Lloyd rounds
+    * per (subspace, centroid) over 8-dim vector slices as one recursive
+    * CTE. Bit-exactness mirrors ann_ivf's contract:
+    *   - training distance and the ADC tables fold (v−c)² in ascending dim
+    *     order from 0.0 (the Scala while-loops);
+    *   - centroid recompute folds members in sample order;
+    *   - the corpus encode replays cellCol's EXPANDED c² − 2·v·c form with
+    *     the ordered-dot kernel, ties to the lowest code;
+    *   - the per-row approximate distance folds the 8 subspace lookups in
+    *     ascending subspace order with no initial accumulator — Scala's
+    *     `reduce(_ + _)` — so every double matches bit-for-bit.
+    */
+  private val annPqSql = {
+    // ordered (a_slice − cent)² fold over one 8-dim subspace: element i of
+    // subspace mi of a 64-d vector is vec[mi*8 + i]
+    def sq8(vec: String, mi: String, cent: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, 9), i -> ($vec[$mi*8 + i] - $cent[i]) * ($vec[$mi*8 + i] - $cent[i]))), (x, y) -> x + y)"
+    def dot8(vec: String, mi: String, cent: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, 9), i -> $vec[$mi*8 + i] * $cent[i])), (x, y) -> x + y)"
+    s"""WITH RECURSIVE
+       |$ivfSampleCtes,
+       |ms AS (SELECT unnest(range(0, 8)) AS mi),
+       |pqkm(iter, mi, cid, cent) AS (
+       |  SELECT 0, ms.mi, CAST(init.cid AS INTEGER),
+       |         list_slice(t.vec, ms.mi*8 + 1, ms.mi*8 + 8)
+       |  FROM init JOIN train t ON t.sidx = init.idx + 1, ms
+       |  UNION ALL
+       |  (WITH cur AS (SELECT iter, mi, cid, cent FROM pqkm),
+       |   asg AS (SELECT t.sidx, k.mi,
+       |            min(struct_pack(d := ${sq8("t.vec", "k.mi", "k.cent")},
+       |                c := k.cid)) AS best
+       |           FROM train t, cur k GROUP BY t.sidx, k.mi),
+       |   mem AS (SELECT a.mi, a.best.c AS cid,
+       |            list(list_slice(t.vec, a.mi*8 + 1, a.mi*8 + 8) ORDER BY t.sidx) AS vs
+       |           FROM asg a JOIN train t ON t.sidx = a.sidx GROUP BY a.mi, a.best.c),
+       |   upd AS (SELECT k.iter + 1 AS iter, k.mi, k.cid,
+       |            CASE WHEN m.cid IS NULL THEN k.cent
+       |                 ELSE list_transform(
+       |                   list_reduce(list_prepend(list_transform(range(1, 9), i -> CAST(0.0 AS DOUBLE)), m.vs),
+       |                     (acc, v) -> list_transform(range(1, 9), i -> acc[i] + v[i])),
+       |                   s -> s / len(m.vs)) END AS cent
+       |           FROM cur k LEFT JOIN mem m ON m.mi = k.mi AND m.cid = k.cid)
+       |   SELECT iter, mi, cid, cent FROM upd WHERE iter <= 10)),
+       |pqc2 AS MATERIALIZED (SELECT mi, cid, cent,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(range(1, 9), i -> cent[i] * cent[i])), (x, y) -> x + y) AS csq
+       |       FROM pqkm WHERE iter = 10),
+       |codes AS (SELECT c.vec_id, k.mi,
+       |        min(struct_pack(d := k.csq - 2.0 * ${dot8("c.vec", "k.mi", "k.cent")},
+       |            c := k.cid)).c AS code
+       |       FROM c, pqc2 k GROUP BY c.vec_id, k.mi),
+       |qtab AS (SELECT q.vec_id AS query_id, k.mi, k.cid,
+       |        ${sq8("q.vec", "k.mi", "k.cent")} AS d
+       |       FROM (SELECT vec_id, vec FROM c WHERE vec_id < 8) q, pqc2 k),
+       |adist AS (SELECT qt.query_id, cd.vec_id,
+       |        list_reduce(list(qt.d ORDER BY qt.mi), (x, y) -> x + y) AS adist
+       |       FROM codes cd JOIN qtab qt ON qt.mi = cd.mi AND qt.cid = cd.code
+       |       WHERE cd.vec_id <> qt.query_id GROUP BY qt.query_id, cd.vec_id)
+       |SELECT query_id, neighbor_id, "rank" FROM (
+       | SELECT query_id, vec_id AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist ASC, vec_id ASC) AS INTEGER) AS "rank"
+       | FROM adist) r WHERE "rank" <= 10""".stripMargin
+  }
 
   /** semdedup replay on the SAME clustering: within-cell pairs at cosine ≥
     * 0.4 (the ordered-IEEE dot + the same (nrm1*nrm2) product), a doc is
@@ -757,6 +840,17 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | AND l_shipdate > o_orderdate + INTERVAL 90 DAY
         |GROUP BY o_orderpriority""".stripMargin,
+    // the oracle states the interval join DECLARATIVELY (pure theta join,
+    // no equi key) — the Spark side's bin-replicated equi join must be
+    // answer-invariant, so the binning optimization itself is under test
+    "q49_interval_join" ->
+      """SELECT p.event_type, count(*) AS n_pairs,
+        | count(DISTINCT p.event_id) AS n_points
+        |FROM events p JOIN events e
+        |  ON e.event_type = 'error'
+        | AND p.ts > e.ts - INTERVAL 600 SECOND
+        | AND p.ts <= e.ts
+        |GROUP BY p.event_type""".stripMargin,
     "q15_events_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS wstart,
         | event_type, count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
@@ -2226,6 +2320,7 @@ object SparkEntry {
          |       max_cos >= 0.35 AS contaminated
          |FROM s""".stripMargin,
     "ann_ivf" -> annIvfSql,
+    "ann_pq" -> annPqSql,
     "semdedup" -> semDedupSql,
     "jl_project" -> jlProjectSql,
     // the deterministic footer augmentation replayed verbatim, then the same

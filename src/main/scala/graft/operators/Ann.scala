@@ -431,6 +431,85 @@ object Ann {
         (col("max_cos") >= threshold).as("contaminated"))
   }
 
+  /** Product-quantization geometry for [[pqTopK]]: [[PqM]] subspaces of
+    * dim/[[PqM]] components each, [[PqK]] centroids per subspace — 4-bit
+    * codes, so a 64-d float vector (256 B) compresses to [[PqM]] codes
+    * (8 B when bit-packed): the 32× footprint cut that lets a 100 TB
+    * embedding corpus keep its ANN index in cluster memory.
+    */
+  val PqM = 8
+  val PqK = 16
+
+  /** ann_pq — product quantization with asymmetric distance computation
+    * (ADC), the third ANN scale path next to hyperplane LSH (bucketing) and
+    * IVF (cell pruning): instead of pruning WHICH vectors a query scores,
+    * PQ compresses EVERY vector so scoring all of them is cheap.
+    *
+    *   - Train: each subspace gets its own [[PqK]]-centroid codebook, fit
+    *     with the same capped-deterministic-sample [[fitCentroids]] loop IVF
+    *     uses (driver-side, zero Spark jobs, cost independent of corpus
+    *     size).
+    *   - Encode: one scan; per subspace the nearest sub-centroid id via the
+    *     codegen'd [[cellCol]] argmin over the SLICED vector. The corpus
+    *     ships onward as (vec_id, array<int> codes) — never the floats.
+    *   - Query (ADC): the (bounded, [[bruteTopK]]-sized) query set collects
+    *     to the driver; each query's per-subspace distance table to all
+    *     [[PqK]] sub-centroids is precomputed and broadcast as a
+    *     [[PqM]]×[[PqK]] array literal. A corpus row's approximate squared
+    *     L2 distance is then [[PqM]] array lookups + adds — fully codegen'd
+    *     `GetArrayItem`/`element_at`, no per-row dot products at all.
+    *
+    * Top-k per query by (approx distance asc, vec_id asc) — deterministic:
+    * the ADC sum folds subspaces in a fixed order, so the doubles are
+    * bit-stable under any partitioning. Like ann_lsh/ann_ivf the ranking is
+    * approximate by design (no ANSI oracle); AnnSpec asserts planted
+    * near-identical pairs retrieve at rank 1 and recall overlap vs the
+    * exact-L2 ranking.
+    *
+    * 100 TB plan: codebooks and ADC tables are plan literals (kilobytes);
+    * the encode is one shuffle-free scan; the scoring joins the 8-row query
+    * table by broadcast and partial-aggregates the per-query top-k under a
+    * window — the corpus is scanned once however many queries ride along.
+    */
+  def pqTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
+      m: Int = PqM, ksub: Int = PqK): DataFrame = {
+    val dim = 64 // embeddings fixture dimension (TESTDATA.md)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    // cached: the train sample, the query collect and the encode all read it
+    val c = graft.TransientCache.cache(corpus(s, dir))
+    val train = c.orderBy(xxhash64(col("vec_id"))).limit(IvfTrainCap)
+      .select("vec").collect().map(_.getSeq[Double](0).toArray)
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m)(mi =>
+      fitCentroids(train.map(_.slice(mi * sub, (mi + 1) * sub)), ksub, iters = 10))
+    val codeCols = (0 until m).map(mi =>
+      cellCol(slice(col("vec"), mi * sub + 1, sub), books(mi)).cast("int"))
+    val encoded = c.select(col("vec_id"), array(codeCols: _*).as("codes"))
+    // bounded query-side collect (the IVF-train idiom): nQueries exact vectors
+    val qs = c.filter(col("vec_id") < nQueries).select("vec_id", "vec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // ADC tables: per query, per subspace, squared L2 to each sub-centroid
+    val qTab = s.createDataFrame(qs.map { case (qid, qv) =>
+      (qid, (0 until m).map { mi =>
+        books(mi).map { ct =>
+          var d = 0.0; var i = 0
+          while (i < sub) { val t = qv(mi * sub + i) - ct(i); d += t * t; i += 1 }
+          d
+        }.toSeq
+      })
+    }.toSeq).toDF("query_id", "tbl")
+    val adist = (0 until m).map(mi =>
+      element_at(col("tbl")(mi), col("codes")(mi) + 1)).reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    encoded.crossJoin(broadcast(qTab))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
   /** embed_quantize — int8 scalar quantization of the embedding corpus:
     * per vector, scale = max |component| and each component maps to
     * round(127·v/scale), the symmetric per-row quantization every vector

@@ -586,4 +586,53 @@ object Relational {
           .when(col("user_id").isNotNull, "activity_only")
           .otherwise("segment_only").as("matched"))
   }
+
+  /** Bin width (and lookback length) of [[q49IntervalJoin]], in microseconds
+    * (10 minutes). Bin width == interval length, so every interval overlaps
+    * at most TWO bins — the replication factor is a constant 2, independent
+    * of data volume.
+    */
+  val IntervalBinUs: Long = 600L * 1000000L
+
+  /** q49_interval_join — PURE interval (range-only) join: count, per event
+    * type, the events that fall inside the 10-minute lookback window ending
+    * at each `error` event — "what was happening just before things broke",
+    * with NO equi key linking the two sides (q14's range predicate rides an
+    * equi join; this one has nothing to hash on).
+    *
+    * Naively `p.ts > e.ts - 10min AND p.ts <= e.ts` plans as a
+    * BroadcastNestedLoopJoin — O(|points|·|intervals|) comparisons, the
+    * classic interval-join scale killer. This operator applies BINNING (the
+    * range-join optimization Databricks/Flink ship natively): time is cut
+    * into [[IntervalBinUs]]-wide bins; each point lands in exactly ONE bin,
+    * each interval is replicated to the (≤ 2) bins it overlaps, and the join
+    * becomes an EQUI join on the bin id with the exact range predicate as a
+    * post-join filter. Work drops to O(pairs-per-bin), shuffled once on the
+    * bin key.
+    *
+    * 100 TB reading: replication is bounded (bin width == interval length ⇒
+    * ≤ 2 bins per interval — the rule: pick bin ≈ interval length); bins are
+    * time-uniform so the bin key carries no skew; the equi join is a plain
+    * shuffled hash join AQE can re-plan. The oracle states the same join
+    * DECLARATIVELY (the theta-join SQL) — binning must be answer-invariant,
+    * so the whole optimization is inside the correctness gate.
+    */
+  def q49IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val binUs = IntervalBinUs
+    val ev = Tables.events(s, dir)
+    val points = ev.select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("p_us"))
+      .withColumn("bin", expr(s"p_us div $binUs"))
+    val intervals = ev.filter(col("event_type") === "error")
+      .select(unix_micros(col("ts")).as("e_us"))
+      // replicate the (e_us − binUs, e_us] lookback into every bin it
+      // overlaps: its open left edge's bin through its closed right edge's
+      .withColumn("bin", explode(sequence(
+        expr(s"(e_us - $binUs) div $binUs"), expr(s"e_us div $binUs"))))
+    points.join(intervals, Seq("bin"))
+      .where(col("p_us") > col("e_us") - lit(binUs) && col("p_us") <= col("e_us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("event_id")).as("n_points"))
+  }
 }

@@ -73,6 +73,60 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.2, s"IVF recall vs brute suspiciously low: $recall")
   }
 
+  test("pqTopK: recall overlap vs exact L2 ranking; deterministic across runs") {
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val rows = Ann.pqTopK(spark, Sf0001, nQueries = 4, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(rows.length == 4 * 10)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 10), s"query $q ranks")
+      assert(!rs.exists(_._3 == q), s"query $q returned itself")
+    }
+    // PQ is approximate (ADC over 16-centroid codebooks): require nontrivial
+    // overlap with the exact-L2 top-10, not equality
+    val exact = (0L until 4L).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, l2(vecs(q), v)) }
+        .sortBy { case (id, d) => (d, id) }
+        .take(10).map { case (id, _) => (q, id) }
+    }.toSet
+    val got = rows.map(r => (r._1, r._3)).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall > 0.2, s"PQ recall vs exact L2 suspiciously low: $recall")
+    // deterministic: a second run returns the identical ranking
+    val again = Ann.pqTopK(spark, Sf0001, nQueries = 4, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(again.toSet == rows.toSet)
+    TransientCache.release(spark)
+  }
+
+  test("pqTopK: a planted near-identical twin retrieves at rank 1") {
+    val s = spark
+    import s.implicits._
+    // 24 vectors of the fixture dimension (>= PqK so every subspace codebook
+    // can fit); vec 1 is vec 0 plus a tiny single-component perturbation
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64) { i =>
+        (math.sin(seed * 7919.0 + i * 104729.0) * 100 % 1.0).toFloat
+      }
+    val v0 = vec(100)
+    val v1 = v0.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.001f else 0f) }
+    val rest = (2 until 24).map(i => (i.toLong, vec(i).toSeq, 0))
+    val dir = java.nio.file.Files.createTempDirectory("pq-twin").toString
+    ((0L, v0.toSeq, 0) +: (1L, v1.toSeq, 0) +: rest)
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Ann.pqTopK(spark, dir, nQueries = 1, k = 3).collect()
+      .map(r => r.getAs[Int]("rank") -> r.getAs[Long]("neighbor_id")).toMap
+    // ADC distance to the twin is ~0 in every subspace: it must rank first
+    assert(got(1) == 1L, s"twin not at rank 1: $got")
+    TransientCache.release(spark)
+  }
+
   test("embedNearDup finds planted near-identical vectors, nothing else") {
     // fixture embeddings have no pairs above cos 0.60 (checked), so plant
     // our own: v1 ≈ v0 (tiny perturbation), v3 == v2, v0 ⟂̸ v2 (random)

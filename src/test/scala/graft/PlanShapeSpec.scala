@@ -82,6 +82,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "range predicate must not demote the join to a non-equi strategy")
   }
 
+  test("q49_interval_join: binning turns the pure range join into an equi join") {
+    val plan = executedPlan("q49_interval_join")
+    // this query has NO natural equi key — without the bin rewrite Spark
+    // MUST fall back to a nested-loop strategy; the bin key is the whole
+    // point, so its absence is the regression this case exists to catch
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "interval join must ride the synthetic bin key, not a nested loop")
+    assert(plan.contains("Join"), "expected an actual join on the bin key")
+  }
+
   test("dedup_exact: one digest shuffle, no join at all") {
     val plan = executedPlan("dedup_exact")
     assert(!plan.contains("Join"), "exact dedup is a pure aggregate")

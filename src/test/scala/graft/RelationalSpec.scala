@@ -35,6 +35,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(semi + anti == total)
   }
 
+  test("q49_interval_join: binned equi join equals a driver-side theta-join replay") {
+    val ev = Tables.events(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("ts").getTime * 1000 +
+          (r.getAs[java.sql.Timestamp]("ts").getNanos / 1000) % 1000))
+    val binUs = Relational.IntervalBinUs
+    val errs = ev.filter(_._2 == "error").map(_._3)
+    // naive all-pairs replay of the declared semantics (fine at sf0.001)
+    val pairs = for {
+      (pid, ptype, pus) <- ev
+      eus <- errs
+      if pus > eus - binUs && pus <= eus
+    } yield (ptype, pid)
+    val expected = pairs.groupBy(_._1).map { case (t, ps) =>
+      t -> ((ps.length.toLong, ps.map(_._2).distinct.length.toLong))
+    }
+    val got = Relational.q49IntervalJoin(spark, Sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_points")))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.valuesIterator.map(_._1).sum > 0)
+  }
+
   test("q15 events window counts sum to the table row count") {
     val windowed = Relational.q15EventsWindow(spark, Sf0001)
       .agg(org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
