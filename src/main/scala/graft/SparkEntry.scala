@@ -195,6 +195,7 @@ object SparkEntry {
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
     "ann_pq" -> ((s: SparkSession, d: String) => Ann.pqTopK(s, d)),
+    "ann_ivfpq" -> ((s: SparkSession, d: String) => Ann.ivfPqTopK(s, d)),
     "jl_project" -> ((s: SparkSession, d: String) => Ann.jlProject(s, d)),
     // threshold 0.4 here, NOT the 0.98 near-identical default: the fixture
     // plants no embedding near-dups (max pairwise cosine ≈0.48 at sf0.001,
@@ -574,31 +575,40 @@ object SparkEntry {
     *     ascending subspace order with no initial accumulator — Scala's
     *     `reduce(_ + _)` — so every double matches bit-for-bit.
     */
-  private val annPqSql = {
-    // ordered (a_slice − cent)² fold over one 8-dim subspace: element i of
-    // subspace mi of a 64-d vector is vec[mi*8 + i]
-    def sq8(vec: String, mi: String, cent: String): String =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform(range(1, 9), i -> ($vec[$mi*8 + i] - $cent[i]) * ($vec[$mi*8 + i] - $cent[i]))), (x, y) -> x + y)"
-    def dot8(vec: String, mi: String, cent: String): String =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform(range(1, 9), i -> $vec[$mi*8 + i] * $cent[i])), (x, y) -> x + y)"
-    s"""WITH RECURSIVE
-       |$ivfSampleCtes,
-       |ms AS (SELECT unnest(range(0, 8)) AS mi),
-       |pqkm(iter, mi, cid, cent) AS (
+  // ordered (a_slice − cent)² fold over one 8-dim subspace: element i of
+  // subspace mi of a 64-d vector is vec[mi*8 + i]
+  private def sq8(vec: String, mi: String, cent: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, 9), i -> ($vec[$mi*8 + i] - $cent[i]) * ($vec[$mi*8 + i] - $cent[i]))), (x, y) -> x + y)"
+
+  private def dot8(vec: String, mi: String, cent: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, 9), i -> $vec[$mi*8 + i] * $cent[i])), (x, y) -> x + y)"
+
+  /** Per-subspace PQ codebook training as a recursive CTE: 8 subspaces × 16
+    * centroids over 8-dim slices of `trainCte` (columns sidx, vec), all 10
+    * Lloyd rounds, grouped by subspace. One splitmix init CTE serves every
+    * subspace because the Scala side's per-subspace fitCentroids calls all
+    * consume the identical seed-42 draw stream. Emits `$km` (the rounds) and
+    * `$c2n` (the final codebooks with their ‖c‖² fold) plus the shared `ms`
+    * subspace enumerator. Parameterized so ann_pq (raw slices) and
+    * ann_ivfpq (cell-residual slices) replay the same machinery.
+    */
+  private def pqLloydCtes(trainCte: String, km: String, c2n: String): String =
+    s"""ms AS (SELECT unnest(range(0, 8)) AS mi),
+       |$km(iter, mi, cid, cent) AS (
        |  SELECT 0, ms.mi, CAST(init.cid AS INTEGER),
        |         list_slice(t.vec, ms.mi*8 + 1, ms.mi*8 + 8)
-       |  FROM init JOIN train t ON t.sidx = init.idx + 1, ms
+       |  FROM init JOIN $trainCte t ON t.sidx = init.idx + 1, ms
        |  UNION ALL
-       |  (WITH cur AS (SELECT iter, mi, cid, cent FROM pqkm),
+       |  (WITH cur AS (SELECT iter, mi, cid, cent FROM $km),
        |   asg AS (SELECT t.sidx, k.mi,
        |            min(struct_pack(d := ${sq8("t.vec", "k.mi", "k.cent")},
        |                c := k.cid)) AS best
-       |           FROM train t, cur k GROUP BY t.sidx, k.mi),
+       |           FROM $trainCte t, cur k GROUP BY t.sidx, k.mi),
        |   mem AS (SELECT a.mi, a.best.c AS cid,
        |            list(list_slice(t.vec, a.mi*8 + 1, a.mi*8 + 8) ORDER BY t.sidx) AS vs
-       |           FROM asg a JOIN train t ON t.sidx = a.sidx GROUP BY a.mi, a.best.c),
+       |           FROM asg a JOIN $trainCte t ON t.sidx = a.sidx GROUP BY a.mi, a.best.c),
        |   upd AS (SELECT k.iter + 1 AS iter, k.mi, k.cid,
        |            CASE WHEN m.cid IS NULL THEN k.cent
        |                 ELSE list_transform(
@@ -607,10 +617,15 @@ object SparkEntry {
        |                   s -> s / len(m.vs)) END AS cent
        |           FROM cur k LEFT JOIN mem m ON m.mi = k.mi AND m.cid = k.cid)
        |   SELECT iter, mi, cid, cent FROM upd WHERE iter <= 10)),
-       |pqc2 AS MATERIALIZED (SELECT mi, cid, cent,
+       |$c2n AS MATERIALIZED (SELECT mi, cid, cent,
        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |          list_transform(range(1, 9), i -> cent[i] * cent[i])), (x, y) -> x + y) AS csq
-       |       FROM pqkm WHERE iter = 10),
+       |       FROM $km WHERE iter = 10)""".stripMargin
+
+  private val annPqSql = {
+    s"""WITH RECURSIVE
+       |$ivfSampleCtes,
+       |${pqLloydCtes("train", "pqkm", "pqc2")},
        |codes AS (SELECT c.vec_id, k.mi,
        |        min(struct_pack(d := k.csq - 2.0 * ${dot8("c.vec", "k.mi", "k.cent")},
        |            c := k.cid)).c AS code
@@ -621,6 +636,58 @@ object SparkEntry {
        |adist AS (SELECT qt.query_id, cd.vec_id,
        |        list_reduce(list(qt.d ORDER BY qt.mi), (x, y) -> x + y) AS adist
        |       FROM codes cd JOIN qtab qt ON qt.mi = cd.mi AND qt.cid = cd.code
+       |       WHERE cd.vec_id <> qt.query_id GROUP BY qt.query_id, cd.vec_id)
+       |SELECT query_id, neighbor_id, "rank" FROM (
+       | SELECT query_id, vec_id AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist ASC, vec_id ASC) AS INTEGER) AS "rank"
+       | FROM adist) r WHERE "rank" <= 10""".stripMargin
+  }
+
+  /** Full replay of ann_ivfpq (Ann.ivfPqTopK): IVF coarse cells + PQ over
+    * cell residuals. Composes the two existing replays byte-for-byte: the
+    * [[ivfKmeansCtes]] coarse clustering (shared with ann_ivf/semdedup —
+    * `assigned` IS the corpus cell assignment, since the typed encode's
+    * expanded-form argmin matches cellCol's) and the [[pqLloydCtes]]
+    * recursive codebook block, here over the sample's cell RESIDUALS.
+    * Probing, encoding and the ADC tables all use the expanded c² − 2·v·c
+    * form in the Scala operator, so every CTE replays the identical IEEE
+    * sequence; the final approximate distance folds subspaces ascending
+    * with no initial accumulator (Scala's `reduce`).
+    */
+  private val annIvfPqSql = {
+    s"""WITH RECURSIVE
+       |$ivfKmeansCtes,
+       |tassign AS (SELECT t.sidx, t.vec,
+       |        min(struct_pack(d := k.csq - 2.0 * ${dot64("t.vec", "k.cent")}, c := k.cid)).c AS cell
+       |       FROM train t, c2 k GROUP BY t.sidx, t.vec),
+       |rtrain AS (SELECT a.sidx,
+       |        list_transform(range(1, 65), i -> a.vec[i] - k.cent[i]) AS vec
+       |       FROM tassign a JOIN c2 k ON k.cid = a.cell),
+       |${pqLloydCtes("rtrain", "rpqkm", "rc2")},
+       |rcorp AS (SELECT a.vec_id, a.cell,
+       |        list_transform(range(1, 65), i -> a.vec[i] - k.cent[i]) AS rvec
+       |       FROM assigned a JOIN c2 k ON k.cid = a.cell),
+       |codes AS (SELECT r.vec_id, r.cell, k.mi,
+       |        min(struct_pack(d := k.csq - 2.0 * ${dot8("r.rvec", "k.mi", "k.cent")},
+       |            c := k.cid)).c AS code
+       |       FROM rcorp r, rc2 k GROUP BY r.vec_id, r.cell, r.rvec, k.mi),
+       |q AS (SELECT vec_id AS query_id, vec FROM c WHERE vec_id < 8),
+       |qprobe AS (SELECT query_id, vec, cid AS cell FROM (
+       |   SELECT q.query_id, q.vec, k.cid,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      k.csq - 2.0 * ${dot64("q.vec", "k.cent")} ASC, k.cid ASC) AS crank
+       |   FROM q, c2 k) p WHERE crank <= 4),
+       |qres AS (SELECT p.query_id, p.cell,
+       |        list_transform(range(1, 65), i -> p.vec[i] - k.cent[i]) AS rvec
+       |       FROM qprobe p JOIN c2 k ON k.cid = p.cell),
+       |qtab AS (SELECT r.query_id, r.cell, k.mi, k.cid,
+       |        ${sq8("r.rvec", "k.mi", "k.cent")} AS d
+       |       FROM qres r, rc2 k),
+       |adist AS (SELECT qt.query_id, cd.vec_id,
+       |        list_reduce(list(qt.d ORDER BY qt.mi), (x, y) -> x + y) AS adist
+       |       FROM codes cd JOIN qtab qt
+       |         ON qt.cell = cd.cell AND qt.mi = cd.mi AND qt.cid = cd.code
        |       WHERE cd.vec_id <> qt.query_id GROUP BY qt.query_id, cd.vec_id)
        |SELECT query_id, neighbor_id, "rank" FROM (
        | SELECT query_id, vec_id AS neighbor_id,
@@ -2321,6 +2388,7 @@ object SparkEntry {
          |FROM s""".stripMargin,
     "ann_ivf" -> annIvfSql,
     "ann_pq" -> annPqSql,
+    "ann_ivfpq" -> annIvfPqSql,
     "semdedup" -> semDedupSql,
     "jl_project" -> jlProjectSql,
     // the deterministic footer augmentation replayed verbatim, then the same

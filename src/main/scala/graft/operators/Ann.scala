@@ -510,6 +510,138 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  /** Ascending-index dot product — the JVM twin of the codegen'd
+    * [[graft.functions.GraftFunctions.arrayDot]] kernel (multiply-then-add
+    * per index from 0.0, the same IEEE operation sequence), so typed-tier
+    * arithmetic stays bit-compatible with the expression-tier and with the
+    * DuckDB replays.
+    */
+  private def dotAsc(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); i += 1 }
+    d
+  }
+
+  /** Nearest centroid by the EXPANDED squared-L2 form c² − 2·v·c (the same
+    * algebra [[cellCol]] generates; the ‖v‖² term is constant per row so it
+    * never affects the argmin), ties to the lowest id — `<` keeps the first
+    * strictly-smaller candidate, which is min-by-(d, id) exactly like the
+    * SQL replays' `min(struct_pack(d, c))`.
+    */
+  private def nearestExpanded(
+      v: Array[Double], cents: Array[Array[Double]], csq: Array[Double]): Int = {
+    var best = 0; var bd = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = csq(c) - 2.0 * dotAsc(v, cents(c))
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** ann_ivfpq — the composed production index (FAISS's IVFPQ): an IVF
+    * coarse quantizer prunes WHICH cells a query scores, and PQ codes over
+    * the cell RESIDUALS (v − cell centroid) make scoring the survivors
+    * cheap. Residual quantization is what makes the composition better than
+    * either part alone: residuals concentrate near the origin, so the same
+    * [[PqK]]-centroid subspace codebooks spend their resolution on the
+    * within-cell structure instead of re-encoding the cell offset.
+    *
+    *   - Coarse: [[fitCentroids]] on the capped sample (byte-shared with
+    *     ann_ivf's training); assignment everywhere by the expanded
+    *     c² − 2·v·c argmin ([[nearestExpanded]]).
+    *   - Residual codebooks: per subspace, [[fitCentroids]] over the
+    *     sample's residual slices.
+    *   - Encode: a TYPED per-partition pass over broadcast codebooks — at
+    *     nCells×m×ksub combined centroids, a literal-expression argmin
+    *     would blow past JIT/codegen method limits, so this is the tier
+    *     where `mapPartitions` beats an `Expression` (the documented
+    *     preference order, applied by measurement). The corpus ships
+    *     onward as (vec_id, cell, m byte-sized codes).
+    *   - Query (ADC): per query, the [[nearestExpanded]]-ordered nProbe
+    *     cells; per probed cell the query residual's [[PqM]]×[[PqK]]
+    *     distance table, broadcast; approximate distance is m lookups +
+    *     adds, codegen'd, joined to the encoded corpus BY CELL — a query
+    *     only ever touches its probed cells' codes.
+    *
+    * 100 TB plan: coarse+residual training is driver-side on the capped
+    * sample (zero Spark jobs); the encode is one shuffle-free scan emitting
+    * ~9 bytes of codes per vector (the index that FITS in memory); scoring
+    * is a broadcast join on `cell` — the corpus is scanned once, and only
+    * probed cells do lookup work. Deterministic end-to-end (fixed-order
+    * folds, tie-to-lowest), so the full pipeline carries a DuckDB oracle
+    * like ann_ivf/ann_pq.
+    */
+  def ivfPqTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = PqM, ksub: Int = PqK): DataFrame = {
+    val dim = 64 // embeddings fixture dimension (TESTDATA.md)
+    val sub = dim / m
+    val c = graft.TransientCache.cache(corpus(s, dir))
+    val train = c.orderBy(xxhash64(col("vec_id"))).limit(IvfTrainCap)
+      .select("vec").collect().map(_.getSeq[Double](0).toArray)
+    val cents = fitCentroids(train, nCells, iters = 10)
+    val csq = cents.map(ct => ct.map(x => x * x).sum)
+    // residual codebooks on the sample's residuals, one k-means per subspace
+    val residTrain = train.map { v =>
+      val cell = nearestExpanded(v, cents, csq)
+      Array.tabulate(dim)(i => v(i) - cents(cell)(i))
+    }
+    val books = Array.tabulate(m)(mi =>
+      fitCentroids(residTrain.map(_.slice(mi * sub, (mi + 1) * sub)), ksub, iters = 10))
+    val bsq = books.map(_.map(ct => ct.map(x => x * x).sum))
+    val bc = s.sparkContext.broadcast((cents, csq, books, bsq))
+    import s.implicits._
+    val encoded = c.select(col("vec_id"), col("vec")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val (ct, cq, bk, bq) = bc.value
+        val nsub = ct(0).length / bk.length
+        it.map { case (id, vseq) =>
+          val v = vseq.toArray
+          val cell = nearestExpanded(v, ct, cq)
+          val codes = Array.tabulate(bk.length) { mi =>
+            val r = Array.tabulate(nsub)(i =>
+              v(mi * nsub + i) - ct(cell)(mi * nsub + i))
+            nearestExpanded(r, bk(mi), bq(mi))
+          }
+          (id, cell, codes)
+        }
+      }.toDF("vec_id", "cell", "codes")
+    // bounded query side: nProbe cells per query by expanded coarse L2,
+    // ADC table = the query residual's per-subspace distances to each code
+    val qs = c.filter(col("vec_id") < nQueries).select("vec_id", "vec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qRows = qs.flatMap { case (qid, qv) =>
+      val probed = (0 until nCells)
+        .map(cell => (csq(cell) - 2.0 * dotAsc(qv, cents(cell)), cell))
+        .sorted.take(nProbe).map(_._2)
+      probed.map { cell =>
+        val tbl = (0 until m).map { mi =>
+          books(mi).map { bcent =>
+            var d = 0.0; var i = 0
+            while (i < sub) {
+              val t = (qv(mi * sub + i) - cents(cell)(mi * sub + i)) - bcent(i)
+              d += t * t; i += 1
+            }
+            d
+          }.toSeq
+        }
+        (qid, cell, tbl)
+      }
+    }
+    val qTab = s.createDataFrame(qRows.toSeq).toDF("query_id", "cell", "tbl")
+    val adist = (0 until m).map(mi =>
+      element_at(col("tbl")(mi), col("codes")(mi) + 1)).reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    encoded.join(broadcast(qTab), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
   /** embed_quantize — int8 scalar quantization of the embedding corpus:
     * per vector, scale = max |component| and each component maps to
     * round(127·v/scale), the symmetric per-row quantization every vector

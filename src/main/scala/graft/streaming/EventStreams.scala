@@ -274,7 +274,10 @@ object EventStreams {
     * bucket-poisoning transition — the monitoring hook that surfaces how
     * much boilerplate the cap is absorbing (visible in the Spark UI per
     * stage; at-least-once under task retries, so it is a monitoring signal,
-    * not an exact count).
+    * not an exact count). When the caller passes none, a NAMED accumulator
+    * (`graft.neardup.poisonedBuckets`) is registered automatically, so the
+    * count is surfaced in the UI by default — tombstone growth on an
+    * unbounded crawl is observable without any opt-in.
     */
   def incrementalNearDup(docs: DataFrame, threshold: Double = 0.5,
       idleTimeout: Option[String] = None,
@@ -285,6 +288,8 @@ object EventStreams {
     val s = docs.sparkSession
     import s.implicits._
     import graft.operators.Dedup
+    val poisonAcc = poisonedBuckets.getOrElse(
+      s.sparkContext.longAccumulator("graft.neardup.poisonedBuckets"))
     val timeoutConf =
       if (idleTimeout.isDefined || tombstoneTtl.isDefined)
         GroupStateTimeout.ProcessingTimeTimeout
@@ -313,7 +318,7 @@ object EventStreams {
                 // live buckets re-arm the history TTL
                 idleTimeout.foreach(state.setTimeoutDuration)
               } else {
-                if (!wasPoisoned) poisonedBuckets.foreach(_.add(1L))
+                if (!wasPoisoned) poisonAcc.add(1L)
                 // a poison tombstone gets NO timeout by default — it must
                 // stay resident to keep its bucket silent, and with no
                 // timeout it persists with zero periodic re-firing cost

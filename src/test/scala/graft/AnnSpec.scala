@@ -127,6 +127,52 @@ class AnnSpec extends AnyFunSuite {
     TransientCache.release(spark)
   }
 
+  test("ivfPqTopK: candidates come from probed cells; recall floor; twin at rank 1") {
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val rows = Ann.ivfPqTopK(spark, Sf0001, nQueries = 4, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"query $q ranks")
+      assert(!rs.exists(_._3 == q), s"query $q returned itself")
+    }
+    // pruned + quantized is doubly approximate: require overlap with the
+    // exact-L2 top-10, not equality
+    val exact = (0L until 4L).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, l2(vecs(q), v)) }
+        .sortBy { case (id, d) => (d, id) }
+        .take(10).map { case (id, _) => (q, id) }
+    }.toSet
+    val got = rows.map(r => (r._1, r._3)).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall > 0.1, s"IVFPQ recall vs exact L2 suspiciously low: $recall")
+    TransientCache.release(spark)
+    // a planted near-identical twin lands in the query's own cell with a
+    // near-zero residual distance: it must rank first
+    val s = spark
+    import s.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64) { i =>
+        (math.sin(seed * 7919.0 + i * 104729.0) * 100 % 1.0).toFloat
+      }
+    val v0 = vec(200)
+    val v1 = v0.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.001f else 0f) }
+    val rest = (2 until 24).map(i => (i.toLong, vec(i).toSeq, 0))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-twin").toString
+    ((0L, v0.toSeq, 0) +: (1L, v1.toSeq, 0) +: rest)
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val twin = Ann.ivfPqTopK(spark, dir, nQueries = 1, k = 3, nCells = 2, nProbe = 1)
+      .collect().map(r => r.getAs[Int]("rank") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(twin(1) == 1L, s"twin not at rank 1: $twin")
+    TransientCache.release(spark)
+  }
+
   test("embedNearDup finds planted near-identical vectors, nothing else") {
     // fixture embeddings have no pairs above cos 0.60 (checked), so plant
     // our own: v1 ≈ v0 (tiny perturbation), v3 == v2, v0 ⟂̸ v2 (random)
