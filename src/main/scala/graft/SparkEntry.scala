@@ -189,6 +189,7 @@ object SparkEntry {
     "mm_features" -> (Multimodal.features _),
     "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    "mm_shard_manifest" -> ((s: SparkSession, d: String) => Multimodal.shardManifest(s, d)),
     // --- similarity search ---
     "ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
     "embed_quantize" -> (Ann.embedQuantize _),
@@ -2347,6 +2348,20 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, CAST(n_chars % 30 + 1 AS INTEGER) AS n_frames,
         | CAST(unnest(generate_series(0, n_chars % 30, 5)) AS INTEGER) AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    // the declarative per-type running-sum window — the Spark side computes
+    // the same pure function with a distributed two-pass prefix sum, so the
+    // compare also proves the rewrite answer-invariant
+    "mm_shard_manifest" ->
+      """SELECT asset_id, media_type, bytes,
+        | CAST(cum_before // 4096 AS BIGINT) AS shard,
+        | CAST(cum_before % 4096 AS BIGINT) AS shard_offset
+        |FROM (SELECT asset_id, media_type, bytes,
+        |  COALESCE(SUM(bytes) OVER (PARTITION BY media_type ORDER BY asset_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        | FROM (SELECT doc_id AS asset_id,
+        |   ['image','audio','video'][(doc_id % 3 + 1)] AS media_type,
+        |   CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+        |  FROM documents) sized) c""".stripMargin,
     // int8 scalar quantization: float widens to double (exact), and
     // max-abs / divide / floor(x+0.5) is the same IEEE double sequence on
     // both engines (floor, not round — engines disagree on half ties)

@@ -156,4 +156,100 @@ object Multimodal {
       .select(col("asset_id"), col("meta.n_frames").as("n_frames"),
         explode(sequence(lit(0), col("meta.n_frames") - 1,
           lit(stride))).as("frame_idx"))
+
+  /** Target shard payload bytes for [[shardManifest]] — fixture-sized so
+    * every media type fills multiple shards at sf0.001; production uses
+    * ~100 MB–1 GB tar shards.
+    */
+  val ShardBytes = 4096L
+
+  /** mm_shard_manifest — webdataset-style shard layout: assign every asset
+    * a (shard, byte offset) within its media type, walking assets in
+    * asset_id order and cutting a new shard each [[ShardBytes]] payload
+    * bytes. This is the manifest a sequential-tar packer consumes — the
+    * step that turns a row-per-asset lake into the few-large-files layout
+    * training loaders stream. An asset whose payload crosses a boundary
+    * belongs wholly to the shard its offset falls in (shards overflow by
+    * < 1 asset — the same prefix-fill contract as budget_sample).
+    *
+    * The answer is a PURE function of (media_type, asset_id, bytes): the
+    * running byte total before each asset in the per-type id order. The
+    * implementation computes it with a DISTRIBUTED TWO-PASS PREFIX SUM
+    * rather than a `Window.partitionBy(media_type)` running sum — the
+    * window form funnels each media type through ONE task (3 tasks total
+    * however large the corpus), the classic per-key-window scale cliff.
+    * Here: range-repartition on (media_type, asset_id), pass 1 folds each
+    * partition's per-type subtotal (a few rows per partition — collected,
+    * prefix-summed on the driver, broadcast back), pass 2 streams each
+    * partition once more seeded with its types' global offsets. Both
+    * passes are narrow scans; the only coordination is the tiny subtotal
+    * table. At 100 TB this is the textbook distributed scan pattern —
+    * parallelism stays at the partition count, not the type count.
+    *
+    * Everything is integral (byte counts, truncating div/mod), so the
+    * DuckDB oracle — the declarative window formulation — compares
+    * exactly; equality also proves the two formulations agree, i.e. the
+    * two-pass rewrite is answer-invariant.
+    */
+  def shardManifest(s: SparkSession, dir: String,
+      target: Long = ShardBytes, nParts: Int = 8): DataFrame = {
+    import s.implicits._
+    val sized = assets(s, dir)
+      .select(col("asset_id"), col("media_type"),
+        octet_length(col("payload")).cast("long").as("bytes"))
+      .as[(Long, String, Long)]
+    // pass 0: one range partitioning both passes iterate — cached so the
+    // subtotal scan and the labeling scan see the identical layout cheaply
+    // (the result is partitioning-independent either way; this is a perf
+    // memo, not a correctness dependency)
+    val part = graft.TransientCache.cache(
+      sized.repartitionByRange(nParts, col("media_type"), col("asset_id"))
+        .sortWithinPartitions("media_type", "asset_id").toDF())
+      .as[(Long, String, Long)]
+    // pass 1: per-partition, per-type subtotals, keyed by the partition's
+    // FIRST row (not TaskContext.getPartitionId — a downstream coalesce
+    // merges partitions into one task, where every merged parent reports
+    // the same task partition id; the first (media_type, asset_id) pair
+    // identifies a range partition under any such merging, because the
+    // mapPartitions function still runs once per parent partition)
+    val subtotals = part.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val buf = it.buffered
+        val firstKey = (buf.head._2, buf.head._1)
+        val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        buf.foreach { case (_, mt, b) => acc(mt) = acc.getOrElse(mt, 0L) + b }
+        Iterator.single((firstKey, acc.toSeq))
+      }
+    }.collect()
+    // driver prefix sum walking partitions in range order (the partitions'
+    // first keys sort exactly like the range partitioning that made them)
+    val offsets: Map[(String, Long), Map[String, Long]] = {
+      val running = scala.collection.mutable.Map.empty[String, Long]
+      subtotals.sortBy(_._1).map { case (firstKey, perType) =>
+        val starts = perType.map { case (mt, total) =>
+          val start = running.getOrElse(mt, 0L)
+          running(mt) = start + total
+          mt -> start
+        }.toMap
+        firstKey -> starts
+      }.toMap
+    }
+    val bcOff = s.sparkContext.broadcast(offsets)
+    // pass 2: stream each partition seeded with its types' global offsets
+    part.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val buf = it.buffered
+        val starts = bcOff.value.getOrElse((buf.head._2, buf.head._1),
+          Map.empty[String, Long])
+        val cum = scala.collection.mutable.Map.empty[String, Long] ++ starts
+        buf.map { case (id, mt, b) =>
+          val before = cum.getOrElse(mt, 0L)
+          cum(mt) = before + b
+          (id, mt, b, before / target, before % target)
+        }
+      }
+    }.toDF("asset_id", "media_type", "bytes", "shard", "shard_offset")
+  }
 }

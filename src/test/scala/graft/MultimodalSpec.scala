@@ -68,4 +68,46 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("asset_id") % 3 == 2) // video assets
     }
   }
+
+  test("shardManifest: two-pass prefix sum == driver replay; partition-count-invariant") {
+    val rows = Multimodal.shardManifest(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[String]("media_type"),
+        r.getAs[Long]("bytes"), r.getAs[Long]("shard"), r.getAs[Long]("shard_offset")))
+    assert(rows.nonEmpty)
+    // driver replay of the declared semantics: per-type asset_id order,
+    // running byte total before each asset
+    val target = Multimodal.ShardBytes
+    val expected = rows.map(r => (r._1, r._2, r._3)).sortBy(r => (r._2, r._1))
+      .groupBy(_._2).iterator.flatMap { case (_, as) =>
+        var cum = 0L
+        as.map { case (id, mt, b) =>
+          val before = cum; cum += b
+          (id, mt, b, before / target, before % target)
+        }
+      }.toSet
+    assert(rows.toSet == expected)
+    // multiple shards actually fill, and every shard's assets are offset-
+    // contiguous (offset 0 asset exists per (type, shard))
+    val byShard = rows.groupBy(r => (r._2, r._4))
+    assert(byShard.size > rows.map(_._2).distinct.length, "expected >1 shard per type")
+    byShard.foreach { case ((mt, sh), as) =>
+      assert(as.exists(_._5 < as.map(_._3).min || as.map(_._5).min < target),
+        s"shard ($mt,$sh) has no in-range offsets")
+    }
+    // the answer is partitioning-independent: 1 partition == 8 partitions
+    val single = Multimodal.shardManifest(spark, Sf0001, nParts = 1).collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[String]("media_type"),
+        r.getAs[Long]("bytes"), r.getAs[Long]("shard"), r.getAs[Long]("shard_offset")))
+    assert(single.toSet == rows.toSet)
+    // and coalesce-robust: a downstream coalesce(1) (exactly what Verify's
+    // single-file parquet dump does) merges all range partitions into one
+    // task — the per-partition offset seeding must key off partition
+    // CONTENT, not TaskContext ids, or every merged partition restarts at
+    // zero (the round-8 regression this line exists for)
+    val coalesced = Multimodal.shardManifest(spark, Sf0001).coalesce(1).collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[String]("media_type"),
+        r.getAs[Long]("bytes"), r.getAs[Long]("shard"), r.getAs[Long]("shard_offset")))
+    assert(coalesced.toSet == rows.toSet)
+    TransientCache.release(spark)
+  }
 }
