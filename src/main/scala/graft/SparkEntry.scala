@@ -444,37 +444,17 @@ object SparkEntry {
        |WHERE cos >= 0.4""".stripMargin
   }
 
-  /** Full replay of ann_ivf (Ann.ivfTopK + fitCentroids) — the one oracle
-    * that replays an ITERATIVE fixed point: a recursive CTE carries the 16
-    * centroids through all 10 Lloyd rounds. Every numeric step matches the
-    * Scala loop bit-for-bit:
-    *   - the bounded training sample is ordered by Spark's xxhash64 (XXH64
-    *     of the 8-byte little-endian key, seed 42, replayed with rotl =
-    *     shift-add on disjoint bit ranges);
-    *   - init picks the first 16 DISTINCT splitmix64 draw indices in
-    *     first-seen order (Java's signed %: `((z % n) + n) % n`);
-    *   - assignment distance accumulates (v_i − c_i)² in ascending dim
-    *     order; centroid recompute folds members in SAMPLE order (the
-    *     train.foreach order) — both as ordered list folds;
-    *   - the corpus assignment uses the EXPANDED form c² − 2·v·c exactly as
-    *     the codegen'd cellCol does (different rounding than the training
-    *     loop's (v−c)² — replayed as written, not as algebra).
-    */
-  /** Shared CTE prefix (corpus → xxhash64 sample → splitmix init → 10-round
-    * recursive Lloyd loop → per-vector cell assignment) used by BOTH ann_ivf
-    * and semdedup — the two consumers of the IVF clustering, which share
-    * `Ann.fitCentroids`/`cellCol` on the Scala side too. Factored so the
-    * replays cannot drift apart. The final `assigned` CTE is MATERIALIZED:
-    * DuckDB inlines CTEs per reference by default, and semdedup references
-    * `assigned` three times — without the hint the whole 10-round recursive
-    * k-means replay re-executes per reference (>9 min at sf0.1 vs 3 s with
-    * it; measured 2026-08-13).
-    */
   /** Shared capped-sample prefix: corpus → Spark-xxhash64-ordered bounded
     * train sample → splitmix64 distinct-index init. Byte-shared by the IVF
-    * clustering replay AND the PQ per-subspace codebook replay — on the
-    * Scala side the same `Ann.fitCentroids` seed stream serves both, so the
-    * init indices are identical there too.
+    * clustering replay ([[ivfKmeansCtes]]) AND the PQ per-subspace codebook
+    * replay ([[pqLloydCtes]]) — on the Scala side the same
+    * `Ann.fitCentroids` seed stream serves both, so the init indices are
+    * identical there too. Replay details matched bit-for-bit:
+    *   - the training sample is ordered by Spark's xxhash64 (XXH64 of the
+    *     8-byte little-endian key, seed 42, replayed with rotl = shift-add
+    *     on disjoint bit ranges);
+    *   - init picks the first 16 DISTINCT splitmix64 draw indices in
+    *     first-seen order (Java's signed %: `((z % n) + n) % n`).
     */
   private val ivfSampleCtes = {
     // rotl on HUGEINT < 2^64: the shifted halves occupy disjoint bit
@@ -510,6 +490,22 @@ object SparkEntry {
        |         QUALIFY cid < 16)""".stripMargin
   }
 
+  /** Full IVF clustering replay (Ann.ivfTopK's fit + assignment): the
+    * [[ivfSampleCtes]] prefix, then a recursive CTE carrying the 16
+    * centroids through all 10 Lloyd rounds — assignment distance
+    * accumulates (v_i − c_i)² in ascending dim order, centroid recompute
+    * folds members in SAMPLE order (the train.foreach order), and the
+    * corpus assignment uses the EXPANDED form c² − 2·v·c exactly as the
+    * codegen'd cellCol does (different rounding than the training loop's
+    * (v−c)² — replayed as written, not as algebra). Used by ann_ivf,
+    * semdedup AND ann_ivfpq, which share `Ann.fitCentroids`/`cellCol` on
+    * the Scala side too — factored so the replays cannot drift apart. The
+    * final `assigned` CTE is MATERIALIZED: DuckDB inlines CTEs per
+    * reference by default, and semdedup references `assigned` three times —
+    * without the hint the whole 10-round recursive k-means replay
+    * re-executes per reference (>9 min at sf0.1 vs 3 s with it; measured
+    * 2026-08-13).
+    */
   private val ivfKmeansCtes = {
     s"""$ivfSampleCtes,
        |kmeans(iter, cid, cent) AS (

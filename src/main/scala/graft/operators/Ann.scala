@@ -500,7 +500,9 @@ object Ann {
     val encoded = c.select(col("vec_id"), col("vec")).as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val (bk, bq) = bcBooks.value
-        val nsub = 64 / bk.length
+        // subspace width from the codebooks themselves (a centroid IS one
+        // subspace slice), not a re-derivation that could drift from `sub`
+        val nsub = bk(0)(0).length
         it.map { case (id, vseq) =>
           val v = vseq.toArray
           val codes = Array.tabulate(bk.length) { mi =>
@@ -601,6 +603,7 @@ object Ann {
   def ivfPqTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
       nCells: Int = 16, nProbe: Int = 4, m: Int = PqM, ksub: Int = PqK): DataFrame = {
     val dim = 64 // embeddings fixture dimension (TESTDATA.md)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     val c = graft.TransientCache.cache(corpus(s, dir))
     val train = c.orderBy(xxhash64(col("vec_id"))).limit(IvfTrainCap)
@@ -620,7 +623,7 @@ object Ann {
     val encoded = c.select(col("vec_id"), col("vec")).as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val (ct, cq, bk, bq) = bc.value
-        val nsub = ct(0).length / bk.length
+        val nsub = bk(0)(0).length // a residual codebook centroid IS one subspace slice
         it.map { case (id, vseq) =>
           val v = vseq.toArray
           val cell = nearestExpanded(v, ct, cq)

@@ -198,10 +198,9 @@ object Multimodal {
       .select(col("asset_id"), col("media_type"),
         octet_length(col("payload")).cast("long").as("bytes"))
       .as[(Long, String, Long)]
-    // pass 0: one range partitioning both passes iterate — cached so the
-    // subtotal scan and the labeling scan see the identical layout cheaply
-    // (the result is partitioning-independent either way; this is a perf
-    // memo, not a correctness dependency)
+    // pass 0: cached so the subtotal scan and the labeling scan iterate the SAME
+    // materialized partition layout (pass 2's offset seeds are keyed by
+    // pass 1's partition contents — see the fail-fast below)
     val part = graft.TransientCache.cache(
       sized.repartitionByRange(nParts, col("media_type"), col("asset_id"))
         .sortWithinPartitions("media_type", "asset_id").toDF())
@@ -236,13 +235,19 @@ object Multimodal {
       }.toMap
     }
     val bcOff = s.sparkContext.broadcast(offsets)
-    // pass 2: stream each partition seeded with its types' global offsets
+    // pass 2: stream each partition seeded with its types' global offsets.
+    // A lookup miss can only mean pass 2 is iterating a DIFFERENT partition
+    // layout than pass 1 summarized (e.g. the cached layout was dropped and
+    // repartitionByRange re-sampled new boundaries) — silently defaulting
+    // would restart running totals at 0 mid-type, so fail loudly instead
     part.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
         val buf = it.buffered
         val starts = bcOff.value.getOrElse((buf.head._2, buf.head._1),
-          Map.empty[String, Long])
+          throw new IllegalStateException(
+            s"shardManifest pass-2 partition starting at ${buf.head._2}/${buf.head._1} " +
+              "has no pass-1 subtotal: the range-partition layout changed between passes"))
         val cum = scala.collection.mutable.Map.empty[String, Long] ++ starts
         buf.map { case (id, mt, b) =>
           val before = cum.getOrElse(mt, 0L)

@@ -23,6 +23,46 @@ class AnnSpec extends AnyFunSuite {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  private def l2(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Deterministic 64-d fixture vector (the shared planted-corpus recipe). */
+  private def detVec(seed: Int): Array[Float] =
+    Array.tabulate(64) { i =>
+      (math.sin(seed * 7919.0 + i * 104729.0) * 100 % 1.0).toFloat
+    }
+
+  /** Exact-L2 top-k pairs (query, neighbor) for queries 0..n-1 — the
+    * driver-side ranking the approximate indexes are measured against.
+    */
+  private def exactL2Pairs(nQueries: Int, k: Int): Set[(Long, Long)] =
+    (0L until nQueries.toLong).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, l2(vecs(q), v)) }
+        .sortBy { case (id, d) => (d, id) }
+        .take(k).map { case (id, _) => (q, id) }
+    }.toSet
+
+  /** Writes a 24-vector corpus where vec 1 is vec 0 plus a tiny
+    * single-component perturbation (>= PqK vectors so every subspace
+    * codebook can fit); returns the table dir.
+    */
+  private def plantTwinCorpus(prefix: String, seed: Int): String = {
+    val s = spark
+    import s.implicits._
+    val v0 = detVec(seed)
+    val v1 = v0.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.001f else 0f) }
+    val rest = (2 until 24).map(i => (i.toLong, detVec(i).toSeq, 0))
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    ((0L, v0.toSeq, 0) +: (1L, v1.toSeq, 0) +: rest)
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
   test("bruteTopK matches a driver-side exact top-k oracle") {
     val got = Ann.bruteTopK(spark, Sf0001, nQueries = 4, k = 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Long]("neighbor_id"))
@@ -74,11 +114,6 @@ class AnnSpec extends AnyFunSuite {
   }
 
   test("pqTopK: recall overlap vs exact L2 ranking; deterministic across runs") {
-    def l2(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var i = 0
-      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
-      d
-    }
     val rows = Ann.pqTopK(spark, Sf0001, nQueries = 4, k = 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
     assert(rows.length == 4 * 10)
@@ -88,12 +123,7 @@ class AnnSpec extends AnyFunSuite {
     }
     // PQ is approximate (ADC over 16-centroid codebooks): require nontrivial
     // overlap with the exact-L2 top-10, not equality
-    val exact = (0L until 4L).flatMap { q =>
-      vecs.toSeq.filter(_._1 != q)
-        .map { case (id, v) => (id, l2(vecs(q), v)) }
-        .sortBy { case (id, d) => (d, id) }
-        .take(10).map { case (id, _) => (q, id) }
-    }.toSet
+    val exact = exactL2Pairs(4, 10)
     val got = rows.map(r => (r._1, r._3)).toSet
     val recall = exact.intersect(got).size.toDouble / exact.size
     assert(recall > 0.2, s"PQ recall vs exact L2 suspiciously low: $recall")
@@ -105,21 +135,7 @@ class AnnSpec extends AnyFunSuite {
   }
 
   test("pqTopK: a planted near-identical twin retrieves at rank 1") {
-    val s = spark
-    import s.implicits._
-    // 24 vectors of the fixture dimension (>= PqK so every subspace codebook
-    // can fit); vec 1 is vec 0 plus a tiny single-component perturbation
-    def vec(seed: Int): Array[Float] =
-      Array.tabulate(64) { i =>
-        (math.sin(seed * 7919.0 + i * 104729.0) * 100 % 1.0).toFloat
-      }
-    val v0 = vec(100)
-    val v1 = v0.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.001f else 0f) }
-    val rest = (2 until 24).map(i => (i.toLong, vec(i).toSeq, 0))
-    val dir = java.nio.file.Files.createTempDirectory("pq-twin").toString
-    ((0L, v0.toSeq, 0) +: (1L, v1.toSeq, 0) +: rest)
-      .toDF("vec_id", "embedding", "label")
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val dir = plantTwinCorpus("pq-twin", seed = 100)
     val got = Ann.pqTopK(spark, dir, nQueries = 1, k = 3).collect()
       .map(r => r.getAs[Int]("rank") -> r.getAs[Long]("neighbor_id")).toMap
     // ADC distance to the twin is ~0 in every subspace: it must rank first
@@ -128,11 +144,6 @@ class AnnSpec extends AnyFunSuite {
   }
 
   test("ivfPqTopK: candidates come from probed cells; recall floor; twin at rank 1") {
-    def l2(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var i = 0
-      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
-      d
-    }
     val rows = Ann.ivfPqTopK(spark, Sf0001, nQueries = 4, k = 10).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
     assert(rows.nonEmpty)
@@ -142,31 +153,14 @@ class AnnSpec extends AnyFunSuite {
     }
     // pruned + quantized is doubly approximate: require overlap with the
     // exact-L2 top-10, not equality
-    val exact = (0L until 4L).flatMap { q =>
-      vecs.toSeq.filter(_._1 != q)
-        .map { case (id, v) => (id, l2(vecs(q), v)) }
-        .sortBy { case (id, d) => (d, id) }
-        .take(10).map { case (id, _) => (q, id) }
-    }.toSet
+    val exact = exactL2Pairs(4, 10)
     val got = rows.map(r => (r._1, r._3)).toSet
     val recall = exact.intersect(got).size.toDouble / exact.size
     assert(recall > 0.1, s"IVFPQ recall vs exact L2 suspiciously low: $recall")
     TransientCache.release(spark)
     // a planted near-identical twin lands in the query's own cell with a
     // near-zero residual distance: it must rank first
-    val s = spark
-    import s.implicits._
-    def vec(seed: Int): Array[Float] =
-      Array.tabulate(64) { i =>
-        (math.sin(seed * 7919.0 + i * 104729.0) * 100 % 1.0).toFloat
-      }
-    val v0 = vec(200)
-    val v1 = v0.zipWithIndex.map { case (x, i) => x + (if (i == 0) 0.001f else 0f) }
-    val rest = (2 until 24).map(i => (i.toLong, vec(i).toSeq, 0))
-    val dir = java.nio.file.Files.createTempDirectory("ivfpq-twin").toString
-    ((0L, v0.toSeq, 0) +: (1L, v1.toSeq, 0) +: rest)
-      .toDF("vec_id", "embedding", "label")
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val dir = plantTwinCorpus("ivfpq-twin", seed = 200)
     val twin = Ann.ivfPqTopK(spark, dir, nQueries = 1, k = 3, nCells = 2, nProbe = 1)
       .collect().map(r => r.getAs[Int]("rank") -> r.getAs[Long]("neighbor_id")).toMap
     assert(twin(1) == 1L, s"twin not at rank 1: $twin")

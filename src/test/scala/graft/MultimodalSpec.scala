@@ -86,13 +86,23 @@ class MultimodalSpec extends AnyFunSuite {
         }
       }.toSet
     assert(rows.toSet == expected)
-    // multiple shards actually fill, and every shard's assets are offset-
-    // contiguous (offset 0 asset exists per (type, shard))
-    val byShard = rows.groupBy(r => (r._2, r._4))
-    assert(byShard.size > rows.map(_._2).distinct.length, "expected >1 shard per type")
-    byShard.foreach { case ((mt, sh), as) =>
-      assert(as.exists(_._5 < as.map(_._3).min || as.map(_._5).min < target),
-        s"shard ($mt,$sh) has no in-range offsets")
+    // every media type actually fills multiple shards, shard ids are the
+    // contiguous range 0..max, and within each shard (ordered by asset_id)
+    // offsets are exactly contiguous: each asset starts where the previous
+    // one ended
+    rows.groupBy(_._2).foreach { case (mt, as) =>
+      val shards = as.map(_._4).distinct.sorted.toSeq
+      assert(shards.length > 1, s"type $mt: expected >1 shard")
+      assert(shards == (0L to shards.max), s"type $mt: shard ids not contiguous")
+    }
+    rows.groupBy(r => (r._2, r._4)).foreach { case ((mt, sh), as) =>
+      val ordered = as.sortBy(_._1)
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(b._5 == a._5 + a._3,
+          s"shard ($mt,$sh): asset ${b._1} offset ${b._5} != ${a._5} + ${a._3}")
+      }
+      if (sh == 0L)
+        assert(ordered.head._5 == 0L, s"type $mt: shard 0 must start at offset 0")
     }
     // the answer is partitioning-independent: 1 partition == 8 partitions
     val single = Multimodal.shardManifest(spark, Sf0001, nParts = 1).collect()
