@@ -160,6 +160,7 @@ object SparkEntry {
     // --- end-to-end curation (quality gate ∧ dedup survivor) ---
     "pipeline_keep" -> (graft.operators.Pipeline.keep _),
     "pipeline_mix" -> ((s: SparkSession, d: String) => graft.operators.Pipeline.mix(s, d)),
+    "mix_temperature" -> (graft.operators.Pipeline.mixTemperature _),
     // --- corpus curation: decontamination, packing, domain balancing ---
     "decontam" -> ((s: SparkSession, d: String) => graft.operators.Curation.decontam(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => graft.operators.Curation.packSequences(s, d)),
@@ -1856,6 +1857,20 @@ object SparkEntry {
         | WHEN 'en' THEN 'ffffffff' WHEN 'de' THEN '80000000'
         | WHEN 'fr' THEN '80000000' WHEN 'es' THEN '80000000'
         | WHEN 'zh' THEN '40000000' ELSE '00000000' END""".stripMargin,
+    // α=0.5 temperature mixing: every double here is bit-stable (exact int
+    // division operand, IEEE-exact sqrt, coin/2^32 exact), so `rate` is
+    // compared top-level and the keep decision replays exactly
+    "mix_temperature" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |nm AS (SELECT min(n_lang) AS n_min FROM counts)
+        |SELECT d.doc_id, d.lang, c.n_lang,
+        | sqrt(CAST((SELECT n_min FROM nm) AS DOUBLE) / CAST(c.n_lang AS DOUBLE)) AS rate
+        |FROM documents d JOIN counts c ON c.lang = d.lang
+        |WHERE CAST(list_reduce(list_transform(range(1, 9),
+        |   i -> CAST(strpos('0123456789abcdef',
+        |         substring(md5('mix_t:' || CAST(d.doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |   (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0
+        | < sqrt(CAST((SELECT n_min FROM nm) AS DOUBLE) / CAST(c.n_lang AS DOUBLE))""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id, n_tokens, mean_tok_len, stopword_hits, distinct_ratio,
          | $qualityPred AS keep

@@ -42,6 +42,42 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("coin"))
   }
 
+  /** mix_temperature — temperature-flattened language mixing, the
+    * DATA-DERIVED sibling of [[mix]]'s static rate table: per-language
+    * keep-rate √(n_min / n_lang) (α = 0.5 temperature sampling anchored at
+    * the smallest language, which survives whole), so expected kept volume
+    * per language is √(n_min · n_lang) — the geometric-mean flattening that
+    * up-weights low-resource languages in a multilingual training mix
+    * without a hand-maintained table.
+    *
+    * Exactness contract: n_min/n_lang divides two exact integers in one
+    * IEEE double op, √ is correctly rounded by IEEE-754, and the coin
+    * fraction is an integer < 2³² divided by 2³² (exact) — every double is
+    * the same bits on any engine, so the keep decision (and the emitted
+    * rate) replays bit-for-bit in the oracle. The coin is salted
+    * ("mix_t:") for independence from [[mix]]'s bare-id coin and
+    * split_assign's "split:" coin.
+    *
+    * 100 TB plan: one map-side-combined count per language (broadcast
+    * back — languages are few), then a stateless filter scan. No window,
+    * no per-doc shuffle.
+    */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(s, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val nMin = counts.agg(min(col("n_lang")).as("n_min"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(nMin))
+      .withColumn("rate",
+        sqrt(col("n_min").cast("double") / col("n_lang").cast("double")))
+      .withColumn("coin_frac",
+        conv(substring(md5(concat(lit("mix_t:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long").cast("double") / lit(4294967296.0))
+      .filter(col("coin_frac") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("n_lang"), col("rate"))
+  }
+
   /** pipeline_keep — the curated keep-set with its audit columns. */
   def keep(s: SparkSession, dir: String): DataFrame = {
     val quality = TextOps.textQuality(s, dir)

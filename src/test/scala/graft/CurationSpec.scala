@@ -414,6 +414,38 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------------- mixTemperature
+
+  test("mixTemperature: sqrt(n_min/n_lang) rates, exact coin replay, smallest lang kept whole") {
+    // counts chosen so the rates are exactly representable: 25/100 -> 0.5, 25/25 -> 1.0
+    val dir = writeDocs(
+      (0L until 100L).map(i => (i, s"en doc $i", "en", "s0")) ++
+        (100L until 125L).map(i => (i, s"zh doc $i", "zh", "s0")))
+    val rows = graft.operators.Pipeline.mixTemperature(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_lang"), r.getAs[Double]("rate")))
+    // rate column is the exact closed form
+    rows.foreach { case (_, lang, n, rate) =>
+      if (lang == "en") { assert(n == 100L); assert(rate == 0.5) }
+      else { assert(n == 25L); assert(rate == 1.0) }
+    }
+    // smallest language survives whole (rate 1.0 keeps every coin)
+    assert(rows.count(_._2 == "zh") == 25)
+    // driver replay of the keep decision: salted md5 coin fraction < rate
+    def coinFrac(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix_t:$id".getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val expectedEn = (0L until 100L).filter(coinFrac(_) < 0.5).toSet
+    assert(rows.filter(_._2 == "en").map(_._1).toSet == expectedEn)
+    // deterministic under re-run
+    val again = graft.operators.Pipeline.mixTemperature(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id")).sorted.toSeq
+    assert(again == rows.map(_._1).sorted.toSeq)
+  }
+
   // ----------------------------------------------------------------- tfidf
 
   test("tfidf: exact rational weights, rank order, lexicographic tiebreak") {
