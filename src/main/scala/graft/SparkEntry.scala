@@ -215,6 +215,7 @@ object SparkEntry {
     "line_dedup" -> (graft.operators.Curation.lineDedup _),
     // --- custom DSv2 connector: the reference's mr-out text format ---
     "mrout_roundtrip" -> (graft.sources.MrOut.wcRoundtrip _),
+    "catalog_agg" -> (graft.sources.CatalogQueries.catalogAgg _),
     // --- sources/sinks: gzip JSON-lines round-trip, content-verified ---
     "docs_jsonl" -> (graft.sources.Jsonl.docsJsonlStats _),
   )
@@ -1788,6 +1789,12 @@ object SparkEntry {
       s"SELECT word, count(*) AS cnt FROM ($tokenized) t WHERE word <> '' GROUP BY word",
     // identical answer via the custom DSv2 round-trip — the connector must
     // preserve every (word, cnt) pair byte-for-byte through its text format
+    // the Spark side reads lineitem ONLY through the V2 catalog's
+    // three-part name — equality proves the catalog is a pure naming layer
+    "catalog_agg" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        | CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "mrout_roundtrip" ->
       s"SELECT word, count(*) AS cnt FROM ($tokenized) t WHERE word <> '' GROUP BY word",
     // the SQL-registered Aggregator must land on the identical counts
