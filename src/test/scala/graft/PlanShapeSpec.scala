@@ -82,6 +82,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "range predicate must not demote the join to a non-equi strategy")
   }
 
+  test("ann_ivfpq and mix_temperature: broadcast-shaped joins, no cartesian fallback") {
+    // ivfpq: encoded corpus joins the (bounded) ADC probe table BY CELL via
+    // broadcast; mix_temperature: the per-language counts broadcast back.
+    // Either shape degrading to a cartesian/shuffle-everything plan is the
+    // regression this case exists to catch.
+    Seq("ann_ivfpq", "mix_temperature").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: cartesian fallback")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: expected the bounded side to broadcast-hash-join")
+      TransientCache.release(spark)
+    }
+  }
+
   test("q49_interval_join: binning turns the pure range join into an equi join") {
     val plan = executedPlan("q49_interval_join")
     // this query has NO natural equi key — without the bin rewrite Spark
