@@ -117,6 +117,7 @@ object SparkEntry {
     "q25_stream_window" -> (graft.streaming.EventStreams.windowedCountsQuery _),
     "q33_stream_session" -> (graft.streaming.EventStreams.sessionQuery _),
     "q36_stream_neardup" -> (graft.streaming.EventStreams.nearDupQuery _),
+    "q50_stream_embed_neardup" -> (graft.streaming.EventStreams.embedNearDupQuery _),
     "q38_stream_active" -> (graft.streaming.EventStreams.activeQuery _),
     "q39_stream_debounce" -> (graft.streaming.EventStreams.debounceQuery _),
     "q42_stream_attribution" -> (graft.streaming.EventStreams.attributionQuery _),
@@ -1980,6 +1981,9 @@ object SparkEntry {
     // dedup_minhash — the gate now checks the streaming path's VALUES, not
     // just that rows came out (StreamingSpec asserts the set equality too).
     "q36_stream_neardup" -> minhashPairsSql,
+    // the streaming embedding twin answers to the SAME multi-table replay
+    // as batch dedup_embed: a bounded pass must produce identical pairs
+    "q50_stream_embed_neardup" -> embedNearDupSql,
     // dedup_jaccard3: the exact prefix-filter variant has recall exactly 1,
     // so a simple all-pairs oracle agrees deterministically on any corpus.
     "dedup_jaccard3" ->

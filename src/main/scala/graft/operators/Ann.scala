@@ -543,7 +543,7 @@ object Ann {
     * arithmetic stays bit-compatible with the expression-tier and with the
     * DuckDB replays.
     */
-  private def dotAsc(a: Array[Double], b: Array[Double]): Double = {
+  private[graft] def dotAsc(a: Array[Double], b: Array[Double]): Double = {
     var d = 0.0; var i = 0
     while (i < a.length) { d += a(i) * b(i); i += 1 }
     d

@@ -353,6 +353,134 @@ object EventStreams {
         OutputMode.Append(), file = "documents.parquet")
       .distinct()
 
+  /** Per-bucket state of the EMBEDDING near-dup stream: vectors seen in
+    * this (table, bucket), or a poisoned tombstone past the cap — the
+    * embedding-modality sibling of [[BucketState]], with the same poison /
+    * tombstone / TTL contract.
+    */
+  case class EmbedBucketState(overCap: Boolean,
+      docs: List[(Long, Array[Double], Double)])
+
+  /** One (table, bucket)'s transition — the [[advanceBucket]] sibling with
+    * exact-cosine verification (ascending-index dots, the same IEEE
+    * sequence as the batch `arrayDot` kernel and the DuckDB replay).
+    * Emits (min id, max id, raw cosine) for history pairs clearing the
+    * threshold; state/poison semantics identical to the text twin.
+    */
+  private[graft] def advanceEmbedBucket(
+      timedOut: Boolean,
+      arrivals: Seq[(Long, Array[Double], Double)],
+      prev: Option[EmbedBucketState],
+      threshold: Double,
+      maxBucket: Int,
+      expireTombstones: Boolean = false): (Option[EmbedBucketState], List[(Long, Long, Double)]) = {
+    if (timedOut) {
+      (if (!expireTombstones && prev.exists(_.overCap))
+        Some(EmbedBucketState(overCap = true, Nil))
+      else None, Nil)
+    } else {
+      var st = prev.getOrElse(EmbedBucketState(overCap = false, Nil))
+      val out = List.newBuilder[(Long, Long, Double)]
+      arrivals.foreach { case (id, v, nrm) =>
+        if (!st.overCap && !st.docs.exists(_._1 == id)) {
+          if (st.docs.size >= maxBucket) {
+            st = EmbedBucketState(overCap = true, Nil)
+          } else {
+            st.docs.foreach { case (oid, ov, onrm) =>
+              val cos = graft.operators.Ann.dotAsc(v, ov) / (nrm * onrm)
+              if (cos >= threshold)
+                out += ((math.min(id, oid), math.max(id, oid), cos))
+            }
+            st = st.copy(docs = (id, v, nrm) :: st.docs)
+          }
+        }
+      }
+      (Some(st), out.result())
+    }
+  }
+
+  /** Incremental EMBEDDING near-dup detection — the streaming twin of
+    * `Ann.embedNearDup`, closing the modality matrix: text near-dups have
+    * a batch and a streaming path, and so do embeddings. Each arriving
+    * vector is sign-bucketed against the SAME [[graft.operators.Ann
+    * .EmbedTables]] deterministic hyperplane tables as the batch operator
+    * (plane matrices are plan literals in the task closure); state lives
+    * per (table, bucket) and an arrival emits exact-cosine-verified pairs
+    * against its bucket's history. Same poison-cap / tombstone / TTL
+    * contract as [[incrementalNearDup]] — see that operator's notes; the
+    * one new constant is `nbits`, which a stream cannot derive from a
+    * corpus count and therefore takes as a deploy-time parameter (sized
+    * from expected corpus volume, exactly like choosing shard counts).
+    * Emission is at-least-once across tables; consumers `distinct()`.
+    */
+  def incrementalEmbedNearDup(vecs: DataFrame, nbits: Int,
+      threshold: Double = 0.4,
+      nTables: Int = graft.operators.Ann.EmbedTables,
+      idleTimeout: Option[String] = None,
+      maxBucket: Int = graft.operators.Dedup.MaxBucket): Dataset[(Long, Long, Double)] = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    import graft.operators.Ann
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(nTables)(t => Ann.hyperplanes(64, nbits, seed = 42L + t))
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    vecs.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .flatMap { case (id, emb) =>
+        val v = emb.iterator.map(_.toDouble).toArray
+        val nrm = math.sqrt(Ann.dotAsc(v, v))
+        (0 until planes.length).map { t =>
+          var b = 0L
+          var k = 0
+          while (k < planes(t).length) {
+            if (Ann.dotAsc(v, planes(t)(k)) >= 0) b |= (1L << k)
+            k += 1
+          }
+          (t, b, id, v, nrm)
+        }
+      }
+      .groupByKey { case (t, b, _, _, _) => (t, b) }
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Array[Double], Double)],
+         state: GroupState[EmbedBucketState]) => {
+          val (next, out) = advanceEmbedBucket(
+            state.hasTimedOut,
+            rows.map { case (_, _, id, v, nrm) => (id, v, nrm) }.toSeq,
+            state.getOption, threshold, maxBucket)
+          next match {
+            case Some(st) =>
+              state.update(st)
+              if (!st.overCap) idleTimeout.foreach(state.setTimeoutDuration)
+            case None => state.remove()
+          }
+          out.iterator
+        })
+  }
+
+  /** q50_stream_embed_neardup — the REGISTERED streaming embedding
+    * near-dup query: one bounded AvailableNow pass over the staged
+    * embeddings table, nbits derived from the static count (== the batch
+    * operator's adaptive sizing, so the bucket structure is identical),
+    * pairs deduped across tables and rounded by Spark's own `round` —
+    * making the output comparable to the SAME DuckDB multi-table replay
+    * that oracles batch dedup_embed. A bounded pass with no over-cap
+    * buckets must land on the identical (id1, id2, cos4) set.
+    */
+  def embedNearDupQuery(s: SparkSession, dir: String): DataFrame = {
+    val nbits = graft.operators.Ann.nbitsFor(
+      graft.sources.Tables.embeddings(s, dir).count())
+    runStagedViaFiles(s, dir, "q50_stream_embed_neardup",
+        staged => incrementalEmbedNearDup(
+            s.readStream
+              .schema(graft.sources.Tables.embeddings(s, dir).schema)
+              .parquet(staged), nbits = nbits)
+          .toDF("id1", "id2", "cos"),
+        OutputMode.Append(), file = "embeddings.parquet")
+      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos4"))
+      .distinct()
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit

@@ -111,6 +111,57 @@ class StreamingSpec extends AnyFunSuite {
     TransientCache.release(spark)
   }
 
+  test("incremental EMBED near-dup: streaming pair set == batch embedNearDup") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("embed-neardup-stream")
+    Files.copy(Paths.get(s"$Sf0001/embeddings.parquet"),
+      d.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val nbits = graft.operators.Ann.nbitsFor(
+      graft.sources.Tables.embeddings(spark, Sf0001).count())
+    val vecStream = spark.readStream
+      .schema(graft.sources.Tables.embeddings(spark, Sf0001).schema)
+      .parquet(d.toString)
+    val out = EventStreams.runToMemory(
+      spark,
+      EventStreams.incrementalEmbedNearDup(vecStream, nbits = nbits)
+        .toDF("id1", "id2", "cos"),
+      "embed_neardup_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+    val streamed = out.select("id1", "id2").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Ann.embedNearDup(spark, Sf0001, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    TransientCache.release(spark)
+  }
+
+  test("advanceEmbedBucket lifecycle: cosine verify, poison at cap, TTL keeps poison") {
+    import EventStreams.{advanceEmbedBucket, EmbedBucketState}
+    def row(id: Long, v: Array[Double]) = {
+      var n = 0.0; v.foreach(x => n += x * x)
+      (id, v, math.sqrt(n))
+    }
+    val a = row(1L, Array(1.0, 0.0))
+    val b = row(2L, Array(1.0, 0.001)) // cos ~ 1 with a
+    val c = row(3L, Array(0.0, 1.0))   // orthogonal to a
+    val (s1, out1) = advanceEmbedBucket(timedOut = false, Seq(a, b, c), None, 0.9, 3)
+    assert(out1.map(p => (p._1, p._2)) == List((1L, 2L)))
+    assert(out1.head._3 > 0.99)
+    assert(s1.exists(st => !st.overCap && st.docs.size == 3))
+    // cap 3: the 4th distinct vector poisons; nothing emits, history clears
+    val (s2, out2) = advanceEmbedBucket(timedOut = false,
+      Seq(row(4L, Array(1.0, 0.0))), s1, 0.9, 3)
+    assert(out2.isEmpty && s2.exists(st => st.overCap && st.docs.isEmpty))
+    // TTL fires: poison survives as a tombstone; re-arrivals stay silent
+    val (s3, _) = advanceEmbedBucket(timedOut = true, Nil, s2, 0.9, 3)
+    assert(s3.exists(_.overCap))
+    val (_, out4) = advanceEmbedBucket(timedOut = false, Seq(a, b), s3, 0.9, 3)
+    assert(out4.isEmpty)
+    // with tombstone expiry opted in, the timeout removes the bucket
+    assert(advanceEmbedBucket(timedOut = true, Nil, s2, 0.9, 3,
+      expireTombstones = true)._1.isEmpty)
+  }
+
   test("near-dup hot-bucket cap: over-cap bucket is poisoned and stops emitting") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
