@@ -162,6 +162,7 @@ object SparkEntry {
     "pipeline_keep" -> (graft.operators.Pipeline.keep _),
     "pipeline_mix" -> ((s: SparkSession, d: String) => graft.operators.Pipeline.mix(s, d)),
     "mix_temperature" -> (graft.operators.Pipeline.mixTemperature _),
+    "pipeline_curate" -> (graft.operators.Pipeline.curate _),
     // --- corpus curation: decontamination, packing, domain balancing ---
     "decontam" -> ((s: SparkSession, d: String) => graft.operators.Curation.decontam(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => graft.operators.Curation.packSequences(s, d)),
@@ -1857,6 +1858,39 @@ object SparkEntry {
          | cl.doc_id = cl.cluster_id AS is_survivor,
          | q.quality_ok AND cl.doc_id = cl.cluster_id AS keep
          |FROM q JOIN cl ON q.doc_id = cl.doc_id""".stripMargin,
+    // the whole curation pipeline in one statement: the quality, cluster,
+    // decontamination and temperature-mix CTEs are the same bodies their
+    // standalone oracles use, so the composition is gated against the same
+    // semantics its parts are
+    "pipeline_curate" ->
+      s"""WITH RECURSIVE
+         |$clustersCte,
+         |q AS (SELECT doc_id, $qualityPred AS quality_ok FROM ($qualityMetrics) m),
+         |g2 AS (SELECT doc_id, sh AS grams FROM ($shingled) sdoc),
+         |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g2 WHERE doc_id % 50 = 0),
+         |eg AS (SELECT doc_id, unnest(grams) AS gram FROM g2 WHERE doc_id % 50 <> 0),
+         |dec AS (SELECT eg.doc_id, count(bg.gram) > 0 AS contaminated
+         |        FROM eg LEFT JOIN bg ON eg.gram = bg.gram GROUP BY eg.doc_id),
+         |cnts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+         |nmn AS (SELECT min(n_lang) AS n_min FROM cnts),
+         |mixk AS (SELECT d.doc_id,
+         |   CAST(list_reduce(list_transform(range(1, 9),
+         |     i -> CAST(strpos('0123456789abcdef',
+         |           substring(md5('mix_t:' || CAST(d.doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+         |     (a, b) -> a * 16 + b) AS DOUBLE) / 4294967296.0
+         |   < sqrt(CAST((SELECT n_min FROM nmn) AS DOUBLE) / CAST(c.n_lang AS DOUBLE)) AS mix_keep
+         |  FROM documents d JOIN cnts c ON c.lang = d.lang)
+         |SELECT d.doc_id, d.lang, q.quality_ok,
+         | cl.doc_id = cl.cluster_id AS is_survivor,
+         | dec.contaminated, mixk.mix_keep,
+         | q.quality_ok AND cl.doc_id = cl.cluster_id
+         |  AND NOT dec.contaminated AND mixk.mix_keep AS keep
+         |FROM documents d
+         |JOIN q ON q.doc_id = d.doc_id
+         |JOIN cl ON cl.doc_id = d.doc_id
+         |JOIN dec ON dec.doc_id = d.doc_id
+         |JOIN mixk ON mixk.doc_id = d.doc_id
+         |WHERE d.doc_id % 50 <> 0""".stripMargin,
     "pipeline_mix" ->
       """SELECT doc_id, lang, coin FROM (
         | SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS coin

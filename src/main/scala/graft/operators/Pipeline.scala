@@ -78,6 +78,42 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("n_lang"), col("rate"))
   }
 
+  /** pipeline_curate — the WHOLE curation pipeline as one declarative
+    * plan: a document survives iff it (a) passes the quality gate,
+    * (b) is its near-dup cluster's elected survivor, (c) is not
+    * benchmark-contaminated, and (d) wins the temperature-mix coin.
+    * Benchmark stand-in docs (`doc_id % BenchmarkMod = 0`) never reach the
+    * training set at all. Every per-dimension audit flag is emitted, so a
+    * data card can report WHY each document dropped, not just that it did.
+    *
+    * Pure composition over the four already-verified operators (equi-joins
+    * on doc_id) — the mix decision deliberately reuses [[mixTemperature]]'s
+    * standalone coin (a deterministic pure function of the full corpus), so
+    * the same document keeps the same fate whether the steps run fused or
+    * as separate jobs with materialized intermediates. At 100 TB this plan
+    * is the dedup cost plus three broadcast/shuffle joins; Catalyst fuses
+    * the scans each flag shares.
+    */
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, Dedup}
+    val base = graft.sources.Tables.documents(s, dir)
+      .filter(col("doc_id") % Curation.BenchmarkMod =!= 0)
+      .select(col("doc_id"), col("lang"))
+    val quality = TextOps.textQuality(s, dir)
+      .select(col("doc_id"), col("keep").as("quality_ok"))
+    val survivors = Dedup.clusters(s, dir)
+      .select(col("doc_id"), (col("doc_id") === col("cluster_id")).as("is_survivor"))
+    val decon = Curation.decontam(s, dir).select(col("doc_id"), col("contaminated"))
+    val mixKept = mixTemperature(s, dir).select(col("doc_id"), lit(true).as("mix_keep"))
+    base.join(quality, "doc_id").join(survivors, "doc_id").join(decon, "doc_id")
+      .join(mixKept, Seq("doc_id"), "left")
+      .withColumn("mix_keep", coalesce(col("mix_keep"), lit(false)))
+      .withColumn("keep",
+        col("quality_ok") && col("is_survivor") && !col("contaminated") && col("mix_keep"))
+      .select("doc_id", "lang", "quality_ok", "is_survivor", "contaminated",
+        "mix_keep", "keep")
+  }
+
   /** pipeline_keep — the curated keep-set with its audit columns. */
   def keep(s: SparkSession, dir: String): DataFrame = {
     val quality = TextOps.textQuality(s, dir)

@@ -446,6 +446,40 @@ class CurationSpec extends AnyFunSuite {
     assert(again == rows.map(_._1).sorted.toSeq)
   }
 
+  // --------------------------------------------------------- pipelineCurate
+
+  test("pipelineCurate: flags equal the standalone operators; keep is their conjunction") {
+    val rows = graft.operators.Pipeline.curate(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("quality_ok"), r.getAs[Boolean]("is_survivor"),
+          r.getAs[Boolean]("contaminated"), r.getAs[Boolean]("mix_keep"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(rows.nonEmpty)
+    // benchmark stand-ins excluded; everything else present exactly once
+    assert(rows.keySet.forall(_ % graft.operators.Curation.BenchmarkMod != 0))
+    // each flag equals its standalone operator's answer on the same fixture
+    val quality = graft.operators.TextOps.textQuality(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val surv = graft.operators.Dedup.clusters(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id"))).toMap
+    val dec = graft.operators.Curation.decontam(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    val mixKept = graft.operators.Pipeline.mixTemperature(spark, Sf0001).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    rows.foreach { case (id, (q, sv, ct, mk, keep)) =>
+      assert(q == quality(id), s"doc $id quality")
+      assert(sv == surv(id), s"doc $id survivor")
+      assert(ct == dec(id), s"doc $id contaminated")
+      assert(mk == mixKept(id), s"doc $id mix")
+      assert(keep == (q && sv && !ct && mk), s"doc $id conjunction")
+    }
+    // the fixture exercises every gate: some docs fail each dimension
+    assert(rows.values.exists(!_._1) && rows.values.exists(!_._2)
+      && rows.values.exists(_._3) && rows.values.exists(!_._4))
+    TransientCache.release(spark)
+  }
+
   // ----------------------------------------------------------------- tfidf
 
   test("tfidf: exact rational weights, rank order, lexicographic tiebreak") {
