@@ -18,7 +18,12 @@ object CatalogQueries {
     val f = new java.io.File(dir).getCanonicalFile
     val root = f.getParent
     val ns = f.getName.replace('.', '_')
-    val cat = "graft_lake_" + root.replaceAll("[^A-Za-z0-9]", "_")
+    // the readable sanitized path is NOT injective ('.' and '-' both map
+    // to '_'), so an md5 prefix of the raw root disambiguates — two
+    // distinct roots can never collide onto one cached catalog instance
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    val cat = "graft_lake_" + root.replaceAll("[^A-Za-z0-9]", "_") + "_" + digest
     s.conf.set(s"spark.sql.catalog.$cat",
       "org.apache.spark.sql.graftshim.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.root", root)

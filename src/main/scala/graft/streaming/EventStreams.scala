@@ -223,6 +223,60 @@ object EventStreams {
     * emits again until the bucket has been quiet for the tombstone TTL" —
     * which is the same dedup-horizon trade the history TTL already makes.
     */
+  /** The ONE state machine behind both near-dup twins — arrival dedup by
+    * id, emit-vs-history through `score`, poison at the cap, tombstone
+    * retention (or opt-in expiry) on timeout — parameterized over the
+    * per-doc payload so the text twin (sorted shingle hashes → Jaccard)
+    * and the embedding twin (vector + norm → cosine) cannot drift apart:
+    * a contract fix lands in exactly one place.
+    */
+  private def advanceAnyBucket[D](
+      timedOut: Boolean,
+      arrivals: Seq[(Long, D)],
+      prev: Option[(Boolean, List[(Long, D)])],
+      score: (D, D) => Double,
+      threshold: Double,
+      maxBucket: Int,
+      expireTombstones: Boolean): (Option[(Boolean, List[(Long, D)])], List[(Long, Long, Double)]) = {
+    if (timedOut) {
+      (if (!expireTombstones && prev.exists(_._1)) Some((true, Nil)) else None, Nil)
+    } else {
+      var (overCap, docs) = prev.getOrElse((false, List.empty[(Long, D)]))
+      val out = List.newBuilder[(Long, Long, Double)]
+      arrivals.foreach { case (id, d) =>
+        if (!overCap && !docs.exists(_._1 == id)) {
+          if (docs.size >= maxBucket) {
+            // cap tripped: poison the bucket — free its history and
+            // never emit from it again (see the hot-bucket guard note)
+            overCap = true
+            docs = Nil
+          } else {
+            docs.foreach { case (oid, od) =>
+              val sc = score(d, od)
+              if (sc >= threshold)
+                out += ((math.min(id, oid), math.max(id, oid), sc))
+            }
+            docs = (id, d) :: docs
+          }
+        }
+      }
+      (Some((overCap, docs)), out.result())
+    }
+  }
+
+  /** Exact shingle-hash Jaccard for the text twin's verify (two-pointer
+    * merge over the sorted 64-bit hashes).
+    */
+  private def jaccardScore(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c.toDouble / (a.length + b.length - c).toDouble
+  }
+
   private[graft] def advanceBucket(
       timedOut: Boolean,
       arrivals: Seq[(Long, Array[Long])],
@@ -230,41 +284,10 @@ object EventStreams {
       threshold: Double,
       maxBucket: Int,
       expireTombstones: Boolean = false): (Option[BucketState], List[(Long, Long, Double)]) = {
-    if (timedOut) {
-      (if (!expireTombstones && prev.exists(_.overCap))
-        Some(BucketState(overCap = true, Nil))
-      else None, Nil)
-    } else {
-      def overlap(a: Array[Long], b: Array[Long]): Int = {
-        var i = 0; var j = 0; var c = 0
-        while (i < a.length && j < b.length) {
-          if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
-          else if (a(i) < b(j)) i += 1
-          else j += 1
-        }
-        c
-      }
-      var st = prev.getOrElse(BucketState(overCap = false, Nil))
-      val out = List.newBuilder[(Long, Long, Double)]
-      arrivals.foreach { case (id, hs) =>
-        if (!st.overCap && !st.docs.exists(_._1 == id)) {
-          if (st.docs.size >= maxBucket) {
-            // cap tripped: poison the bucket — free its history and
-            // never emit from it again (see the hot-bucket guard note)
-            st = BucketState(overCap = true, Nil)
-          } else {
-            st.docs.foreach { case (oid, ohs) =>
-              val inter = overlap(hs, ohs)
-              val j = inter.toDouble / (hs.length + ohs.length - inter).toDouble
-              if (j >= threshold)
-                out += ((math.min(id, oid), math.max(id, oid), j))
-            }
-            st = st.copy(docs = (id, hs) :: st.docs)
-          }
-        }
-      }
-      (Some(st), out.result())
-    }
+    val (next, out) = advanceAnyBucket[Array[Long]](timedOut, arrivals,
+      prev.map(p => (p.overCap, p.docs)), jaccardScore,
+      threshold, maxBucket, expireTombstones)
+    (next.map { case (oc, ds) => BucketState(oc, ds) }, out)
   }
 
   /** `tombstoneTtl`: opt-in poison-tombstone expiry (see [[advanceBucket]])
@@ -361,11 +384,11 @@ object EventStreams {
   case class EmbedBucketState(overCap: Boolean,
       docs: List[(Long, Array[Double], Double)])
 
-  /** One (table, bucket)'s transition — the [[advanceBucket]] sibling with
-    * exact-cosine verification (ascending-index dots, the same IEEE
+  /** One (table, bucket)'s transition — [[advanceAnyBucket]] instantiated
+    * with exact-cosine verification (ascending-index dots, the same IEEE
     * sequence as the batch `arrayDot` kernel and the DuckDB replay).
     * Emits (min id, max id, raw cosine) for history pairs clearing the
-    * threshold; state/poison semantics identical to the text twin.
+    * threshold; state/poison semantics are the shared machine's.
     */
   private[graft] def advanceEmbedBucket(
       timedOut: Boolean,
@@ -374,29 +397,15 @@ object EventStreams {
       threshold: Double,
       maxBucket: Int,
       expireTombstones: Boolean = false): (Option[EmbedBucketState], List[(Long, Long, Double)]) = {
-    if (timedOut) {
-      (if (!expireTombstones && prev.exists(_.overCap))
-        Some(EmbedBucketState(overCap = true, Nil))
-      else None, Nil)
-    } else {
-      var st = prev.getOrElse(EmbedBucketState(overCap = false, Nil))
-      val out = List.newBuilder[(Long, Long, Double)]
-      arrivals.foreach { case (id, v, nrm) =>
-        if (!st.overCap && !st.docs.exists(_._1 == id)) {
-          if (st.docs.size >= maxBucket) {
-            st = EmbedBucketState(overCap = true, Nil)
-          } else {
-            st.docs.foreach { case (oid, ov, onrm) =>
-              val cos = graft.operators.Ann.dotAsc(v, ov) / (nrm * onrm)
-              if (cos >= threshold)
-                out += ((math.min(id, oid), math.max(id, oid), cos))
-            }
-            st = st.copy(docs = (id, v, nrm) :: st.docs)
-          }
-        }
-      }
-      (Some(st), out.result())
-    }
+    def cosineScore(a: (Array[Double], Double), b: (Array[Double], Double)): Double =
+      graft.operators.Ann.dotAsc(a._1, b._1) / (a._2 * b._2)
+    val (next, out) = advanceAnyBucket[(Array[Double], Double)](timedOut,
+      arrivals.map { case (id, v, nrm) => (id, (v, nrm)) },
+      prev.map(p => (p.overCap, p.docs.map { case (id, v, nrm) => (id, (v, nrm)) })),
+      cosineScore, threshold, maxBucket, expireTombstones)
+    (next.map { case (oc, ds) =>
+      EmbedBucketState(oc, ds.map { case (id, (v, nrm)) => (id, v, nrm) })
+    }, out)
   }
 
   /** Incremental EMBEDDING near-dup detection — the streaming twin of
@@ -407,24 +416,34 @@ object EventStreams {
     * (plane matrices are plan literals in the task closure); state lives
     * per (table, bucket) and an arrival emits exact-cosine-verified pairs
     * against its bucket's history. Same poison-cap / tombstone / TTL
-    * contract as [[incrementalNearDup]] — see that operator's notes; the
-    * one new constant is `nbits`, which a stream cannot derive from a
-    * corpus count and therefore takes as a deploy-time parameter (sized
-    * from expected corpus volume, exactly like choosing shard counts).
-    * Emission is at-least-once across tables; consumers `distinct()`.
+    * contract as [[incrementalNearDup]] — see that operator's notes for
+    * `tombstoneTtl` (opt-in bounded tombstone cardinality) and
+    * `poisonedBuckets` (auto-registered as the named accumulator
+    * `graft.embed_neardup.poisonedBuckets` when not supplied, so cap
+    * activity is surfaced by default). The one new constant is `nbits`,
+    * which a stream cannot derive from a corpus count and therefore takes
+    * as a deploy-time parameter (sized from expected corpus volume,
+    * exactly like choosing shard counts). Emission is at-least-once across
+    * tables; consumers `distinct()`.
     */
   def incrementalEmbedNearDup(vecs: DataFrame, nbits: Int,
       threshold: Double = 0.4,
       nTables: Int = graft.operators.Ann.EmbedTables,
       idleTimeout: Option[String] = None,
-      maxBucket: Int = graft.operators.Dedup.MaxBucket): Dataset[(Long, Long, Double)] = {
+      maxBucket: Int = graft.operators.Dedup.MaxBucket,
+      tombstoneTtl: Option[String] = None,
+      poisonedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[(Long, Long, Double)] = {
     val s = vecs.sparkSession
     import s.implicits._
     import graft.operators.Ann
+    val poisonAcc = poisonedBuckets.getOrElse(
+      s.sparkContext.longAccumulator("graft.embed_neardup.poisonedBuckets"))
     val planes: Array[Array[Array[Double]]] =
       Array.tabulate(nTables)(t => Ann.hyperplanes(64, nbits, seed = 42L + t))
     val timeoutConf =
-      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      if (idleTimeout.isDefined || tombstoneTtl.isDefined)
+        GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     vecs.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .flatMap { case (id, emb) =>
@@ -444,14 +463,23 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (_: (Int, Long), rows: Iterator[(Int, Long, Long, Array[Double], Double)],
          state: GroupState[EmbedBucketState]) => {
+          val wasPoisoned = state.getOption.exists(_.overCap)
           val (next, out) = advanceEmbedBucket(
             state.hasTimedOut,
             rows.map { case (_, _, id, v, nrm) => (id, v, nrm) }.toSeq,
-            state.getOption, threshold, maxBucket)
+            state.getOption, threshold, maxBucket,
+            expireTombstones = tombstoneTtl.isDefined)
           next match {
             case Some(st) =>
               state.update(st)
               if (!st.overCap) idleTimeout.foreach(state.setTimeoutDuration)
+              else {
+                if (!wasPoisoned) poisonAcc.add(1L)
+                // same tombstone timeout policy as the text twin: no
+                // timeout by default (resident, zero re-firing cost);
+                // with tombstoneTtl the tombstone re-arms and expires
+                tombstoneTtl.foreach(state.setTimeoutDuration)
+              }
             case None => state.remove()
           }
           out.iterator
@@ -468,13 +496,11 @@ object EventStreams {
     * buckets must land on the identical (id1, id2, cos4) set.
     */
   def embedNearDupQuery(s: SparkSession, dir: String): DataFrame = {
-    val nbits = graft.operators.Ann.nbitsFor(
-      graft.sources.Tables.embeddings(s, dir).count())
+    val emb = graft.sources.Tables.embeddings(s, dir)
+    val nbits = graft.operators.Ann.nbitsFor(emb.count())
     runStagedViaFiles(s, dir, "q50_stream_embed_neardup",
         staged => incrementalEmbedNearDup(
-            s.readStream
-              .schema(graft.sources.Tables.embeddings(s, dir).schema)
-              .parquet(staged), nbits = nbits)
+            s.readStream.schema(emb.schema).parquet(staged), nbits = nbits)
           .toDF("id1", "id2", "cos"),
         OutputMode.Append(), file = "embeddings.parquet")
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos4"))

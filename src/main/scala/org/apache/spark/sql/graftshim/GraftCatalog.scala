@@ -53,18 +53,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
-  private def fs = root.getFileSystem(
-    SparkSession.active.sessionState.newHadoopConf())
+  private def fs = {
+    val f = root.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    // validate here (every listing funnels through this) so a typo'd root
+    // reads as a catalog-level error naming the option, not a raw Hadoop
+    // FileNotFoundException out of some later listStatus
+    require(f.isDirectory(root),
+      s"catalog $catalogName: root '$root' does not exist or is not a directory")
+    f
+  }
 
   private def encode(dirName: String): String = dirName.replace('.', '_')
 
   /** Decode a namespace element back to the real dir by matching the
-    * listing (dots in dir names surface as underscores in SQL).
+    * listing (dots in dir names surface as underscores in SQL). The
+    * encoding is not injective — sibling dirs `sf0.01` and `sf0_01` both
+    * surface as `sf0_01` — so an ambiguous match fails loudly instead of
+    * silently picking whichever the filesystem listed first.
     */
   private def resolveDir(ns: Array[String]): Option[Path] = {
     if (ns.length != 1) return None
-    fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath).find(p => encode(p.getName) == ns(0))
+    val matches = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(p => encode(p.getName) == ns(0))
+    if (matches.length > 1)
+      throw new IllegalStateException(
+        s"catalog $catalogName: namespace '${ns(0)}' is ambiguous — " +
+          s"${matches.map(_.getName).sorted.mkString(", ")} all encode to it")
+    matches.headOption
   }
 
   // ------------------------------------------------------------ namespaces

@@ -54,6 +54,35 @@ class CatalogSpec extends AnyFunSuite {
     assert(badNs.getMessage.contains("no_such_ns"))
   }
 
+  test("ambiguous namespace encodings and bad roots fail loudly") {
+    val s = spark
+    import s.implicits._
+    // sibling dirs that encode to the same namespace must be an error,
+    // not a nondeterministic pick of whichever the filesystem lists first
+    val tmp = java.nio.file.Files.createTempDirectory("ambig").toFile
+    new java.io.File(tmp, "sf0.1").mkdirs()
+    new java.io.File(tmp, "sf0_1").mkdirs()
+    Seq((1L, "x")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$tmp/sf0.1/kv.parquet")
+    val (catA, _) = CatalogQueries.register(spark, s"$tmp/sf0.1")
+    val ambig = intercept[Exception](
+      spark.sql(s"SELECT * FROM $catA.sf0_1.kv").collect())
+    assert(ambig.getMessage.contains("ambiguous"), ambig.getMessage)
+    // a typo'd root reads as a catalog-level error naming the root
+    val missing = new java.io.File(tmp, "nope/sf0.1")
+    val (catB, nsB) = CatalogQueries.register(spark, missing.toString)
+    val bad = intercept[Exception](
+      spark.sql(s"SHOW NAMESPACES IN $catB").collect())
+    assert(bad.getMessage.contains("does not exist"), bad.getMessage)
+    // and distinct roots whose sanitized paths collide still get distinct
+    // catalogs (the md5 disambiguator) — '.' and '-' both sanitize to '_'
+    val dotRoot = new java.io.File(tmp, "lake.a/sf"); dotRoot.mkdirs()
+    val dashRoot = new java.io.File(tmp, "lake-a/sf"); dashRoot.mkdirs()
+    val (catC, _) = CatalogQueries.register(spark, dotRoot.toString)
+    val (catD, _) = CatalogQueries.register(spark, dashRoot.toString)
+    assert(catC != catD)
+  }
+
   test("two roots in one session get independent catalog instances") {
     // register() names the catalog by root, so a second root cannot be
     // poisoned by the first one's cached initialize()
