@@ -58,6 +58,54 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.valuesIterator.map(_._1).sum > 0)
   }
 
+  test("q49 binning is answer-invariant on randomized corpora (boundary-heavy)") {
+    // deterministic pseudo-random events designed to sit ON bin boundaries:
+    // timestamps are multiples/near-multiples of the bin width, where an
+    // off-by-one in the replication range or the half-open predicate flips
+    // pairs in and out. The naive all-pairs replay is the spec.
+    val s = spark
+    import s.implicits._
+    val binUs = graft.operators.Relational.IntervalBinUs
+    def mix(i: Long): Long = {
+      var z = i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val base = 1700000000000000L // epoch micros, positive
+    val types = Array("error", "click", "view")
+    val rows = (0L until 400L).map { i =>
+      val r = mix(i)
+      // half the points snap to a bin boundary ± {0, 1} microsecond
+      val us =
+        if (i % 2 == 0) base + (math.abs(r) % 50) * binUs + (math.abs(r >> 8) % 3) - 1
+        else base + math.abs(r) % (50 * binUs)
+      (i, new java.sql.Timestamp(us / 1000) {
+        setNanos(((us % 1000000) * 1000).toInt)
+      }, i % 7, types((math.abs(r >> 16) % 3).toInt), 0.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("q49-rand").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Relational.q49IntervalJoin(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_points")))).toMap
+    val micros = rows.map { case (id, ts, _, tpe, _, _) =>
+      (id, tpe, ts.getTime * 1000 + (ts.getNanos / 1000) % 1000)
+    }
+    val errs = micros.filter(_._2 == "error").map(_._3)
+    val pairs = for {
+      (pid, ptype, pus) <- micros
+      eus <- errs
+      if pus > eus - binUs && pus <= eus
+    } yield (ptype, pid)
+    val expected = pairs.groupBy(_._1).map { case (t, ps) =>
+      t -> ((ps.length.toLong, ps.map(_._2).distinct.length.toLong))
+    }
+    assert(got == expected)
+    assert(got.valuesIterator.map(_._1).sum > 0, "randomized corpus produced no pairs")
+  }
+
   test("q15 events window counts sum to the table row count") {
     val windowed = Relational.q15EventsWindow(spark, Sf0001)
       .agg(org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
