@@ -200,6 +200,7 @@ object SparkEntry {
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
     "ann_pq" -> ((s: SparkSession, d: String) => Ann.pqTopK(s, d)),
     "ann_ivfpq" -> ((s: SparkSession, d: String) => Ann.ivfPqTopK(s, d)),
+    "ann_ivfpq_refined" -> ((s: SparkSession, d: String) => Ann.ivfPqRefinedTopK(s, d)),
     "jl_project" -> ((s: SparkSession, d: String) => Ann.jlProject(s, d)),
     // threshold 0.4 here, NOT the 0.98 near-identical default: the fixture
     // plants no embedding near-dups (max pairwise cosine ≈0.48 at sf0.001,
@@ -656,7 +657,7 @@ object SparkEntry {
     * sequence; the final approximate distance folds subspaces ascending
     * with no initial accumulator (Scala's `reduce`).
     */
-  private val annIvfPqSql = {
+  private val ivfPqPrefixCtes = {
     s"""WITH RECURSIVE
        |$ivfKmeansCtes,
        |tassign AS (SELECT t.sidx, t.vec,
@@ -689,13 +690,37 @@ object SparkEntry {
        |        list_reduce(list(qt.d ORDER BY qt.mi), (x, y) -> x + y) AS adist
        |       FROM codes cd JOIN qtab qt
        |         ON qt.cell = cd.cell AND qt.mi = cd.mi AND qt.cid = cd.code
-       |       WHERE cd.vec_id <> qt.query_id GROUP BY qt.query_id, cd.vec_id)
+       |       WHERE cd.vec_id <> qt.query_id GROUP BY qt.query_id, cd.vec_id)""".stripMargin
+  }
+
+  private val annIvfPqSql =
+    s"""$ivfPqPrefixCtes
        |SELECT query_id, neighbor_id, "rank" FROM (
        | SELECT query_id, vec_id AS neighbor_id,
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY adist ASC, vec_id ASC) AS INTEGER) AS "rank"
        | FROM adist) r WHERE "rank" <= 10""".stripMargin
-  }
+
+  /** The refined variant re-ranks the ADC top-40 short-list by exact
+    * squared L2 — the same ‖q‖² − 2·q·v + ‖v‖² expansion (ordered dots,
+    * left-associated) the Scala expression builds.
+    */
+  private val annIvfPqRefinedSql =
+    s"""$ivfPqPrefixCtes,
+       |shortl AS (SELECT query_id, vec_id FROM (
+       |   SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY adist ASC, vec_id ASC) AS adc_rank FROM adist) t
+       |  WHERE adc_rank <= 40),
+       |ex AS (SELECT sl.query_id, sl.vec_id,
+       |        (${dot64("q.vec", "q.vec")} - 2.0 * ${dot64("q.vec", "a.vec")}
+       |          + ${dot64("a.vec", "a.vec")}) AS exd
+       |       FROM shortl sl JOIN q ON q.query_id = sl.query_id
+       |       JOIN c a ON a.vec_id = sl.vec_id)
+       |SELECT query_id, neighbor_id, "rank" FROM (
+       | SELECT query_id, vec_id AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY exd ASC, vec_id ASC) AS INTEGER) AS "rank"
+       | FROM ex) r WHERE "rank" <= 10""".stripMargin
 
   /** semdedup replay on the SAME clustering: within-cell pairs at cosine ≥
     * 0.4 (the ordered-IEEE dot + the same (nrm1*nrm2) product), a doc is
@@ -2460,6 +2485,7 @@ object SparkEntry {
     "ann_ivf" -> annIvfSql,
     "ann_pq" -> annPqSql,
     "ann_ivfpq" -> annIvfPqSql,
+    "ann_ivfpq_refined" -> annIvfPqRefinedSql,
     "semdedup" -> semDedupSql,
     "jl_project" -> jlProjectSql,
     // the deterministic footer augmentation replayed verbatim, then the same

@@ -602,6 +602,59 @@ object Ann {
     */
   def ivfPqTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10,
       nCells: Int = 16, nProbe: Int = 4, m: Int = PqM, ksub: Int = PqK): DataFrame = {
+    val (_, cand) = ivfPqCandidates(s, dir, nQueries, nCells, nProbe, m, ksub)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Default short-list size for [[ivfPqRefinedTopK]]'s exact re-rank. */
+  val PqRerank = 40
+
+  /** ann_ivfpq_refined — the two-stage production retrieval shape: the
+    * IVFPQ ADC pass produces a cheap [[PqRerank]]-deep short-list per
+    * query, then EXACT squared-L2 re-ranks just those candidates (true
+    * vectors join back only for queries×rerank rows — the "refine" knob
+    * every FAISS deployment tunes). Recall recovers toward exact search
+    * while the full corpus is still only ever touched through 9-byte
+    * codes; the re-rank cost is independent of corpus size. Exact
+    * distances expand as ‖q‖² − 2·q·v + ‖v‖² with ordered dots, so the
+    * re-ranking replays bit-for-bit in the oracle like every other stage.
+    */
+  def ivfPqRefinedTopK(s: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 10, rerank: Int = PqRerank,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = PqM, ksub: Int = PqK): DataFrame = {
+    val (c, cand) = ivfPqCandidates(s, dir, nQueries, nCells, nProbe, m, ksub)
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val short = cand
+      .withColumn("adc_rank", row_number().over(wA))
+      .filter(col("adc_rank") <= rerank)
+      .select("query_id", "vec_id")
+    val qv = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val exact = arrayDot(col("qvec"), col("qvec")) -
+      lit(2.0) * arrayDot(col("qvec"), col("vec")) +
+      arrayDot(col("vec"), col("vec"))
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("exact").asc, col("vec_id").asc)
+    short.join(c.select(col("vec_id"), col("vec")), "vec_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("exact", exact)
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Shared IVFPQ pipeline through the ADC-scored candidate set: returns
+    * (cached corpus, candidates with an `adist` column). Both the plain
+    * top-k and the refined re-rank consume it, so the two cannot drift.
+    */
+  private def ivfPqCandidates(s: SparkSession, dir: String, nQueries: Int,
+      nCells: Int, nProbe: Int, m: Int, ksub: Int): (DataFrame, DataFrame) = {
     val dim = 64 // embeddings fixture dimension (TESTDATA.md)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -660,14 +713,9 @@ object Ann {
     val qTab = s.createDataFrame(qRows.toSeq).toDF("query_id", "cell", "tbl")
     val adist = (0 until m).map(mi =>
       element_at(col("tbl")(mi), col("codes")(mi) + 1)).reduce(_ + _)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adist").asc, col("vec_id").asc)
-    encoded.join(broadcast(qTab), Seq("cell"))
+    (c, encoded.join(broadcast(qTab), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adist", adist)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .withColumn("adist", adist))
   }
 
   /** embed_quantize — int8 scalar quantization of the embedding corpus:

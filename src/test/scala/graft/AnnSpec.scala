@@ -167,6 +167,35 @@ class AnnSpec extends AnyFunSuite {
     TransientCache.release(spark)
   }
 
+  test("ivfPqRefinedTopK: exact re-rank never loses recall vs the plain ADC ranking") {
+    val base = Ann.ivfPqTopK(spark, Sf0001, nQueries = 4, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val refined = Ann.ivfPqRefinedTopK(spark, Sf0001, nQueries = 4, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = exactL2Pairs(4, 10)
+    val baseRecall = exact.intersect(base).size.toDouble / exact.size
+    val refinedRecall = exact.intersect(refined).size.toDouble / exact.size
+    // the re-rank orders the SAME short-list by true distance, so within
+    // the probed cells it can only improve agreement with exact search
+    assert(refinedRecall >= baseRecall,
+      s"refined recall $refinedRecall < ADC recall $baseRecall")
+    // and the refined ranks are genuinely exact-ordered: per query, the
+    // returned neighbors ascend in true L2 distance
+    def l2d(q: Long, id: Long): Double = {
+      val a = vecs(q); val b = vecs(id)
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    Ann.ivfPqRefinedTopK(spark, Sf0001, nQueries = 4, k = 10).collect()
+      .groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+        val byRank = rs.sortBy(_.getAs[Int]("rank")).map(r => l2d(q, r.getAs[Long]("neighbor_id")))
+        assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b + 1e-12 },
+          s"query $q: refined neighbors not in ascending exact distance")
+      }
+    TransientCache.release(spark)
+  }
+
   test("embedNearDup finds planted near-identical vectors, nothing else") {
     // fixture embeddings have no pairs above cos 0.60 (checked), so plant
     // our own: v1 ≈ v0 (tiny perturbation), v3 == v2, v0 ⟂̸ v2 (random)
