@@ -54,6 +54,8 @@ object SparkEntry {
     "q41_range_frame" -> (Relational.q41RangeFrame _),
     "q14_join_range" -> (Relational.q14JoinRange _),
     "q49_interval_join" -> (Relational.q49IntervalJoin _),
+    "q51_setops_all" -> (Relational.q51SetopsAll _),
+    "q52_nullsafe_join" -> (Relational.q52NullsafeJoin _),
     "q15_events_window" -> (Relational.q15EventsWindow _),
     "q16_sessions" -> (Relational.q16Sessions _),
     // --- behavioral analytics over the same events table ---
@@ -933,6 +935,29 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | AND l_shipdate > o_orderdate + INTERVAL 90 DAY
         |GROUP BY o_orderpriority""".stripMargin,
+    "q51_setops_all" ->
+      """SELECT 'except_all' AS op, l_quantity, count(*) AS n FROM (
+        | SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+        | EXCEPT ALL
+        | SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A') e
+        |GROUP BY l_quantity
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, l_quantity, count(*) AS n FROM (
+        | SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+        | INTERSECT ALL
+        | SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A') i
+        |GROUP BY l_quantity""".stripMargin,
+    // IS NOT DISTINCT FROM is ANSI's spelling of Spark's <=>; the NULL
+    // segment row must survive the join (5 rows, not 4)
+    "q52_nullsafe_join" ->
+      """SELECT a.seg, a.n_cust, b.bal_cents FROM
+        | (SELECT nullif(c_mktsegment, 'BUILDING') AS seg, count(*) AS n_cust
+        |  FROM customer GROUP BY 1) a
+        |JOIN
+        | (SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+        |   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |  FROM customer GROUP BY 1) b
+        |ON a.seg IS NOT DISTINCT FROM b.seg""".stripMargin,
     // the oracle states the interval join DECLARATIVELY (pure theta join,
     // no equi key) — the Spark side's bin-replicated equi join must be
     // answer-invariant, so the binning optimization itself is under test

@@ -587,6 +587,43 @@ object Relational {
           .otherwise("segment_only").as("matched"))
   }
 
+  /** q51_setops_all — EXCEPT ALL / INTERSECT ALL: the MULTISET set-op
+    * semantics the DISTINCT forms (q8/q22) cannot express — a row with
+    * multiplicity m in one input and n in the other survives EXCEPT ALL
+    * max(m−n, 0) times and INTERSECT ALL min(m, n) times. Spark plans both
+    * as joins over per-row multiplicity counts (no sort, no dedup);
+    * results collapse to (value, multiplicity) so the gate compares
+    * bounded rows. Completes the set-operator matrix.
+    */
+  def q51SetopsAll(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val r = li.filter(col("l_returnflag") === "R").select("l_quantity")
+    val a = li.filter(col("l_returnflag") === "A").select("l_quantity")
+    val ex = r.exceptAll(a).groupBy("l_quantity")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val in = r.intersectAll(a).groupBy("l_quantity")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ex.unionByName(in).select("op", "l_quantity", "n")
+  }
+
+  /** q52_nullsafe_join — the null-safe equality join (`<=>` /
+    * IS NOT DISTINCT FROM): two per-segment rollups join back together on
+    * a key where one group is NULL (derived via nullif), and the NULL
+    * groups must MATCH — a plain `=` join silently drops that row, which
+    * is exactly the bug class this operator exists to avoid in derived-key
+    * reconciliations. Output keeps the null key so the gate proves the
+    * NULL row joined (5 rows, not 4).
+    */
+  def q52NullsafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .withColumn("seg", nullif(col("c_mktsegment"), lit("BUILDING")))
+    val counts = cust.groupBy("seg").agg(count(lit(1)).as("n_cust"))
+    val bals = cust.groupBy(col("seg").as("seg2"))
+      .agg(sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("bal_cents"))
+    counts.join(bals, col("seg") <=> col("seg2"))
+      .select(col("seg"), col("n_cust"), col("bal_cents"))
+  }
+
   /** Bin width (and lookback length) of [[q49IntervalJoin]], in microseconds
     * (10 minutes). Bin width == interval length, so every interval overlaps
     * at most TWO bins — the replication factor is a constant 2, independent

@@ -58,6 +58,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.valuesIterator.map(_._1).sum > 0)
   }
 
+  test("q51 EXCEPT/INTERSECT ALL: multiset arithmetic max(m−n,0) / min(m,n)") {
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, Sf0001).collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Double]("l_quantity")))
+    val rCnt = li.filter(_._1 == "R").groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val aCnt = li.filter(_._1 == "A").groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = Relational.q51SetopsAll(spark, Sf0001).collect()
+      .map(r => (r.getAs[String]("op"), r.getAs[Double]("l_quantity")) -> r.getAs[Long]("n"))
+      .toMap
+    rCnt.keys.foreach { q =>
+      val m = rCnt(q); val n = aCnt.getOrElse(q, 0L)
+      assert(got.getOrElse(("except_all", q), 0L) == math.max(m - n, 0L), s"except q=$q")
+      assert(got.getOrElse(("intersect_all", q), 0L) == math.min(m, n), s"intersect q=$q")
+    }
+    // both multiset branches genuinely fire on the fixture
+    assert(got.keys.exists(_._1 == "except_all") && got.keys.exists(_._1 == "intersect_all"))
+  }
+
+  test("q52 null-safe join: the NULL-key row survives; a plain = join would drop it") {
+    val rows = Relational.q52NullsafeJoin(spark, Sf0001).collect()
+    assert(rows.length == 5, "expected all 5 segment groups incl. the NULL group")
+    val nullRow = rows.filter(_.isNullAt(0))
+    assert(nullRow.length == 1, "exactly one NULL-key (BUILDING) group")
+    assert(nullRow.head.getAs[Long]("n_cust") > 0)
+  }
+
   test("q49 binning is answer-invariant on randomized corpora (boundary-heavy)") {
     // deterministic pseudo-random events designed to sit ON bin boundaries:
     // timestamps are multiples/near-multiples of the bin width, where an
