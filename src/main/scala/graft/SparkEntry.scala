@@ -55,6 +55,7 @@ object SparkEntry {
     "q14_join_range" -> (Relational.q14JoinRange _),
     "q49_interval_join" -> (Relational.q49IntervalJoin _),
     "q51_setops_all" -> (Relational.q51SetopsAll _),
+    "q53_lateral_topk" -> (Relational.q53LateralTopk _),
     "q52_nullsafe_join" -> (Relational.q52NullsafeJoin _),
     "q15_events_window" -> (Relational.q15EventsWindow _),
     "q16_sessions" -> (Relational.q16Sessions _),
@@ -935,6 +936,14 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | AND l_shipdate > o_orderdate + INTERVAL 90 DAY
         |GROUP BY o_orderpriority""".stripMargin,
+    // the same LATERAL text runs on both engines — per-nation top-3 with
+    // a total-order tie-break
+    "q53_lateral_topk" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 3) t""".stripMargin,
     "q51_setops_all" ->
       """SELECT 'except_all' AS op, l_quantity, count(*) AS n FROM (
         | SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'

@@ -624,6 +624,25 @@ object Relational {
       .select(col("seg"), col("n_cust"), col("bal_cents"))
   }
 
+  /** q53_lateral_topk — correlated LATERAL subquery with ORDER BY + LIMIT:
+    * "the top-3 customers of EACH nation" phrased the way a SQL user
+    * writes it, rather than the window-rank idiom (q7) that computes the
+    * same thing. Catalyst decorrelates the lateral into a ranked join, so
+    * the declarative per-group-LIMIT surface costs the same plan as the
+    * window form — the point is the SQL surface exists and is gated.
+    * Deterministic tie-break (balance desc, name) keeps the oracle exact.
+    */
+  def q53LateralTopk(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 3) t""".stripMargin)
+  }
+
   /** Bin width (and lookback length) of [[q49IntervalJoin]], in microseconds
     * (10 minutes). Bin width == interval length, so every interval overlaps
     * at most TWO bins — the replication factor is a constant 2, independent
