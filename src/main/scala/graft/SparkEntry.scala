@@ -56,6 +56,7 @@ object SparkEntry {
     "q49_interval_join" -> (Relational.q49IntervalJoin _),
     "q51_setops_all" -> (Relational.q51SetopsAll _),
     "q53_lateral_topk" -> (Relational.q53LateralTopk _),
+    "q54_recursive_spine" -> (Relational.q54RecursiveSpine _),
     "q52_nullsafe_join" -> (Relational.q52NullsafeJoin _),
     "q15_events_window" -> (Relational.q15EventsWindow _),
     "q16_sessions" -> (Relational.q16Sessions _),
@@ -936,6 +937,21 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | AND l_shipdate > o_orderdate + INTERVAL 90 DAY
         |GROUP BY o_orderpriority""".stripMargin,
+    // the recursive month spine replays verbatim in DuckDB (both engines
+    // share the UNION ALL recursion); months past the data horizon must
+    // appear with zero counts — the gap-fill a data-only GROUP BY cannot do
+    "q54_recursive_spine" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        |  WHERE m < DATE '2002-06-01')
+        |SELECT CAST(m - DATE '1970-01-01' AS BIGINT) AS month_day,
+        |       count(o_orderkey) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM months LEFT JOIN orders
+        |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        |GROUP BY m""".stripMargin,
     // the same LATERAL text runs on both engines — per-nation top-3 with
     // a total-order tie-break
     "q53_lateral_topk" ->

@@ -643,6 +643,33 @@ object Relational {
         |  ORDER BY c_acctbal DESC, c_name LIMIT 3) t""".stripMargin)
   }
 
+  /** q54_recursive_spine — WITH RECURSIVE in Spark SQL (4.x): a recursive
+    * month generator builds the calendar spine 1995-01 .. 2002-06, then a
+    * gap-filling LEFT join rolls orders up per month — empty months (the
+    * trailing ones past the data's 2001-08 horizon) surface as zero-count
+    * rows, which no GROUP BY over the data alone can produce. The spine is
+    * the reporting idiom recursion exists for once UNION-dedup recursion
+    * is off the table (Spark recursive CTEs are UNION ALL-only): a
+    * bounded, cycle-free generator. The join key is an equi month-truncate
+    * (not a range), so the spine broadcasts and the rollup partial-
+    * aggregates; month is emitted as epoch days (timezone-proof compare).
+    */
+  def q54RecursiveSpine(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT CAST('1995-01-01' AS DATE)
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+        |  WHERE m < CAST('2002-06-01' AS DATE))
+        |SELECT CAST(datediff(m, CAST('1970-01-01' AS DATE)) AS BIGINT) AS month_day,
+        |       count(o_orderkey) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        |FROM months LEFT JOIN orders
+        |  ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
+        |GROUP BY m""".stripMargin)
+  }
+
   /** Bin width (and lookback length) of [[q49IntervalJoin]], in microseconds
     * (10 minutes). Bin width == interval length, so every interval overlaps
     * at most TWO bins — the replication factor is a constant 2, independent

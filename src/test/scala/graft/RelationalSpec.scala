@@ -58,6 +58,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.valuesIterator.map(_._1).sum > 0)
   }
 
+  test("q54 recursive spine: full month ladder, gap months at zero, data months match") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q54RecursiveSpine(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("month_day"), r.getAs[Long]("n_orders")))
+      .sortBy(_._1)
+    assert(rows.length == 90, "1995-01 .. 2002-06 inclusive is 90 months")
+    // contiguous monthly ladder (consecutive first-of-month epoch days)
+    rows.map(_._1).zip(rows.map(_._1).tail).foreach { case (a, b) =>
+      assert(b - a >= 28 && b - a <= 31, s"non-monthly step $a -> $b")
+    }
+    // zero-count months exist (the gap-fill), and populated counts sum to
+    // the table size
+    assert(rows.exists(_._2 == 0L), "expected empty spine months")
+    assert(rows.map(_._2).sum ==
+      graft.sources.Tables.orders(spark, Sf0001).count())
+  }
+
   test("q51 EXCEPT/INTERSECT ALL: multiset arithmetic max(m−n,0) / min(m,n)") {
     import graft.sources.Tables
     val li = Tables.lineitem(spark, Sf0001).collect()
