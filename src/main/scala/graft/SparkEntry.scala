@@ -57,6 +57,7 @@ object SparkEntry {
     "q51_setops_all" -> (Relational.q51SetopsAll _),
     "q53_lateral_topk" -> (Relational.q53LateralTopk _),
     "q54_recursive_spine" -> (Relational.q54RecursiveSpine _),
+    "q55_variant" -> (Relational.q55Variant _),
     "q52_nullsafe_join" -> (Relational.q52NullsafeJoin _),
     "q15_events_window" -> (Relational.q15EventsWindow _),
     "q16_sessions" -> (Relational.q16Sessions _),
@@ -937,6 +938,14 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | AND l_shipdate > o_orderdate + INTERVAL 90 DAY
         |GROUP BY o_orderpriority""".stripMargin,
+    // schema-on-read VARIANT extraction == DuckDB's native JSON reads;
+    // all aggregates integral, so the compare is exact
+    "q55_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        |  count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_items
+        |FROM events GROUP BY event_type""".stripMargin,
     // the recursive month spine replays verbatim in DuckDB (both engines
     // share the UNION ALL recursion); months past the data horizon must
     // appear with zero counts — the gap-fill a data-only GROUP BY cannot do

@@ -670,6 +670,24 @@ object Relational {
         |GROUP BY m""".stripMargin)
   }
 
+  /** q55_variant — Spark 4's VARIANT type: schema-ON-READ semi-structured
+    * handling (`parse_json` → open-schema binary variant → typed
+    * `variant_get` extraction at query time), the flexible sibling of
+    * q24's schema-FIRST `from_json`. The variant encodes once per row and
+    * every downstream extraction is a binary-offset lookup — the Spark 4
+    * answer to JSON columns whose shape the pipeline does not control.
+    * Aggregates are integral, so the gate compare is exact.
+    */
+  def q55Variant(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events")
+    s.sql(
+      """SELECT event_type, count(*) AS n,
+        |  min(variant_get(parse_json(props), '$.k', 'bigint')) AS min_k,
+        |  max(variant_get(parse_json(props), '$.k', 'bigint')) AS max_k,
+        |  count(DISTINCT variant_get(parse_json(props), '$.k', 'bigint')) AS n_items
+        |FROM events GROUP BY event_type""".stripMargin)
+  }
+
   /** Bin width (and lookback length) of [[q49IntervalJoin]], in microseconds
     * (10 minutes). Bin width == interval length, so every interval overlaps
     * at most TWO bins — the replication factor is a constant 2, independent
