@@ -627,6 +627,8 @@ object Ann {
   def ivfPqRefinedTopK(s: SparkSession, dir: String, nQueries: Int = 8,
       k: Int = 10, rerank: Int = PqRerank,
       nCells: Int = 16, nProbe: Int = 4, m: Int = PqM, ksub: Int = PqK): DataFrame = {
+    require(rerank >= k,
+      s"rerank short-list ($rerank) must cover k ($k) or every query returns < k rows")
     val (c, cand) = ivfPqCandidates(s, dir, nQueries, nCells, nProbe, m, ksub)
     val wA = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("vec_id").asc)

@@ -123,19 +123,18 @@ class RelationalSpec extends AnyFunSuite {
       val us =
         if (i % 2 == 0) base + (math.abs(r) % 50) * binUs + (math.abs(r >> 8) % 3) - 1
         else base + math.abs(r) % (50 * binUs)
-      (i, new java.sql.Timestamp(us / 1000) {
-        setNanos(((us % 1000000) * 1000).toInt)
-      }, i % 7, types((math.abs(r >> 16) % 3).toInt), 0.0, "{}")
+      (i, us, i % 7, types((math.abs(r >> 16) % 3).toInt), 0.0, "{}")
     }
     val dir = java.nio.file.Files.createTempDirectory("q49-rand").toString
-    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.col("us")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = graft.operators.Relational.q49IntervalJoin(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") ->
         ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_points")))).toMap
-    val micros = rows.map { case (id, ts, _, tpe, _, _) =>
-      (id, tpe, ts.getTime * 1000 + (ts.getNanos / 1000) % 1000)
-    }
+    val micros = rows.map { case (id, us, _, tpe, _, _) => (id, tpe, us) }
     val errs = micros.filter(_._2 == "error").map(_._3)
     val pairs = for {
       (pid, ptype, pus) <- micros
