@@ -1086,14 +1086,15 @@ object SparkEntry {
         |n AS (SELECT doc_id, raw,
         |        trim(regexp_replace(lower(raw), '[ \t\r\n\f]+', ' ', 'g')) AS norm
         |      FROM m)
-        |SELECT doc_id, length(raw) AS n_raw, length(norm) AS n_norm,
+        |SELECT doc_id, CAST(length(raw) AS INTEGER) AS n_raw,
+        |  CAST(length(norm) AS INTEGER) AS n_norm,
         |  CAST(norm <> raw AS BIGINT) AS changed, md5(norm) AS norm_md5
         |FROM n""".stripMargin,
     // exact integer-cents histogram: round to cents, then pure BIGINT
     "value_histogram" ->
       """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events)
         |SELECT cents // 500 AS bucket, (cents // 500) * 500 AS lo_cents,
-        |       count(*) AS n, sum(cents) AS sum_cents
+        |       count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM c GROUP BY cents // 500""".stripMargin,
     // exact order statistics by twin middle ranks / nearest rank — all rank
     // targets integral ((n+1)÷2, (n+2)÷2, (9n+9)÷10) so no engine-specific
@@ -1112,7 +1113,7 @@ object SparkEntry {
     // identical rank definitions + one exact-int IEEE division each
     "q46_rank_family" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
-        |  ntile(4) OVER w AS quartile,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         |  percent_rank() OVER w AS pct_rank,
         |  cume_dist() OVER w AS cume
         |FROM lineitem
@@ -1128,7 +1129,8 @@ object SparkEntry {
     // full outer reconciliation: both null sides must survive
     "q45_outer_full" ->
       """WITH act AS (SELECT user_id, count(*) AS n_events,
-        |               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |               CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |                    AS BIGINT) AS value_cents
         |             FROM events GROUP BY user_id),
         |seg AS (SELECT c_custkey,
         |               CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
@@ -1170,7 +1172,7 @@ object SparkEntry {
         |runs AS (SELECT user_id, run_id, min(event_type) AS event_type,
         |           min(ts_us) AS valid_from_us, count(*) AS n_events
         |         FROM rn GROUP BY user_id, run_id)
-        |SELECT user_id, run_id, event_type, valid_from_us,
+        |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type, valid_from_us,
         |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to_us,
         |  n_events
         |FROM runs""".stripMargin,
@@ -1268,7 +1270,7 @@ object SparkEntry {
         |pairs AS (SELECT a.i AS item, b.i AS partner, count(*) AS n_users
         |          FROM uif a JOIN uif b ON a.u = b.u AND a.i <> b.i
         |          GROUP BY a.i, b.i)
-        |SELECT item, partner, n_users, rk FROM (
+        |SELECT item, partner, n_users, CAST(rk AS INTEGER) AS rk FROM (
         |  SELECT item, partner, n_users, row_number() OVER (
         |    PARTITION BY item ORDER BY n_users DESC, partner) AS rk FROM pairs) t
         |WHERE rk <= 5""".stripMargin,
@@ -1449,7 +1451,8 @@ object SparkEntry {
     // the cogroup surfaces BOTH unmatched sides; replayed as a full outer
     "cogroup_fill" ->
       """WITH la AS (SELECT l_orderkey, count(*) AS n_items,
-        |              sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS items_cents
+        |              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |                   AS BIGINT) AS items_cents
         |            FROM lineitem GROUP BY l_orderkey),
         |o AS (SELECT o_orderkey,
         |        CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
@@ -1468,14 +1471,21 @@ object SparkEntry {
         |    CAST(round(l_discount      * 100) AS HUGEINT) AS disc,
         |    CAST(round(l_tax           * 100) AS HUGEINT) AS tax
         |  FROM lineitem),
-        |a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
-        |    sum(qty) AS s_qty, sum(qty*qty) AS ss_qty,
-        |    sum(price) AS s_price, sum(price*price) AS ss_price,
-        |    sum(disc) AS s_disc, sum(disc*disc) AS ss_disc,
-        |    sum(tax) AS s_tax, sum(tax*tax) AS ss_tax,
-        |    sum(qty*price) AS sp_qty_price, sum(qty*disc) AS sp_qty_disc,
-        |    sum(qty*tax) AS sp_qty_tax, sum(price*disc) AS sp_price_disc,
-        |    sum(price*tax) AS sp_price_tax, sum(disc*tax) AS sp_disc_tax
+        |a AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    CAST(sum(qty) AS DECIMAL(38,0)) AS s_qty,
+        |    CAST(sum(qty*qty) AS DECIMAL(38,0)) AS ss_qty,
+        |    CAST(sum(price) AS DECIMAL(38,0)) AS s_price,
+        |    CAST(sum(price*price) AS DECIMAL(38,0)) AS ss_price,
+        |    CAST(sum(disc) AS DECIMAL(38,0)) AS s_disc,
+        |    CAST(sum(disc*disc) AS DECIMAL(38,0)) AS ss_disc,
+        |    CAST(sum(tax) AS DECIMAL(38,0)) AS s_tax,
+        |    CAST(sum(tax*tax) AS DECIMAL(38,0)) AS ss_tax,
+        |    CAST(sum(qty*price) AS DECIMAL(38,0)) AS sp_qty_price,
+        |    CAST(sum(qty*disc) AS DECIMAL(38,0)) AS sp_qty_disc,
+        |    CAST(sum(qty*tax) AS DECIMAL(38,0)) AS sp_qty_tax,
+        |    CAST(sum(price*disc) AS DECIMAL(38,0)) AS sp_price_disc,
+        |    CAST(sum(price*tax) AS DECIMAL(38,0)) AS sp_price_tax,
+        |    CAST(sum(disc*tax) AS DECIMAL(38,0)) AS sp_disc_tax
         |  FROM c)
         |SELECT 'qty' AS x, 'price' AS y, n, s_qty AS sum_x, s_price AS sum_y,
         |       sp_qty_price AS sum_xy, ss_qty AS sum_xx, ss_price AS sum_yy FROM a
@@ -1511,7 +1521,8 @@ object SparkEntry {
       """WITH uw AS (SELECT DISTINCT user_id,
         |              (epoch_us(ts) // 86400000000) // 7 AS week FROM events)
         |SELECT a.week, count(*) AS n_active,
-        |       sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS n_churned
+        |       CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_churned
         |FROM uw a LEFT JOIN uw b
         |  ON b.user_id = a.user_id AND b.week = a.week + 1
         |GROUP BY a.week""".stripMargin,
@@ -1694,7 +1705,7 @@ object SparkEntry {
         |ranked AS (SELECT iter, lft, rgt, wgt, row_number() OVER (
         |             PARTITION BY iter ORDER BY wgt DESC, lft, rgt) AS rk FROM pairs2)
         |SELECT CAST(iter + 1 AS BIGINT) AS step, lft, rgt, lft || rgt AS merged,
-        |       wgt AS weight
+        |       CAST(wgt AS BIGINT) AS weight
         |FROM ranked WHERE rk = 1""".stripMargin,
     // NAIVE windowed self-join replay (b.pos BETWEEN a.pos−2 AND a.pos+2)
     // — the offset-generation equi-join plan must reproduce its counts
@@ -1719,7 +1730,8 @@ object SparkEntry {
         |         sum(c) OVER (PARTITION BY event_type ORDER BY cents
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS rnk,
         |         sum(c) OVER (PARTITION BY event_type) AS n FROM hist)
-        |SELECT ev.event_id, ev.event_type, ev.value, rk.rnk,
+        |SELECT ev.event_id, ev.event_type, ev.value,
+        |       CAST(rk.rnk AS BIGINT) AS rnk,
         |       CASE WHEN rk.n = 1 THEN 0.0
         |            ELSE CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pct
         |FROM ev JOIN rk ON rk.event_type = ev.event_type
@@ -2588,7 +2600,7 @@ object SparkEntry {
         |                                ORDER BY doc_id, line_no) = 1 AS kept
         |           FROM lines)
         |SELECT doc_id, count(*) AS n_lines,
-        |  sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CASE WHEN sum(CASE WHEN kept THEN 1 ELSE 0 END) > 0
         |    THEN md5(string_agg(lmd5, chr(10) ORDER BY line_no)
         |             FILTER (WHERE kept))
@@ -2603,14 +2615,24 @@ object SparkEntry {
         | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         | max(doc_id) AS max_doc
         |FROM documents GROUP BY source, lang""".stripMargin,
-    // no oracle: q19_approx only — Spark's approx_count_distinct is an
-    // engine-specific HLL++ sketch whose estimate is defined by its own
-    // buffer layout, not by the data; ApproxSpec bounds its error against
-    // the exact answer instead. EVERY other registered query carries a
-    // DuckDB oracle; the hash/float/iterative family (text_fingerprint_poly,
+    // q19_approx: the raw HLL++/approx-percentile estimates are defined by
+    // Spark's sketch buffer layout, not by the data, so the registered
+    // query emits a DETERMINISTIC bound report instead (exact counts the
+    // oracle recomputes, plus 0/1 contract flags whose expected value is a
+    // constant 1 — a trip would mean the sketch broke its published error
+    // bound). ApproxSpec additionally error-bounds the raw estimates.
+    // EVERY registered query therefore carries a DuckDB oracle; the
+    // hash/float/iterative family (text_fingerprint_poly,
     // dedup_simhash(_pairs), mm_features, mm_thumbs, dedup_minhash,
     // q36_stream_neardup, ann_lsh, dedup_embed, ann_ivf) is replayed
     // bit-exactly via the HUGEINT mod-2^64 folds, ordered-IEEE float math,
     // and the recursive Lloyd CTE above.
+    "q19_approx" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(1 AS BIGINT) AS parts_in_bounds,
+        |  CAST(1 AS BIGINT) AS q50_cdf_in_bounds,
+        |  CAST(1 AS BIGINT) AS q95_cdf_in_bounds
+        |FROM lineitem""".stripMargin
   )
 }

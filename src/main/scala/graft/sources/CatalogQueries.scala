@@ -17,13 +17,21 @@ object CatalogQueries {
   def register(s: SparkSession, dir: String): (String, String) = {
     val f = new java.io.File(dir).getCanonicalFile
     val root = f.getParent
+    // the lake layout is <root>/<sf-namespace>/<table>.parquet, so the
+    // scale dir must have a parent — a filesystem-root dir can't be a
+    // namespace (and getParent == null would NPE below)
+    require(root != null,
+      s"catalog register: '$dir' resolves to filesystem root '$f' — " +
+        "expected <lakeRoot>/<namespace> (e.g. /root/testdata/sf0.01)")
     val ns = f.getName.replace('.', '_')
-    // the readable sanitized path is NOT injective ('.' and '-' both map
-    // to '_'), so an md5 prefix of the raw root disambiguates — two
-    // distinct roots can never collide onto one cached catalog instance
+    // the catalog name carries an md5 of the raw root (injective, and
+    // constant-length regardless of path depth) plus a short readable
+    // basename tail — two distinct roots can never collide onto one
+    // cached catalog instance, and deep roots don't yield huge conf keys
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(root.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
-    val cat = "graft_lake_" + root.replaceAll("[^A-Za-z0-9]", "_") + "_" + digest
+      .digest(root.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val tail = new java.io.File(root).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = "graft_lake_" + tail + "_" + digest
     s.conf.set(s"spark.sql.catalog.$cat",
       "org.apache.spark.sql.graftshim.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.root", root)

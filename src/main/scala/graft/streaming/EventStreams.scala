@@ -493,18 +493,32 @@ object EventStreams {
     * pairs deduped across tables and rounded by Spark's own `round` —
     * making the output comparable to the SAME DuckDB multi-table replay
     * that oracles batch dedup_embed. A bounded pass with no over-cap
-    * buckets must land on the identical (id1, id2, cos4) set.
+    * buckets must land on the identical (id1, id2, cos4) set — the batch
+    * cap DROPS an over-cap bucket while the streaming state machine emits
+    * its first-MaxBucket arrivals (Append emissions can't be retracted),
+    * so oracle equality is only defined while no (table, bucket) exceeds
+    * the cap. The `require` below turns a cap trip at a larger scale into
+    * a self-diagnosing failure instead of an inscrutable hash mismatch.
     */
   def embedNearDupQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = graft.sources.Tables.embeddings(s, dir)
     val nbits = graft.operators.Ann.nbitsFor(emb.count())
-    runStagedViaFiles(s, dir, "q50_stream_embed_neardup",
+    val poisonAcc =
+      s.sparkContext.longAccumulator("graft.embed_neardup.q50.poisonedBuckets")
+    val out = runStagedViaFiles(s, dir, "q50_stream_embed_neardup",
         staged => incrementalEmbedNearDup(
-            s.readStream.schema(emb.schema).parquet(staged), nbits = nbits)
+            s.readStream.schema(emb.schema).parquet(staged), nbits = nbits,
+            poisonedBuckets = Some(poisonAcc))
           .toDF("id1", "id2", "cos"),
         OutputMode.Append(), file = "embeddings.parquet")
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos4"))
       .distinct()
+    require(poisonAcc.value == 0L,
+      s"q50_stream_embed_neardup: ${poisonAcc.value} LSH bucket(s) exceeded " +
+        s"MaxBucket=${graft.operators.Dedup.MaxBucket} during the bounded " +
+        "pass — streaming Append output diverges from the batch oracle once " +
+        "a bucket is poisoned; raise nbits (more, smaller buckets) or the cap")
+    out
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

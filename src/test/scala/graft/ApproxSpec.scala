@@ -11,7 +11,7 @@ class ApproxSpec extends AnyFunSuite {
   import TestSpark._
 
   test("q19: HLL distinct within 5%, approx percentiles within 5%") {
-    val r = Relational.q19Approx(spark, Sf0001).collect()(0)
+    val r = Relational.q19ApproxRaw(spark, Sf0001).collect()(0)
     val exact = graft.sources.Tables.lineitem(spark, Sf0001)
       .agg(
         org.apache.spark.sql.functions.countDistinct("l_partkey").as("parts"),
@@ -28,5 +28,16 @@ class ApproxSpec extends AnyFunSuite {
     assert(q50 < q95)
     assert(math.abs(q50 - exactQs(0)) / exactQs(0) < 0.05, s"median: $q50 vs ${exactQs(0)}")
     assert(math.abs(q95 - exactQs(1)) / exactQs(1) < 0.05, s"p95: $q95 vs ${exactQs(1)}")
+  }
+
+  test("q19 bound report: every sketch-contract flag is 1 at both SFs") {
+    for (dir <- Seq(Sf0001, Sf001)) {
+      val r = Relational.q19Approx(spark, dir).collect()(0)
+      assert(r.getAs[Long]("n_rows") > 0)
+      assert(r.getAs[Long]("exact_parts") > 0)
+      assert(r.getAs[Long]("parts_in_bounds") == 1L, s"HLL out of bounds at $dir")
+      assert(r.getAs[Long]("q50_cdf_in_bounds") == 1L, s"q50 rank off at $dir")
+      assert(r.getAs[Long]("q95_cdf_in_bounds") == 1L, s"q95 rank off at $dir")
+    }
   }
 }

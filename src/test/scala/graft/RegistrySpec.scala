@@ -15,23 +15,16 @@ class RegistrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("rows-only (no-oracle) set is exactly the documented one") {
+  test("every registered query carries an oracle (rows-only set is empty)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // round 8 shrank this set to ONE: the hash/float/iterative family
-    // (text_fingerprint_poly, dedup_simhash(_pairs), mm_features,
-    // mm_thumbs, dedup_minhash, q36_stream_neardup, ann_lsh, dedup_embed,
-    // ann_ivf) all gained oracles that replay the full pipeline —
-    // wraparound hashes in HUGEINT mod-2^64, splitmix64 hyperplanes/
-    // signatures, Spark's xxhash64 sample order, the LCG stub decode,
-    // single/double-precision float math in the exact IEEE operation order
-    // of the Scala side, and the 10-round Lloyd loop as a recursive CTE —
-    // see SparkEntry.minhashPairsSql / annLshSql / embedNearDupSql /
-    // mmThumbsSql / annIvfSql. q19_approx alone remains: Spark's HLL++
-    // estimate is defined by its own sketch internals, not by the data;
-    // ApproxSpec bounds its error against the exact answer.
-    val documented = Set("q19_approx")
-    assert(rowsOnly == documented,
-      s"oracle coverage drifted: extra=${rowsOnly -- documented} missing=${documented -- rowsOnly}")
+    // Round 8 shrank this set to one (q19_approx — raw sketch estimates are
+    // engine-defined); round 9 closed it: q19_approx now registers a
+    // deterministic bound report (exact counts + 0/1 sketch-contract
+    // flags), so every query in the registry is DuckDB-oracled. The
+    // hash/float/iterative family is replayed bit-exactly — see
+    // SparkEntry.minhashPairsSql / annLshSql / embedNearDupSql /
+    // mmThumbsSql / annIvfSql.
+    assert(rowsOnly.isEmpty, s"oracle coverage drifted: $rowsOnly")
   }
 
   test("entry (flagship) returns rows") {

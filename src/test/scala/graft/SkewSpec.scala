@@ -28,6 +28,15 @@ class SkewSpec extends AnyFunSuite {
     // is split at runtime even where no one salted. Thresholds are scoped
     // to the test (restored after), sized so the planted 40k-row key is
     // "skewed" relative to its siblings.
+    //
+    // NOTE (suite-parallelism hazard): the five confs below are mutated on
+    // the SHARED TestSpark session and restored in the finally. Suites run
+    // sequentially (ScalaTest default; parallelExecution is not enabled in
+    // build.sbt), so no other suite can observe the window where broadcast
+    // joins are disabled. If suite-level parallelism is ever turned on,
+    // move this test onto its own SparkSession first — otherwise
+    // plan-shape assertions elsewhere (PlanShapeSpec's broadcast checks)
+    // can flake.
     val s = spark
     import s.implicits._
     val conf = s.conf

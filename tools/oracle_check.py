@@ -15,6 +15,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def col_types(con, sql):
+    """column_name -> DuckDB type string for a query, via DESCRIBE."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
 def canon(rows, cols):
     """Sort columns by name, then rows; normalize floats."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -72,6 +78,19 @@ def main():
         sc, srws = canon(srows, scols)
         if oc != sc:
             print(f"FAIL {name}: columns differ spark={sc} oracle={oc}")
+            failures += 1
+            continue
+        # Type gate: the driver's hash is typed, so a DuckDB-widened sum()
+        # (HUGEINT) vs a Spark BIGINT fails there even when every value
+        # matches. fetchall() erases that difference; DESCRIBE does not.
+        # Exact string equality, no allowed aliases — that's the point.
+        otypes = col_types(con, f"({sql})")
+        stypes = col_types(con, f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        tbad = {c: (stypes.get(c), otypes.get(c))
+                for c in otypes if stypes.get(c) != otypes.get(c)}
+        if tbad:
+            print(f"FAIL {name}: column types differ "
+                  f"{{col: (spark, oracle)}} = {tbad}")
             failures += 1
             continue
         if len(orws) != len(srws):
