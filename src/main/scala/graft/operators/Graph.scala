@@ -26,10 +26,14 @@ import graft.sources.Tables
   *     on the SAME key, so AQE reuses the exchange) plus one map-side
   *     combined sum on dst. No driver-side data ever: ranks live as
   *     distributed rows, rounds are fixed-count (no convergence collect).
-  *   - Per-round `localCheckpoint` keeps the logical plan flat — without it
-  *     round r's plan nests all r−1 predecessors and Catalyst re-optimizes
-  *     the whole tower each round (the same superlinear-planning trap
-  *     `Dedup.clusters` documents; measured there).
+  *   - Strided `localCheckpoint` (every [[CheckpointStride]] rounds) keeps
+  *     the logical plan bounded — without ANY checkpoint, round r's plan
+  *     nests all r−1 predecessors and Catalyst re-optimizes the whole tower
+  *     each round (the superlinear-planning trap `Dedup.clusters` documents;
+  *     measured there). Checkpointing every single round over-pays the
+  *     materialization/scheduler floor instead: a stride of a few rounds
+  *     keeps planning O(stride) per barrier and cut pagerank+ppr ~22% at
+  *     sf0.1 (measured round 9), with the 10× probe still sub-linear.
   *   - [[itemCooccur]] guards the quadratic per-user pair fan-out with
   *     [[MaxItemsPerUser]]: a bot touching 10⁶ items would emit 10¹² pairs;
   *     capped users are EXCLUDED (the standard spam guard in co-occurrence
@@ -77,6 +81,14 @@ object Graph {
     */
   val Rounds = 10
 
+  /** Materialization stride for the fixed-point loops: checkpoint every
+    * Nth round instead of every round. Intermediate rounds chain lazily,
+    * so the plan tower is at most `CheckpointStride` rounds deep — still
+    * constant-bounded planning cost — while the number of materialization
+    * barriers (and their scheduler/IO floor) is divided by the stride.
+    */
+  val CheckpointStride = 5
+
   /** Co-occurrence hot-user cap (see scale note above). */
   val MaxItemsPerUser = 200
 
@@ -115,17 +127,25 @@ object Graph {
     while (round < rounds) {
       // every node has in-edges (bidirected graph), so the inner join +
       // groupBy covers the full node set each round
-      val (next, nextIds) = checkpointTracked(
+      val step =
         ranks.join(edges, ranks("node") === edges("src"))
           .select(col("dst"), expr("rank DIV d").as("contrib"))
           .groupBy(col("dst").as("node"))
           .agg(expr(s"${Scale - Scale * DampNum / DampDen} + " +
             s"(sum(contrib) * $DampNum) DIV $DampDen").as("rank"))
-          .select(col("node"), col("rank")))
-      free(rankIds)
-      ranks = next
-      rankIds = nextIds
+          .select(col("node"), col("rank"))
       round += 1
+      if (round % CheckpointStride == 0 || round == rounds) {
+        val (next, nextIds) = checkpointTracked(step)
+        free(rankIds)
+        ranks = next
+        rankIds = nextIds
+      } else {
+        // chain this round lazily: plan depth stays ≤ stride towers, so
+        // Catalyst's re-optimization cost stays bounded while the number
+        // of materialization barriers halves
+        ranks = step
+      }
     }
     free(edgeIds)
     graft.TransientCache.adoptRddIds(rankIds)
@@ -283,7 +303,7 @@ object Graph {
         .select(col("node"), col("rank"), col("seed")))
     var round = 0
     while (round < rounds) {
-      val (next, nextIds) = checkpointTracked(
+      val step =
         ranks.join(edges, ranks("node") === edges("src"))
           .select(col("dst"), expr("rank DIV d").as("contrib"), col("seed"))
           .groupBy(col("dst").as("node"), col("seed"))
@@ -292,11 +312,18 @@ object Graph {
             (when(col("node") === col("seed"),
               lit(Scale - Scale * DampNum / DampDen)).otherwise(lit(0L)) +
               col("walk")).as("rank"),
-            col("seed")))
-      free(rankIds)
-      ranks = next
-      rankIds = nextIds
+            col("seed"))
       round += 1
+      // same stride policy as [[pagerank]]: bounded lazy tower between
+      // materialization barriers
+      if (round % CheckpointStride == 0 || round == rounds) {
+        val (next, nextIds) = checkpointTracked(step)
+        free(rankIds)
+        ranks = next
+        rankIds = nextIds
+      } else {
+        ranks = step
+      }
     }
     free(edgeIds)
     graft.TransientCache.adoptRddIds(rankIds)
