@@ -244,9 +244,12 @@ object Graph {
     * same key every round, so AQE reuses the exchange), dedups the
     * candidates map-side, and anti-joins `dist` to keep genuinely new
     * nodes. Work per round is O(frontier-adjacent edges), not O(all edges
-    * × rounds); per-round localCheckpoint keeps the plan flat (the same
-    * superlinear-planning trap [[pagerank]] documents). The seed is an
-    * aggregate row, not a collect — no driver-side data path anywhere.
+    * × rounds); each FRONTIER is checkpointed once (bounded plans, the
+    * same superlinear-planning trap [[pagerank]] documents) while the
+    * settled set stays a lazy union of those leaves — total checkpoint
+    * write volume is O(|V|), not O(rounds·|V|) as re-materializing the
+    * cumulative set each round would be. The seed is an aggregate row,
+    * not a collect — no driver-side data path anywhere.
     */
   def bfsHops(s: SparkSession, dir: String, rounds: Int = BfsRounds): DataFrame = {
     def free(ids: Set[Int]): Unit = Graph.free(s, ids)
@@ -256,8 +259,14 @@ object Graph {
     val (edgesCp, edgeIds) = checkpointTracked(edges)
     val seed = Tables.events(s, dir).agg(min(col("user_id")).as("node"))
       .withColumn("hop", lit(0L))
-    var (dist, distIds) = checkpointTracked(seed)
+    // one barrier per round, not two: each round's frontier is checkpointed
+    // (it is re-read twice — next round's join AND the settled set), but
+    // `dist` stays a LAZY union of those checkpointed leaves. A union of
+    // ≤ rounds materialized leaves is trivial to plan, and the anti-join
+    // against it is identical to one against a materialized copy.
     var (frontier, frontierIds) = checkpointTracked(seed)
+    var dist = frontier
+    var liveIds = frontierIds
     var round = 1
     while (round <= rounds) {
       val (next, nextIds) = checkpointTracked(
@@ -265,14 +274,15 @@ object Graph {
           .select(edgesCp("dst").as("node")).distinct()
           .join(dist, Seq("node"), "left_anti")
           .withColumn("hop", lit(round.toLong)))
-      val (nd, ndIds) = checkpointTracked(dist.unionByName(next))
-      free(distIds); free(frontierIds)
-      dist = nd; distIds = ndIds
-      frontier = next; frontierIds = nextIds
+      dist = dist.unionByName(next)
+      liveIds ++= nextIds
+      frontier = next
       round += 1
     }
-    free(edgeIds); free(frontierIds)
-    graft.TransientCache.adoptRddIds(distIds)
+    free(edgeIds)
+    // every frontier leaf stays pinned until the session sweep — together
+    // they hold exactly one row per reached node (the settled set itself)
+    graft.TransientCache.adoptRddIds(liveIds)
     dist
   }
 
