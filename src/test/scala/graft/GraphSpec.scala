@@ -70,6 +70,18 @@ class GraphSpec extends AnyFunSuite {
     assert(collectRanks(Sf0001) === bruteRank(evs, Graph.Rounds))
   }
 
+  test("pagerank: round counts not divisible by the checkpoint stride are exact") {
+    // the strided loop's terminal barrier fires at round == rounds even when
+    // stride ∤ rounds; pin a count in every residue class of the stride
+    val pairs = Seq[(Long, Long)]((1, 10), (1, 11), (1, 12), (2, 10), (3, 10))
+    val dir = writeInteractions(pairs)
+    for (rounds <- Seq(1, Graph.CheckpointStride - 1, Graph.CheckpointStride + 2)) {
+      val got = Graph.pagerank(spark, dir, rounds).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank")).toMap
+      assert(got === bruteRank(pairs, rounds), s"rounds=$rounds")
+    }
+  }
+
   /** Driver-side replay of the personalized recurrence: teleport mass on
     * the minimum user only, same truncating Long arithmetic.
     */
