@@ -206,6 +206,7 @@ object SparkEntry {
     "ann_pq" -> ((s: SparkSession, d: String) => Ann.pqTopK(s, d)),
     "ann_ivfpq" -> ((s: SparkSession, d: String) => Ann.ivfPqTopK(s, d)),
     "ann_ivfpq_refined" -> ((s: SparkSession, d: String) => Ann.ivfPqRefinedTopK(s, d)),
+    "ann_ivfpq_persisted" -> ((s: SparkSession, d: String) => Ann.ivfPqPersistedTopK(s, d)),
     "jl_project" -> ((s: SparkSession, d: String) => Ann.jlProject(s, d)),
     // threshold 0.4 here, NOT the 0.98 near-identical default: the fixture
     // plants no embedding near-dups (max pairwise cosine ≈0.48 at sf0.001,
@@ -2557,6 +2558,9 @@ object SparkEntry {
     "ann_pq" -> annPqSql,
     "ann_ivfpq" -> annIvfPqSql,
     "ann_ivfpq_refined" -> annIvfPqRefinedSql,
+    // persistence contract: the parquet round-trip of the index artifacts
+    // must change NOTHING, so the persisted path shares ann_ivfpq's oracle
+    "ann_ivfpq_persisted" -> annIvfPqSql,
     "semdedup" -> semDedupSql,
     "jl_project" -> jlProjectSql,
     // the deterministic footer augmentation replayed verbatim, then the same

@@ -657,6 +657,20 @@ object Ann {
     */
   private def ivfPqCandidates(s: SparkSession, dir: String, nQueries: Int,
       nCells: Int, nProbe: Int, m: Int, ksub: Int): (DataFrame, DataFrame) = {
+    val (c, cents, books, encoded) = trainEncodeIvfPq(s, dir, nCells, m, ksub)
+    (c, adcCandidates(s, c, encoded, cents, books, nQueries, nProbe))
+  }
+
+  /** IVFPQ train + encode: fits the coarse centroids and residual codebooks
+    * on the capped deterministic sample, then encodes the whole corpus as
+    * (vec_id, cell, codes) in one shuffle-free typed pass. Returns the
+    * cached corpus, the driver-side codebook arrays, and the encoded frame —
+    * everything an index CONSUMER needs, which is what makes the persisted
+    * tier ([[persistIvfPqIndex]]) a pure serialization of this result.
+    */
+  private def trainEncodeIvfPq(s: SparkSession, dir: String, nCells: Int,
+      m: Int, ksub: Int)
+      : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
     val dim = 64 // embeddings fixture dimension (TESTDATA.md)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -690,6 +704,22 @@ object Ann {
           (id, cell, codes)
         }
       }.toDF("vec_id", "cell", "codes")
+    (c, cents, books, encoded)
+  }
+
+  /** The ADC query pass over an (already-built) IVFPQ index: per query the
+    * [[nearestExpanded]]-ordered nProbe cells, per probed cell the query
+    * residual's per-subspace distance table, broadcast and joined to the
+    * encoded corpus BY CELL. Shared verbatim by the in-session pipeline and
+    * the persisted-index consumer so the two cannot drift.
+    */
+  private def adcCandidates(s: SparkSession, c: DataFrame, encoded: DataFrame,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      nQueries: Int, nProbe: Int): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val nCells = cents.length
+    val csq = cents.map(ct => ct.map(x => x * x).sum)
     // bounded query side: nProbe cells per query by expanded coarse L2,
     // ADC table = the query residual's per-subspace distances to each code
     val qs = c.filter(col("vec_id") < nQueries).select("vec_id", "vec").collect()
@@ -715,9 +745,74 @@ object Ann {
     val qTab = s.createDataFrame(qRows.toSeq).toDF("query_id", "cell", "tbl")
     val adist = (0 until m).map(mi =>
       element_at(col("tbl")(mi), col("codes")(mi) + 1)).reduce(_ + _)
-    (c, encoded.join(broadcast(qTab), Seq("cell"))
+    encoded.join(broadcast(qTab), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adist", adist))
+      .withColumn("adist", adist)
+  }
+
+  /** Builds the IVFPQ index for `dir`'s embedding corpus and persists its
+    * three artifacts as parquet tables under `indexDir`:
+    *   - `centroids`  (cell INT, vec ARRAY<DOUBLE>)    — nCells rows
+    *   - `codebooks`  (mi INT, code INT, vec ARRAY<DOUBLE>) — m·ksub rows
+    *   - `codes`      (vec_id BIGINT, cell INT, codes ARRAY<INT>) — one row
+    *     per corpus vector, ~9 bytes of payload each
+    * This is the production shape: the expensive parts (training on the
+    * capped sample, the full-corpus encode scan) run ONCE at build time;
+    * any number of later query batches read only the artifacts. Parquet
+    * DOUBLE is an exact IEEE64 round-trip and the codes are plain ints, so
+    * persistence is lossless by construction — the consumer's answers are
+    * bit-identical to the in-session pipeline's ([[AnnSpec]] pins it).
+    */
+  def persistIvfPqIndex(s: SparkSession, dir: String, indexDir: String,
+      nCells: Int = 16, m: Int = PqM, ksub: Int = PqK): Unit = {
+    val (_, cents, books, encoded) = trainEncodeIvfPq(s, dir, nCells, m, ksub)
+    import s.implicits._
+    cents.zipWithIndex
+      .map { case (v, cell) => (cell, v.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    books.zipWithIndex
+      .flatMap { case (bk, mi) =>
+        bk.zipWithIndex.map { case (v, code) => (mi, code, v.toSeq) }
+      }.toSeq
+      .toDF("mi", "code", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    encoded.write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** ann_ivfpq_persisted — the persisted-index retrieval path: top-k ADC
+    * answers computed ENTIRELY from the parquet index artifacts written by
+    * [[persistIvfPqIndex]] (read back fresh — the in-session training state
+    * is not consulted). Registered with the SAME oracle as ann_ivfpq: the
+    * round-trip through the index tables must change nothing, which is the
+    * persistence contract. At 100 TB this split is what makes IVFPQ usable
+    * at all — one build scan, then every retrieval batch touches only the
+    * ~9-byte-per-vector codes table plus two tiny codebook tables.
+    */
+  def ivfPqPersistedTopK(s: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val indexDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft-ann-index/$digest"
+    persistIvfPqIndex(s, dir, indexDir)
+    val cents = s.read.parquet(s"$indexDir/centroids").collect()
+      .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](r.fieldIndex("vec")).toArray)
+      .sortBy(_._1).map(_._2)
+    val bookRows = s.read.parquet(s"$indexDir/codebooks").collect()
+      .map(r => (r.getAs[Int]("mi"), r.getAs[Int]("code"),
+        r.getSeq[Double](r.fieldIndex("vec")).toArray))
+    val books = bookRows.groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    val encoded = s.read.parquet(s"$indexDir/codes")
+    val c = graft.TransientCache.cache(corpus(s, dir))
+    val cand = adcCandidates(s, c, encoded, cents, books, nQueries, nProbe)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
   /** embed_quantize — int8 scalar quantization of the embedding corpus:

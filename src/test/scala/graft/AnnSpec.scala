@@ -197,6 +197,22 @@ class AnnSpec extends AnyFunSuite {
     TransientCache.release(spark)
   }
 
+  test("ivfPqPersistedTopK: the parquet index round-trip is bit-identical") {
+    // training is deterministic (capped xxhash64 sample, seeded Lloyd), so
+    // persist-then-read must reproduce the in-session pipeline's answers
+    // EXACTLY — parquet DOUBLE round-trips IEEE64 losslessly and codes are
+    // plain ints; any divergence means the index artifacts lost information
+    val inSession = Ann.ivfPqTopK(spark, Sf0001, nQueries = 4, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val persisted = Ann.ivfPqPersistedTopK(spark, Sf0001, nQueries = 4, k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    assert(persisted === inSession)
+    TransientCache.release(spark)
+  }
+
   test("embedNearDup finds planted near-identical vectors, nothing else") {
     // fixture embeddings have no pairs above cos 0.60 (checked), so plant
     // our own: v1 ≈ v0 (tiny perturbation), v3 == v2, v0 ⟂̸ v2 (random)
