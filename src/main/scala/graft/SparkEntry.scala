@@ -155,6 +155,7 @@ object SparkEntry {
     "value_histogram" -> (graft.operators.Profile.valueHistogram _),
     // --- deduplication ---
     "dedup_exact" -> (Dedup.exact _),
+    "dedup_incremental" -> (Dedup.incremental _),
     "dedup_exact_dups" -> (Dedup.exactDups _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.minhash(s, d)),
     "dedup_jaccard3" -> ((s: SparkSession, d: String) => Dedup.jaccard3(s, d)),
@@ -2099,6 +2100,23 @@ object SparkEntry {
     "dedup_exact_dups" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1""".stripMargin,
+    // the deterministic %7 replica augmentation replayed verbatim; store =
+    // distinct historical digests, batch-first election by min doc_id
+    "dedup_incremental" ->
+      """WITH b AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(text) FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |hist AS (SELECT DISTINCT md5(text) AS fp FROM documents
+        |         WHERE doc_id % 3 <> 0),
+        |firsts AS (SELECT fp, min(doc_id) AS first_id FROM b GROUP BY fp)
+        |SELECT b.doc_id, b.fp,
+        |  CASE WHEN h.fp IS NOT NULL THEN 'dup_of_store'
+        |       WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
+        |       ELSE 'kept' END AS status
+        |FROM b LEFT JOIN hist h ON h.fp = b.fp
+        |JOIN firsts f ON f.fp = b.fp""".stripMargin,
     // dedup_minhash: since round 8 the banding pipeline is replayed in full
     // (signatures, band keys, bucket cap, pairing, exact-Jaccard verify) —
     // see minhashPairsSql. The output is a deterministic function of the

@@ -39,6 +39,71 @@ object Dedup {
   def exactDups(s: SparkSession, dir: String): DataFrame =
     exact(s, dir).filter(col("n_copies") > 1)
 
+  /** Doc-id offset for [[incremental]]'s deterministic batch augmentation —
+    * far above any fixture doc_id, so replica ids never collide.
+    */
+  val IncrementalReplicaBase = 1000000L
+
+  /** Writes the PERSISTED exact-digest store for the "historical corpus"
+    * (docs with doc_id % 3 ≠ 0 — the prior crawls): one parquet table of
+    * distinct 128-bit content digests. This is the artifact an incremental
+    * pipeline carries between crawls — per-snapshot dedup reads it, and the
+    * post-accept step unions the kept batch's digests back in (append-only;
+    * not modeled here because the gate replays one snapshot).
+    */
+  def persistDigestStore(s: SparkSession, dir: String, storeDir: String): Unit =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(md5(col("text")).as("fp"))
+      .distinct()
+      .write.mode("overwrite").parquet(storeDir)
+
+  /** dedup_incremental — per-crawl incremental dedup against the PERSISTED
+    * digest store: every new-batch document is classified as
+    *   - `dup_of_store`  — its digest already exists in the historical store
+    *     (prior crawls own it; drop),
+    *   - `dup_in_batch`  — first seen in THIS batch but not by this row
+    *     (min doc_id per digest survives),
+    *   - `kept`          — genuinely new.
+    * The "new batch" is docs with doc_id % 3 = 0 AUGMENTED deterministically
+    * (the fixture plants no exact duplicates, so the operator would
+    * otherwise gate vacuously — the pii_scrub / text_normalize pattern):
+    * every doc with doc_id % 7 = 0 is replicated into the batch at
+    * doc_id + [[IncrementalReplicaBase]], which yields dup_of_store rows
+    * (replicas of historical docs) and dup_in_batch rows (replicas of batch
+    * docs) alongside the kept mass. The oracle replays the augmentation
+    * verbatim.
+    *
+    * 100 TB plan: the store is one digest row per historical document —
+    * joined on the digest key (shuffle or broadcast by measured size, AQE's
+    * call; a Bloom-prune of the batch side composes exactly like
+    * bloom_prune). The batch-first election is a map-side-combined
+    * min-aggregate; nothing ever shuffles raw text, and the store
+    * round-trips parquet losslessly (it IS parquet).
+    */
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val storeDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft-digest-store/$digest"
+    persistDigestStore(s, dir, storeDir)
+    val store = s.read.parquet(storeDir).withColumn("in_store", lit(1))
+    val docs = Tables.documents(s, dir)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(IncrementalReplicaBase)).as("doc_id"),
+          md5(col("text")).as("fp")))
+    val firsts = batch.groupBy("fp").agg(min("doc_id").as("first_id"))
+    batch
+      .join(store, Seq("fp"), "left")
+      .join(firsts, "fp")
+      .select(col("doc_id"), col("fp"),
+        when(col("in_store").isNotNull, lit("dup_of_store"))
+          .when(col("doc_id") =!= col("first_id"), lit("dup_in_batch"))
+          .otherwise(lit("kept")).as("status"))
+  }
+
   // ------------------------------------------------------------ hash utils
 
   /** 64-bit FNV-1a over UTF-16 code units (shared with the SQL-facing

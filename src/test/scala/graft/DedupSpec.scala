@@ -46,6 +46,34 @@ class DedupSpec extends AnyFunSuite {
     assert(dups.head.getAs[Long]("n_copies") == 2L)
   }
 
+  test("incremental: every status class non-vacuous; store membership exact") {
+    val rows = Dedup.incremental(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"),
+        r.getAs[String]("status")))
+    val byStatus = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    // the %7 replica augmentation must produce all three classes, else the
+    // gate runs vacuously (the embedNearDup-threshold lesson)
+    for (st <- Seq("kept", "dup_of_store", "dup_in_batch"))
+      assert(byStatus.getOrElse(st, 0) > 0, s"status $st vacuous: $byStatus")
+    // driver-side replay of the classification
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .selectExpr("doc_id", "md5(text) AS fp").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val hist = docs.filter(_._1 % 3 != 0).map(_._2).toSet
+    val batch = docs.filter(_._1 % 3 == 0) ++
+      docs.filter(_._1 % 7 == 0)
+        .map { case (id, fp) => (id + Dedup.IncrementalReplicaBase, fp) }
+    val firsts = batch.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val expect = batch.map { case (id, fp) =>
+      val st =
+        if (hist(fp)) "dup_of_store"
+        else if (id != firsts(fp)) "dup_in_batch"
+        else "kept"
+      (id, fp, st)
+    }.toSet
+    assert(rows.toSet === expect)
+  }
+
   test("minhash LSH: finds exactly the near-dup pairs, with exact jaccard") {
     val pairs = Dedup.minhash(spark, dir, threshold = 0.5).collect()
       .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2")) -> r.getAs[Double]("jaccard"))
