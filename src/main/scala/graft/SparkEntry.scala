@@ -201,6 +201,7 @@ object SparkEntry {
     "mm_shard_manifest" -> ((s: SparkSession, d: String) => Multimodal.shardManifest(s, d)),
     // --- similarity search ---
     "ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
+    "knn_label_vote" -> ((s: SparkSession, d: String) => Ann.knnLabelVote(s, d)),
     "embed_quantize" -> (Ann.embedQuantize _),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
@@ -2554,6 +2555,27 @@ object SparkEntry {
         |  PARTITION BY q.query_id
         |  ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id ASC) AS rnk
         | FROM c, q WHERE c.vec_id <> q.query_id) t WHERE rnk <= 10""".stripMargin,
+    // the same exact-kNN CTE, then majority vote (count desc, label asc)
+    // against the query's own label
+    "knn_label_vote" ->
+      """WITH c AS (SELECT vec_id, label,
+        |             CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, vec AS qvec FROM c WHERE vec_id < 8),
+        |nn AS (SELECT query_id, neighbor_id, label FROM (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC,
+        |               c.vec_id ASC) AS rnk
+        |  FROM c, q WHERE c.vec_id <> q.query_id) t WHERE rnk <= 10),
+        |votes AS (SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_votes
+        |          FROM nn GROUP BY query_id, label),
+        |win AS (SELECT query_id, label AS pred_label, n_votes,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY n_votes DESC, label ASC) AS rk
+        |        FROM votes)
+        |SELECT w.query_id, w.pred_label, w.n_votes, c.label AS true_label,
+        |  CAST(w.pred_label = c.label AS BIGINT) AS correct
+        |FROM win w JOIN c ON c.vec_id = w.query_id WHERE rk = 1""".stripMargin,
     // ann_lsh: full replay since round 8 — hyperplanes, buckets, multiprobe,
     // scores, ranks AND the rounded score column all reproduce bit-exactly
     // because every float step is an ordered IEEE operation on both engines

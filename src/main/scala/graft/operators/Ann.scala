@@ -63,6 +63,36 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  /** knn_label_vote — the standard embedding-quality probe: per query
+    * vector, the majority label among its exact top-k cosine neighbors
+    * (vote ties break to the smaller label — a total order, so the
+    * prediction is data-deterministic), next to the query's own label and
+    * a 0/1 agreement flag. High kNN label agreement is the usual "are
+    * these embeddings any good" gate a training-data pipeline runs before
+    * spending on a model; built on [[bruteTopK]] so rank determinism is
+    * inherited from ann_brute's tie assertions. At scale the same vote
+    * runs over the IVFPQ candidate set instead of the brute pass — the
+    * join + vote shape is identical, only the neighbor source changes.
+    */
+  def knnLabelVote(s: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 10): DataFrame = {
+    val labels = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val votes = bruteTopK(s, dir, nQueries, k)
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .groupBy("query_id", "label").agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("label").asc)
+    votes
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("n_votes"))
+      .join(broadcast(labels
+        .select(col("vec_id").as("query_id"), col("label").as("true_label"))),
+        "query_id")
+      .select(col("query_id"), col("pred_label"), col("n_votes"),
+        col("true_label"),
+        (col("pred_label") === col("true_label")).cast("bigint").as("correct"))
+  }
+
   /** Target corpus vectors per LSH bucket. The hyperplane count adapts to
     * corpus size so occupancy stays near this at any scale: 500 fixture
     * vectors → 4 bits / 16 buckets; 10^9 vectors at 100 TB → ~25 bits. A

@@ -197,6 +197,28 @@ class AnnSpec extends AnyFunSuite {
     TransientCache.release(spark)
   }
 
+  test("knnLabelVote: prediction equals a driver-side majority vote over bruteTopK") {
+    val labels = graft.sources.Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nn = Ann.bruteTopK(spark, Sf0001, nQueries = 8, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val expect = nn.groupBy(_._1).map { case (q, rs) =>
+      val byLabel = rs.map(r => labels(r._2)).groupBy(identity)
+        .view.mapValues(_.length).toMap
+      // highest count, smallest label — the operator's documented total order
+      val (pred, n) = byLabel.toSeq.maxBy { case (l, c) => (c, -l) }
+      (q, pred, n.toLong, labels(q), if (pred == labels(q)) 1L else 0L)
+    }.toSet
+    val got = Ann.knnLabelVote(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("pred_label"),
+        r.getAs[Long]("n_votes"), r.getAs[Int]("true_label"),
+        r.getAs[Long]("correct"))).toSet
+    assert(got === expect)
+    assert(got.size == 8)
+    TransientCache.release(spark)
+  }
+
   test("ivfPqPersistedTopK: the parquet index round-trip is bit-identical") {
     // training is deterministic (capped xxhash64 sample, seeded Lloyd), so
     // persist-then-read must reproduce the in-session pipeline's answers
