@@ -196,6 +196,7 @@ object SparkEntry {
     "word_edit1" -> ((s: SparkSession, d: String) => graft.operators.Corpus.wordEdit1(s, d)),
     // --- multimodal columns (stubbed decode, real plumbing) ---
     "mm_features" -> (Multimodal.features _),
+    "mm_audio_vad" -> ((s: SparkSession, d: String) => Multimodal.audioVad(s, d)),
     "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "mm_shard_manifest" -> ((s: SparkSession, d: String) => Multimodal.shardManifest(s, d)),
@@ -2516,6 +2517,49 @@ object SparkEntry {
         | sqrt(st.sq) AS l2_norm
         |FROM steps st JOIN a ON a.asset_id = st.asset_id AND st.p = a.n_pixels""".stripMargin,
     "mm_thumbs" -> mmThumbsSql,
+    // full audio-VAD replay: the same LCG sample stream (advanced hash →
+    // exact float-as-double /2^16), centered, squared and folded per
+    // 16-sample frame in ascending order; frame boundary emits the sqrt
+    // RMS into the ordered sum and the run/active counters
+    "mm_audio_vad" ->
+      s"""WITH RECURSIVE
+        |a AS ($mmAssetCte),
+        |aud AS (SELECT a.asset_id, a.seed,
+        |          CAST(d.n_chars % 30 + 1 AS INTEGER) AS n_frames,
+        |          CAST((d.n_chars % 30 + 1) * 16 AS INTEGER) AS n_samples
+        |        FROM a JOIN documents d ON d.doc_id = a.asset_id
+        |        WHERE a.media_type = 'audio'),
+        |st(asset_id, i, hsh, fr_sq, n_active, run, max_run, rms_sum) AS (
+        |  SELECT asset_id, 0, seed, CAST(0 AS DOUBLE), 0, 0, 0,
+        |         CAST(0 AS DOUBLE) FROM aud
+        |  UNION ALL
+        |  SELECT st.asset_id, st.i + 1, nh.h2,
+        |    CASE WHEN st.i % 16 = 15 THEN CAST(0 AS DOUBLE) ELSE f.acc END,
+        |    st.n_active + CASE WHEN st.i % 16 = 15 AND r.rms > 0.5
+        |                       THEN 1 ELSE 0 END,
+        |    CASE WHEN st.i % 16 = 15
+        |         THEN CASE WHEN r.rms > 0.5 THEN st.run + 1 ELSE 0 END
+        |         ELSE st.run END,
+        |    greatest(st.max_run,
+        |      CASE WHEN st.i % 16 = 15 AND r.rms > 0.5
+        |           THEN st.run + 1 ELSE 0 END),
+        |    st.rms_sum + CASE WHEN st.i % 16 = 15 THEN r.rms
+        |                      ELSE CAST(0 AS DOUBLE) END
+        |  FROM st
+        |  JOIN aud ON aud.asset_id = st.asset_id,
+        |  LATERAL (SELECT ((st.hsh * 6364136223846793005 + 1442695040888963407)
+        |                  & CAST(18446744073709551615 AS HUGEINT)) AS h2) nh,
+        |  LATERAL (SELECT 2.0 * (CAST(CAST((nh.h2 >> 40) & 65535 AS BIGINT)
+        |                  AS DOUBLE) / 65536.0) - 1.0 AS xm) cx,
+        |  LATERAL (SELECT st.fr_sq + cx.xm * cx.xm AS acc) f,
+        |  LATERAL (SELECT CASE WHEN st.i % 16 = 15
+        |                       THEN sqrt(f.acc / 16.0) END AS rms) r
+        |  WHERE st.i < aud.n_samples)
+        |SELECT aud.asset_id, aud.n_frames,
+        |  CAST(st.n_active AS INTEGER) AS n_active,
+        |  CAST(st.max_run AS INTEGER) AS max_run, st.rms_sum
+        |FROM st JOIN aud ON aud.asset_id = st.asset_id
+        |  AND st.i = aud.n_samples""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id AS asset_id, CAST(n_chars % 30 + 1 AS INTEGER) AS n_frames,
         | CAST(unnest(generate_series(0, n_chars % 30, 5)) AS INTEGER) AS frame_idx

@@ -157,6 +157,74 @@ object Multimodal {
         explode(sequence(lit(0), col("meta.n_frames") - 1,
           lit(stride))).as("frame_idx"))
 
+  /** Samples per analysis frame for [[audioVad]] (a real deployment uses
+    * the codec's hop size, e.g. 160 samples at 16 kHz / 10 ms).
+    */
+  val AudioFrame = 16
+
+  /** Frame-RMS activity threshold for [[audioVad]]. The stub samples are
+    * uniform on [-1, 1) (RMS of a full random frame ≈ 1/√3 ≈ 0.577), so
+    * 0.5 splits frames non-vacuously into active and silent.
+    */
+  val VadThreshold = 0.5
+
+  /** mm_audio_vad — the AUDIO member of the decode family: stub PCM decode
+    * (the same per-partition LCG stand-in as the image path — swapping in a
+    * real codec changes no plumbing), samples centered to [-1, 1), then
+    * framed voice-activity analysis: per [[AudioFrame]]-sample frame the
+    * RMS energy, a frame is ACTIVE if rms > [[VadThreshold]], and the
+    * per-asset outputs are the frame count, active-frame count, longest
+    * consecutive active run, and the ordered sum of frame RMS values —
+    * the silence-trim / speech-segment manifest a speech-data pipeline
+    * computes before cutting training clips.
+    *
+    * Determinism: samples widen float→double exactly (the stub's
+    * x/65536.0f is a power-of-two division, exact in both precisions), and
+    * every subsequent operation — centering, squaring, the frame fold, the
+    * sqrt, the RMS sum — is double IEEE in ascending sample order, so the
+    * DuckDB recursive-CTE replay is bit-identical (the mm_features
+    * pattern). One narrow scan, no shuffle: the analysis is a per-row fold.
+    */
+  def audioVad(s: SparkSession, dir: String,
+      frame: Int = AudioFrame, threshold: Double = VadThreshold): DataFrame = {
+    import s.implicits._
+    assets(s, dir)
+      .filter(col("media_type") === "audio")
+      .select(col("asset_id"), col("payload"),
+        col("meta.n_frames").as("n_frames"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        // real PCM decoder init would happen HERE, once per partition
+        it.map { case (id, payload, nFrames) =>
+          val n = nFrames * frame
+          val px = stubDecode(payload, n, 1)
+          var i = 0
+          var frSq = 0.0
+          var nActive = 0
+          var run = 0
+          var maxRun = 0
+          var rmsSum = 0.0
+          while (i < n) {
+            val xm = 2.0 * px(i) - 1.0
+            frSq += xm * xm
+            if (i % frame == frame - 1) {
+              val rms = math.sqrt(frSq / frame)
+              rmsSum += rms
+              if (rms > threshold) {
+                run += 1
+                nActive += 1
+                if (run > maxRun) maxRun = run
+              } else run = 0
+              frSq = 0.0
+            }
+            i += 1
+          }
+          (id, nFrames, nActive, maxRun, rmsSum)
+        }
+      }
+      .toDF("asset_id", "n_frames", "n_active", "max_run", "rms_sum")
+  }
+
   /** Target shard payload bytes for [[shardManifest]] — fixture-sized so
     * every media type fills multiple shards at sf0.001; production uses
     * ~100 MB–1 GB tar shards.

@@ -69,6 +69,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audioVad: driver replay bit-exact; activity split non-vacuous; audio only") {
+    val got = Multimodal.audioVad(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Int]("n_frames"),
+        r.getAs[Int]("n_active"), r.getAs[Int]("max_run"),
+        r.getAs[Double]("rms_sum")))
+    assert(got.nonEmpty)
+    // audio assets are exactly doc_id % 3 == 1 (the media_type cycle)
+    assert(got.forall(_._1 % 3 == 1))
+    // with uniform samples the 0.5 threshold must split frames both ways
+    assert(got.exists(_._3 > 0), "no active frames anywhere — threshold vacuous")
+    assert(got.exists(r => r._3 < r._2), "every frame active — threshold vacuous")
+    // driver-side replay of decode → center → frame RMS → counters
+    val assets = Multimodal.assets(spark, Sf0001)
+      .filter(org.apache.spark.sql.functions.col("media_type") === "audio")
+      .select("asset_id", "payload", "meta.n_frames").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getInt(2)))
+    val expect = assets.map { case (id, payload, nFrames) =>
+      val n = nFrames * Multimodal.AudioFrame
+      val px = Multimodal.stubDecode(payload, n, 1)
+      var frSq = 0.0; var nActive = 0; var run = 0; var maxRun = 0; var rmsSum = 0.0
+      for (i <- 0 until n) {
+        val xm = 2.0 * px(i) - 1.0
+        frSq += xm * xm
+        if (i % Multimodal.AudioFrame == Multimodal.AudioFrame - 1) {
+          val rms = math.sqrt(frSq / Multimodal.AudioFrame)
+          rmsSum += rms
+          if (rms > Multimodal.VadThreshold) {
+            run += 1; nActive += 1; if (run > maxRun) maxRun = run
+          } else run = 0
+          frSq = 0.0
+        }
+      }
+      (id, nFrames, nActive, maxRun, rmsSum)
+    }.toSet
+    assert(got.toSet === expect)
+  }
+
   test("shardManifest: two-pass prefix sum == driver replay; partition-count-invariant") {
     val rows = Multimodal.shardManifest(spark, Sf0001).collect()
       .map(r => (r.getAs[Long]("asset_id"), r.getAs[String]("media_type"),
