@@ -37,7 +37,7 @@ object Ann {
   /** Corpus with vectors cast to double and the L2 norm computed ONCE per
     * vector (scoring then costs one dot per pair, not three).
     */
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), _.cast("double")).as("vec"))
@@ -716,10 +716,24 @@ object Ann {
     }
     val books = Array.tabulate(m)(mi =>
       fitCentroids(residTrain.map(_.slice(mi * sub, (mi + 1) * sub)), ksub, iters = 10))
+    val encoded = encodeWith(c, cents, books)
+    (c, cents, books, encoded)
+  }
+
+  /** Encode (vec_id, vec) rows against FIXED codebooks: nearest coarse cell
+    * by expanded L2, then per-subspace residual code. One shuffle-free typed
+    * pass over broadcast codebooks — shared by the initial build and the
+    * append-without-retrain maintenance path, so the two encode identically
+    * by construction.
+    */
+  private def encodeWith(vecs: DataFrame, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val s = vecs.sparkSession
+    val csq = cents.map(ct => ct.map(x => x * x).sum)
     val bsq = books.map(_.map(ct => ct.map(x => x * x).sum))
     val bc = s.sparkContext.broadcast((cents, csq, books, bsq))
     import s.implicits._
-    val encoded = c.select(col("vec_id"), col("vec")).as[(Long, Seq[Double])]
+    vecs.select(col("vec_id"), col("vec")).as[(Long, Seq[Double])]
       .mapPartitions { it =>
         val (ct, cq, bk, bq) = bc.value
         val nsub = bk(0)(0).length // a residual codebook centroid IS one subspace slice
@@ -734,7 +748,42 @@ object Ann {
           (id, cell, codes)
         }
       }.toDF("vec_id", "cell", "codes")
-    (c, cents, books, encoded)
+  }
+
+  /** Read the persisted codebook arrays back from an index directory —
+    * (coarse centroids ordered by cell, residual codebooks ordered by
+    * (subspace, code)). Parquet DOUBLE round-trips IEEE64 exactly, so the
+    * arrays are the ones the build wrote, bit for bit.
+    */
+  private def readCodebooks(s: SparkSession, indexDir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cents = s.read.parquet(s"$indexDir/centroids").collect()
+      .map(r => r.getAs[Int]("cell") ->
+        r.getSeq[Double](r.fieldIndex("vec")).toArray)
+      .sortBy(_._1).map(_._2)
+    val bookRows = s.read.parquet(s"$indexDir/codebooks").collect()
+      .map(r => (r.getAs[Int]("mi"), r.getAs[Int]("code"),
+        r.getSeq[Double](r.fieldIndex("vec")).toArray))
+    val books = bookRows.groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    (cents, books)
+  }
+
+  /** Index MAINTENANCE without retraining: encode `newVecs` (vec_id, vec —
+    * the [[corpus]] projection of a new embedding batch) against the
+    * PERSISTED index's codebooks and append their code rows to its codes
+    * table. This is how a production IVFPQ index absorbs a day's new
+    * vectors — codebooks stay frozen (retraining is a scheduled rebuild,
+    * not a per-batch cost), the append touches only the new rows, and
+    * because [[encodeWith]] is shared with the build, an append-built index
+    * is bit-identical to a full encode over the union with the same
+    * codebooks (AnnSpec pins exactly that).
+    */
+  def appendToIvfPqIndex(s: SparkSession, newVecs: DataFrame,
+      indexDir: String): Unit = {
+    val (cents, books) = readCodebooks(s, indexDir)
+    encodeWith(newVecs, cents, books)
+      .write.mode("append").parquet(s"$indexDir/codes")
   }
 
   /** The ADC query pass over an (already-built) IVFPQ index: per query the
@@ -826,14 +875,7 @@ object Ann {
     val indexDir =
       s"${System.getProperty("java.io.tmpdir")}/graft-ann-index/$digest"
     persistIvfPqIndex(s, dir, indexDir)
-    val cents = s.read.parquet(s"$indexDir/centroids").collect()
-      .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](r.fieldIndex("vec")).toArray)
-      .sortBy(_._1).map(_._2)
-    val bookRows = s.read.parquet(s"$indexDir/codebooks").collect()
-      .map(r => (r.getAs[Int]("mi"), r.getAs[Int]("code"),
-        r.getSeq[Double](r.fieldIndex("vec")).toArray))
-    val books = bookRows.groupBy(_._1).toArray.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3))
+    val (cents, books) = readCodebooks(s, indexDir)
     val encoded = s.read.parquet(s"$indexDir/codes")
     val c = graft.TransientCache.cache(corpus(s, dir))
     val cand = adcCandidates(s, c, encoded, cents, books, nQueries, nProbe)

@@ -197,6 +197,30 @@ class AnnSpec extends AnyFunSuite {
     TransientCache.release(spark)
   }
 
+  test("appendToIvfPqIndex: append-built codes == full-build codes, bit for bit") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ann-append-test"
+    val dirA = s"$base/full"
+    val dirB = s"$base/partial"
+    Ann.persistIvfPqIndex(s, Sf0001, dirA)
+    // dirB: same frozen codebooks, codes for only 4/5 of the corpus
+    s.read.parquet(s"$dirA/centroids").write.mode("overwrite")
+      .parquet(s"$dirB/centroids")
+    s.read.parquet(s"$dirA/codebooks").write.mode("overwrite")
+      .parquet(s"$dirB/codebooks")
+    s.read.parquet(s"$dirA/codes").filter(col("vec_id") % 5 =!= 0)
+      .write.mode("overwrite").parquet(s"$dirB/codes")
+    // absorb the held-out 1/5 WITHOUT retraining
+    Ann.appendToIvfPqIndex(s,
+      Ann.corpus(s, Sf0001).filter(col("vec_id") % 5 === 0), dirB)
+    def codes(d: String) = s.read.parquet(s"$d/codes").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getSeq[Int](r.fieldIndex("codes")).toList)).toSet
+    assert(codes(dirB) === codes(dirA))
+    TransientCache.release(s)
+  }
+
   test("knnLabelVote: prediction equals a driver-side majority vote over bruteTopK") {
     val labels = graft.sources.Tables.embeddings(spark, Sf0001)
       .select("vec_id", "label").collect()
