@@ -230,6 +230,7 @@ object SparkEntry {
     "catalog_agg" -> (graft.sources.CatalogQueries.catalogAgg _),
     // --- sources/sinks: gzip JSON-lines round-trip, content-verified ---
     "docs_jsonl" -> (graft.sources.Jsonl.docsJsonlStats _),
+    "compact_docs" -> (graft.sources.Compaction.compactDocs _),
   )
 
   // DuckDB money discipline: exact DECIMAL accumulation, DOUBLE at the end —
@@ -2698,6 +2699,14 @@ object SparkEntry {
     // the oracle aggregates the ORIGINAL parquet, so any codec infidelity
     // in the Spark-side JSON write/read flips a distinct-md5 fingerprint
     "docs_jsonl" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        | count(DISTINCT md5(text)) AS n_uniq,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        | max(doc_id) AS max_doc
+        |FROM documents GROUP BY source, lang""".stripMargin,
+    // content-invariance gate for small-file compaction: the Spark side
+    // fingerprints the COMPACTED files, the oracle the original parquet
+    "compact_docs" ->
       """SELECT source, lang, count(*) AS n_docs,
         | count(DISTINCT md5(text)) AS n_uniq,
         | CAST(sum(length(text)) AS BIGINT) AS sum_chars,

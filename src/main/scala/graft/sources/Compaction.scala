@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction — the standing lake-maintenance job every 100 TB
+  * deployment runs: streaming ingest and fine-grained partition writes leave
+  * tables as thousands of KB-scale files, and scan cost degrades to
+  * per-file open/footer overhead (plus NameNode/object-store listing
+  * pressure) long before data volume matters. Compaction rewrites a table
+  * region into few large files without changing its contents.
+  *
+  * The rewrite here is `repartition(n)` — a round-robin full shuffle that
+  * yields n near-equal files regardless of the input's skewed file layout.
+  * (`coalesce` would be cheaper — no shuffle — but inherits input skew:
+  * merging 64 skewed small files into 4 via coalesce can leave one file
+  * carrying most of the bytes. For a maintenance job that runs off-peak,
+  * balanced output wins; production pickers switch on measured skew.)
+  *
+  * Correctness contract: compaction must be CONTENT-INVARIANT. The
+  * registered query returns a content fingerprint (per (source, lang):
+  * doc count, distinct-md5 count, char sum, max id) computed FROM THE
+  * COMPACTED FILES, while the DuckDB oracle computes the same fingerprint
+  * from the ORIGINAL parquet — any row lost, duplicated, or corrupted by
+  * the rewrite flips the hash. CompactionSpec additionally pins the
+  * mechanical claim (64 files in, exactly [[CompactTarget]] files out).
+  */
+object Compaction {
+
+  /** Small-file count staged as the compaction input — 64 files of ~8 docs
+    * each at the fixture scale, the shape a per-hour ingest leaves behind.
+    */
+  val SmallFiles = 64
+
+  /** Output file count. Production sizes this from bytes (target ~128 MB–1 GB
+    * per file); the fixture pins an exact count so the spec can assert it.
+    */
+  val CompactTarget = 4
+
+  private def base(dir: String, leaf: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-compact/" +
+      s"${new java.io.File(dir).getName}/$leaf"
+
+  /** Stage the documents table as [[SmallFiles]] small parquet files, then
+    * compact them into [[CompactTarget]] files. Returns (smallDir,
+    * compactedDir); both are fixed per sf-dir and overwritten per run.
+    */
+  def compactDocuments(s: SparkSession, dir: String): (String, String) = {
+    val small = base(dir, "small")
+    val compacted = base(dir, "compacted")
+    Tables.documents(s, dir)
+      .repartition(SmallFiles, col("doc_id"))
+      .write.mode("overwrite").parquet(small)
+    s.read.parquet(small)
+      .repartition(CompactTarget)
+      .write.mode("overwrite").parquet(compacted)
+    (small, compacted)
+  }
+
+  /** compact_docs — the registered content-invariance gate: the per-group
+    * fingerprint of the COMPACTED files (the oracle computes it from the
+    * original parquet, so staging + compaction must be lossless end to end).
+    */
+  def compactDocs(s: SparkSession, dir: String): DataFrame = {
+    val (_, compacted) = compactDocuments(s, dir)
+    s.read.parquet(compacted)
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_uniq"),
+        sum(length(col("text"))).as("sum_chars"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
+  /** Parquet data files under a directory (ignores _SUCCESS / checksums). */
+  def dataFiles(dirPath: String): Array[java.io.File] =
+    Option(new java.io.File(dirPath).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+}
