@@ -227,6 +227,7 @@ object SparkEntry {
     "line_dedup" -> (graft.operators.Curation.lineDedup _),
     // --- custom DSv2 connector: the reference's mr-out text format ---
     "mrout_roundtrip" -> (graft.sources.MrOut.wcRoundtrip _),
+    "mrout_stream_roundtrip" -> (graft.sources.MrOut.wcStreamRoundtrip _),
     "catalog_agg" -> (graft.sources.CatalogQueries.catalogAgg _),
     // --- sources/sinks: gzip JSON-lines round-trip, content-verified ---
     "docs_jsonl" -> (graft.sources.Jsonl.docsJsonlStats _),
@@ -1899,6 +1900,9 @@ object SparkEntry {
         | CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "mrout_roundtrip" ->
+      s"SELECT word, count(*) AS cnt FROM ($tokenized) t WHERE word <> '' GROUP BY word",
+    // identical wc totals must come back through the DSv2 STREAMING write
+    "mrout_stream_roundtrip" ->
       s"SELECT word, count(*) AS cnt FROM ($tokenized) t WHERE word <> '' GROUP BY word",
     // the SQL-registered Aggregator must land on the identical counts
     "wc_udaf" ->

@@ -71,6 +71,53 @@ object MrOut {
       .selectExpr("key AS word", "CAST(value AS BIGINT) AS cnt")
   }
 
+  /** mrout_stream_roundtrip — the STREAMING-sink gate: per-document
+    * (word, "1") pairs — the reference's exact wc wire tuples, stateless so
+    * Append mode applies — streamed through the connector's DSv2
+    * STREAMING_WRITE path (one AvailableNow pass over the staged corpus,
+    * epoch-named atomic files), read back through the batch SOURCE, and
+    * reduced to word counts. The oracle is the same wc SQL over the
+    * original parquet, so the full streaming write ⇒ batch read loop must
+    * be lossless: a dropped epoch file, a double-committed task, or any
+    * line-format infidelity flips the hash.
+    */
+  def wcStreamRoundtrip(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions._
+    val name = new java.io.File(dir).getName
+    val tmpBase = System.getProperty("java.io.tmpdir")
+    val out = s"$tmpBase/graft-mrout/wc-stream-$name"
+    val ckpt = s"$tmpBase/graft-mrout/wc-stream-ckpt-$name"
+    // the staged input dir is fresh per run, so the checkpoint (which pins
+    // the source path) and the sink dir must reset with it
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete(): Unit
+    }
+    deleteRec(new java.io.File(out))
+    deleteRec(new java.io.File(ckpt))
+    val staged = Files.createTempDirectory("mrout-stream-staged")
+    Files.copy(Paths.get(s"$dir/documents.parquet"),
+      staged.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docSchema = Tables.documents(s, dir).schema
+    val q = s.readStream.schema(docSchema).parquet(staged.toString)
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("key"),
+        lit("1").as("value"))
+      .writeStream.format("mrout")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Files.deleteIfExists(staged.resolve("documents.parquet"))
+    Files.deleteIfExists(staged)
+    s.read.format("mrout").load(out)
+      .groupBy(col("key").as("word"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Filters the reader evaluates exactly (string compares on the two
     * columns). Everything else is rejected back to Spark.
     */
@@ -122,7 +169,7 @@ class MrOutTable(path: String) extends Table with SupportsRead with SupportsWrit
   override def schema(): StructType = MrOut.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MrOutScanBuilder(path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -217,6 +264,9 @@ class MrOutWriteBuilder(path: String) extends WriteBuilder
 
 class MrOutWrite(path: String, truncate: Boolean) extends Write {
   override def toBatch: BatchWrite = new MrOutBatchWrite(path, truncate)
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new MrOutStreamingWrite(path)
 }
 
 case class MrOutCommit(finalFile: String) extends WriterCommitMessage
@@ -240,16 +290,49 @@ class MrOutWriterFactory(path: String) extends DataWriterFactory {
     new MrOutWriter(path, partitionId, taskId)
 }
 
+/** STREAMING sink half of the connector (Append mode): each epoch's tasks
+  * write `mr-out-e<epoch>-<partition>` files through the same atomic
+  * temp+rename idiom as the batch writer. The deterministic
+  * (epoch, partition) name makes epoch REPLAY idempotent — a failed epoch's
+  * retried tasks rename over identical content, the DSv2 streaming analog
+  * of the reference's last-rename-wins argument — and the batch READER
+  * needs no changes: epoch files are just more `mr-out-*` files in the
+  * directory, so a bounded streaming write followed by a batch read
+  * composes with every existing mrout consumer.
+  */
+class MrOutStreamingWrite(path: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    fs.mkdirs(p): Unit
+    new MrOutStreamingWriterFactory(path)
+  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class MrOutStreamingWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new MrOutWriter(path, partitionId, taskId, Some(epochId))
+}
+
 /** The reference's atomic-output idiom: write a task-attempt-unique temp
   * file, rename to the deterministic per-partition name on commit. Rename
   * is atomic; duplicate (speculative/retried) attempts produce identical
   * content for the same partition, so last-rename-wins is correct — the
   * exact fault-tolerance argument of `worker.go:184-198` + task retry.
   */
-class MrOutWriter(dir: String, partitionId: Int, taskId: Long)
+class MrOutWriter(dir: String, partitionId: Int, taskId: Long,
+    epoch: Option[Long] = None)
     extends DataWriter[InternalRow] {
   private val fs = new Path(dir).getFileSystem(new Configuration())
-  private val tmp = new Path(dir, f".mr-out-$partitionId%05d-$taskId.tmp")
+  private val stem =
+    epoch.fold(f"mr-out-$partitionId%05d")(e => f"mr-out-e$e%05d-$partitionId%05d")
+  private val tmp = new Path(dir, s".$stem-$taskId.tmp")
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(tmp, true),
       java.nio.charset.StandardCharsets.UTF_8))
@@ -262,7 +345,7 @@ class MrOutWriter(dir: String, partitionId: Int, taskId: Long)
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    val dst = new Path(dir, f"mr-out-$partitionId%05d")
+    val dst = new Path(dir, stem)
     if (fs.exists(dst)) fs.delete(dst, false): Unit
     require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
     MrOutCommit(dst.toString)

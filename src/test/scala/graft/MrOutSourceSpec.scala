@@ -88,4 +88,21 @@ class MrOutSourceSpec extends AnyFunSuite {
       .map(r => r.getString(0)).toSet
     assert(back == Set("new1", "new2"), "overwrite must replace prior contents")
   }
+
+  test("streaming write: epoch-named atomic files, batch read composes, totals exact") {
+    val s = spark
+    val rt = graft.sources.MrOut.wcStreamRoundtrip(s, TestSpark.Sf0001).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toMap
+    val batch = graft.operators.TextOps.wc(s, TestSpark.Sf0001).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toMap
+    assert(rt === batch, "streaming-write roundtrip diverged from batch wc")
+    // sink dir mechanics: only epoch-named committed files, no temp leftovers
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-mrout/" +
+      s"wc-stream-${new java.io.File(TestSpark.Sf0001).getName}"
+    val files = new java.io.File(out).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.nonEmpty && files.forall(_.matches("mr-out-e\\d{5}-\\d{5}")),
+      s"unexpected sink files: ${files.mkString(",")}")
+    assert(new java.io.File(out).listFiles().forall(f => !f.getName.endsWith(".tmp")))
+  }
 }
