@@ -265,8 +265,16 @@ class MrOutWriteBuilder(path: String) extends WriteBuilder
 class MrOutWrite(path: String, truncate: Boolean) extends Write {
   override def toBatch: BatchWrite = new MrOutBatchWrite(path, truncate)
   override def toStreaming
-      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    // the builder's SupportsTruncate serves the BATCH overwrite path; in
+    // streaming, truncate-per-epoch is Complete-mode semantics, which the
+    // epoch-file layout does not implement — refuse loudly rather than
+    // accumulate stale epochs a Complete consumer would misread
+    require(!truncate,
+      "mrout streaming sink supports Append mode only (epoch files are " +
+        "cumulative; Complete-mode per-epoch truncation is not implemented)")
     new MrOutStreamingWrite(path)
+  }
 }
 
 case class MrOutCommit(finalFile: String) extends WriterCommitMessage

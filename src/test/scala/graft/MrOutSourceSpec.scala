@@ -105,4 +105,32 @@ class MrOutSourceSpec extends AnyFunSuite {
       s"unexpected sink files: ${files.mkString(",")}")
     assert(new java.io.File(out).listFiles().forall(f => !f.getName.endsWith(".tmp")))
   }
+
+  test("streaming write: Complete mode is refused, not silently mis-written") {
+    val s = spark
+    import s.implicits._
+    val staged = java.nio.file.Files.createTempDirectory("mrout-complete-probe")
+    Seq(("k", "v")).toDF("key", "value").write.mode("overwrite")
+      .parquet(staged.resolve("in").toString)
+    val out = tmpDir("mrout-complete-out")
+    val ex = intercept[Exception] {
+      val q = s.readStream
+        .schema("key STRING, value STRING")
+        .parquet(staged.resolve("in").toString)
+        .groupBy("key").count()
+        .selectExpr("key", "CAST(count AS STRING) AS value")
+        .writeStream.format("mrout")
+        .option("path", out)
+        .option("checkpointLocation", s"$out-ckpt")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("Append mode only"))),
+      s"expected the Append-only refusal, got: $ex")
+  }
 }
