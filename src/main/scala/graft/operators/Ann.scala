@@ -82,12 +82,15 @@ object Ann {
       .groupBy("query_id", "label").agg(count(lit(1)).as("n_votes"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("n_votes").desc, col("label").asc)
+    // true labels for the QUERY rows only — nQueries rows, the side that
+    // stays broadcastable at any corpus size (broadcasting the full label
+    // table would invert the size relationship at scale)
+    val queryLabels = labels.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"))
     votes
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("query_id"), col("label").as("pred_label"), col("n_votes"))
-      .join(broadcast(labels
-        .select(col("vec_id").as("query_id"), col("label").as("true_label"))),
-        "query_id")
+      .join(broadcast(queryLabels), "query_id")
       .select(col("query_id"), col("pred_label"), col("n_votes"),
         col("true_label"),
         (col("pred_label") === col("true_label")).cast("bigint").as("correct"))
