@@ -80,6 +80,7 @@ object SparkEntry {
     "bpe_merges" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bpeMerges(s, d)),
     "bpe_encode" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bpeEncode(s, d)),
     "skipgram" -> ((s: SparkSession, d: String) => graft.operators.Corpus.skipgram(s, d)),
+    "skipgram_neg" -> ((s: SparkSession, d: String) => graft.operators.Corpus.skipgramNeg(s, d)),
     "rank_normalize" -> (graft.operators.Profile.rankNormalize _),
     "robust_scale" -> (graft.operators.Profile.robustScale _),
     "dq_violations" -> (graft.operators.Profile.dqViolations _),
@@ -1725,6 +1726,31 @@ object SparkEntry {
         |       FROM p a JOIN p b ON a.doc_id = b.doc_id
         |        AND b.pos BETWEEN a.pos - 2 AND a.pos + 2 AND b.pos <> a.pos)
         |SELECT center, context, count(*) AS n FROM pr GROUP BY center, context""".stripMargin,
+    // the same window-pair CTE, then the deterministic uniform negative
+    // draw: fnv64(center || chr(1) || context || chr(1) || j) masked
+    // non-negative, mod |V|, into the (freq desc, tok asc) ranked vocab
+    "skipgram_neg" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |           FROM documents),
+         |p AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |        toks[CAST(i + 1 AS INTEGER)] AS tok
+         |      FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM t) u),
+         |dp AS (SELECT DISTINCT a.tok AS center, b.tok AS context
+         |       FROM p a JOIN p b ON a.doc_id = b.doc_id
+         |        AND b.pos BETWEEN a.pos - 2 AND a.pos + 2 AND b.pos <> a.pos),
+         |vtok AS (SELECT unnest(toks) AS tok FROM t),
+         |vf AS (SELECT tok, count(*) AS freq FROM vtok GROUP BY tok),
+         |vocab AS (SELECT tok, CAST(row_number() OVER (
+         |            ORDER BY freq DESC, tok ASC) - 1 AS INTEGER) AS vid
+         |          FROM vf),
+         |negs AS (SELECT center, context, CAST(j AS INTEGER) AS j,
+         |    CAST((${fnvFold(codeUnits(
+                    "(center || chr(1) || context || chr(1) || CAST(j AS VARCHAR))"))}
+         |          & 9223372036854775807) % (SELECT count(*) FROM vf)
+         |         AS INTEGER) AS vid
+         |  FROM dp CROSS JOIN (SELECT unnest(range(0, ${graft.operators.Corpus.NegSamples})) AS j) jj)
+         |SELECT n.center, n.context, n.j, v.tok AS neg_token
+         |FROM negs n JOIN vocab v USING (vid)""".stripMargin,
     // min-rank + percentile replayed on the same exact-cents histogram;
     // the one float op is the identical IEEE division
     "rank_normalize" ->

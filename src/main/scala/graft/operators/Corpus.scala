@@ -671,6 +671,55 @@ object Corpus {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Negatives drawn per (center, context) pair by [[skipgramNeg]]. */
+  val NegSamples = 2
+
+  /** skipgram_neg — deterministic negative sampling for SGNS training: for
+    * every distinct (center, context) pair from [[skipgram]]'s window,
+    * [[NegSamples]] negative tokens drawn by hashing
+    * `center <U+0001> context <U+0001> j` (a separator no token contains) with the engine's fnv64 and indexing
+    * `hash & Long.MaxValue mod |V|` into the frequency-ranked vocabulary
+    * (freq desc, tok asc — the same total order as [[vocabEncode]]).
+    * Deterministic-by-hash rather than RNG-drawn, so shard retries emit
+    * byte-identical training pairs (the same property every sampler in
+    * this engine has) and the DuckDB oracle replays the draw exactly.
+    * This is the UNIFORM variant; production word2vec weights the draw by
+    * unigram^0.75 — that changes only the rank→token map (an alias-table
+    * lookup over the same vocabulary), not the sampling transport.
+    *
+    * 100 TB plan: pairs × k is a fixed ×k explode of the pair stream; the
+    * vocabulary joins back via broadcast (embedding-table-sized); the one
+    * driver-side scalar is |V| (a bounded metadata read, like the BPE
+    * round winner). No RNG state, no shuffle beyond skipgram's own.
+    */
+  def skipgramNeg(s: SparkSession, dir: String,
+      window: Int = SkipgramWindow, k: Int = NegSamples): DataFrame = {
+    val pairs = skipgram(s, dir, window).select("center", "context")
+    val vf = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    // rank order -> dense vid without a single-partition window (the
+    // vocabEncode zipWithIndex discipline); the vocab table is small
+    val vocab = s.createDataFrame(
+      vf.orderBy(col("freq").desc, col("tok").asc)
+        .select("tok").rdd.zipWithIndex()
+        .map { case (r, i) => Row(r.getString(0), i.toInt) },
+      StructType(Seq(StructField("tok", StringType),
+        StructField("vid", IntegerType))))
+    val nV = vf.count()
+    val h = graft.functions.GraftFunctions.fnv64(
+      concat(col("center"), lit("\u0001"), col("context"), lit("\u0001"),
+        col("j").cast("string")))
+    pairs
+      .select(col("center"), col("context"),
+        explode(array((0 until k).map(j => lit(j)): _*)).as("j"))
+      .withColumn("vid",
+        (h.bitwiseAND(lit(Long.MaxValue)) % lit(nV)).cast("int"))
+      .join(broadcast(vocab), "vid")
+      .select(col("center"), col("context"), col("j"),
+        col("tok").as("neg_token"))
+  }
+
   /** Shared BPE learn loop: returns the final per-word symbol state and the
     * ordered merge list. See [[bpeMerges]] for the encoding and parity
     * argument, [[bpeEncode]] for the apply side.

@@ -489,6 +489,34 @@ class CorpusSpec extends AnyFunSuite {
       ("c", "a") -> 1L, ("c", "b") -> 1L))
   }
 
+  test("skipgramNeg: draw equals the driver-side fnv64 replay; vocab membership") {
+    val dir = writeDocs(Seq((1L, "a b c", "en", "s0"), (2L, "b c d b", "en", "s0")))
+    val got = Corpus.skipgramNeg(spark, dir).collect()
+      .map(r => (r.getAs[String]("center"), r.getAs[String]("context"),
+        r.getAs[Int]("j"), r.getAs[String]("neg_token"))).toSet
+    // driver replay: vocab rank (freq desc, tok asc), fnv64 over UTF-16
+    val toks = Seq("a", "b", "c", "b", "c", "d", "b")
+    val freq = toks.groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = freq.keys.toSeq.sortBy(t => (-freq(t), t))
+    def fnv(sct: String): Long = {
+      var h = -3750763034362895579L // 14695981039346656037 as signed
+      sct.foreach { c => h = (h ^ c.toLong) * 1099511628211L }
+      h
+    }
+    val pairs = got.map(r => (r._1, r._2))
+    assert(pairs.nonEmpty)
+    val expect = pairs.flatMap { case (ce, cx) =>
+      (0 until Corpus.NegSamples).map { j =>
+        val idx = ((fnv(s"$ce\u0001$cx\u0001$j") & Long.MaxValue) % vocab.size).toInt
+        (ce, cx, j, vocab(idx))
+      }
+    }
+    assert(got === expect)
+    assert(got.forall(r => vocab.contains(r._4)))
+    // every pair carries exactly NegSamples negatives
+    assert(got.groupBy(r => (r._1, r._2)).forall(_._2.size == Corpus.NegSamples))
+  }
+
   test("skipgram: repeated tokens accumulate counts; window never crosses docs") {
     val dir = writeDocs(Seq(
       (1L, "a a a", "en", "s0"), // each a sees the other two: (a,a) n=6
