@@ -1469,8 +1469,13 @@ object SparkEntry {
         |       coalesce(la.n_items, 0) AS n_items,
         |       coalesce(la.items_cents, 0) AS items_cents
         |FROM o FULL OUTER JOIN la ON o.o_orderkey = la.l_orderkey""".stripMargin,
-    // exact integral sufficient statistics: HUGEINT here vs DECIMAL(38,0)
-    // on the Spark side — both exact integers, compared by value
+    // exact integral sufficient statistics: HUGEINT accumulation here vs
+    // DECIMAL(38,0) on the Spark side — both exact integers, but the GATE
+    // output is the exact decimal STRING on both sides: wide-decimal
+    // columns hash differently per physical representation (int128 vs
+    // parquet fixed_len_byte_array vs Python Decimal), while the digit
+    // string is representation-proof and preserves exactness (BIGINT would
+    // overflow on Σprice² ≈ 6·10¹⁹ at sf0.1; DOUBLE is inexact > 2⁵³)
     "corr_stats" ->
       """WITH c AS (SELECT
         |    CAST(round(l_quantity      * 100) AS HUGEINT) AS qty,
@@ -1478,21 +1483,21 @@ object SparkEntry {
         |    CAST(round(l_discount      * 100) AS HUGEINT) AS disc,
         |    CAST(round(l_tax           * 100) AS HUGEINT) AS tax
         |  FROM lineitem),
-        |a AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
-        |    CAST(sum(qty) AS DECIMAL(38,0)) AS s_qty,
-        |    CAST(sum(qty*qty) AS DECIMAL(38,0)) AS ss_qty,
-        |    CAST(sum(price) AS DECIMAL(38,0)) AS s_price,
-        |    CAST(sum(price*price) AS DECIMAL(38,0)) AS ss_price,
-        |    CAST(sum(disc) AS DECIMAL(38,0)) AS s_disc,
-        |    CAST(sum(disc*disc) AS DECIMAL(38,0)) AS ss_disc,
-        |    CAST(sum(tax) AS DECIMAL(38,0)) AS s_tax,
-        |    CAST(sum(tax*tax) AS DECIMAL(38,0)) AS ss_tax,
-        |    CAST(sum(qty*price) AS DECIMAL(38,0)) AS sp_qty_price,
-        |    CAST(sum(qty*disc) AS DECIMAL(38,0)) AS sp_qty_disc,
-        |    CAST(sum(qty*tax) AS DECIMAL(38,0)) AS sp_qty_tax,
-        |    CAST(sum(price*disc) AS DECIMAL(38,0)) AS sp_price_disc,
-        |    CAST(sum(price*tax) AS DECIMAL(38,0)) AS sp_price_tax,
-        |    CAST(sum(disc*tax) AS DECIMAL(38,0)) AS sp_disc_tax
+        |a AS (SELECT CAST(count(*) AS VARCHAR) AS n,
+        |    CAST(sum(qty) AS VARCHAR) AS s_qty,
+        |    CAST(sum(qty*qty) AS VARCHAR) AS ss_qty,
+        |    CAST(sum(price) AS VARCHAR) AS s_price,
+        |    CAST(sum(price*price) AS VARCHAR) AS ss_price,
+        |    CAST(sum(disc) AS VARCHAR) AS s_disc,
+        |    CAST(sum(disc*disc) AS VARCHAR) AS ss_disc,
+        |    CAST(sum(tax) AS VARCHAR) AS s_tax,
+        |    CAST(sum(tax*tax) AS VARCHAR) AS ss_tax,
+        |    CAST(sum(qty*price) AS VARCHAR) AS sp_qty_price,
+        |    CAST(sum(qty*disc) AS VARCHAR) AS sp_qty_disc,
+        |    CAST(sum(qty*tax) AS VARCHAR) AS sp_qty_tax,
+        |    CAST(sum(price*disc) AS VARCHAR) AS sp_price_disc,
+        |    CAST(sum(price*tax) AS VARCHAR) AS sp_price_tax,
+        |    CAST(sum(disc*tax) AS VARCHAR) AS sp_disc_tax
         |  FROM c)
         |SELECT 'qty' AS x, 'price' AS y, n, s_qty AS sum_x, s_price AS sum_y,
         |       sp_qty_price AS sum_xy, ss_qty AS sum_xx, ss_price AS sum_yy FROM a

@@ -258,6 +258,13 @@ object Profile {
     * Sums of squares of 10⁷-cent prices exceed int64 at fixture scale
     * already (Σprice² ≈ 6·10¹⁹ at sf0.1), so accumulation is DECIMAL(38,0)
     * on the Spark side and HUGEINT in the oracle — both exact integers.
+    * The FINAL projection casts every statistic to its exact decimal
+    * STRING: wide-decimal outputs are hash-unstable across gate paths
+    * (DuckDB int128 vs parquet fixed_len_byte_array(16) vs Python
+    * `Decimal` canonicalization), while the digit string is
+    * representation-proof under any hash and loses nothing — scale-0
+    * decimals stringify identically ("123", no point, no exponent) in
+    * Spark, DuckDB, and Python.
     *
     * Plan: ONE scan, ONE global aggregate (map-side partials reduce each
     * partition to a single 15-number row), then the 6 pair rows unfold from
@@ -288,7 +295,10 @@ object Profile {
         col(s"sp_${a}_$b").as("sum_xy"),
         col(s"ss_$a").as("sum_xx"), col(s"ss_$b").as("sum_yy"))
     }
+    val stats = Seq("n", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy")
     one.select(explode(array(pairStructs: _*)).as("p")).select("p.*")
+      .select(col("x") +: col("y") +:
+        stats.map(c => col(c).cast("string").as(c)): _*)
   }
 
   /** cogroup_fill — order-header vs line-item reconciliation through the

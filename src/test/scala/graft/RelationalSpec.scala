@@ -361,7 +361,8 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(r => Map("qty" -> r.getLong(0), "price" -> r.getLong(1),
         "disc" -> r.getLong(2), "tax" -> r.getLong(3)))
     val got = graft.operators.Profile.corrStats(spark, Sf0001).collect().map { r =>
-      def bi(c: String): BigInt = BigDecimal(r.getAs[java.math.BigDecimal](c)).toBigInt
+      // gate columns are exact decimal STRINGS (hash-representation-proof)
+      def bi(c: String): BigInt = BigInt(r.getAs[String](c))
       (r.getAs[String]("x"), r.getAs[String]("y")) ->
         ((bi("n"), bi("sum_x"), bi("sum_y"), bi("sum_xy"), bi("sum_xx"), bi("sum_yy")))
     }.toMap

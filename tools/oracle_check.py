@@ -5,6 +5,7 @@ same sf tables, sort columns by name, sort rows, and compare values.
 
 Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
 """
+import hashlib
 import json
 import math
 import sys
@@ -38,6 +39,33 @@ def canon(rows, cols):
         out.append(tuple(vals))
     out.sort(key=lambda r: tuple(str(x) for x in r))
     return [cols[i] for i in order], out
+
+
+def py_types(rows, cols):
+    """column_name -> set of Python fetch-level type names over non-None
+    cells. Decimal-vs-int here is exactly the sub-DESCRIBE divergence that
+    sank corr_stats for two rounds: DuckDB DESCRIBE said DECIMAL(38,0) on
+    both paths while one path fetched Decimal and the other int."""
+    out = {c: set() for c in cols}
+    for row in rows:
+        for c, v in zip(cols, row):
+            if v is not None:
+                out[c].add(type(v).__name__)
+    return out
+
+
+def canon_hash(rows):
+    """md5 over the canonical STRING rendering of every cell — the
+    representation-neutral analogue of the driver's typed hash. Two result
+    sets that differ only in physical encoding (int128 vs fixed_len_byte_
+    array Decimal) still differ here if their fetch-level values render
+    differently, which is the earliest observable symptom."""
+    h = hashlib.md5()
+    for row in rows:
+        for v in row:
+            h.update(repr(v).encode())
+        h.update(b"\x00")
+    return h.hexdigest()
 
 
 def main():
@@ -93,6 +121,30 @@ def main():
                   f"{{col: (spark, oracle)}} = {tbad}")
             failures += 1
             continue
+        # DECIMAL ban: wide decimals survive the DESCRIBE gate yet hash
+        # differently per physical representation (DuckDB int128 result vs
+        # Spark parquet fixed_len_byte_array(16) vs Python Decimal
+        # canonicalization) — corr_stats failed the driver hash for two
+        # rounds in exactly that state. Gate outputs must use an exact
+        # representation-stable type instead (the decimal digit STRING).
+        dec = {c: t for d in (otypes, stypes)
+               for c, t in d.items() if t.upper().startswith("DECIMAL")}
+        if dec:
+            print(f"FAIL {name}: hash-unstable type — DECIMAL output "
+                  f"columns {dec}; emit exact decimal strings instead")
+            failures += 1
+            continue
+        # Fetch-level type gate: DESCRIBE typing alone is not the driver's
+        # hash — compare the Python types the two paths actually fetch.
+        opty = py_types(orows, ocols)
+        spty = py_types(srows, scols)
+        pbad = {c: (sorted(spty.get(c, set())), sorted(opty[c]))
+                for c in opty if spty.get(c, set()) != opty[c]}
+        if pbad:
+            print(f"FAIL {name}: fetch-level Python types differ "
+                  f"{{col: (spark, oracle)}} = {pbad}")
+            failures += 1
+            continue
         if len(orws) != len(srws):
             print(f"FAIL {name}: rows spark={len(srws)} oracle={len(orws)}")
             failures += 1
@@ -101,6 +153,13 @@ def main():
         if bad:
             print(f"FAIL {name}: {len(bad)} mismatched rows; first: "
                   f"spark={bad[0][0]} oracle={bad[0][1]}")
+            failures += 1
+            continue
+        sh, oh = canon_hash(srws), canon_hash(orws)
+        if sh != oh:
+            print(f"FAIL {name}: canonical-string hash differs "
+                  f"spark={sh} oracle={oh} (values equal — rendering "
+                  f"divergence; check cell repr above)")
             failures += 1
         else:
             print(f"OK   {name}: {len(srws)} rows")
