@@ -649,25 +649,30 @@ object Corpus {
     * token stream (positions from the same `split(trim(text))` semantics
     * as every other token operator).
     *
-    * 100 TB plan: the window is materialized by OFFSET GENERATION, not a
-    * join — each of the corpus's token positions explodes to the ≤ 2·W
-    * (offset ≠ 0) target positions, and one equi-join on (doc_id, pos)
-    * against the token stream itself resolves the context words. Fan-out
-    * is a fixed ×4 of the token stream (the same working set the wc
-    * shuffle already moves), the join key is exact — never a per-document
-    * range join — and the final count is map-side combined on a
-    * vocabulary² key space. Window edges fall out of the join (no target
-    * position, no row), so no boundary special-casing anywhere.
+    * 100 TB plan: the window is materialized MAP-SIDE from each document's
+    * own token array — a higher-order `transform`/`filter`/`flatten` over
+    * the array `split` already produced emits every in-bounds
+    * (tok[i], tok[i+o]) pair inside one narrow codegen'd projection, so
+    * the ×2W fan-out never crosses the wire raw: the ONLY shuffle in the
+    * whole operator is the final count's partial-aggregated exchange on a
+    * vocabulary² key space. (Earlier rounds resolved context words with a
+    * (doc_id, pos) self-equi-join, which shuffled the token stream ×(2W+1)
+    * before aggregating — correct, but a shuffle the array form simply
+    * does not need; at 100 TB that join IS the operator's cost.) Window
+    * edges fall out of the bounds filter, so no boundary special-casing,
+    * and a window can never cross documents because pairs are drawn from
+    * one row's array.
     */
   def skipgram(s: SparkSession, dir: String, window: Int = SkipgramWindow): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
-    val offsets = (-window to window).filter(_ != 0)
-    val targets = toks.select(col("doc_id"), col("tok").as("center"),
-      explode(array(offsets.map(o => col("pos") + lit(o)): _*)).as("pos"))
-    targets.join(toks, Seq("doc_id", "pos"))
-      .groupBy(col("center"), col("tok").as("context"))
+    val offs = (-window to window).filter(_ != 0).mkString("array(", ", ", ")")
+    Tables.documents(s, dir)
+      .select(split(trim(col("text")), "\\s+").as("t"))
+      .select(explode(expr(
+        s"""flatten(transform(t, (c, i) ->
+           |  transform(filter($offs, o -> i + o >= 0 AND i + o < size(t)),
+           |            o -> struct(c AS center, t[i + o] AS context))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.center").as("center"), col("p.context").as("context"))
       .agg(count(lit(1)).as("n"))
   }
 
@@ -695,9 +700,12 @@ object Corpus {
   def skipgramNeg(s: SparkSession, dir: String,
       window: Int = SkipgramWindow, k: Int = NegSamples): DataFrame = {
     val pairs = skipgram(s, dir, window).select("center", "context")
-    val vf = Tables.documents(s, dir)
-      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    // the frequency table is consumed twice (rank order AND |V|) — stage it
+    // once instead of paying the tokenize+agg pass per consumer
+    val vf = graft.TransientCache.checkpoint(
+      Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq")))
     // rank order -> dense vid without a single-partition window (the
     // vocabEncode zipWithIndex discipline); the vocab table is small
     val vocab = s.createDataFrame(
