@@ -157,6 +157,7 @@ object SparkEntry {
     // --- deduplication ---
     "dedup_exact" -> (Dedup.exact _),
     "dedup_incremental" -> (Dedup.incremental _),
+    "dedup_incremental2" -> (Dedup.incremental2 _),
     "dedup_exact_dups" -> (Dedup.exactDups _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.minhash(s, d)),
     "dedup_jaccard3" -> ((s: SparkSession, d: String) => Dedup.jaccard3(s, d)),
@@ -2155,6 +2156,39 @@ object SparkEntry {
         |       ELSE 'kept' END AS status
         |FROM b LEFT JOIN hist h ON h.fp = b.fp
         |JOIN firsts f ON f.fp = b.fp""".stripMargin,
+    // the two-crawl lifecycle replayed in SQL: classify batch 1 against the
+    // historical store, union batch 1's kept digests back in, classify
+    // batch 2 (with %7 replicas of both batches) against the UPDATED store
+    "dedup_incremental2" ->
+      """WITH store0 AS (SELECT DISTINCT md5(text) AS fp FROM documents
+        |                WHERE doc_id % 3 <> 0),
+        |b1 AS (SELECT doc_id, md5(text) AS fp FROM documents
+        |       WHERE doc_id % 6 = 0),
+        |f1 AS (SELECT fp, min(doc_id) AS first_id FROM b1 GROUP BY fp),
+        |c1 AS (SELECT 1 AS batch, b1.doc_id, b1.fp,
+        |         CASE WHEN s.fp IS NOT NULL THEN 'dup_of_store'
+        |              WHEN b1.doc_id <> f1.first_id THEN 'dup_in_batch'
+        |              ELSE 'kept' END AS status
+        |       FROM b1 LEFT JOIN store0 s ON s.fp = b1.fp
+        |       JOIN f1 ON f1.fp = b1.fp),
+        |store1 AS (SELECT fp FROM store0
+        |           UNION SELECT fp FROM c1 WHERE status = 'kept'),
+        |b2 AS (SELECT doc_id, md5(text) AS fp FROM documents
+        |       WHERE doc_id % 6 = 3
+        |       UNION ALL
+        |       SELECT doc_id + 1000000, md5(text) FROM documents
+        |       WHERE doc_id % 6 = 0 AND doc_id % 7 = 0
+        |       UNION ALL
+        |       SELECT doc_id + 1000000, md5(text) FROM documents
+        |       WHERE doc_id % 6 = 3 AND doc_id % 7 = 0),
+        |f2 AS (SELECT fp, min(doc_id) AS first_id FROM b2 GROUP BY fp),
+        |c2 AS (SELECT 2 AS batch, b2.doc_id, b2.fp,
+        |         CASE WHEN s.fp IS NOT NULL THEN 'dup_of_store'
+        |              WHEN b2.doc_id <> f2.first_id THEN 'dup_in_batch'
+        |              ELSE 'kept' END AS status
+        |       FROM b2 LEFT JOIN store1 s ON s.fp = b2.fp
+        |       JOIN f2 ON f2.fp = b2.fp)
+        |SELECT * FROM c1 UNION ALL SELECT * FROM c2""".stripMargin,
     // dedup_minhash: since round 8 the banding pipeline is replayed in full
     // (signatures, band keys, bucket cap, pairing, exact-Jaccard verify) —
     // see minhashPairsSql. The output is a deterministic function of the

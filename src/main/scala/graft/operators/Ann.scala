@@ -873,10 +873,8 @@ object Ann {
     */
   def ivfPqPersistedTopK(s: SparkSession, dir: String, nQueries: Int = 8,
       k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-    val indexDir =
-      s"${System.getProperty("java.io.tmpdir")}/graft-ann-index/$digest"
+    val indexDir = graft.Staging.dir(s,
+      s"ann-index/${graft.Staging.datasetLeaf(dir)}")
     persistIvfPqIndex(s, dir, indexDir)
     val (cents, books) = readCodebooks(s, indexDir)
     val encoded = s.read.parquet(s"$indexDir/codes")

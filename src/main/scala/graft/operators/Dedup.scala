@@ -48,8 +48,9 @@ object Dedup {
     * (docs with doc_id % 3 ≠ 0 — the prior crawls): one parquet table of
     * distinct 128-bit content digests. This is the artifact an incremental
     * pipeline carries between crawls — per-snapshot dedup reads it, and the
-    * post-accept step unions the kept batch's digests back in (append-only;
-    * not modeled here because the gate replays one snapshot).
+    * post-accept step unions the kept batch's digests back in
+    * ([[unionBackKept]]; [[incremental2]] gates the full two-crawl
+    * lifecycle).
     */
   def persistDigestStore(s: SparkSession, dir: String, storeDir: String): Unit =
     Tables.documents(s, dir)
@@ -82,18 +83,27 @@ object Dedup {
     * round-trips parquet losslessly (it IS parquet).
     */
   def incremental(s: SparkSession, dir: String): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-    val storeDir =
-      s"${System.getProperty("java.io.tmpdir")}/graft-digest-store/$digest"
+    val storeDir = graft.Staging.dir(s,
+      s"digest-store/${graft.Staging.datasetLeaf(dir)}")
     persistDigestStore(s, dir, storeDir)
-    val store = s.read.parquet(storeDir).withColumn("in_store", lit(1))
     val docs = Tables.documents(s, dir)
     val batch = docs.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), md5(col("text")).as("fp"))
       .unionByName(docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + lit(IncrementalReplicaBase)).as("doc_id"),
           md5(col("text")).as("fp")))
+    classifyAgainstStore(s, batch, storeDir)
+  }
+
+  /** Classify one crawl batch of (doc_id, fp) rows against the persisted
+    * digest store at `storeDir` — the shared kernel of [[incremental]] and
+    * [[incremental2]]. The store joins on the digest key (broadcast or
+    * shuffle by measured size, AQE's call); the batch-first election is a
+    * map-side-combined min-aggregate.
+    */
+  private def classifyAgainstStore(s: SparkSession, batch: DataFrame,
+      storeDir: String): DataFrame = {
+    val store = s.read.parquet(storeDir).withColumn("in_store", lit(1))
     val firsts = batch.groupBy("fp").agg(min("doc_id").as("first_id"))
     batch
       .join(store, Seq("fp"), "left")
@@ -102,6 +112,69 @@ object Dedup {
         when(col("in_store").isNotNull, lit("dup_of_store"))
           .when(col("doc_id") =!= col("first_id"), lit("dup_in_batch"))
           .otherwise(lit("kept")).as("status"))
+  }
+
+  /** Post-accept store update: append the kept batch's digests to the
+    * persisted store, DEDUP-ON-WRITE — the incoming digests anti-join the
+    * store's current contents, and the surviving novel set is eagerly
+    * materialized (localCheckpoint) BEFORE the append so the write never
+    * reads the directory it is writing. A retried append (task retry,
+    * replayed maintenance batch) therefore re-appends nothing: everything
+    * it would add is already present, and the store stays distinct by
+    * construction. This is the step [[persistDigestStore]]'s docstring
+    * deferred — crawl N+1 sees crawl N's kept docs as `dup_of_store`.
+    */
+  def unionBackKept(s: SparkSession, storeDir: String,
+      keptFps: DataFrame): Unit = {
+    val cur = s.read.parquet(storeDir).select("fp")
+    val novel = graft.TransientCache.checkpoint(
+      keptFps.select("fp").distinct().join(cur, Seq("fp"), "left_anti"))
+    novel.write.mode("append").parquet(storeDir)
+  }
+
+  /** dedup_incremental2 — TWO consecutive crawls against one evolving
+    * digest store, exercising the full store lifecycle [[incremental]]
+    * gates only half of: classify batch 1, union its kept digests back
+    * ([[unionBackKept]]), then classify batch 2 against the UPDATED store.
+    * Batch 1 is docs with doc_id ≡ 0 (mod 6); batch 2 is docs ≡ 3 (mod 6)
+    * augmented with replicas (at doc_id + [[IncrementalReplicaBase]], the
+    * [[incremental]] pattern — the fixture plants no exact duplicates) of
+    * every doc_id % 7 = 0 member of BOTH batches: replicas of batch-1 docs
+    * land in `dup_of_store` (their digests entered the store via the
+    * union-back — the cross-crawl property under test), replicas of
+    * batch-2 docs land in `dup_in_batch`. Output (batch, doc_id, fp,
+    * status); the oracle replays both rounds and the store evolution in
+    * SQL.
+    *
+    * 100 TB plan: identical to [[incremental]] per crawl — the store joins
+    * on the digest key, nothing shuffles raw text — plus one anti-join +
+    * append per accepted crawl (the union-back), which is itself
+    * digest-keyed and distinct-by-construction, so the store never needs
+    * a compacting rewrite to stay canonical.
+    */
+  def incremental2(s: SparkSession, dir: String): DataFrame = {
+    val storeDir = graft.Staging.dir(s,
+      s"digest-store-2crawl/${graft.Staging.datasetLeaf(dir)}")
+    persistDigestStore(s, dir, storeDir)
+    val docs = Tables.documents(s, dir)
+    def fpOf(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), md5(col("text")).as("fp"))
+    val b1 = fpOf(docs.filter(col("doc_id") % 6 === 0))
+    // materialize round 1 BEFORE the union-back mutates the store: the
+    // classification is lazy, and re-evaluating it against the updated
+    // store would misclassify batch 1's own kept docs as dup_of_store
+    val c1 = graft.TransientCache.checkpoint(
+      classifyAgainstStore(s, b1, storeDir).withColumn("batch", lit(1)))
+    unionBackKept(s, storeDir, c1.filter(col("status") === "kept"))
+    def replicas(df: DataFrame): DataFrame =
+      fpOf(df.filter(col("doc_id") % 7 === 0))
+        .select((col("doc_id") + lit(IncrementalReplicaBase)).as("doc_id"),
+          col("fp"))
+    val b2 = fpOf(docs.filter(col("doc_id") % 6 === 3))
+      .unionByName(replicas(docs.filter(col("doc_id") % 6 === 0)))
+      .unionByName(replicas(docs.filter(col("doc_id") % 6 === 3)))
+    val c2 = classifyAgainstStore(s, b2, storeDir).withColumn("batch", lit(2))
+    c1.unionByName(c2).select("batch", "doc_id", "fp", "status")
   }
 
   // ------------------------------------------------------------ hash utils

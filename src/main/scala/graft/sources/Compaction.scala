@@ -37,17 +37,17 @@ object Compaction {
     */
   val CompactTarget = 4
 
-  private def base(dir: String, leaf: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-compact/" +
-      s"${new java.io.File(dir).getName}/$leaf"
+  private def base(s: SparkSession, dir: String, leaf: String): String =
+    graft.Staging.dir(s,
+      s"compact/${new java.io.File(dir).getName}/$leaf")
 
   /** Stage the documents table as [[SmallFiles]] small parquet files, then
     * compact them into [[CompactTarget]] files. Returns (smallDir,
     * compactedDir); both are fixed per sf-dir and overwritten per run.
     */
   def compactDocuments(s: SparkSession, dir: String): (String, String) = {
-    val small = base(dir, "small")
-    val compacted = base(dir, "compacted")
+    val small = base(s, dir, "small")
+    val compacted = base(s, dir, "compacted")
     Tables.documents(s, dir)
       .repartition(SmallFiles, col("doc_id"))
       .write.mode("overwrite").parquet(small)

@@ -25,11 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Jsonl {
 
-  /** Fixed staging dir per (sf-dir, prefix), overwritten each invocation so
-    * repeated runs (bench warm-up + timed, Verify) don't accumulate copies.
+  /** Session-scoped staging dir per (sf-dir, prefix), overwritten each
+    * invocation so repeated runs (bench warm-up + timed, Verify) don't
+    * accumulate copies; the [[graft.Staging]] appId scope keeps concurrent
+    * sessions off each other's copies.
     */
-  private def stageDir(dir: String, prefix: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-jsonl/$prefix-${new java.io.File(dir).getName}"
+  private def stageDir(s: org.apache.spark.sql.SparkSession, dir: String,
+      prefix: String): String =
+    graft.Staging.dir(s, s"jsonl/$prefix-${new java.io.File(dir).getName}")
 
   /** Round-trip the documents table through gzip JSON-lines: write the
     * parquet fixture out as a JSONL export, read it back with the explicit
@@ -39,7 +42,7 @@ object Jsonl {
     */
   def documentsViaJsonl(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val out = stageDir(dir, "documents")
+    val out = stageDir(s, dir, "documents")
     docs.write.mode("overwrite").option("compression", "gzip").json(out)
     s.read.schema(docs.schema).json(out)
   }

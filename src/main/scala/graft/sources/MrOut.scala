@@ -63,7 +63,7 @@ object MrOut {
     * all reading and writing; the driver only lists the directory.
     */
   def wcRoundtrip(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft-mrout/wc-${new java.io.File(dir).getName}"
+    val out = graft.Staging.dir(s, s"mrout/wc-${new java.io.File(dir).getName}")
     graft.operators.TextOps.wc(s, dir)
       .selectExpr("word AS key", "CAST(cnt AS STRING) AS value")
       .write.format("mrout").mode("overwrite").save(out)
@@ -86,9 +86,8 @@ object MrOut {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import org.apache.spark.sql.functions._
     val name = new java.io.File(dir).getName
-    val tmpBase = System.getProperty("java.io.tmpdir")
-    val out = s"$tmpBase/graft-mrout/wc-stream-$name"
-    val ckpt = s"$tmpBase/graft-mrout/wc-stream-ckpt-$name"
+    val out = graft.Staging.dir(s, s"mrout/wc-stream-$name")
+    val ckpt = graft.Staging.dir(s, s"mrout/wc-stream-ckpt-$name")
     // the staged input dir is fresh per run, so the checkpoint (which pins
     // the source path) and the sink dir must reset with it
     def deleteRec(f: java.io.File): Unit = {

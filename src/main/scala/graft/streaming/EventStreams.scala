@@ -564,7 +564,7 @@ object EventStreams {
     val staged = Files.createTempDirectory(s"$prefix-staged")
     Files.copy(Paths.get(s"$dir/$file"),
       staged.resolve(file), StandardCopyOption.REPLACE_EXISTING)
-    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft-stream-out/$prefix"
+    val outDir = graft.Staging.dir(s, s"stream-out/$prefix")
     deleteRecursively(new java.io.File(outDir))
     // a bounded one-batch pass doesn't need a full fleet of state stores:
     // each state partition costs store init + delta-file checkpoint I/O per

@@ -74,6 +74,63 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.toSet === expect)
   }
 
+  test("incremental2: two-crawl replay — batch-1 kept docs become batch-2 " +
+      "dup_of_store; retried union-back is idempotent") {
+    val rows = Dedup.incremental2(spark, Sf0001).collect()
+      .map(r => (r.getAs[Int]("batch"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("fp"), r.getAs[String]("status")))
+    // driver-side replay of the full two-crawl lifecycle
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .selectExpr("doc_id", "md5(text) AS fp").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val store0 = docs.filter(_._1 % 3 != 0).map(_._2).toSet
+    val b1 = docs.filter(_._1 % 6 == 0)
+    val f1 = b1.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    def classify(batch: Seq[(Long, String)], store: Set[String],
+        firsts: Map[String, Long]): Seq[(Long, String, String)] =
+      batch.map { case (id, fp) =>
+        val st =
+          if (store(fp)) "dup_of_store"
+          else if (id != firsts(fp)) "dup_in_batch"
+          else "kept"
+        (id, fp, st)
+      }
+    val c1 = classify(b1.toSeq, store0, f1)
+    val store1 = store0 ++ c1.collect { case (_, fp, "kept") => fp }
+    val b2 = docs.filter(_._1 % 6 == 3).toSeq ++
+      (docs.filter(d => d._1 % 6 == 0 && d._1 % 7 == 0) ++
+       docs.filter(d => d._1 % 6 == 3 && d._1 % 7 == 0))
+        .map { case (id, fp) => (id + Dedup.IncrementalReplicaBase, fp) }
+    val f2 = b2.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val c2 = classify(b2, store1, f2)
+    val expect = c1.map { case (id, fp, st) => (1, id, fp, st) }.toSet ++
+      c2.map { case (id, fp, st) => (2, id, fp, st) }
+    assert(rows.toSet === expect)
+    // the cross-crawl property is non-vacuous: batch 2 contains replicas of
+    // batch-1 KEPT docs and classifies them dup_of_store — digests that
+    // entered the store only via the union-back, never via history
+    val kept1 = rows.collect { case (1, id, fp, "kept") => (id, fp) }
+    val crossCrawlDups = rows.collect {
+      case (2, id, fp, "dup_of_store")
+        if !store0(fp) && kept1.exists(_._2 == fp) => id
+    }
+    assert(kept1.nonEmpty, "batch 1 kept nothing — fixture drifted")
+    assert(crossCrawlDups.nonEmpty,
+      "no batch-2 replica of a batch-1 kept doc classified dup_of_store")
+    // retried append is a no-op: the store is dedup-on-write
+    val storeDir = graft.Staging.dir(spark,
+      s"digest-store-2crawl/${graft.Staging.datasetLeaf(Sf0001)}")
+    val before = spark.read.parquet(storeDir).count()
+    val s2 = spark
+    import s2.implicits._
+    Dedup.unionBackKept(spark, storeDir,
+      kept1.map(_._2).toSeq.toDF("fp"))
+    val after = spark.read.parquet(storeDir).count()
+    assert(after === before, "retried union-back appended duplicate digests")
+    // and the store stays distinct
+    assert(spark.read.parquet(storeDir).distinct().count() === after)
+  }
+
   test("minhash LSH: finds exactly the near-dup pairs, with exact jaccard") {
     val pairs = Dedup.minhash(spark, dir, threshold = 0.5).collect()
       .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2")) -> r.getAs[Double]("jaccard"))
