@@ -781,12 +781,24 @@ object Ann {
     * because [[encodeWith]] is shared with the build, an append-built index
     * is bit-identical to a full encode over the union with the same
     * codebooks (AnnSpec pins exactly that).
+    *
+    * The append is DEDUP-ON-WRITE: the encoded batch anti-joins the codes
+    * table's existing vec_ids and the surviving novel rows are eagerly
+    * materialized before the write (so the write never reads the directory
+    * it appends to). A retried or accidentally re-run maintenance batch
+    * therefore appends nothing — without the guard, duplicate (vec_id,
+    * cell, codes) rows would silently inflate every subsequent query's ADC
+    * candidate set. Same replay-idempotence discipline as the mrout
+    * connector's epoch files and the digest store's union-back.
     */
   def appendToIvfPqIndex(s: SparkSession, newVecs: DataFrame,
       indexDir: String): Unit = {
     val (cents, books) = readCodebooks(s, indexDir)
-    encodeWith(newVecs, cents, books)
-      .write.mode("append").parquet(s"$indexDir/codes")
+    val existing = s.read.parquet(s"$indexDir/codes").select("vec_id")
+    val novel = graft.TransientCache.checkpoint(
+      encodeWith(newVecs, cents, books)
+        .join(existing, Seq("vec_id"), "left_anti"))
+    novel.write.mode("append").parquet(s"$indexDir/codes")
   }
 
   /** The ADC query pass over an (already-built) IVFPQ index: per query the

@@ -218,6 +218,15 @@ class AnnSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
         r.getSeq[Int](r.fieldIndex("codes")).toList)).toSet
     assert(codes(dirB) === codes(dirA))
+    // replayed maintenance batch: dedup-on-write makes the retry a no-op —
+    // row COUNT must hold too (the set compare alone would mask duplicate
+    // rows, which silently inflate every later query's ADC candidate set)
+    val nBefore = s.read.parquet(s"$dirB/codes").count()
+    Ann.appendToIvfPqIndex(s,
+      Ann.corpus(s, Sf0001).filter(col("vec_id") % 5 === 0), dirB)
+    assert(s.read.parquet(s"$dirB/codes").count() === nBefore,
+      "retried append appended duplicate code rows")
+    assert(codes(dirB) === codes(dirA))
     TransientCache.release(s)
   }
 
