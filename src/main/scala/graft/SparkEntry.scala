@@ -81,6 +81,7 @@ object SparkEntry {
     "bpe_encode" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bpeEncode(s, d)),
     "skipgram" -> ((s: SparkSession, d: String) => graft.operators.Corpus.skipgram(s, d)),
     "skipgram_neg" -> ((s: SparkSession, d: String) => graft.operators.Corpus.skipgramNeg(s, d)),
+    "skipgram_neg_weighted" -> ((s: SparkSession, d: String) => graft.operators.Corpus.skipgramNegWeighted(s, d)),
     "rank_normalize" -> (graft.operators.Profile.rankNormalize _),
     "robust_scale" -> (graft.operators.Profile.robustScale _),
     "dq_violations" -> (graft.operators.Profile.dqViolations _),
@@ -1757,6 +1758,40 @@ object SparkEntry {
          |  FROM dp CROSS JOIN (SELECT unnest(range(0, ${graft.operators.Corpus.NegSamples})) AS j) jj)
          |SELECT n.center, n.context, n.j, v.tok AS neg_token
          |FROM negs n JOIN vocab v USING (vid)""".stripMargin,
+    // the unigram^0.75 weighted draw: integer weights w =
+    // floor(sqrt(floor(sqrt(freq^3)))) (two correctly-rounded IEEE sqrts —
+    // NOT pow, whose last bit is libm-dependent and could flip an interval
+    // boundary under floor), cumulative intervals over the (freq desc, tok
+    // asc) ranked vocab, and the salted hash landed into them
+    "skipgram_neg_weighted" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |           FROM documents),
+         |p AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |        toks[CAST(i + 1 AS INTEGER)] AS tok
+         |      FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM t) u),
+         |dp AS (SELECT DISTINCT a.tok AS center, b.tok AS context
+         |       FROM p a JOIN p b ON a.doc_id = b.doc_id
+         |        AND b.pos BETWEEN a.pos - 2 AND a.pos + 2 AND b.pos <> a.pos),
+         |vtok AS (SELECT unnest(toks) AS tok FROM t),
+         |vf AS (SELECT tok, count(*) AS freq FROM vtok GROUP BY tok),
+         |vw AS (SELECT tok, freq,
+         |         CAST(floor(sqrt(floor(sqrt(CAST(freq * freq * freq AS DOUBLE)))))
+         |              AS BIGINT) AS w
+         |       FROM vf),
+         |vocab AS (SELECT tok, w,
+         |            CAST(coalesce(sum(w) OVER (ORDER BY freq DESC, tok ASC
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                 AS BIGINT) AS cum
+         |          FROM vw),
+         |negs AS (SELECT center, context, CAST(j AS INTEGER) AS j,
+         |    CAST((${fnvFold(codeUnits(
+                    "(center || chr(1) || context || chr(1) || CAST(j AS VARCHAR)" +
+                    " || chr(1) || 'w')"))}
+         |          & 9223372036854775807) % (SELECT sum(w) FROM vw)
+         |         AS BIGINT) AS u
+         |  FROM dp CROSS JOIN (SELECT unnest(range(0, ${graft.operators.Corpus.NegSamples})) AS j) jj)
+         |SELECT n.center, n.context, n.j, v.tok AS neg_token
+         |FROM negs n JOIN vocab v ON n.u >= v.cum AND n.u < v.cum + v.w""".stripMargin,
     // min-rank + percentile replayed on the same exact-cents histogram;
     // the one float op is the identical IEEE division
     "rank_normalize" ->

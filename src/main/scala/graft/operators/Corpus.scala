@@ -728,6 +728,73 @@ object Corpus {
         col("tok").as("neg_token"))
   }
 
+  /** skipgram_neg_weighted — the PRODUCTION word2vec negative draw:
+    * negatives sampled with probability ∝ freq^(3/4) over the vocabulary
+    * (Mikolov et al.'s unigram^0.75 smoothing; [[skipgramNeg]] is the
+    * uniform baseline). Deterministic like every sampler in this engine:
+    * the draw is `u = fnv64(center ␁ context ␁ j ␁ "w") mod W` (the
+    * trailing "␁w" salt decorrelates it from the uniform draw's preimage)
+    * landed into CUMULATIVE-WEIGHT intervals over the same
+    * (freq desc, tok asc) ranked vocabulary — token i owns
+    * [cum_i, cum_i + w_i), so P(i) = w_i / W exactly.
+    *
+    * The weight is the integer w = floor(sqrt(floor(sqrt(freq³)))) ≈
+    * freq^(3/4) — built from two IEEE sqrts DELIBERATELY: sqrt is
+    * correctly-rounded (both engines produce the identical double for the
+    * identical input), while pow(x, 0.75) is libm-dependent in its last
+    * bit, which under floor() could flip an interval boundary and break
+    * the cross-engine hash. freq³ stays exact through the double cast up
+    * to 2^53 (freq ≤ ~200k; fixture maxima are far below — and past it
+    * the cast itself is still deterministic round-to-nearest on both
+    * sides, so the gate holds even then).
+    *
+    * 100 TB plan: same transport as [[skipgramNeg]] — pairs × k is a
+    * fixed ×k explode; the cumulative table is vocabulary-sized (the same
+    * bounded class as the ANN codebooks), collected once and broadcast as
+    * two flat arrays; the per-row work is one fnv64 and a binary search
+    * over the broadcast array inside one typed pass. No RNG state, no
+    * extra shuffle, and the oracle replays the cumulative table and the
+    * interval lookup verbatim in SQL.
+    */
+  def skipgramNegWeighted(s: SparkSession, dir: String,
+      window: Int = SkipgramWindow, k: Int = NegSamples): DataFrame = {
+    import s.implicits._
+    val pairs = skipgram(s, dir, window).select("center", "context")
+    val vf = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val ranked = vf.orderBy(col("freq").desc, col("tok").asc)
+      .select("tok", "freq").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val weights = ranked.map { case (_, f) =>
+      math.floor(math.sqrt(math.floor(math.sqrt((f * f * f).toDouble)))).toLong
+    }
+    val toks = ranked.map(_._1)
+    // cumStarts(i) = Σ_{r<i} w_r; token i owns [cumStarts(i), cumStarts(i)+w_i)
+    val cumStarts = weights.scanLeft(0L)(_ + _)
+    val totalW = cumStarts.last
+    require(totalW > 0, "skipgram_neg_weighted: empty vocabulary")
+    val bc = s.sparkContext.broadcast((toks, cumStarts, totalW))
+    val kk = k
+    pairs.as[(String, String)].mapPartitions { it =>
+      val (tk, cum, w) = bc.value
+      it.flatMap { case (c, ctx) =>
+        (0 until kk).iterator.map { j =>
+          val u = (graft.functions.HashFunctions.fnv64(
+            s"$c\u0001$ctx\u0001$j\u0001w") & Long.MaxValue) % w
+          // greatest idx with cum(idx) <= u  (cum has |V|+1 entries)
+          var lo = 0
+          var hi = tk.length - 1
+          while (lo < hi) {
+            val mid = (lo + hi + 1) >>> 1
+            if (cum(mid) <= u) lo = mid else hi = mid - 1
+          }
+          (c, ctx, j, tk(lo))
+        }
+      }
+    }.toDF("center", "context", "j", "neg_token")
+  }
+
   /** Shared BPE learn loop: returns the final per-word symbol state and the
     * ordered merge list. See [[bpeMerges]] for the encoding and parity
     * argument, [[bpeEncode]] for the apply side.

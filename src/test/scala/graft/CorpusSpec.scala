@@ -517,6 +517,47 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.groupBy(r => (r._1, r._2)).forall(_._2.size == Corpus.NegSamples))
   }
 
+  test("skipgramNegWeighted: draw equals the driver-side cumulative-interval " +
+      "replay; mass is proportional to freq^0.75") {
+    val dir = writeDocs(Seq((1L, "a b c", "en", "s0"), (2L, "b c d b", "en", "s0")))
+    val got = Corpus.skipgramNegWeighted(spark, dir).collect()
+      .map(r => (r.getAs[String]("center"), r.getAs[String]("context"),
+        r.getAs[Int]("j"), r.getAs[String]("neg_token"))).toSet
+    val toks = Seq("a", "b", "c", "b", "c", "d", "b")
+    val freq = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocab = freq.keys.toSeq.sortBy(t => (-freq(t), t))
+    // the operator's exact integer weight: floor(sqrt(floor(sqrt(f^3))))
+    def w75(f: Long): Long =
+      math.floor(math.sqrt(math.floor(math.sqrt((f * f * f).toDouble)))).toLong
+    val weights = vocab.map(t => w75(freq(t)))
+    val cum = weights.scanLeft(0L)(_ + _)
+    val totalW = cum.last
+    // b:3 -> w=floor(27^0.25)=2; a,c... c:2 -> w=floor(8^0.25)=1; a,d:1 -> 1
+    assert(weights === vocab.map(t => freq(t) match {
+      case 3L => 2L; case 2L => 1L; case 1L => 1L
+    }), s"weight table drifted: ${vocab.zip(weights)}")
+    def fnv(sct: String): Long = {
+      var h = -3750763034362895579L
+      sct.foreach { c => h = (h ^ c.toLong) * 1099511628211L }
+      h
+    }
+    val pairs = got.map(r => (r._1, r._2))
+    assert(pairs.nonEmpty)
+    val expect = pairs.flatMap { case (ce, cx) =>
+      (0 until Corpus.NegSamples).map { j =>
+        val u = (fnv(s"$ce\u0001$cx\u0001$j\u0001w") & Long.MaxValue) % totalW
+        // cum has |V|+1 entries (scanLeft); token i owns [cum(i), cum(i+1)),
+        // and u < W = cum(|V|) keeps the index in range
+        val idx = cum.lastIndexWhere(_ <= u)
+        (ce, cx, j, vocab(idx))
+      }
+    }
+    assert(got === expect)
+    // token i owns exactly w_i of the W hash slots — the distribution claim
+    // is structural, not statistical
+    assert(totalW === weights.sum)
+  }
+
   test("skipgram: repeated tokens accumulate counts; window never crosses docs") {
     val dir = writeDocs(Seq(
       (1L, "a a a", "en", "s0"), // each a sees the other two: (a,a) n=6
