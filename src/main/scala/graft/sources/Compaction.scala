@@ -32,8 +32,9 @@ object Compaction {
     */
   val SmallFiles = 64
 
-  /** Output file count. Production sizes this from bytes (target ~128 MB–1 GB
-    * per file); the fixture pins an exact count so the spec can assert it.
+  /** Output file count for the fixed-count mode; the fixture pins an exact
+    * count so the spec can assert it. The production byte-derived sizing
+    * is [[compactDocumentsBySize]].
     */
   val CompactTarget = 4
 
@@ -55,6 +56,48 @@ object Compaction {
       .repartition(CompactTarget)
       .write.mode("overwrite").parquet(compacted)
     (small, compacted)
+  }
+
+  /** Byte-sized target for [[compactDocumentsBySize]] — the PRODUCTION
+    * sizing mode: real compactors target bytes per output file (~128 MB–
+    * 1 GB on a lake), not a fixed count, because the count that yields
+    * healthy files is a function of how much data the region holds. The
+    * fixture value is small so the derived count lands strictly between 1
+    * and [[SmallFiles]] at test scale — the derivation, not the magnitude,
+    * is what the spec pins.
+    */
+  val TargetBytesPerFile: Long = 64L * 1024
+
+  /** Derived output file count for `inputBytes` of source data: one file
+    * per [[TargetBytesPerFile]]-sized chunk, never zero. Summing the
+    * SOURCE bytes slightly overestimates the output size (the compacted
+    * files' shared dictionaries/footers compress better) — the right
+    * direction to err for a maintenance job, since slightly-small files
+    * are healthy and an oversized file re-splits on the next pass.
+    */
+  def sizeDerivedFileCount(inputBytes: Long,
+      targetBytes: Long = TargetBytesPerFile): Int =
+    math.max(1L, (inputBytes + targetBytes - 1) / targetBytes).toInt
+
+  /** The byte-sized sibling of [[compactDocuments]]: same staging, same
+    * round-robin rewrite, same content-invariance obligations, but the
+    * output file count derives from the staged input's summed data-file
+    * bytes via [[sizeDerivedFileCount]]. Returns (smallDir, compactedDir,
+    * derived count) so the spec can assert the derivation independently.
+    */
+  def compactDocumentsBySize(s: SparkSession, dir: String,
+      targetBytes: Long = TargetBytesPerFile): (String, String, Int) = {
+    val small = base(s, dir, "small-bysize")
+    val compacted = base(s, dir, "compacted-bysize")
+    Tables.documents(s, dir)
+      .repartition(SmallFiles, col("doc_id"))
+      .write.mode("overwrite").parquet(small)
+    val inputBytes = dataFiles(small).map(_.length).sum
+    val n = sizeDerivedFileCount(inputBytes, targetBytes)
+    s.read.parquet(small)
+      .repartition(n)
+      .write.mode("overwrite").parquet(compacted)
+    (small, compacted, n)
   }
 
   /** compact_docs — the registered content-invariance gate: the per-group

@@ -28,4 +28,26 @@ class CompactionSpec extends AnyFunSuite {
     assert(perFile.max - perFile.min <= perFile.sum / Compaction.CompactTarget / 2,
       s"compacted files skewed: ${perFile.mkString(",")}")
   }
+
+  test("byte-sized compaction: file count derives from input bytes; content invariant") {
+    val (small, compacted, n) =
+      Compaction.compactDocumentsBySize(spark, Sf0001)
+    val inputBytes = Compaction.dataFiles(small).map(_.length).sum
+    // the derivation is the claim: ceil(bytes / target), floored at 1 —
+    // recomputed here from the staged files themselves
+    val expected = math.max(1L,
+      (inputBytes + Compaction.TargetBytesPerFile - 1) /
+        Compaction.TargetBytesPerFile).toInt
+    assert(n == expected, s"derived count $n != ceil($inputBytes/target)")
+    assert(Compaction.dataFiles(compacted).length == n)
+    // non-degenerate at fixture scale: the byte rule must actually bite
+    // (not collapse to 1 file or echo the input count)
+    assert(n > 1 && n < Compaction.SmallFiles, s"degenerate derived count $n")
+    def rows(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars"))).toSet
+    assert(rows(compacted) === rows(s"$Sf0001/documents.parquet"),
+      "byte-sized compaction lost rows")
+  }
 }
