@@ -2818,10 +2818,16 @@ object SparkEntry {
         |FROM documents GROUP BY source, lang""".stripMargin,
     // q19_approx: the raw HLL++/approx-percentile estimates are defined by
     // Spark's sketch buffer layout, not by the data, so the registered
-    // query emits a DETERMINISTIC bound report instead (exact counts the
-    // oracle recomputes, plus 0/1 contract flags whose expected value is a
-    // constant 1 — a trip would mean the sketch broke its published error
-    // bound). ApproxSpec additionally error-bounds the raw estimates.
+    // query emits a DETERMINISTIC bound report instead. The oracle
+    // RECOMPUTES the exact side (n_rows, exact_parts — count and distinct
+    // from the raw table); the three flags are Spark-side SELF-ASSERTIONS
+    // pinned at their expected constant 1 — a trip (the sketch breaking
+    // its published bound at some scale) surfaces as this query's hash
+    // mismatch. The CDF flags use the tie-aware rank-interval contract
+    // ([CDF(v-), CDF(v)] overlap with [q-eps, q+eps]), so tie mass at the
+    // returned value can never trip them spuriously (see
+    // Relational.q19Approx). ApproxSpec additionally error-bounds the raw
+    // estimates.
     // EVERY registered query therefore carries a DuckDB oracle; the
     // hash/float/iterative family (text_fingerprint_poly,
     // dedup_simhash(_pairs), mm_features, mm_thumbs, dedup_minhash,

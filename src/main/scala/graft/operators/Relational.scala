@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -321,12 +321,21 @@ object Relational {
     *   - `parts_in_bounds`: |HLL − exact| ≤ 13% of exact (2.6σ of the
     *     default rsd 0.05; the estimate is a deterministic function of the
     *     data, so the flag is stable for a given input);
-    *   - `q50/q95_cdf_in_bounds`: the empirical CDF position of each
-    *     approx_percentile estimate is within ±0.02 of its target rank
-    *     (accuracy 1000 ⇒ guaranteed rank error ≤ 0.001·n; the slack
-    *     covers tie mass at the returned value). Rank-position checking is
+    *   - `q50/q95_cdf_in_bounds`: the TIE-AWARE rank contract — the
+    *     returned value v occupies the empirical-CDF interval
+    *     [CDF(v⁻), CDF(v)] = [#(x<v)/n, #(x≤v)/n], and the flag asserts
+    *     that interval OVERLAPS [q−ε, q+ε] (ε = 0.005; accuracy 1000 ⇒
+    *     guaranteed rank error ≤ 0.001·n). Overlap is exactly "some rank
+    *     within the sketch's error window maps to v", so a value carrying
+    *     arbitrary tie mass (a CDF jump across the whole window, which a
+    *     fixed ±0.02 point-position window would flag spuriously) still
+    *     passes iff the sketch met its published bound. Rank checking is
     *     engine-independent, unlike comparing interpolated percentile
     *     values.
+    * The flags are SPARK-SIDE SELF-ASSERTIONS: the oracle recomputes the
+    * exact columns (n_rows, exact_parts) and pins the flags at constant 1
+    * — their expected value under the contracts above — so a sketch-bound
+    * trip at any scale surfaces as this query's hash mismatch.
     * One extra broadcast of the one-row estimate against the scan buys the
     * CDF pass — two scans total, no extra shuffle.
     */
@@ -341,15 +350,22 @@ object Relational {
       .select(col("n_rows"), col("exact_parts"), col("approx_parts"),
         element_at(col("qs"), 1).as("q50"),
         element_at(col("qs"), 2).as("q95"))
+    val eps = 0.005
+    def rankOk(q: Double, lo: Column, hi: Column): Column =
+      lo <= lit(q + eps) && hi >= lit(q - eps)
     li.select(col("l_extendedprice")).crossJoin(broadcast(est))
       .agg(
         max("n_rows").as("n_rows"),
         max("exact_parts").as("exact_parts"),
         max("approx_parts").as("approx_parts"),
+        (sum(when(col("l_extendedprice") < col("q50"), 1L).otherwise(0L))
+          .cast("double") / max("n_rows")).as("cdf50_lo"),
         (sum(when(col("l_extendedprice") <= col("q50"), 1L).otherwise(0L))
-          .cast("double") / max("n_rows")).as("cdf50"),
+          .cast("double") / max("n_rows")).as("cdf50_hi"),
+        (sum(when(col("l_extendedprice") < col("q95"), 1L).otherwise(0L))
+          .cast("double") / max("n_rows")).as("cdf95_lo"),
         (sum(when(col("l_extendedprice") <= col("q95"), 1L).otherwise(0L))
-          .cast("double") / max("n_rows")).as("cdf95"))
+          .cast("double") / max("n_rows")).as("cdf95_hi"))
       .select(
         col("n_rows"),
         col("exact_parts"),
@@ -357,9 +373,9 @@ object Relational {
              col("exact_parts").cast("double")) <=
           lit(0.13) * col("exact_parts").cast("double"))
           .cast("long").as("parts_in_bounds"),
-        (col("cdf50") >= 0.48 && col("cdf50") <= 0.52)
+        rankOk(0.50, col("cdf50_lo"), col("cdf50_hi"))
           .cast("long").as("q50_cdf_in_bounds"),
-        (col("cdf95") >= 0.93 && col("cdf95") <= 0.97)
+        rankOk(0.95, col("cdf95_lo"), col("cdf95_hi"))
           .cast("long").as("q95_cdf_in_bounds"))
   }
 
