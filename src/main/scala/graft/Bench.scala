@@ -134,6 +134,15 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","calibration":${f"$calibration%.3f"},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(out)
     sys.env.get("BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), out + "\n"))
+    // The driver's per-round artifact captures only the TAIL of the stdout
+    // line, which truncates the alphabetically-early per-query entries
+    // (BENCH_r08/r09 lost every ann_*/graph row). Always also write the
+    // full JSON to a stable in-repo path so the builder can commit it
+    // (BENCH_LOCAL_r{N}.json) and every round can diff every query.
+    try {
+      Files.createDirectories(Paths.get("target"))
+      Files.writeString(Paths.get("target/bench_local.json"), out + "\n")
+    } catch { case _: Throwable => () } // read-only cwd must not fail the bench
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
