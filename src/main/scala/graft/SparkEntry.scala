@@ -200,6 +200,7 @@ object SparkEntry {
     // --- multimodal columns (stubbed decode, real plumbing) ---
     "mm_features" -> (Multimodal.features _),
     "mm_audio_vad" -> ((s: SparkSession, d: String) => Multimodal.audioVad(s, d)),
+    "mm_image_phash" -> (Multimodal.imagePhashPairs _),
     "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "mm_shard_manifest" -> ((s: SparkSession, d: String) => Multimodal.shardManifest(s, d)),
@@ -818,6 +819,78 @@ object SparkEntry {
        |  FROM thumb GROUP BY asset_id)
        |SELECT asset_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
        | mean_px, min_px, max_px FROM stats""".stripMargin
+
+  /** Full replay of mm_image_phash: the mm_thumbs decode/pool machinery at
+    * 9×8 over IMAGE assets only, the replica augmentation (exact at %7,
+    * cell-perturbed at %11 — FLOAT adds, bit-exact), the 64-bit dHash fold
+    * (strict > between horizontally adjacent cells, big-endian like the
+    * SimHash fold), 4×16-bit banding with the hot-bucket cap, candidate
+    * pairing, and the exact hamming verify — so recall (which bands define)
+    * is gated, not just precision.
+    */
+  private val mmImagePhashSql =
+    s"""WITH RECURSIVE
+       |a AS (SELECT * FROM ($mmAssetCte) q WHERE media_type = 'image'),
+       |steps(asset_id, p, hsh, px) AS (
+       |  SELECT asset_id, 0, seed, CAST(NULL AS FLOAT) FROM a
+       |  UNION ALL
+       |  SELECT st.asset_id, st.p + 1, nxt.h2, CAST(nxt.pxd AS FLOAT)
+       |  FROM steps st
+       |  JOIN a ON a.asset_id = st.asset_id,
+       |  LATERAL (SELECT ((st.hsh * 6364136223846793005 + 1442695040888963407)
+       |                  & $mask64) AS h2,
+       |                  CAST(CAST((((st.hsh * 6364136223846793005 + 1442695040888963407)
+       |                    & $mask64) >> 40) & 65535 AS BIGINT) AS DOUBLE)
+       |                    / 65536.0 AS pxd) nxt
+       |  WHERE st.p < a.n_pixels),
+       |pxs AS (SELECT asset_id, list(px ORDER BY p) AS pxl FROM steps WHERE p >= 1
+       |        GROUP BY asset_id),
+       |cells AS (SELECT a.asset_id, a.width AS w, a.height AS h, oy, ox,
+       |   (ox * a.width) // 9 AS x0,
+       |   greatest((ox * a.width) // 9 + 1, ((ox + 1) * a.width) // 9) AS x1,
+       |   (oy * a.height) // 8 AS y0,
+       |   greatest((oy * a.height) // 8 + 1, ((oy + 1) * a.height) // 8) AS y1
+       |  FROM a, (SELECT unnest(range(0, 8)) AS oy), (SELECT unnest(range(0, 9)) AS ox)),
+       |thumb AS (SELECT c.asset_id, c.oy * 9 + c.ox AS cell_idx,
+       |   CAST(list_reduce(list_prepend(CAST(0.0 AS FLOAT),
+       |       flatten(list_transform(range(c.y0, c.y1), y ->
+       |         list_transform(range(c.x0, c.x1), x -> p.pxl[y * c.w + x + 1])))),
+       |     (u, v) -> CAST(u + v AS FLOAT))
+       |    / CAST((c.x1 - c.x0) * (c.y1 - c.y0) AS FLOAT) AS FLOAT) AS cell_val
+       |  FROM cells c JOIN pxs p USING (asset_id)),
+       |tl AS (SELECT asset_id, list(cell_val ORDER BY cell_idx) AS t FROM thumb
+       |       GROUP BY asset_id),
+       |aug AS (SELECT asset_id, t FROM tl
+       |        UNION ALL
+       |        SELECT asset_id + 2000000, t FROM tl WHERE asset_id % 7 = 0
+       |        UNION ALL
+       |        SELECT asset_id + 3000000,
+       |          list_transform(range(0, 72), c -> CASE WHEN c % 29 = 0
+       |            THEN CAST(t[CAST(c + 1 AS INTEGER)] + CAST(0.25 AS FLOAT) AS FLOAT)
+       |            ELSE t[CAST(c + 1 AS INTEGER)] END)
+       |        FROM tl WHERE asset_id % 11 = 0),
+       |hs AS (SELECT asset_id, list_reduce(
+       |   list_prepend(CAST(0 AS HUGEINT),
+       |     list_transform(range(0, 64), b -> CASE WHEN
+       |       t[CAST((b // 8) * 9 + (b % 8) + 2 AS INTEGER)]
+       |         > t[CAST((b // 8) * 9 + (b % 8) + 1 AS INTEGER)]
+       |       THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)),
+       |   (acc, bit) -> acc * 2 + bit) AS hu FROM aug),
+       |bnd AS (SELECT asset_id, hu, bi, (hu >> CAST(16 * bi AS INTEGER)) & 65535 AS bval
+       |        FROM hs, (SELECT unnest(range(0, 4)) AS bi)),
+       |cap AS (SELECT * FROM
+       |          (SELECT *, count(*) OVER (PARTITION BY bi, bval) AS bn FROM bnd)
+       |        WHERE bn <= 1000),
+       |cand AS (SELECT DISTINCT l.asset_id AS asset1, r.asset_id AS asset2,
+       |           l.hu AS h1, r.hu AS h2
+       |         FROM cap l JOIN cap r
+       |          ON l.bi = r.bi AND l.bval = r.bval AND l.asset_id < r.asset_id),
+       |ham AS (SELECT asset1, asset2,
+       |          CAST(list_sum(list_transform(range(0, 64),
+       |            b -> CAST((xor(h1, h2) >> CAST(b AS INTEGER)) & 1 AS INTEGER)))
+       |           AS INTEGER) AS hamming
+       |        FROM cand)
+       |SELECT asset1, asset2, hamming FROM ham WHERE hamming <= 10""".stripMargin
 
   /** Shared CTE: 64-bit SimHash signatures recomputed from first principles
     * in DuckDB — per-token FNV-1a hashes, ±1 votes per bit over all (not
@@ -2626,6 +2699,7 @@ object SparkEntry {
     // exact float-as-double /2^16), centered, squared and folded per
     // 16-sample frame in ascending order; frame boundary emits the sqrt
     // RMS into the ordered sum and the run/active counters
+    "mm_image_phash" -> mmImagePhashSql,
     "mm_audio_vad" ->
       s"""WITH RECURSIVE
         |a AS ($mmAssetCte),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -324,5 +325,130 @@ object Multimodal {
         }
       }
     }.toDF("asset_id", "media_type", "bytes", "shard", "shard_offset")
+  }
+
+  // ------------------------------------------------- perceptual-hash dedup
+
+  /** dHash thumbnail geometry: [[PhashW]]×[[PhashH]] average-pooled cells;
+    * 8 horizontal comparisons per row × 8 rows = 64 bits.
+    */
+  val PhashW = 9
+  val PhashH = 8
+
+  /** Banding for the hamming-bucket join: 4 disjoint 16-bit bands. Two
+    * hashes within hamming 3·(bands−1)/… — pragmatically, any pair whose
+    * flipped bits avoid one band — collide on that band's bucket.
+    */
+  val PhashBands = 4
+
+  /** Pairs survive at hamming ≤ this. 64-bit dHashes of unrelated images
+    * sit near 32; real re-encodes land well under 10.
+    */
+  val PhashMaxHamming = 10
+
+  /** Hot-bucket cap — the [[graft.operators.Dedup.MaxBucket]] rationale:
+    * one degenerate bucket (every near-black image shares a dHash band) at
+    * web scale would emit O(n²) pairs; drop buckets above the cap.
+    */
+  val PhashMaxBucket = 1000
+
+  /** Replica augmentation for the planted near-dup structure (the fixture
+    * corpus has no duplicate payloads — the dedup_incremental pattern):
+    * image assets with id % 7 = 0 gain an EXACT replica (identical thumb ⇒
+    * hamming 0) at id + [[PhashExactBase]]; assets with id % 11 = 0 gain a
+    * PERTURBED variant at id + [[PhashVariantBase]] whose thumb cells at
+    * index % [[PhashPerturbStep]] = 0 (cells {0, 29, 58}) are brightened
+    * by [[PhashPerturbDelta]] — the deterministic stand-in for a
+    * re-encoded/re-compressed copy. Each perturbed cell touches at most 2
+    * horizontal comparisons (≤ 6 flipped bits total), and none of those
+    * bit positions fall in band 1's range, so a variant is GUARANTEED to
+    * band-collide with its original and survive at hamming ≤ 6.
+    */
+  val PhashExactBase = 2000000L
+  val PhashVariantBase = 3000000L
+  val PhashPerturbStep = 29
+  val PhashPerturbDelta = 0.25f
+
+  /** Difference hash of a [[PhashW]]×[[PhashH]] thumb: bit (y, x) = 1 iff
+    * cell (y, x+1) > cell (y, x), strictly, packed big-endian (first
+    * comparison = MSB) into one signed Long — the standard 64-bit dHash.
+    */
+  def dhashBits(t: Array[Float]): Long = {
+    var sig = 0L
+    var y = 0
+    while (y < PhashH) {
+      var x = 0
+      while (x < PhashW - 1) {
+        sig = (sig << 1) |
+          (if (t(y * PhashW + x + 1) > t(y * PhashW + x)) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    sig
+  }
+
+  /** mm_image_phash — IMAGE near-duplicate pairs by perceptual hash: stub
+    * decode → [[PhashW]]×[[PhashH]] average-pool ([[resizePixels]], real
+    * float math) → 64-bit dHash ([[dhashBits]]) → banded hamming-bucket
+    * join → exact hamming verify at ≤ [[PhashMaxHamming]]. This is the
+    * image-modality member of the near-dup family (MinHash/SimHash cover
+    * text; this covers "same picture, different encode"), and the reason
+    * dHash is the production pick: it is invariant to uniform brightness/
+    * contrast shifts (only ORDER between neighboring cells matters) and
+    * its hamming distance is a meaningful edit metric.
+    *
+    * 100 TB plan: identical shape to [[graft.operators.Dedup.minhash]] —
+    * candidate generation is a hash-bucket EQUI-join (never all-pairs):
+    * each 64-bit hash explodes to [[PhashBands]] 16-bit band keys, one
+    * shuffle groups band buckets, hot buckets are capped
+    * ([[PhashMaxBucket]]), pairs dedup before the exact-hamming verify
+    * (one codegen'd xor + bit_count — no re-decode: the verify runs on
+    * the 8-byte hashes riding the candidate rows). Decode + pool + hash
+    * is one typed scan; everything after moves 12 bytes per asset.
+    */
+  def imagePhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val thumbs = decode(s, dir).as[Decoded]
+      .filter(_.media_type == "image")
+      .map(d => (d.asset_id,
+        resizePixels(d.pixels, d.width, d.height, PhashW, PhashH)))
+    val aug = thumbs.flatMap { case (id, t) =>
+      val out = scala.collection.mutable.ArrayBuffer((id, t))
+      if (id % 7 == 0) out += ((id + PhashExactBase, t))
+      if (id % 11 == 0) {
+        val v = t.clone()
+        var c = 0
+        while (c < v.length) {
+          if (c % PhashPerturbStep == 0) v(c) = v(c) + PhashPerturbDelta
+          c += 1
+        }
+        out += ((id + PhashVariantBase, v))
+      }
+      out.iterator
+    }
+    // hashes feed the banding pass AND both candidate join sides
+    val hashed = graft.TransientCache.cache(
+      aug.map { case (id, t) => (id, dhashBits(t)) }.toDF("asset_id", "phash"))
+    val banded = hashed.select(col("asset_id"), col("phash"),
+      explode(array((0 until PhashBands).map(i =>
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("phash"), 16 * i)
+            .bitwiseAND(lit(0xFFFFL)).as("bval"))): _*)).as("b"))
+      .select(col("asset_id"), col("phash"), col("b.band"), col("b.bval"))
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bval")))
+      .filter(col("bucket_n") <= PhashMaxBucket)
+    val l = capped.select(col("band"), col("bval"),
+      col("asset_id").as("asset1"), col("phash").as("h1"))
+    val r = capped.select(col("band"), col("bval"),
+      col("asset_id").as("asset2"), col("phash").as("h2"))
+    l.join(r, Seq("band", "bval"))
+      .filter(col("asset1") < col("asset2"))
+      .select("asset1", "asset2", "h1", "h2")
+      .distinct()
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("int"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .select(col("asset1"), col("asset2"), col("hamming"))
   }
 }

@@ -157,4 +157,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(coalesced.toSet == rows.toSet)
     TransientCache.release(spark)
   }
+
+  test("imagePhashPairs: pipeline == straight-line driver replay; planted " +
+      "exact and perturbed replicas surface; hamming bounded") {
+    val got = Multimodal.imagePhashPairs(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("asset1"), r.getAs[Long]("asset2"),
+        r.getAs[Int]("hamming"))).toSet
+    // straight-line replay: decode + pool + dhash + banding + cap + verify
+    // with the SAME helpers but none of the distributed pipeline
+    val assets = graft.sources.Tables.documents(spark, Sf0001)
+      .selectExpr("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._1 % 3 == 0) // media_type image
+    val hashes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    assets.foreach { case (id, text, nChars) =>
+      val w = (nChars % 64 + 8).toInt
+      val h = (nChars % 48 + 6).toInt
+      val px = Multimodal.stubDecode(text.getBytes("UTF-8"), w, h)
+      val t = Multimodal.resizePixels(px, w, h, Multimodal.PhashW, Multimodal.PhashH)
+      hashes += ((id, Multimodal.dhashBits(t)))
+      if (id % 7 == 0)
+        hashes += ((id + Multimodal.PhashExactBase, Multimodal.dhashBits(t)))
+      if (id % 11 == 0) {
+        val v = t.clone()
+        v.indices.foreach { c =>
+          if (c % Multimodal.PhashPerturbStep == 0)
+            v(c) = v(c) + Multimodal.PhashPerturbDelta
+        }
+        hashes += ((id + Multimodal.PhashVariantBase, Multimodal.dhashBits(v)))
+      }
+    }
+    def bands(h: Long): Seq[Long] =
+      (0 until Multimodal.PhashBands).map(i => (h >>> (16 * i)) & 0xFFFFL)
+    val byBucket = hashes.flatMap { case (id, h) =>
+      bands(h).zipWithIndex.map { case (bv, bi) => ((bi, bv), (id, h)) }
+    }.groupBy(_._1).filter(_._2.size <= Multimodal.PhashMaxBucket)
+    val expect = byBucket.values.flatMap { members =>
+      val ms = members.map(_._2)
+      for {
+        (i1, h1) <- ms; (i2, h2) <- ms if i1 < i2
+        ham = java.lang.Long.bitCount(h1 ^ h2)
+        if ham <= Multimodal.PhashMaxHamming
+      } yield (i1, i2, ham)
+    }.toSet
+    assert(got === expect)
+    // planted structure is non-vacuous
+    val exactPairs = got.filter { case (a, b, _) =>
+      b == a + Multimodal.PhashExactBase }
+    assert(exactPairs.nonEmpty, "no exact-replica pair surfaced")
+    assert(exactPairs.forall(_._3 == 0), "exact replica must be hamming 0")
+    val variantPairs = got.filter { case (a, b, _) =>
+      b == a + Multimodal.PhashVariantBase }
+    assert(variantPairs.nonEmpty, "no perturbed-variant pair surfaced")
+    assert(variantPairs.forall(_._3 <= 6),
+      s"variant hamming above the 3-cell bound: $variantPairs")
+    assert(variantPairs.exists(_._3 > 0),
+      "perturbation flipped no bits at fixture scale — raise the delta")
+    assert(got.forall(_._3 <= Multimodal.PhashMaxHamming))
+    TransientCache.release(spark)
+  }
 }

@@ -76,6 +76,13 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_image_phash: candidate generation is a band-bucket equi-join, never all-pairs") {
+    val plan = executedPlan("mm_image_phash")
+    assert(!plan.contains("CartesianProduct"), "cartesian fallback")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "hamming search must stay a bucketed equi-join, not a nested loop")
+  }
+
   test("q14_join_range: the equi key drives the join; range stays a residual condition") {
     val plan = executedPlan("q14_join_range")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
