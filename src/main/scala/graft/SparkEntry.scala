@@ -201,6 +201,7 @@ object SparkEntry {
     "mm_features" -> (Multimodal.features _),
     "mm_audio_vad" -> ((s: SparkSession, d: String) => Multimodal.audioVad(s, d)),
     "mm_image_phash" -> (Multimodal.imagePhashPairs _),
+    "hybrid_rrf" -> ((s: SparkSession, d: String) => graft.operators.Ann.hybridRrf(s, d)),
     "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "mm_shard_manifest" -> ((s: SparkSession, d: String) => Multimodal.shardManifest(s, d)),
@@ -2700,6 +2701,43 @@ object SparkEntry {
     // 16-sample frame in ascending order; frame boundary emits the sqrt
     // RMS into the ordered sum and the run/active counters
     "mm_image_phash" -> mmImagePhashSql,
+    // hybrid retrieval: the dedup_jaccard3 gram definition for the lexical
+    // top-10, the ann_brute cosine ranker for the dense top-10, fused by
+    // 1/(60+rank) — the score is a pure function of ranks (exact-ordered on
+    // both engines), so the fused ordering is deterministic
+    "hybrid_rrf" ->
+      s"""WITH sh AS ($shingled),
+         |qs AS (SELECT doc_id AS query_id, sh AS qsh FROM sh WHERE doc_id < 8),
+         |lexall AS (SELECT q.query_id, d.doc_id,
+         |    CAST(len(list_distinct(list_intersect(d.sh, q.qsh))) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(d.sh, q.qsh))) AS DOUBLE) AS jac
+         |  FROM sh d, qs q WHERE d.doc_id <> q.query_id),
+         |lex AS (SELECT query_id, doc_id, r_lex FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY jac DESC, doc_id ASC) AS r_lex FROM lexall) t
+         |  WHERE r_lex <= 10),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, vec AS qvec FROM c WHERE vec_id < 8),
+         |emb AS (SELECT query_id, neighbor_id, r_emb FROM (
+         |    SELECT q.query_id, c.vec_id AS neighbor_id, row_number() OVER (
+         |      PARTITION BY q.query_id
+         |      ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id ASC) AS r_emb
+         |    FROM c, q WHERE c.vec_id <> q.query_id) t
+         |  WHERE r_emb <= 10),
+         |fused AS (SELECT coalesce(l.query_id, e.query_id) AS query_id,
+         |    coalesce(l.doc_id, e.neighbor_id) AS doc_id,
+         |    coalesce(l.r_lex, -1) AS lex_rank,
+         |    coalesce(e.r_emb, -1) AS emb_rank,
+         |    coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + l.r_lex AS DOUBLE), 0.0)
+         |      + coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + e.r_emb AS DOUBLE), 0.0)
+         |      AS score
+         |  FROM lex l FULL OUTER JOIN emb e
+         |    ON l.query_id = e.query_id AND l.doc_id = e.neighbor_id)
+         |SELECT query_id, doc_id, CAST(lex_rank AS INTEGER) AS lex_rank,
+         |  CAST(emb_rank AS INTEGER) AS emb_rank, CAST(rr AS INTEGER) AS rrf_rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id ASC) AS rr FROM fused) f
+         |WHERE rr <= 10""".stripMargin,
     "mm_audio_vad" ->
       s"""WITH RECURSIVE
         |a AS ($mmAssetCte),

@@ -935,4 +935,74 @@ object Ann {
           .otherwise(floor(col("vd") * lit(127.0) / col("scale") + lit(0.5))
             .cast("int")).as("q"))
   }
+
+  /** RRF constant — the standard k=60 of Cormack/Clarke/Buettcher. */
+  val RrfC = 60
+
+  /** hybrid_rrf — HYBRID retrieval by reciprocal-rank fusion, the standard
+    * composite every retrieval-augmented curation pipeline runs (dense
+    * recall misses exact-term matches, lexical recall misses paraphrases;
+    * RRF needs no score calibration between the two): for each query doc
+    * (doc_id < nQueries, and the fixture aligns vec_id == doc_id), fuse
+    *   - the LEXICAL ranker: word-3-gram Jaccard of the query doc's own
+    *     text against every other doc ([[graft.operators.Dedup.shingleSet]]
+    *     — the dedup_jaccard3 gram definition, so lexical similarity here
+    *     and near-dup detection agree on what "similar text" means), and
+    *   - the DENSE ranker: exact cosine top-k over the embedding corpus
+    *     ([[bruteTopK]], the already-oracled ranker),
+    * each truncated to its top-`listK` list, scored
+    * Σ 1/([[RrfC]] + rank) over the lists containing the doc, ranked
+    * (score desc, doc_id asc). Output carries the input ranks (−1 when a
+    * doc reached the fused top-k from one list only) so consumers can see
+    * WHY a doc surfaced. All ordering keys are exact (Jaccard is a ratio
+    * of small ints — identical doubles in any engine; cosine rank
+    * determinism is inherited from ann_brute's gate) and the fused score
+    * is a pure function of ranks, so the DuckDB replay is deterministic.
+    *
+    * 100 TB plan: both rankers are QUERY-BOUNDED — the 8 query shingle
+    * sets and query vectors broadcast, one corpus scan each, per-query
+    * top-k windows partitioned by query id exactly like ann_brute (the
+    * production dense side swaps in the IVFPQ candidate pipeline; the
+    * lexical side an inverted-index prefix filter — both change the
+    * neighbor SOURCE, not the fusion). The fusion itself joins two
+    * (queries × listK)-row tables: constant-sized, broadcast, free.
+    */
+  def hybridRrf(s: SparkSession, dir: String, nQueries: Int = 8,
+      listK: Int = 10, k: Int = 10): DataFrame = {
+    import s.implicits._
+    // one tokenize+shingle pass: the frame feeds the query-side filter AND
+    // the corpus join side (TransientCache contract — harness releases)
+    val sh = graft.TransientCache.cache(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) => (id, Dedup.shingleSet(t)) }
+        .toDF("doc_id", "sh"))
+    val qsh = sh.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("sh").as("qsh"))
+    val lexScored = sh.join(broadcast(qsh), col("doc_id") =!= col("query_id"))
+      .withColumn("jac",
+        size(array_intersect(col("sh"), col("qsh"))).cast("double") /
+          size(array_union(col("sh"), col("qsh"))).cast("double"))
+    val wl = Window.partitionBy("query_id")
+      .orderBy(col("jac").desc, col("doc_id").asc)
+    val lex = lexScored.withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= listK)
+      .select("query_id", "doc_id", "lex_rank")
+    val emb = bruteTopK(s, dir, nQueries, listK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("emb_rank"))
+    val score =
+      coalesce(lit(1.0) / (lit(RrfC) + col("lex_rank")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(RrfC) + col("emb_rank")), lit(0.0))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    lex.join(emb, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("score", score)
+      .withColumn("rrf_rank", row_number().over(wf))
+      .filter(col("rrf_rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(-1)).cast("int").as("lex_rank"),
+        coalesce(col("emb_rank"), lit(-1)).cast("int").as("emb_rank"),
+        col("rrf_rank").cast("int").as("rrf_rank"))
+  }
 }

@@ -466,4 +466,58 @@ class AnnSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("contaminated")).toMap
     assert(planted == Map(1L -> true, 2L -> false))
   }
+
+  test("hybridRrf: fused ranks == straight-line driver replay of both rankers") {
+    val got = Ann.hybridRrf(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("lex_rank"), r.getAs[Int]("emb_rank"),
+        r.getAs[Int]("rrf_rank"))).toSet
+    // lexical side: 3-gram jaccard ranks per query doc
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val shs = docs.map { case (id, t) =>
+      id -> graft.operators.Dedup.shingleSet(t).toSet }.toMap
+    val queries = docs.map(_._1).filter(_ < 8)
+    def lexRanks(q: Long): Seq[(Long, Int)] =
+      docs.map(_._1).filter(_ != q)
+        .map(d => (d, shs(q).intersect(shs(d)).size.toDouble /
+          shs(q).union(shs(d)).size.toDouble))
+        .sortBy { case (d, j) => (-j, d) }
+        .take(10).zipWithIndex.map { case ((d, _), i) => (d, i + 1) }
+    // dense side: exact cosine ranks
+    val vecs = graft.sources.Tables.embeddings(spark, Sf0001)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val nrm = vecs.map { case (id, v) =>
+      id -> math.sqrt(v.map(x => x * x).sum) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    val vmap = vecs.toMap
+    def embRanks(q: Long): Seq[(Long, Int)] =
+      vecs.map(_._1).filter(_ != q)
+        .map(d => (d, cos(vmap(q), vmap(d)) / (nrm(q) * nrm(d))))
+        .sortBy { case (d, c) => (-c, d) }
+        .take(10).zipWithIndex.map { case ((d, _), i) => (d, i + 1) }
+    val expect = queries.flatMap { q =>
+      val l = lexRanks(q).toMap
+      val e = embRanks(q).toMap
+      (l.keySet ++ e.keySet).toSeq
+        .map { d =>
+          val s = l.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            e.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+          (d, l.getOrElse(d, -1), e.getOrElse(d, -1), s)
+        }
+        .sortBy { case (d, _, _, s) => (-s, d) }
+        .take(10).zipWithIndex
+        .map { case ((d, lr, er, _), i) => (q, d, lr, er, i + 1) }
+    }.toSet
+    assert(got === expect)
+    assert(got.size == queries.length * 10)
+    // fusion is non-degenerate: docs reached the fused top-10 from one
+    // list only (otherwise this is just one ranker renamed)
+    assert(got.exists(_._3 == -1) || got.exists(_._4 == -1),
+      "every fused doc appeared in both lists — fusion untested")
+    TransientCache.release(spark)
+  }
 }
