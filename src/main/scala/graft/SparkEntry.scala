@@ -125,6 +125,7 @@ object SparkEntry {
     "q33_stream_session" -> (graft.streaming.EventStreams.sessionQuery _),
     "q36_stream_neardup" -> (graft.streaming.EventStreams.nearDupQuery _),
     "q50_stream_embed_neardup" -> (graft.streaming.EventStreams.embedNearDupQuery _),
+    "q56_stream_image_phash" -> (graft.streaming.EventStreams.imagePhashQuery _),
     "q38_stream_active" -> (graft.streaming.EventStreams.activeQuery _),
     "q39_stream_debounce" -> (graft.streaming.EventStreams.debounceQuery _),
     "q42_stream_attribution" -> (graft.streaming.EventStreams.attributionQuery _),
@@ -200,7 +201,7 @@ object SparkEntry {
     // --- multimodal columns (stubbed decode, real plumbing) ---
     "mm_features" -> (Multimodal.features _),
     "mm_audio_vad" -> ((s: SparkSession, d: String) => Multimodal.audioVad(s, d)),
-    "mm_image_phash" -> (Multimodal.imagePhashPairs _),
+    "mm_image_phash" -> ((s: SparkSession, d: String) => Multimodal.imagePhashPairs(s, d)),
     "hybrid_rrf" -> ((s: SparkSession, d: String) => graft.operators.Ann.hybridRrf(s, d)),
     "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
@@ -2314,6 +2315,10 @@ object SparkEntry {
     // the streaming embedding twin answers to the SAME multi-table replay
     // as batch dedup_embed: a bounded pass must produce identical pairs
     "q50_stream_embed_neardup" -> embedNearDupSql,
+    // the streaming image-phash twin answers to the SAME full replay as
+    // batch mm_image_phash: a bounded pass with no poisoned buckets must
+    // produce identical (asset1, asset2, hamming) rows
+    "q56_stream_image_phash" -> mmImagePhashSql,
     // dedup_jaccard3: the exact prefix-filter variant has recall exactly 1,
     // so a simple all-pairs oracle agrees deterministically on any corpus.
     "dedup_jaccard3" ->

@@ -407,7 +407,8 @@ object Multimodal {
     * the 8-byte hashes riding the candidate rows). Decode + pool + hash
     * is one typed scan; everything after moves 12 bytes per asset.
     */
-  def imagePhashPairs(s: SparkSession, dir: String): DataFrame = {
+  def imagePhashPairs(s: SparkSession, dir: String,
+      maxBucket: Int = PhashMaxBucket): DataFrame = {
     import s.implicits._
     val thumbs = decode(s, dir).as[Decoded]
       .filter(_.media_type == "image")
@@ -438,7 +439,7 @@ object Multimodal {
       .select(col("asset_id"), col("phash"), col("b.band"), col("b.bval"))
     val capped = banded
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bval")))
-      .filter(col("bucket_n") <= PhashMaxBucket)
+      .filter(col("bucket_n") <= maxBucket)
     val l = capped.select(col("band"), col("bval"),
       col("asset_id").as("asset1"), col("phash").as("h1"))
     val r = capped.select(col("band"), col("bval"),

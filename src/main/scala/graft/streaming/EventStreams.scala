@@ -521,6 +521,147 @@ object EventStreams {
     out
   }
 
+  /** Per-bucket state of the IMAGE-phash near-dup stream — the image
+    * sibling of [[BucketState]]: (asset_id, 64-bit dHash) members, or the
+    * poisoned tombstone past the cap. Same poison / tombstone / TTL
+    * contract as the text and embedding twins (one state machine,
+    * [[advanceAnyBucket]]).
+    */
+  case class PhashBucketState(overCap: Boolean, docs: List[(Long, Long)])
+
+  /** One (band, band-value) bucket's transition — [[advanceAnyBucket]]
+    * instantiated with hamming verification. The shared machine emits on
+    * `score >= threshold` (more similar = higher), so hamming rides as the
+    * SIMILARITY 64 − popcount(xor) with threshold 64 − maxHamming; the
+    * caller converts back. Exact integers throughout — no float edge.
+    */
+  private[graft] def advancePhashBucket(
+      timedOut: Boolean,
+      arrivals: Seq[(Long, Long)],
+      prev: Option[PhashBucketState],
+      maxHamming: Int,
+      maxBucket: Int,
+      expireTombstones: Boolean = false)
+      : (Option[PhashBucketState], List[(Long, Long, Double)]) = {
+    val (next, out) = advanceAnyBucket[Long](timedOut, arrivals,
+      prev.map(p => (p.overCap, p.docs)),
+      (a, b) => (64 - java.lang.Long.bitCount(a ^ b)).toDouble,
+      (64 - maxHamming).toDouble, maxBucket, expireTombstones)
+    (next.map { case (oc, ds) => PhashBucketState(oc, ds) }, out)
+  }
+
+  /** incrementalImagePhash — the IMAGE near-dup STREAMING twin: per image
+    * doc, the batch operator's exact decode → 9×8 pool → 64-bit dHash
+    * ([[graft.operators.Multimodal.imagePhashPairs]]'s helpers, replica
+    * augmentation included), exploded to the same 4×16-bit band keys;
+    * keyed state per (band, band-value) bucket pairs each arrival against
+    * the bucket's history at hamming ≤ maxHamming. Same cap / poison /
+    * tombstone / TTL contract as [[incrementalNearDup]]; emission is
+    * at-least-once across bands, consumers `distinct()`. An 8-byte hash
+    * per member keeps bucket state tiny — the image stream's state is
+    * smaller than the text twin's shingle arrays by construction.
+    */
+  def incrementalImagePhash(docs: DataFrame,
+      maxHamming: Int = graft.operators.Multimodal.PhashMaxHamming,
+      idleTimeout: Option[String] = None,
+      maxBucket: Int = graft.operators.Multimodal.PhashMaxBucket,
+      tombstoneTtl: Option[String] = None,
+      poisonedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[(Long, Long, Int)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import graft.operators.Multimodal
+    val poisonAcc = poisonedBuckets.getOrElse(
+      s.sparkContext.longAccumulator("graft.image_phash.poisonedBuckets"))
+    val timeoutConf =
+      if (idleTimeout.isDefined || tombstoneTtl.isDefined)
+        GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    docs
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .flatMap { case (id, text, nChars) =>
+        if (id % 3 != 0) Iterator.empty
+        else {
+          val w = (nChars % 64 + 8).toInt
+          val h = (nChars % 48 + 6).toInt
+          val t = Multimodal.resizePixels(
+            Multimodal.stubDecode(text.getBytes("UTF-8"), w, h), w, h,
+            Multimodal.PhashW, Multimodal.PhashH)
+          val members = scala.collection.mutable.ArrayBuffer((id, t))
+          if (id % 7 == 0) members += ((id + Multimodal.PhashExactBase, t))
+          if (id % 11 == 0) {
+            val v = t.clone()
+            var c = 0
+            while (c < v.length) {
+              if (c % Multimodal.PhashPerturbStep == 0)
+                v(c) = v(c) + Multimodal.PhashPerturbDelta
+              c += 1
+            }
+            members += ((id + Multimodal.PhashVariantBase, v))
+          }
+          members.iterator.flatMap { case (aid, th) =>
+            val hsh = Multimodal.dhashBits(th)
+            (0 until Multimodal.PhashBands).map(b =>
+              (b, (hsh >>> (16 * b)) & 0xFFFFL, aid, hsh))
+          }
+        }
+      }
+      .groupByKey { case (b, bv, _, _) => (b, bv) }
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
+         state: GroupState[PhashBucketState]) => {
+          val wasPoisoned = state.getOption.exists(_.overCap)
+          val (next, out) = advancePhashBucket(
+            state.hasTimedOut,
+            rows.map { case (_, _, aid, hsh) => (aid, hsh) }.toSeq,
+            state.getOption, maxHamming, maxBucket,
+            expireTombstones = tombstoneTtl.isDefined)
+          next match {
+            case Some(st) =>
+              state.update(st)
+              if (!st.overCap) idleTimeout.foreach(state.setTimeoutDuration)
+              else {
+                if (!wasPoisoned) poisonAcc.add(1L)
+                // same tombstone timeout policy as the other twins
+                tombstoneTtl.foreach(state.setTimeoutDuration)
+              }
+            case None => state.remove()
+          }
+          out.iterator.map { case (a1, a2, sim) => (a1, a2, 64 - sim.toInt) }
+        })
+  }
+
+  /** q56_stream_image_phash — the REGISTERED streaming image near-dup
+    * query: one bounded AvailableNow pass of [[incrementalImagePhash]]
+    * over the staged documents table, pairs deduped across bands — the
+    * SAME DuckDB replay that oracles batch mm_image_phash verifies the
+    * streaming path's values. Oracle equality holds only while no bucket
+    * exceeds the cap (Append emissions can't be retracted — the q50
+    * contract), so a cap trip fails loudly via the accumulator instead of
+    * surfacing as an inscrutable hash mismatch.
+    */
+  def imagePhashQuery(s: SparkSession, dir: String): DataFrame = {
+    val poisonAcc =
+      s.sparkContext.longAccumulator("graft.image_phash.q56.poisonedBuckets")
+    val out = runStagedViaFiles(s, dir, "q56_stream_image_phash",
+        staged => incrementalImagePhash(
+            s.readStream
+              .schema(graft.sources.Tables.documents(s, dir).schema)
+              .parquet(staged),
+            poisonedBuckets = Some(poisonAcc))
+          .toDF("asset1", "asset2", "hamming"),
+        OutputMode.Append(), file = "documents.parquet")
+      .distinct()
+    require(poisonAcc.value == 0L,
+      s"q56_stream_image_phash: ${poisonAcc.value} band bucket(s) exceeded " +
+        s"PhashMaxBucket=${graft.operators.Multimodal.PhashMaxBucket} during " +
+        "the bounded pass — streaming Append output diverges from the batch " +
+        "oracle once a bucket is poisoned; raise the cap or pre-partition " +
+        "the degenerate content")
+    out
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit

@@ -216,4 +216,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.forall(_._3 <= Multimodal.PhashMaxHamming))
     TransientCache.release(spark)
   }
+
+  test("imagePhashPairs: the hot-bucket cap actually bites on a degenerate corpus") {
+    // 10 identical image docs (doc_id % 3 == 0 makes them images): every
+    // hash is equal, so all members share every band bucket — the web-scale
+    // boilerplate black hole the cap exists for
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("phash-cap").toString
+    val text = "the same picture rendered ten times over for the cap test"
+    (0 until 10).map(i => (i * 3L, text, "en", "s0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // uncapped: every augmented member pairs with every other (hamming 0
+    // for identical thumbs; perturbed variants stay within the bound)
+    val open = Multimodal.imagePhashPairs(spark, dir).collect()
+    assert(open.nonEmpty, "degenerate corpus produced no pairs uncapped")
+    // capped below the bucket population: every bucket is dropped, no pairs
+    val capped = Multimodal.imagePhashPairs(spark, dir, maxBucket = 5).collect()
+    assert(capped.isEmpty,
+      s"cap=5 should drop the degenerate buckets, got ${capped.length} pairs")
+    TransientCache.release(spark)
+  }
 }

@@ -135,6 +135,61 @@ class StreamingSpec extends AnyFunSuite {
     TransientCache.release(spark)
   }
 
+  test("incremental IMAGE phash: streaming pair set == batch imagePhashPairs") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("phash-stream")
+    Files.copy(Paths.get(s"$Sf0001/documents.parquet"),
+      d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docStream = spark.readStream
+      .schema(graft.sources.Tables.documents(spark, Sf0001).schema)
+      .parquet(d.toString)
+    val out = EventStreams.runToMemory(
+      spark,
+      EventStreams.incrementalImagePhash(docStream)
+        .toDF("asset1", "asset2", "hamming"),
+      "phash_stream", org.apache.spark.sql.streaming.OutputMode.Append())
+    // at-least-once across bands -> distinct; hamming rides the compare so
+    // VALUES are pinned too, not just the pair set
+    val streamed = out.distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = graft.operators.Multimodal.imagePhashPairs(spark, Sf0001)
+      .collect().map(r => (r.getAs[Long]("asset1"), r.getAs[Long]("asset2"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    TransientCache.release(spark)
+  }
+
+  test("advancePhashBucket lifecycle: hamming verify, poison at cap, tombstone persists") {
+    import EventStreams.{advancePhashBucket, PhashBucketState}
+    // hamming(h1, h2) = 2, hamming(h1, h3) = 64 (complement)
+    val h1 = 0L
+    val h2 = 3L
+    val h3 = -1L
+    // arrivals pair against HISTORY only, within maxHamming
+    val (st1, out1) = advancePhashBucket(timedOut = false,
+      Seq((1L, h1)), None, maxHamming = 10, maxBucket = 3)
+    assert(out1.isEmpty && st1.exists(!_.overCap))
+    val (st2, out2) = advancePhashBucket(timedOut = false,
+      Seq((2L, h2), (3L, h3)), st1, maxHamming = 10, maxBucket = 3)
+    // (1,2) hamming 2 emits (as similarity 62); 3 is too far from both
+    assert(out2.map(t => (t._1, t._2, 64 - t._3.toInt)) == List((1L, 2L, 2)))
+    assert(st2.exists(_.docs.length == 3))
+    // cap: the 4th member poisons the bucket and frees history
+    val (st3, out3) = advancePhashBucket(timedOut = false,
+      Seq((4L, h1)), st2, maxHamming = 10, maxBucket = 3)
+    assert(out3.isEmpty)
+    assert(st3.exists(st => st.overCap && st.docs.isEmpty))
+    // timeout keeps the tombstone by default
+    val (st4, out4) = advancePhashBucket(timedOut = true,
+      Nil, st3, maxHamming = 10, maxBucket = 3)
+    assert(out4.isEmpty && st4.exists(_.overCap))
+    // with expiry opted in, the tombstone is removed
+    val (st5, _) = advancePhashBucket(timedOut = true,
+      Nil, st3, maxHamming = 10, maxBucket = 3, expireTombstones = true)
+    assert(st5.isEmpty)
+  }
+
   test("advanceEmbedBucket lifecycle: cosine verify, poison at cap, TTL keeps poison") {
     import EventStreams.{advanceEmbedBucket, EmbedBucketState}
     def row(id: Long, v: Array[Double]) = {
