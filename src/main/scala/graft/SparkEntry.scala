@@ -828,8 +828,14 @@ object SparkEntry {
     * (strict > between horizontally adjacent cells, big-endian like the
     * SimHash fold), 4×16-bit banding with the hot-bucket cap, candidate
     * pairing, and the exact hamming verify — so recall (which bands define)
-    * is gated, not just precision.
+    * is gated, not just precision. Tunable constants (cap, replica bases,
+    * perturbation, hamming threshold, band count) interpolate from the
+    * [[graft.operators.Multimodal]] definitions so retuning them cannot
+    * desynchronize the oracle; the 9×8/64-bit GEOMETRY stays literal —
+    * it is structural (changing it changes the hash width, i.e. the
+    * operator), not a knob.
     */
+  private val mmP = graft.operators.Multimodal
   private val mmImagePhashSql =
     s"""WITH RECURSIVE
        |a AS (SELECT * FROM ($mmAssetCte) q WHERE media_type = 'image'),
@@ -864,11 +870,14 @@ object SparkEntry {
        |       GROUP BY asset_id),
        |aug AS (SELECT asset_id, t FROM tl
        |        UNION ALL
-       |        SELECT asset_id + 2000000, t FROM tl WHERE asset_id % 7 = 0
+       |        SELECT asset_id + ${mmP.PhashExactBase}, t FROM tl
+       |        WHERE asset_id % 7 = 0
        |        UNION ALL
-       |        SELECT asset_id + 3000000,
-       |          list_transform(range(0, 72), c -> CASE WHEN c % 29 = 0
-       |            THEN CAST(t[CAST(c + 1 AS INTEGER)] + CAST(0.25 AS FLOAT) AS FLOAT)
+       |        SELECT asset_id + ${mmP.PhashVariantBase},
+       |          list_transform(range(0, ${mmP.PhashW * mmP.PhashH}),
+       |            c -> CASE WHEN c % ${mmP.PhashPerturbStep} = 0
+       |            THEN CAST(t[CAST(c + 1 AS INTEGER)]
+       |                   + CAST(${mmP.PhashPerturbDelta} AS FLOAT) AS FLOAT)
        |            ELSE t[CAST(c + 1 AS INTEGER)] END)
        |        FROM tl WHERE asset_id % 11 = 0),
        |hs AS (SELECT asset_id, list_reduce(
@@ -879,10 +888,10 @@ object SparkEntry {
        |       THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)),
        |   (acc, bit) -> acc * 2 + bit) AS hu FROM aug),
        |bnd AS (SELECT asset_id, hu, bi, (hu >> CAST(16 * bi AS INTEGER)) & 65535 AS bval
-       |        FROM hs, (SELECT unnest(range(0, 4)) AS bi)),
+       |        FROM hs, (SELECT unnest(range(0, ${mmP.PhashBands})) AS bi)),
        |cap AS (SELECT * FROM
        |          (SELECT *, count(*) OVER (PARTITION BY bi, bval) AS bn FROM bnd)
-       |        WHERE bn <= 1000),
+       |        WHERE bn <= ${mmP.PhashMaxBucket}),
        |cand AS (SELECT DISTINCT l.asset_id AS asset1, r.asset_id AS asset2,
        |           l.hu AS h1, r.hu AS h2
        |         FROM cap l JOIN cap r
@@ -892,7 +901,8 @@ object SparkEntry {
        |            b -> CAST((xor(h1, h2) >> CAST(b AS INTEGER)) & 1 AS INTEGER)))
        |           AS INTEGER) AS hamming
        |        FROM cand)
-       |SELECT asset1, asset2, hamming FROM ham WHERE hamming <= 10""".stripMargin
+       |SELECT asset1, asset2, hamming FROM ham
+       |WHERE hamming <= ${mmP.PhashMaxHamming}""".stripMargin
 
   /** Shared CTE: 64-bit SimHash signatures recomputed from first principles
     * in DuckDB — per-token FNV-1a hashes, ±1 votes per bit over all (not
@@ -1850,7 +1860,9 @@ object SparkEntry {
          |vtok AS (SELECT unnest(toks) AS tok FROM t),
          |vf AS (SELECT tok, count(*) AS freq FROM vtok GROUP BY tok),
          |vw AS (SELECT tok, freq,
-         |         CAST(floor(sqrt(floor(sqrt(CAST(freq * freq * freq AS DOUBLE)))))
+         |         CAST(floor(sqrt(floor(sqrt(
+         |             CAST(freq AS DOUBLE) * CAST(freq AS DOUBLE)
+         |               * CAST(freq AS DOUBLE)))))
          |              AS BIGINT) AS w
          |       FROM vf),
          |vocab AS (SELECT tok, w,
@@ -2733,8 +2745,8 @@ object SparkEntry {
          |    coalesce(l.doc_id, e.neighbor_id) AS doc_id,
          |    coalesce(l.r_lex, -1) AS lex_rank,
          |    coalesce(e.r_emb, -1) AS emb_rank,
-         |    coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + l.r_lex AS DOUBLE), 0.0)
-         |      + coalesce(CAST(1.0 AS DOUBLE) / CAST(60 + e.r_emb AS DOUBLE), 0.0)
+         |    coalesce(CAST(1.0 AS DOUBLE) / CAST(${graft.operators.Ann.RrfC} + l.r_lex AS DOUBLE), 0.0)
+         |      + coalesce(CAST(1.0 AS DOUBLE) / CAST(${graft.operators.Ann.RrfC} + e.r_emb AS DOUBLE), 0.0)
          |      AS score
          |  FROM lex l FULL OUTER JOIN emb e
          |    ON l.query_id = e.query_id AND l.doc_id = e.neighbor_id)

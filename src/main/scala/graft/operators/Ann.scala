@@ -790,14 +790,33 @@ object Ann {
     * cell, codes) rows would silently inflate every subsequent query's ADC
     * candidate set. Same replay-idempotence discipline as the mrout
     * connector's epoch files and the digest store's union-back.
+    *
+    * The id-keyed dedup presumes vec_id is IMMUTABLE-CONTENT-KEYED (an id
+    * is never resubmitted with a different embedding — the crawl-append
+    * model). That presumption is ENFORCED, not assumed: any incoming row
+    * whose vec_id exists with a DIFFERENT encoded (cell, codes) is an
+    * UPDATE, which an append-only codes table cannot express — silently
+    * dropping it would freeze the stale codes while queries keep serving
+    * them. The guard fails loudly instead; updates go through a reindex
+    * (or a delete+append maintenance pass), never through this path.
     */
   def appendToIvfPqIndex(s: SparkSession, newVecs: DataFrame,
       indexDir: String): Unit = {
     val (cents, books) = readCodebooks(s, indexDir)
-    val existing = s.read.parquet(s"$indexDir/codes").select("vec_id")
+    val existing = s.read.parquet(s"$indexDir/codes")
+    val encoded = graft.TransientCache.checkpoint(
+      encodeWith(newVecs, cents, books))
+    val conflicts = encoded.alias("n")
+      .join(existing.alias("o"), col("n.vec_id") === col("o.vec_id"))
+      .filter(col("n.cell") =!= col("o.cell") ||
+        col("n.codes") =!= col("o.codes"))
+      .count()
+    require(conflicts == 0L,
+      s"appendToIvfPqIndex: $conflicts incoming vec_id(s) already exist " +
+        "with different encoded codes — that is an UPDATE, which an " +
+        "append-only codes table cannot express; reindex those ids instead")
     val novel = graft.TransientCache.checkpoint(
-      encodeWith(newVecs, cents, books)
-        .join(existing, Seq("vec_id"), "left_anti"))
+      encoded.join(existing.select("vec_id"), Seq("vec_id"), "left_anti"))
     novel.write.mode("append").parquet(s"$indexDir/codes")
   }
 

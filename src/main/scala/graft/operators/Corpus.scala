@@ -743,10 +743,13 @@ object Corpus {
     * correctly-rounded (both engines produce the identical double for the
     * identical input), while pow(x, 0.75) is libm-dependent in its last
     * bit, which under floor() could flip an interval boundary and break
-    * the cross-engine hash. freq³ stays exact through the double cast up
-    * to 2^53 (freq ≤ ~200k; fixture maxima are far below — and past it
-    * the cast itself is still deterministic round-to-nearest on both
-    * sides, so the gate holds even then).
+    * the cross-engine hash. freq³ is computed IN DOUBLE (freq widened
+    * first, then two double multiplies — the identical left-associated
+    * correctly-rounded sequence on both engines): integer freq³ would
+    * silently wrap past freq ≈ 2.1M in 64-bit (a plausible common-word
+    * count at corpus scale) while the SQL twin's BIGINT product would
+    * error — double arithmetic never overflows and stays deterministic
+    * at every magnitude (exact below 2^53, same rounded double above).
     *
     * 100 TB plan: same transport as [[skipgramNeg]] — pairs × k is a
     * fixed ×k explode; the cumulative table is vocabulary-sized (the same
@@ -767,7 +770,8 @@ object Corpus {
       .select("tok", "freq").collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val weights = ranked.map { case (_, f) =>
-      math.floor(math.sqrt(math.floor(math.sqrt((f * f * f).toDouble)))).toLong
+      val fd = f.toDouble
+      math.floor(math.sqrt(math.floor(math.sqrt(fd * fd * fd)))).toLong
     }
     val toks = ranked.map(_._1)
     // cumStarts(i) = Σ_{r<i} w_r; token i owns [cumStarts(i), cumStarts(i)+w_i)

@@ -369,6 +369,39 @@ object Multimodal {
   val PhashPerturbStep = 29
   val PhashPerturbDelta = 0.25f
 
+  /** Decode + pool one image asset's phash thumb straight from its doc
+    * fields (the [[assets]] geometry formulas) — shared by the streaming
+    * twin, which sees raw document rows rather than [[decode]]'s frame.
+    */
+  def imageThumb(text: String, nChars: Long): Array[Float] = {
+    val w = (nChars % 64 + 8).toInt
+    val h = (nChars % 48 + 6).toInt
+    resizePixels(stubDecode(text.getBytes("UTF-8"), w, h), w, h, PhashW, PhashH)
+  }
+
+  /** The planted replica augmentation (see the [[PhashExactBase]] doc) as
+    * ONE function: batch [[imagePhashPairs]] and the streaming twin both
+    * call this, so a change to the augmentation cannot drift them apart
+    * (the advanceAnyBucket discipline). The SQL oracle interpolates the
+    * same constants; MultimodalSpec's straight-line replay deliberately
+    * keeps its OWN copy — a differential that shares the code under test
+    * stops being a differential.
+    */
+  def augmentThumbs(id: Long, t: Array[Float]): Iterator[(Long, Array[Float])] = {
+    val out = scala.collection.mutable.ArrayBuffer((id, t))
+    if (id % 7 == 0) out += ((id + PhashExactBase, t))
+    if (id % 11 == 0) {
+      val v = t.clone()
+      var c = 0
+      while (c < v.length) {
+        if (c % PhashPerturbStep == 0) v(c) = v(c) + PhashPerturbDelta
+        c += 1
+      }
+      out += ((id + PhashVariantBase, v))
+    }
+    out.iterator
+  }
+
   /** Difference hash of a [[PhashW]]×[[PhashH]] thumb: bit (y, x) = 1 iff
     * cell (y, x+1) > cell (y, x), strictly, packed big-endian (first
     * comparison = MSB) into one signed Long — the standard 64-bit dHash.
@@ -414,20 +447,7 @@ object Multimodal {
       .filter(_.media_type == "image")
       .map(d => (d.asset_id,
         resizePixels(d.pixels, d.width, d.height, PhashW, PhashH)))
-    val aug = thumbs.flatMap { case (id, t) =>
-      val out = scala.collection.mutable.ArrayBuffer((id, t))
-      if (id % 7 == 0) out += ((id + PhashExactBase, t))
-      if (id % 11 == 0) {
-        val v = t.clone()
-        var c = 0
-        while (c < v.length) {
-          if (c % PhashPerturbStep == 0) v(c) = v(c) + PhashPerturbDelta
-          c += 1
-        }
-        out += ((id + PhashVariantBase, v))
-      }
-      out.iterator
-    }
+    val aug = thumbs.flatMap { case (id, t) => augmentThumbs(id, t) }
     // hashes feed the banding pass AND both candidate join sides
     val hashed = graft.TransientCache.cache(
       aug.map { case (id, t) => (id, dhashBits(t)) }.toDF("asset_id", "phash"))

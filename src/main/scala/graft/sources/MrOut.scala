@@ -90,12 +90,8 @@ object MrOut {
     val ckpt = graft.Staging.dir(s, s"mrout/wc-stream-ckpt-$name")
     // the staged input dir is fresh per run, so the checkpoint (which pins
     // the source path) and the sink dir must reset with it
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-      f.delete(): Unit
-    }
-    deleteRec(new java.io.File(out))
-    deleteRec(new java.io.File(ckpt))
+    graft.Staging.deleteRecursively(new java.io.File(out))
+    graft.Staging.deleteRecursively(new java.io.File(ckpt))
     val staged = Files.createTempDirectory("mrout-stream-staged")
     Files.copy(Paths.get(s"$dir/documents.parquet"),
       staged.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)

@@ -583,28 +583,14 @@ object EventStreams {
       .flatMap { case (id, text, nChars) =>
         if (id % 3 != 0) Iterator.empty
         else {
-          val w = (nChars % 64 + 8).toInt
-          val h = (nChars % 48 + 6).toInt
-          val t = Multimodal.resizePixels(
-            Multimodal.stubDecode(text.getBytes("UTF-8"), w, h), w, h,
-            Multimodal.PhashW, Multimodal.PhashH)
-          val members = scala.collection.mutable.ArrayBuffer((id, t))
-          if (id % 7 == 0) members += ((id + Multimodal.PhashExactBase, t))
-          if (id % 11 == 0) {
-            val v = t.clone()
-            var c = 0
-            while (c < v.length) {
-              if (c % Multimodal.PhashPerturbStep == 0)
-                v(c) = v(c) + Multimodal.PhashPerturbDelta
-              c += 1
+          // the batch operator's decode/pool/augment helpers — one source
+          // of truth, so the twins cannot drift
+          Multimodal.augmentThumbs(id, Multimodal.imageThumb(text, nChars))
+            .flatMap { case (aid, th) =>
+              val hsh = Multimodal.dhashBits(th)
+              (0 until Multimodal.PhashBands).map(b =>
+                (b, (hsh >>> (16 * b)) & 0xFFFFL, aid, hsh))
             }
-            members += ((id + Multimodal.PhashVariantBase, v))
-          }
-          members.iterator.flatMap { case (aid, th) =>
-            val hsh = Multimodal.dhashBits(th)
-            (0 until Multimodal.PhashBands).map(b =>
-              (b, (hsh >>> (16 * b)) & 0xFFFFL, aid, hsh))
-          }
         }
       }
       .groupByKey { case (b, bv, _, _) => (b, bv) }
@@ -662,10 +648,8 @@ object EventStreams {
     out
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.Staging.deleteRecursively(f)
 
   /** q25_stream_window — the REGISTERED streaming query: stages the fixture
     * `events.parquet` into a directory (the file streaming source lists

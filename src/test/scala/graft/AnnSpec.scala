@@ -227,6 +227,17 @@ class AnnSpec extends AnyFunSuite {
     assert(s.read.parquet(s"$dirB/codes").count() === nBefore,
       "retried append appended duplicate code rows")
     assert(codes(dirB) === codes(dirA))
+    // an UPDATE (same vec_id, different embedding) must fail loudly, not
+    // silently freeze the stale codes: negate the held-out vectors so they
+    // encode into different cells/codes under the same ids
+    val updated = Ann.corpus(s, Sf0001).filter(col("vec_id") % 5 === 0)
+      .withColumn("vec", org.apache.spark.sql.functions.transform(
+        col("vec"), x => -x))
+    val e = intercept[IllegalArgumentException] {
+      Ann.appendToIvfPqIndex(s, updated, dirB)
+    }
+    assert(e.getMessage.contains("UPDATE"), e.getMessage)
+    assert(codes(dirB) === codes(dirA), "failed update must not mutate the index")
     TransientCache.release(s)
   }
 

@@ -526,9 +526,12 @@ class CorpusSpec extends AnyFunSuite {
     val toks = Seq("a", "b", "c", "b", "c", "d", "b")
     val freq = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val vocab = freq.keys.toSeq.sortBy(t => (-freq(t), t))
-    // the operator's exact integer weight: floor(sqrt(floor(sqrt(f^3))))
-    def w75(f: Long): Long =
-      math.floor(math.sqrt(math.floor(math.sqrt((f * f * f).toDouble)))).toLong
+    // the operator's exact integer weight: floor(sqrt(floor(sqrt(f^3)))),
+    // f^3 in DOUBLE (never a Long product — wraps past f ~ 2.1M)
+    def w75(f: Long): Long = {
+      val fd = f.toDouble
+      math.floor(math.sqrt(math.floor(math.sqrt(fd * fd * fd)))).toLong
+    }
     val weights = vocab.map(t => w75(freq(t)))
     val cum = weights.scanLeft(0L)(_ + _)
     val totalW = cum.last

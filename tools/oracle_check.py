@@ -55,11 +55,14 @@ def py_types(rows, cols):
 
 
 def canon_hash(rows):
-    """md5 over the canonical STRING rendering of every cell — the
-    representation-neutral analogue of the driver's typed hash. Two result
-    sets that differ only in physical encoding (int128 vs fixed_len_byte_
-    array Decimal) still differ here if their fetch-level values render
-    differently, which is the earliest observable symptom."""
+    """md5 over the canonical STRING rendering of every cell. This is NOT
+    redundant with the row compare: Python `==` is cross-type (1 == 1.0 ==
+    Decimal(1) is True), so tuple equality can pass while the rendered
+    values differ — e.g. a column that fetches int on one path and float
+    on the other only in SOME rows slips past the per-column type-set
+    compare (both sides show {int, float}) and past `a != b`, yet any
+    typed driver hash rejects it. The repr hash is the layer that catches
+    exactly that numeric-type aliasing."""
     h = hashlib.md5()
     for row in rows:
         for v in row:
