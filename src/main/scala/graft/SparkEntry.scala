@@ -163,6 +163,7 @@ object SparkEntry {
     "dedup_exact_dups" -> (Dedup.exactDups _),
     "dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.minhash(s, d)),
     "dedup_jaccard3" -> ((s: SparkSession, d: String) => Dedup.jaccard3(s, d)),
+    "corpus_overlap" -> ((s: SparkSession, d: String) => Dedup.corpusOverlap(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash" -> (Dedup.simhashSigs _),
@@ -2342,6 +2343,28 @@ object SparkEntry {
          |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
          | FROM ($shingled) a, ($shingled) b WHERE a.doc_id < b.doc_id) p
          |WHERE jaccard >= 0.5""".stripMargin,
+    // cross-source shingle contamination matrix: distinct (source, md5
+    // shingle) pairs, per-source totals, pair-shared counts over the full
+    // ordered source grid; counts exact, jaccard one division. Binary
+    // string ordering of source names agrees between the engines.
+    "corpus_overlap" ->
+      s"""WITH sh AS ($shingled),
+         |sp AS (SELECT DISTINCT d.source, md5(g) AS dg
+         |       FROM (SELECT doc_id, unnest(sh) AS g FROM sh) u
+         |       JOIN documents d USING (doc_id)),
+         |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |        FROM sp GROUP BY source),
+         |shr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |          CAST(count(*) AS BIGINT) AS n_shared
+         |        FROM sp a JOIN sp b ON a.dg = b.dg AND a.source < b.source
+         |        GROUP BY 1, 2)
+         |SELECT ca.source AS src_a, cb.source AS src_b,
+         |  ca.n AS n_a, cb.n AS n_b,
+         |  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+         |  CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+         |    / CAST(ca.n + cb.n - coalesce(s.n_shared, 0) AS DOUBLE) AS jaccard
+         |FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+         |LEFT JOIN shr s ON s.src_a = ca.source AND s.src_b = cb.source""".stripMargin,
     // sorted-neighborhood replay: same fnv64 gram hashes, same
     // (n_chars, doc_id) rank order, same w=4 window, same division
     "dedup_sorted" ->

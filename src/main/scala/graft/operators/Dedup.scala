@@ -903,4 +903,47 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** corpus_overlap — the cross-SOURCE contamination matrix: for every
+    * ordered source pair, how many distinct word-3-gram shingles (the
+    * [[shingleSet]] / dedup_jaccard3 gram definition) the two sources
+    * share, with per-source distinct totals and the shingle-set Jaccard.
+    * This is the corpus-level view the doc-level near-dup passes can't
+    * give: which crawls/feeds are re-serving each other's content (mirror
+    * detection, train/eval split hygiene, dataset-mixing diligence before
+    * two corpora are unioned). n_a/n_b/n_shared are exact BIGINTs; jaccard
+    * is one division of exact ints.
+    *
+    * 100 TB plan: shingles travel as md5 DIGESTS, never raw text (the
+    * dedup-family shuffle discipline), so the distinct (source, digest)
+    * shuffle is fixed-width; the pair join is a digest equi-join whose
+    * per-key fan-out is bounded by the SOURCE count (a shingle in s
+    * sources emits s·(s−1)/2 pairs — sources number hundreds, not
+    * billions); and the final grid join runs on source-sized aggregate
+    * tables (broadcast). No all-pairs stage anywhere.
+    */
+  def corpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = graft.TransientCache.cache(
+      Tables.documents(s, dir).select(col("source"), col("text"))
+        .as[(String, String)]
+        .flatMap { case (src, t) => shingleSet(t).map(g => (src, g)) }
+        .toDF("source", "g")
+        .select(col("source"), md5(col("g")).as("dg"))
+        .distinct())
+    val counts = pairs.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = pairs.select(col("source").as("src_a"), col("dg"))
+      .join(pairs.select(col("source").as("src_b"), col("dg")), "dg")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    val a = counts.select(col("source").as("src_a"), col("n").as("n_a"))
+    val b = counts.select(col("source").as("src_b"), col("n").as("n_b"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_shared"), lit(0L)))
+            .cast("double")).as("jaccard"))
+  }
 }

@@ -373,4 +373,29 @@ class DedupSpec extends AnyFunSuite {
     // the fixture's planted near-dups are length-adjacent: non-vacuous
     assert(expected.nonEmpty)
   }
+
+  test("corpusOverlap: full source grid matches a driver-side shingle-set replay") {
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ds.flatMap(d => Dedup.shingleSet(d._2)).toSet
+    }
+    val sources = bySource.keys.toSeq.sorted
+    val expected = (for {
+      a <- sources; b <- sources if a < b
+      sa = bySource(a); sb = bySource(b)
+      shared = sa.intersect(sb).size
+    } yield (a, b, sa.size.toLong, sb.size.toLong, shared.toLong,
+        shared.toDouble / (sa.size + sb.size - shared).toDouble)).toSet
+    val got = Dedup.corpusOverlap(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(got === expected)
+    // every ordered pair is present (zero-overlap pairs included), and the
+    // fixture's planted cross-source duplicates make at least one pair hot
+    assert(got.size == sources.size * (sources.size - 1) / 2)
+    assert(got.exists(_._5 > 0), "no source pair shares a shingle — vacuous")
+    TransientCache.release(spark)
+  }
 }
