@@ -79,6 +79,7 @@ object SparkEntry {
     "winsorize" -> (graft.operators.Profile.winsorize _),
     "bpe_merges" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bpeMerges(s, d)),
     "bpe_encode" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bpeEncode(s, d)),
+    "token_fertility" -> ((s: SparkSession, d: String) => graft.operators.Corpus.tokenFertility(s, d)),
     "skipgram" -> ((s: SparkSession, d: String) => graft.operators.Corpus.skipgram(s, d)),
     "skipgram_neg" -> ((s: SparkSession, d: String) => graft.operators.Corpus.skipgramNeg(s, d)),
     "skipgram_neg_weighted" -> ((s: SparkSession, d: String) => graft.operators.Corpus.skipgramNegWeighted(s, d)),
@@ -956,6 +957,36 @@ object SparkEntry {
   private val qualityPred =
     """(n_tokens BETWEEN 10 AND 100000) AND (mean_tok_len BETWEEN 2.0 AND 12.0)
       | AND stopword_hits >= 1 AND distinct_ratio > 0.2""".stripMargin
+
+  /** bpe_encode's full recursive-learn replay — shared by the bpe_encode
+    * gate row and token_fertility's vocabulary join.
+    */
+  private val bpeEncodeSql =
+    """WITH RECURSIVE w AS (
+      |  SELECT word, count(*) AS freq FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word),
+      |st(iter, word, freq, sym) AS (
+      |  SELECT 0, word, freq,
+      |         '[' || array_to_string(str_split(word, ''), '][') || ']' FROM w
+      |  UNION ALL
+      |  (WITH cur AS (SELECT * FROM st WHERE iter < 8),
+      |   spl AS (SELECT iter, word, freq,
+      |             str_split(substr(sym, 2, len(sym) - 2), '][') AS l FROM cur),
+      |   pairs AS (SELECT l[CAST(i AS INT)] AS lft, l[CAST(i + 1 AS INT)] AS rgt,
+      |               sum(freq) AS wgt
+      |             FROM spl CROSS JOIN (SELECT range AS i FROM range(1, 64)) t
+      |             WHERE i + 1 <= len(l) GROUP BY 1, 2),
+      |   best AS (SELECT lft, rgt FROM pairs ORDER BY wgt DESC, lft, rgt LIMIT 1)
+      |   SELECT cur.iter + 1, cur.word, cur.freq,
+      |          replace(cur.sym, '[' || best.lft || '][' || best.rgt || ']',
+      |                  '[' || best.lft || best.rgt || ']')
+      |   FROM cur, best))
+      |SELECT word, freq, CAST(len(l) AS BIGINT) AS n_syms,
+      |       array_to_string(l, ' ') AS toks
+      |FROM (SELECT word, freq,
+      |        str_split(substr(sym, 2, len(sym) - 2), '][') AS l
+      |      FROM st WHERE iter = 8) f""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1901,32 +1932,33 @@ object SparkEntry {
         |                AND rk.cents = ev.cents""".stripMargin,
     // the apply side: the same recursive learn, projected at the final
     // iteration — every word's post-merge segmentation
-    "bpe_encode" ->
-      """WITH RECURSIVE w AS (
-        |  SELECT word, count(*) AS freq FROM (
-        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
-        |  WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word),
-        |st(iter, word, freq, sym) AS (
-        |  SELECT 0, word, freq,
-        |         '[' || array_to_string(str_split(word, ''), '][') || ']' FROM w
-        |  UNION ALL
-        |  (WITH cur AS (SELECT * FROM st WHERE iter < 8),
-        |   spl AS (SELECT iter, word, freq,
-        |             str_split(substr(sym, 2, len(sym) - 2), '][') AS l FROM cur),
-        |   pairs AS (SELECT l[CAST(i AS INT)] AS lft, l[CAST(i + 1 AS INT)] AS rgt,
-        |               sum(freq) AS wgt
-        |             FROM spl CROSS JOIN (SELECT range AS i FROM range(1, 64)) t
-        |             WHERE i + 1 <= len(l) GROUP BY 1, 2),
-        |   best AS (SELECT lft, rgt FROM pairs ORDER BY wgt DESC, lft, rgt LIMIT 1)
-        |   SELECT cur.iter + 1, cur.word, cur.freq,
-        |          replace(cur.sym, '[' || best.lft || '][' || best.rgt || ']',
-        |                  '[' || best.lft || best.rgt || ']')
-        |   FROM cur, best))
-        |SELECT word, freq, CAST(len(l) AS BIGINT) AS n_syms,
-        |       array_to_string(l, ' ') AS toks
-        |FROM (SELECT word, freq,
-        |        str_split(substr(sym, 2, len(sym) - 2), '][') AS l
-        |      FROM st WHERE iter = 8) f""".stripMargin,
+    "bpe_encode" -> bpeEncodeSql,
+    // tokenizer-fertility report over the SAME learned segmentation: every
+    // whitespace word left-joined against the bpe_encode vocabulary (the
+    // nested replay), exact counts per (lang, source), two divisions
+    "token_fertility" ->
+      s"""WITH w AS (SELECT lang, source, doc_id,
+         |        unnest(string_split_regex(trim(text), '\\s+')) AS word
+         |      FROM documents),
+         |v AS (SELECT word, n_syms FROM ($bpeEncodeSql) e),
+         |j AS (SELECT w.lang, w.source, w.doc_id, w.word, v.n_syms
+         |      FROM w LEFT JOIN v USING (word))
+         |SELECT lang, source,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(count(n_syms) AS BIGINT) AS n_vocab_words,
+         |  CAST(coalesce(sum(n_syms), 0) AS BIGINT) AS n_subwords,
+         |  CAST(coalesce(sum(CASE WHEN n_syms IS NOT NULL
+         |                         THEN len(word) END), 0) AS BIGINT) AS n_chars,
+         |  CASE WHEN count(n_syms) = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(coalesce(sum(n_syms), 0) AS DOUBLE)
+         |            / CAST(count(n_syms) AS DOUBLE) END AS fertility,
+         |  CASE WHEN coalesce(sum(n_syms), 0) = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(coalesce(sum(CASE WHEN n_syms IS NOT NULL
+         |                                   THEN len(word) END), 0) AS DOUBLE)
+         |            / CAST(coalesce(sum(n_syms), 0) AS DOUBLE)
+         |  END AS chars_per_subword
+         |FROM j GROUP BY lang, source""".stripMargin,
     // per-user daily grid (DATE + i day arithmetic), last-event-of-day by
     // the same (µs, event_id) total order the Spark fold uses, then an
     // IGNORE NULLS running last_value for the forward fill; `value` doubles

@@ -637,6 +637,49 @@ object Corpus {
         array_join(col("l"), " ").as("toks"))
   }
 
+  /** token_fertility — the tokenizer-quality report every training run
+    * gates a tokenizer on: per (lang, source), how many BPE subword tokens
+    * the learned [[bpeEncode]] segmentation spends per word (fertility)
+    * and how many characters each subword carries. High fertility on a
+    * language means the tokenizer underserves it — the metric that decides
+    * whether a vocabulary is rebuilt before a multilingual run. Words
+    * outside the BPE vocabulary domain (`^[a-z]+$`) are counted in
+    * n_words but excluded from the fertility numerator/denominator
+    * (n_vocab_words, n_subwords, n_chars cover the matched words only).
+    * Counts are exact BIGINTs; fertility and chars_per_subword are single
+    * divisions of exact ints.
+    *
+    * 100 TB plan: the corpus is touched ONCE (the word explode); the
+    * segmentation lookup is a BROADCAST join against the vocabulary-sized
+    * bpe_encode table (the word → n_syms lookup a tokenizer ships — never
+    * re-derived per document); the report is one map-side-combined
+    * aggregate onto a (langs × sources)-sized result. The BPE learn
+    * itself is the already-bounded [[bpeMerges]] loop.
+    */
+  def tokenFertility(s: SparkSession, dir: String, rounds: Int = BpeRounds): DataFrame = {
+    val vocab = bpeEncode(s, dir, rounds).select(col("word"), col("n_syms"))
+    val words = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("lang", "source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        count(col("n_syms")).as("n_vocab_words"),
+        coalesce(sum(col("n_syms")), lit(0L)).as("n_subwords"),
+        coalesce(sum(when(col("n_syms").isNotNull,
+          length(col("word")).cast("long"))), lit(0L)).as("n_chars"))
+      .withColumn("fertility",
+        when(col("n_vocab_words") === 0L, lit(0.0))
+          .otherwise(col("n_subwords").cast("double") /
+            col("n_vocab_words").cast("double")))
+      .withColumn("chars_per_subword",
+        when(col("n_subwords") === 0L, lit(0.0))
+          .otherwise(col("n_chars").cast("double") /
+            col("n_subwords").cast("double")))
+  }
+
   /** Skip-gram window radius for [[skipgram]] (the word2vec default ±2 on
     * fixture-length documents).
     */

@@ -716,4 +716,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(mergeTable(Sf0001, Corpus.BpeRounds) ===
       bruteBpe(words, Corpus.BpeRounds))
   }
+
+  test("tokenFertility: group counts == driver-side replay over bpeEncode's table") {
+    val segs = Corpus.bpeEncode(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .selectExpr("lang", "source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val expected = docs.groupBy(d => (d._1, d._2)).map { case ((lang, src), ds) =>
+      val words = ds.flatMap(d => d._4.trim.split("\\s+").map(w => (d._3, w)))
+      val matched = words.filter(w => segs.contains(w._2))
+      val nSub = matched.map(w => segs(w._2)).sum
+      val nChars = matched.map(_._2.length.toLong).sum
+      (lang, src, ds.map(_._3).distinct.length.toLong, words.length.toLong,
+        matched.length.toLong, nSub, nChars,
+        if (matched.isEmpty) 0.0 else nSub.toDouble / matched.length.toDouble,
+        if (nSub == 0L) 0.0 else nChars.toDouble / nSub.toDouble)
+    }.toSet
+    val got = Corpus.tokenFertility(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7),
+        r.getDouble(8))).toSet
+    assert(got === expected)
+    // the report is non-degenerate: merges fired, so somewhere a word costs
+    // fewer subwords than characters, and OOV words exist (n_words gap)
+    assert(got.exists(t => t._6 < t._7), "no group with n_subwords < n_chars")
+    // vocab-matched words can never exceed the word total (the sf0.001
+    // fixture happens to be 100% in-domain, so equality is legitimate)
+    assert(got.forall(t => t._5 <= t._4))
+    TransientCache.release(spark)
+  }
 }
