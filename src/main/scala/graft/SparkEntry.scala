@@ -87,6 +87,7 @@ object SparkEntry {
     "robust_scale" -> (graft.operators.Profile.robustScale _),
     "dq_violations" -> (graft.operators.Profile.dqViolations _),
     "corr_stats" -> (graft.operators.Profile.corrStats _),
+    "drift_psi" -> (graft.operators.Profile.driftPsi _),
     "cogroup_fill" -> (graft.operators.Profile.cogroupFill _),
     "corpus_report" -> (graft.operators.Profile.corpusReport _),
     // --- graph analytics over the events-implied user↔item graph ---
@@ -1591,6 +1592,66 @@ object SparkEntry {
         |       coalesce(la.items_cents, 0) AS items_cents
         |FROM o FULL OUTER JOIN la ON o.o_orderkey = la.l_orderkey""".stripMargin,
     // exact integral sufficient statistics: HUGEINT accumulation here vs
+    // PSI drift monitor: integer-cents histogram, ceil-rank decile edges
+    // from the reference half (robust_scale's formula), exact per-bin
+    // counts; the one ln() in the gate rides on identical exact-derived
+    // doubles and is rounded to 4 — the count columns pin each row exactly
+    "drift_psi" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM e),
+        |t AS (SELECT cents, ts_us <= (b.mn + b.mx) // 2 AS is_ref FROM e, b),
+        |h AS (SELECT cents, count(*) AS c FROM t WHERE is_ref GROUP BY cents),
+        |cum AS (SELECT cents,
+        |          sum(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+        |            PRECEDING AND CURRENT ROW) AS cum,
+        |          sum(c) OVER () AS n FROM h),
+        |ed AS (SELECT
+        |    min(CASE WHEN cum >= (10 * n + 99) // 100 THEN cents END) AS e10,
+        |    min(CASE WHEN cum >= (20 * n + 99) // 100 THEN cents END) AS e20,
+        |    min(CASE WHEN cum >= (30 * n + 99) // 100 THEN cents END) AS e30,
+        |    min(CASE WHEN cum >= (40 * n + 99) // 100 THEN cents END) AS e40,
+        |    min(CASE WHEN cum >= (50 * n + 99) // 100 THEN cents END) AS e50,
+        |    min(CASE WHEN cum >= (60 * n + 99) // 100 THEN cents END) AS e60,
+        |    min(CASE WHEN cum >= (70 * n + 99) // 100 THEN cents END) AS e70,
+        |    min(CASE WHEN cum >= (80 * n + 99) // 100 THEN cents END) AS e80,
+        |    min(CASE WHEN cum >= (90 * n + 99) // 100 THEN cents END) AS e90
+        |  FROM cum),
+        |bt AS (SELECT is_ref,
+        |    (CASE WHEN cents > e10 THEN 1 ELSE 0 END
+        |   + CASE WHEN cents > e20 THEN 1 ELSE 0 END
+        |   + CASE WHEN cents > e30 THEN 1 ELSE 0 END
+        |   + CASE WHEN cents > e40 THEN 1 ELSE 0 END
+        |   + CASE WHEN cents > e50 THEN 1 ELSE 0 END
+        |   + CASE WHEN cents > e60 THEN 1 ELSE 0 END
+        |   + CASE WHEN cents > e70 THEN 1 ELSE 0 END
+        |   + CASE WHEN cents > e80 THEN 1 ELSE 0 END
+        |   + CASE WHEN cents > e90 THEN 1 ELSE 0 END) AS bin
+        |  FROM t, ed),
+        |c2 AS (SELECT bin,
+        |         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+        |         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+        |       FROM bt GROUP BY bin),
+        |sp AS (SELECT unnest(range(0, 10)) AS bin),
+        |f AS (SELECT sp.bin, CAST(coalesce(c2.n_ref, 0) AS BIGINT) AS n_ref,
+        |             CAST(coalesce(c2.n_cur, 0) AS BIGINT) AS n_cur
+        |      FROM sp LEFT JOIN c2 USING (bin)),
+        |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS d_ref,
+        |               CAST(sum(n_cur) AS BIGINT) AS d_cur FROM f)
+        |SELECT CAST(f.bin AS BIGINT) AS bin,
+        |  CASE WHEN f.bin >= 1 THEN
+        |    [ed.e10, ed.e20, ed.e30, ed.e40, ed.e50, ed.e60, ed.e70, ed.e80,
+        |     ed.e90][CAST(f.bin AS INT)] END AS lo_cents,
+        |  CASE WHEN f.bin <= 8 THEN
+        |    [ed.e10, ed.e20, ed.e30, ed.e40, ed.e50, ed.e60, ed.e70, ed.e80,
+        |     ed.e90][CAST(f.bin + 1 AS INT)] END AS hi_cents,
+        |  f.n_ref, f.n_cur,
+        |  round((CAST(f.n_ref + 1 AS DOUBLE) / CAST(tot.d_ref + 10 AS DOUBLE)
+        |       - CAST(f.n_cur + 1 AS DOUBLE) / CAST(tot.d_cur + 10 AS DOUBLE))
+        |    * ln((CAST(f.n_ref + 1 AS DOUBLE) / CAST(tot.d_ref + 10 AS DOUBLE))
+        |       / (CAST(f.n_cur + 1 AS DOUBLE) / CAST(tot.d_cur + 10 AS DOUBLE))),
+        |    4) AS psi_contrib4
+        |FROM f, tot, ed""".stripMargin,
     // DECIMAL(38,0) on the Spark side — both exact integers, but the GATE
     // output is the exact decimal STRING on both sides: wide-decimal
     // columns hash differently per physical representation (int128 vs

@@ -201,6 +201,78 @@ object Profile {
   /** Short-document threshold for [[corpusReport]] (chars). */
   val ShortDocChars = 50L
 
+  /** drift_psi — Population-Stability-Index drift monitor over the events
+    * `value` distribution: the stream is split at its time midpoint
+    * (reference = first half, current = second half — the
+    * week-over-week comparison a production pipeline runs on every
+    * ingest), the REFERENCE half defines decile bin edges (the exact
+    * ceil-rank order statistics, [[robustScale]]'s formula, over integer
+    * cents), and each bin reports both populations' exact counts plus its
+    * Laplace-smoothed PSI contribution (p−q)·ln(p/q) with
+    * p=(n_ref+1)/(D_ref+10), q=(n_cur+1)/(D_cur+10). Σ contributions ≥
+    * 0.2 is the standard "distribution moved, re-examine the mix" alarm.
+    * Counts and bin edges are exact BIGINTs (cents discipline); the
+    * contribution is rounded to 4 decimals — the one ln() in the gate, on
+    * identical exact-derived doubles both sides, so only a sub-ulp libm
+    * disagreement landing exactly on a 5·10⁻⁵ boundary could diverge
+    * (the exact count columns pin the row regardless).
+    *
+    * 100 TB plan: two scans collapse to histograms immediately — the
+    * decile derivation runs on the (distinct cents)-sized reference
+    * histogram (value-range-bounded, like value_histogram: the unusual
+    * unpartitioned window is over that bounded histogram, never rows),
+    * edges broadcast back as one row, and the per-bin counts are one
+    * map-side-combined aggregate onto 10 rows. Nothing driver-side,
+    * nothing row-scale past the first aggregate.
+    */
+  def driftPsi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.TransientCache.cache(
+      Tables.events(s, dir).select(
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents")))
+    val bounds = ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .select(col("cents"), expr("ts_us <= (mn + mx) DIV 2").as("is_ref"))
+    val hist = tagged.filter(col("is_ref"))
+      .groupBy("cents").agg(count(lit(1)).as("c"))
+    val cum = hist.select(col("cents"),
+      sum(col("c")).over(Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum(col("c")).over(Window.partitionBy()).as("n"))
+    val qs = 10 to 90 by 10
+    val edgeAggs = qs.map(q =>
+      min(when(col("cum") >= expr(s"($q * n + 99) DIV 100"), col("cents")))
+        .as(s"e$q"))
+    val edges = cum.agg(edgeAggs.head, edgeAggs.tail: _*)
+    val binned = tagged.crossJoin(broadcast(edges))
+      .select(col("is_ref"),
+        qs.map(q => when(col("cents") > col(s"e$q"), 1L).otherwise(0L))
+          .reduce(_ + _).as("bin"))
+    val counts = binned.groupBy("bin").agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val spine = s.range(10).select(col("id").as("bin"))
+    val filled = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = filled.agg(sum("n_ref").as("d_ref"), sum("n_cur").as("d_cur"))
+    val edgeArr = array(qs.map(q => col(s"e$q")): _*)
+    val p = (col("n_ref") + lit(1L)).cast("double") /
+      (col("d_ref") + lit(10L)).cast("double")
+    val q = (col("n_cur") + lit(1L)).cast("double") /
+      (col("d_cur") + lit(10L)).cast("double")
+    filled.crossJoin(broadcast(totals)).crossJoin(broadcast(edges))
+      .select(col("bin"),
+        when(col("bin") >= 1L, element_at(edgeArr, col("bin").cast("int")))
+          .as("lo_cents"),
+        when(col("bin") <= 8L, element_at(edgeArr, (col("bin") + 1L).cast("int")))
+          .as("hi_cents"),
+        col("n_ref"), col("n_cur"),
+        round((p - q) * log(p / q), 4).as("psi_contrib4"))
+  }
+
   /** corpus_report — the one-glance corpus health summary a curation
     * pipeline publishes with every drop: document/source/language
     * cardinalities, exact-duplicate pressure, short-doc pressure, and

@@ -830,4 +830,47 @@ class CurationSpec extends AnyFunSuite {
     // the augmentation makes dedup non-vacuous on the fixture
     assert(got.values.exists(v => v._1 != v._2))
   }
+
+  test("driftPsi: bins, counts and contributions match a driver-side replay") {
+    val ev = graft.sources.Tables.events(spark, Sf0001)
+      .selectExpr("unix_micros(ts) AS ts_us",
+        "CAST(round(value * 100) AS BIGINT) AS cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mid = (ev.map(_._1).min + ev.map(_._1).max) / 2
+    val ref = ev.filter(_._1 <= mid).map(_._2)
+    val cur = ev.filter(_._1 > mid).map(_._2)
+    // ceil-rank decile edges over the reference histogram
+    val sortedRef = ref.sorted
+    val n = ref.length.toLong
+    val edges = (10 to 90 by 10).map { q =>
+      val rank = (q * n + 99) / 100
+      sortedRef(rank.toInt - 1)
+    }
+    def bin(c: Long): Int = edges.count(c > _)
+    val refCounts = ref.groupBy(bin).view.mapValues(_.length.toLong).toMap
+    val curCounts = cur.groupBy(bin).view.mapValues(_.length.toLong).toMap
+    val dRef = ref.length.toLong
+    val dCur = cur.length.toLong
+    val expected = (0 until 10).map { b =>
+      val nr = refCounts.getOrElse(b, 0L)
+      val nc = curCounts.getOrElse(b, 0L)
+      val p = (nr + 1).toDouble / (dRef + 10).toDouble
+      val q = (nc + 1).toDouble / (dCur + 10).toDouble
+      val lo = if (b >= 1) Some(edges(b - 1)) else None
+      val hi = if (b <= 8) Some(edges(b)) else None
+      (b.toLong, lo, hi, nr, nc,
+        BigDecimal((p - q) * math.log(p / q))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = graft.operators.Profile.driftPsi(spark, Sf0001).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got === expected)
+    // both halves are populated and every event landed in exactly one bin
+    assert(dRef > 0 && dCur > 0)
+    assert(got.toSeq.map(_._4).sum == dRef && got.toSeq.map(_._5).sum == dCur)
+    TransientCache.release(spark)
+  }
 }
