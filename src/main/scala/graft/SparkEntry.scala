@@ -166,6 +166,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s: SparkSession, d: String) => Dedup.minhash(s, d)),
     "dedup_jaccard3" -> ((s: SparkSession, d: String) => Dedup.jaccard3(s, d)),
     "corpus_overlap" -> ((s: SparkSession, d: String) => Dedup.corpusOverlap(s, d)),
+    "dedup_recall" -> ((s: SparkSession, d: String) => Dedup.dedupRecall(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash" -> (Dedup.simhashSigs _),

@@ -946,4 +946,57 @@ object Dedup {
           (col("n_a") + col("n_b") - coalesce(col("n_shared"), lit(0L)))
             .cast("double")).as("jaccard"))
   }
+
+  /** dedup_recall — the banding-recall harness for the MinHash tier, the
+    * dedup-family analog of ann_recall: ground truth is the recall-1
+    * prefix-filter pair set ([[similarityEdges]] — same shingle semantics
+    * as [[minhash]], candidate generation provably complete), and each
+    * true pair is checked against the pairs the LSH tier actually
+    * returned. Reported per similarity decile — the empirical S-curve
+    * ((16 bands × 4 rows) ⇒ P[caught] = 1−(1−j⁴)¹⁶) every LSH deployment
+    * validates before trusting a (bands, rows) choice at a threshold.
+    *
+    * Determinism: deciles are INTEGER arithmetic, (10·|A∩B|) div |A∪B| —
+    * never floor(10·j) on the IEEE quotient, which disagrees with the
+    * integer rank at exact boundaries (j = 7/10 rounds DOWN as a double:
+    * floor(10·(7/10.0)) = 6). Counts are exact BIGINTs; recall is the one
+    * terminal division. The LSH side is itself deterministic (seeded
+    * hashes, capped buckets), so the oracle replays BOTH sides and the
+    * gate checks the harness end-to-end, banding probabilities included.
+    *
+    * 100 TB plan: both pair generators are the library's own scale paths
+    * (prefix-filter join and banded LSH — no all-pairs stage anywhere;
+    * the all-pairs formulation exists only in the DuckDB oracle); the
+    * harness adds one pair-table join against the shingle sets (pair
+    * count-sized, tiny vs the corpus) plus a broadcast-sized left join of
+    * LSH pairs onto true pairs, then collapses to ≤6 decile rows via a
+    * map-side-combined aggregate. In production this runs on a document
+    * SAMPLE after every banding-parameter change — the sampled harness is
+    * this exact plan with a filter pushed into the scan.
+    */
+  def dedupRecall(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val sets = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, shingleSet(t)) }
+      .toDF("doc_id", "sh")
+    val exact = similarityEdges(s, dir, threshold)
+    val withSets = exact
+      .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+      .select(col("doc1"), col("doc2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("ov"),
+        size(array_union(col("sh1"), col("sh2"))).cast("long").as("un"))
+    val lsh = minhash(s, dir, threshold)
+      .select(col("doc1"), col("doc2"), lit(1L).as("hit"))
+    withSets.join(lsh, Seq("doc1", "doc2"), "left")
+      .withColumn("j_decile", expr("(10 * ov) div un"))
+      .groupBy("j_decile")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+      .select(col("j_decile"), col("n_true"), col("n_caught"),
+        (col("n_caught").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
+  }
 }
