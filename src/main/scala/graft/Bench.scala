@@ -87,6 +87,14 @@ object Bench {
         // and restore any session conf the query mutated
         TransientCache.release(spark)
         restoreConf()
+        // If this run was a stateful streaming query, its stopped stream
+        // leaves every loaded state-store provider pinned until background
+        // maintenance unloads it — heap that the NEXT timed query pays for
+        // in full GCs (BENCH_r10: q3_join_broadcast 4.6×, alphabetically
+        // first after the q33–q39 streaming block). Tear the providers
+        // down deterministically and compact now, outside any timed window.
+        if (org.apache.spark.sql.graftshim.SessionSweep.sweepStreamingState())
+          System.gc()
         sec
       }
       val warmSec =

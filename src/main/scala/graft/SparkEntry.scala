@@ -318,11 +318,15 @@ object SparkEntry {
     * S-curve is NOT left probabilistic at the gate: the oracle collides
     * exactly the buckets the Spark plan collides.
     */
-  private val minhashPairsSql = {
+  // CTE body of the minhash replay (shingles → signatures → bands → capped
+  // buckets → candidate pairs → exact-Jaccard verify in `j`), shared by
+  // minhashPairsSql (terminal pair SELECT) and dedupRecallSql (which joins
+  // the same `j` pairs against the all-pairs ground truth).
+  private val minhashCtes = {
     val golden = "CAST(11400714819323198485 AS HUGEINT)" // 0x9E3779B97F4A7C15
     val fnvOff = "CAST(14695981039346656037 AS HUGEINT)" // FNV-1a offset basis
     val fnvPrime = "CAST(1099511628211 AS HUGEINT)"
-    s"""WITH s AS ($shingled),
+    s"""s AS ($shingled),
        |g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
        |h AS (SELECT doc_id, ${fnvFold(codeUnits("gram"))} AS hu FROM g),
        |hk AS (SELECT doc_id, hu, unnest(range(0, 64)) AS k FROM h),
@@ -347,9 +351,39 @@ object SparkEntry {
        |j AS (SELECT c.doc1, c.doc2,
        |  CAST(len(list_distinct(list_intersect(x.sh, y.sh))) AS DOUBLE)
        |   / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
-       | FROM cand c JOIN s x ON x.doc_id = c.doc1 JOIN s y ON y.doc_id = c.doc2)
-       |SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+       | FROM cand c JOIN s x ON x.doc_id = c.doc1 JOIN s y ON y.doc_id = c.doc2)""".stripMargin
   }
+
+  private val minhashPairsSql =
+    s"WITH $minhashCtes\nSELECT doc1, doc2, jaccard FROM j WHERE jaccard >= 0.5"
+
+  /** dedup_recall oracle — replays BOTH sides of the banding-recall harness:
+    * the LSH side is the full minhash replay above (`j` — seeded signatures,
+    * banded buckets, MaxBucket cap, exact verify), and the ground-truth side
+    * is the all-pairs exact formulation of the prefix-filter edge set (the
+    * prefix filter has recall exactly 1, so all-pairs is its oracle — same
+    * equivalence dedup_jaccard3's oracle already relies on). Deciles are
+    * INTEGER arithmetic ((10·ov) // un) on exact BIGINT overlap/union
+    * counts; recall is the one terminal double division.
+    */
+  private val dedupRecallSql =
+    s"""WITH $minhashCtes,
+       |lsh AS (SELECT doc1, doc2 FROM j WHERE jaccard >= 0.5),
+       |tp AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       |  CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS BIGINT) AS ov,
+       |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS un
+       | FROM s a JOIN s b ON a.doc_id < b.doc_id),
+       |tf AS (SELECT * FROM tp
+       |       WHERE CAST(ov AS DOUBLE) / CAST(un AS DOUBLE) >= 0.5),
+       |dec AS (SELECT (10 * tf.ov) // tf.un AS j_decile,
+       |  CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN l.doc1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_caught
+       | FROM tf LEFT JOIN lsh l ON l.doc1 = tf.doc1 AND l.doc2 = tf.doc2
+       | GROUP BY 1)
+       |SELECT j_decile, n_true, n_caught,
+       |  CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+       |FROM dec""".stripMargin
 
   /** Full replay of the random-hyperplane LSH ANN path (Ann.lshTopK) in
     * DuckDB: the splitmix64 hyperplane stream (closed form — state_k = seed +
@@ -1943,7 +1977,9 @@ object SparkEntry {
     // floor(sqrt(floor(sqrt(freq^3)))) (two correctly-rounded IEEE sqrts —
     // NOT pow, whose last bit is libm-dependent and could flip an interval
     // boundary under floor), cumulative intervals over the (freq desc, tok
-    // asc) ranked vocab, and the salted hash landed into them
+    // asc) ranked vocab CAPPED at NegVocabCap rows (the sampling-table
+    // truncation the Scala side applies via TakeOrdered), and the salted
+    // hash landed into them
     "skipgram_neg_weighted" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
          |           FROM documents),
@@ -1954,7 +1990,11 @@ object SparkEntry {
          |       FROM p a JOIN p b ON a.doc_id = b.doc_id
          |        AND b.pos BETWEEN a.pos - 2 AND a.pos + 2 AND b.pos <> a.pos),
          |vtok AS (SELECT unnest(toks) AS tok FROM t),
-         |vf AS (SELECT tok, count(*) AS freq FROM vtok GROUP BY tok),
+         |vf0 AS (SELECT tok, count(*) AS freq FROM vtok GROUP BY tok),
+         |vf AS (SELECT tok, freq FROM (
+         |        SELECT tok, freq, row_number() OVER (
+         |            ORDER BY freq DESC, tok ASC) AS rnk FROM vf0) r
+         |       WHERE rnk <= ${graft.operators.Corpus.NegVocabCap}),
          |vw AS (SELECT tok, freq,
          |         CAST(floor(sqrt(floor(sqrt(
          |             CAST(freq AS DOUBLE) * CAST(freq AS DOUBLE)
@@ -2437,6 +2477,10 @@ object SparkEntry {
          |   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
          | FROM ($shingled) a, ($shingled) b WHERE a.doc_id < b.doc_id) p
          |WHERE jaccard >= 0.5""".stripMargin,
+    // dedup_recall: both sides replayed — the minhash CTE chain generates
+    // the LSH pairs, the all-pairs CTE the exact ground truth (all-pairs is
+    // exact for the prefix filter because its recall is 1); integer deciles.
+    "dedup_recall" -> dedupRecallSql,
     // cross-source shingle contamination matrix: distinct (source, md5
     // shingle) pairs, per-source totals, pair-shared counts over the full
     // ordered source grid; counts exact, jaccard one division. Binary

@@ -722,6 +722,18 @@ object Corpus {
   /** Negatives drawn per (center, context) pair by [[skipgramNeg]]. */
   val NegSamples = 2
 
+  /** Negative-sampling table vocabulary cap for [[skipgramNegWeighted]]:
+    * only the top-`NegVocabCap` tokens by (freq desc, tok asc) enter the
+    * cumulative-weight table. A raw-token vocabulary is UNBOUNDED at corpus
+    * scale (typos, URLs — hundreds of millions of distinct tokens at
+    * 100 TB), so an uncapped table is an unbounded driver materialization;
+    * production SGNS truncates the sampling table anyway (word2vec's
+    * min-count floor serves the same purpose — the tail it cuts carries
+    * negligible probability mass under unigram^0.75). Constant and
+    * replayed verbatim by the oracle's ranked-vocabulary CTE.
+    */
+  val NegVocabCap = 65536
+
   /** skipgram_neg — deterministic negative sampling for SGNS training: for
     * every distinct (center, context) pair from [[skipgram]]'s window,
     * [[NegSamples]] negative tokens drawn by hashing
@@ -795,21 +807,27 @@ object Corpus {
     * at every magnitude (exact below 2^53, same rounded double above).
     *
     * 100 TB plan: same transport as [[skipgramNeg]] — pairs × k is a
-    * fixed ×k explode; the cumulative table is vocabulary-sized (the same
-    * bounded class as the ANN codebooks), collected once and broadcast as
-    * two flat arrays; the per-row work is one fnv64 and a binary search
-    * over the broadcast array inside one typed pass. No RNG state, no
-    * extra shuffle, and the oracle replays the cumulative table and the
-    * interval lookup verbatim in SQL.
+    * fixed ×k explode; the cumulative table is capped at [[NegVocabCap]]
+    * rows (TakeOrdered on (freq desc, tok asc) — the raw-token vocabulary
+    * is unbounded at corpus scale, the sampling table must not be),
+    * collected once and broadcast as two flat arrays; the per-row work is
+    * one fnv64 and a binary search over the broadcast array inside one
+    * typed pass. No RNG state, no extra shuffle, and the oracle replays
+    * the capped cumulative table and the interval lookup verbatim in SQL.
     */
   def skipgramNegWeighted(s: SparkSession, dir: String,
-      window: Int = SkipgramWindow, k: Int = NegSamples): DataFrame = {
+      window: Int = SkipgramWindow, k: Int = NegSamples,
+      vocabCap: Int = NegVocabCap): DataFrame = {
     import s.implicits._
     val pairs = skipgram(s, dir, window).select("center", "context")
     val vf = Tables.documents(s, dir)
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
+    // orderBy + limit = TakeOrdered: the driver materializes AT MOST
+    // vocabCap rows however large the raw vocabulary grows (the one
+    // previously-uncapped driver collect in main source)
     val ranked = vf.orderBy(col("freq").desc, col("tok").asc)
+      .limit(vocabCap)
       .select("tok", "freq").collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val weights = ranked.map { case (_, f) =>

@@ -1,0 +1,39 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.execution.streaming.state.StateStore
+
+/** Post-streaming session hygiene for long-lived multi-query sessions.
+  *
+  * A stopped streaming query does NOT release its executor-side state: in
+  * local mode every HDFSBackedStateStoreProvider the query loaded stays in
+  * `StateStore`'s provider registry (keyed maps of UnsafeRow state, one per
+  * store partition per stateful operator), pinned until the background
+  * maintenance task eventually decides to unload it — minutes later, on its
+  * own schedule. A bench session that runs a block of stateful streaming
+  * queries (q33–q56) therefore carries tens of thousands of dead state rows
+  * into whatever runs NEXT, and the first allocation-heavy query after the
+  * block pays the full-GC bill for all of them. BENCH_r10's
+  * q3_join_broadcast 4.6× regression (alphabetically the first batch query
+  * after the q33–q39 streaming run) is this exact fingerprint — the same
+  * post-streaming GC bleed SCALE.md's round-4 root-cause first documented.
+  *
+  * [[sweepStreamingState]] makes the teardown deterministic instead of
+  * maintenance-scheduled: if any state store was loaded this session, stop
+  * the maintenance task and close/unload every provider NOW (the next
+  * streaming query transparently re-registers maintenance on its first
+  * store load — `StateStore.get` restarts it), and report `true` so the
+  * caller can follow with a GC while still outside any timed window. Lives
+  * under org.apache.spark.sql because the provider registry is
+  * private[sql] surface.
+  */
+object SessionSweep {
+
+  /** Unload all loaded state-store providers if any streaming state exists;
+    * returns whether anything was swept (callers gate a System.gc on it).
+    */
+  def sweepStreamingState(): Boolean =
+    if (StateStore.isMaintenanceRunning) {
+      StateStore.stop()
+      true
+    } else false
+}

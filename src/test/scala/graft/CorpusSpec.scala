@@ -561,6 +561,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(totalW === weights.sum)
   }
 
+  test("skipgramNegWeighted: NegVocabCap truncates the sampling table and BITES") {
+    val dir = writeDocs(Seq((1L, "a b c", "en", "s0"), (2L, "b c d b", "en", "s0")))
+    val cap = 2
+    // vocab (freq desc, tok asc) = [b:3, c:2, a:1, d:1] — cap 2 keeps [b, c]
+    val got = Corpus.skipgramNegWeighted(spark, dir, vocabCap = cap).collect()
+      .map(r => (r.getAs[String]("center"), r.getAs[String]("context"),
+        r.getAs[Int]("j"), r.getAs[String]("neg_token"))).toSet
+    assert(got.nonEmpty)
+    // the cap bites: the raw vocabulary exceeds it, and every negative is
+    // drawn from the truncated table only
+    val fullVocab = Set("a", "b", "c", "d")
+    assert(fullVocab.size > cap)
+    assert(got.forall(r => Set("b", "c").contains(r._4)),
+      s"negative outside the capped table: $got")
+    // driver replay of the CAPPED cumulative table: weights [2, 1], W=3
+    def fnv(sct: String): Long = {
+      var h = -3750763034362895579L
+      sct.foreach { c => h = (h ^ c.toLong) * 1099511628211L }
+      h
+    }
+    val tbl = Seq(("b", 2L), ("c", 1L))
+    val cum = tbl.map(_._2).scanLeft(0L)(_ + _)
+    val totalW = cum.last
+    val expect = got.map(r => (r._1, r._2)).flatMap { case (ce, cx) =>
+      (0 until Corpus.NegSamples).map { j =>
+        val u = (fnv(s"$ce\u0001$cx\u0001$j\u0001w") & Long.MaxValue) % totalW
+        (ce, cx, j, tbl(cum.lastIndexWhere(_ <= u))._1)
+      }
+    }
+    assert(got === expect)
+    // and truncation actually CHANGED the draw vs the uncapped table
+    // (different modulus + missing tail tokens), so the cap is observable
+    val uncapped = Corpus.skipgramNegWeighted(spark, dir).collect()
+      .map(r => (r.getAs[String]("center"), r.getAs[String]("context"),
+        r.getAs[Int]("j"), r.getAs[String]("neg_token"))).toSet
+    assert(got !== uncapped, "cap inert on the fixture — strengthen it")
+  }
+
   test("skipgram: repeated tokens accumulate counts; window never crosses docs") {
     val dir = writeDocs(Seq(
       (1L, "a a a", "en", "s0"), // each a sees the other two: (a,a) n=6

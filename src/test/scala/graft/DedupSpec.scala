@@ -140,6 +140,33 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((0L, 1L)) > 0.85 && pairs((0L, 1L)) < 1.0)
   }
 
+  test("dedupRecall: decile table equals driver-side replay of both sides") {
+    // ground truth replayed brute-force from shingle sets; LSH side taken
+    // from the operator's own minhash pairs (themselves pinned exact above)
+    val sh = docs.map { case (id, t, _, _, _) => id -> Dedup.shingleSet(t).toSet }.toMap
+    val truePairs = (for {
+      (i, si) <- sh; (j, sj) <- sh if i < j
+      ov = si.intersect(sj).size.toLong
+      un = si.union(sj).size.toLong
+      if ov.toDouble / un.toDouble >= 0.5
+    } yield (i, j, ov, un)).toSeq
+    assert(truePairs.nonEmpty)
+    val lsh = Dedup.minhash(spark, dir, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2"))).toSet
+    val expected = truePairs
+      .groupBy { case (_, _, ov, un) => (10L * ov) / un }
+      .map { case (d, ps) =>
+        val caught = ps.count { case (i, j, _, _) => lsh((i, j)) }.toLong
+        (d, ps.size.toLong, caught, caught.toDouble / ps.size.toDouble)
+      }.toSet
+    val got = Dedup.dedupRecall(spark, dir).collect()
+      .map(r => (r.getAs[Long]("j_decile"), r.getAs[Long]("n_true"),
+        r.getAs[Long]("n_caught"), r.getAs[Double]("recall"))).toSet
+    assert(got == expected)
+    // non-vacuous: the constructed corpus populates more than one decile
+    assert(got.size >= 2, s"decile table vacuous: $got")
+  }
+
   test("ngramJaccard: equals brute-force token-set jaccard at threshold") {
     val t = 0.8
     val expected = (for {

@@ -67,6 +67,8 @@ def canon_hash(rows):
     for row in rows:
         for v in row:
             h.update(repr(v).encode())
+            h.update(b"\x1f")  # cell delimiter: keeps the digest injective
+            # over cell boundaries ('ab','c' must not alias 'a','bc')
         h.update(b"\x00")
     return h.hexdigest()
 
