@@ -3020,7 +3020,7 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
          |       AS BIGINT) AS n_hits,
          |  CAST(sum(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-         |       AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+         |       AS DOUBLE) / CAST(${graft.operators.Ann.RecallK} AS DOUBLE) AS recall
          |FROM ap LEFT JOIN ex ON ex.query_id = ap.query_id
          |  AND ex.neighbor_id = ap.neighbor_id
          |GROUP BY ap.method, ap.query_id""".stripMargin,

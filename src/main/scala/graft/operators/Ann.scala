@@ -1043,7 +1043,7 @@ object Ann {
     * broadcast-sized. Evaluating a new tier is one more union branch.
     */
   def annRecall(s: SparkSession, dir: String, nQueries: Int = 8,
-      k: Int = 10): DataFrame = {
+      k: Int = RecallK): DataFrame = {
     val exact = bruteTopK(s, dir, nQueries, k)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     val approx =
@@ -1057,6 +1057,12 @@ object Ann {
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .withColumn("recall", col("n_hits").cast("double") / lit(k.toDouble))
   }
+
+  /** recall@k cutoff shared by [[annRecall]]'s default and its oracle's
+    * denominator — interpolated into both so retuning k cannot silently
+    * diverge the two sides.
+    */
+  val RecallK = 10
 
   /** MMR trade-off weight: relevance λ vs diversity (1−λ). */
   val MmrLambda = 0.7
