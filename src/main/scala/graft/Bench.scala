@@ -79,23 +79,29 @@ object Bench {
       // stays near the single-run cost.
       def runOnce(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        // outside the timed window: sweep this run's operator-internal
-        // transient caches (so no run free-rides on the previous run's
-        // blocks and storage can't accumulate across the 60+ query session)
-        // and restore any session conf the query mutated
-        TransientCache.release(spark)
-        restoreConf()
-        // If this run was a stateful streaming query, its stopped stream
-        // leaves every loaded state-store provider pinned until background
-        // maintenance unloads it — heap that the NEXT timed query pays for
-        // in full GCs (BENCH_r10: q3_join_broadcast 4.6×, alphabetically
-        // first after the q33–q39 streaming block). Tear the providers
-        // down deterministically and compact now, outside any timed window.
-        if (org.apache.spark.sql.graftshim.SessionSweep.sweepStreamingState())
-          System.gc()
-        sec
+        // The cleanup runs in a finally: a query that THROWS after loading
+        // state-store providers or mutating session conf must not bleed that
+        // state into every subsequent timed query — the failure path is
+        // exactly where contamination would otherwise go unswept.
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          // outside the timed window: sweep this run's operator-internal
+          // transient caches (so no run free-rides on the previous run's
+          // blocks and storage can't accumulate across the 60+ query
+          // session) and restore any session conf the query mutated
+          TransientCache.release(spark)
+          restoreConf()
+          // If this run was a stateful streaming query, its stopped stream
+          // leaves every loaded state-store provider pinned until background
+          // maintenance unloads it — heap that the NEXT timed query pays for
+          // in full GCs (BENCH_r10: q3_join_broadcast 4.6×, alphabetically
+          // first after the q33–q39 streaming block). Tear the providers
+          // down deterministically and compact now, outside any timed window.
+          if (org.apache.spark.sql.graftshim.SessionSweep.sweepStreamingState())
+            System.gc()
+        }
       }
       val warmSec =
         try Some(runOnce())

@@ -128,6 +128,7 @@ object SparkEntry {
     "q36_stream_neardup" -> (graft.streaming.EventStreams.nearDupQuery _),
     "q50_stream_embed_neardup" -> (graft.streaming.EventStreams.embedNearDupQuery _),
     "q56_stream_image_phash" -> (graft.streaming.EventStreams.imagePhashQuery _),
+    "q57_stream_drift" -> (graft.streaming.EventStreams.streamDriftQuery _),
     "q38_stream_active" -> (graft.streaming.EventStreams.activeQuery _),
     "q39_stream_debounce" -> (graft.streaming.EventStreams.debounceQuery _),
     "q42_stream_attribution" -> (graft.streaming.EventStreams.attributionQuery _),
@@ -207,6 +208,7 @@ object SparkEntry {
     "mm_audio_vad" -> ((s: SparkSession, d: String) => Multimodal.audioVad(s, d)),
     "mm_image_phash" -> ((s: SparkSession, d: String) => Multimodal.imagePhashPairs(s, d)),
     "hybrid_rrf" -> ((s: SparkSession, d: String) => graft.operators.Ann.hybridRrf(s, d)),
+    "hybrid_rrf_ivfpq" -> ((s: SparkSession, d: String) => graft.operators.Ann.hybridRrfIvfPq(s, d)),
     "mm_thumbs" -> ((s: SparkSession, d: String) => Multimodal.thumbStats(s, d)),
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "mm_shard_manifest" -> ((s: SparkSession, d: String) => Multimodal.shardManifest(s, d)),
@@ -422,7 +424,60 @@ object SparkEntry {
 
   private val goldenGamma = "CAST(11400714819323198485 AS HUGEINT)"
 
-  private val annLshSql =
+  /** ann_brute replay — also the dense branch of hybrid_rrf and the
+    * ground-truth side of ann_recall's ex CTE (which re-inlines it with a
+    * parameterized cutoff).
+    */
+  private val annBruteSql =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, vec AS qvec FROM c WHERE vec_id < 8)
+      |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS "rank" FROM (
+      | SELECT q.query_id, c.vec_id AS neighbor_id, row_number() OVER (
+      |  PARTITION BY q.query_id
+      |  ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id ASC) AS rnk
+      | FROM c, q WHERE c.vec_id <> q.query_id) t WHERE rnk <= 10""".stripMargin
+
+  /** hybrid_rrf replay, parameterized by the DENSE branch — any subquery
+    * with the (query_id, neighbor_id, "rank" ≤ 10) contract nests as the
+    * emb CTE (ann_brute for hybrid_rrf, the full ann_ivfpq_refined replay
+    * for hybrid_rrf_ivfpq), mirroring the Scala side's `dense` parameter so
+    * the operator and its oracle swap neighbor sources at the same joint.
+    * The lexical branch and the 1/(RrfC+rank) fusion are shared verbatim:
+    * the score is a pure function of ranks, exact-ordered on both engines.
+    */
+  private def hybridRrfSqlWith(denseSub: String) =
+    s"""WITH sh AS ($shingled),
+       |qs AS (SELECT doc_id AS query_id, sh AS qsh FROM sh WHERE doc_id < 8),
+       |lexall AS (SELECT q.query_id, d.doc_id,
+       |    CAST(len(list_distinct(list_intersect(d.sh, q.qsh))) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(d.sh, q.qsh))) AS DOUBLE) AS jac
+       |  FROM sh d, qs q WHERE d.doc_id <> q.query_id),
+       |lex AS (SELECT query_id, doc_id, r_lex FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY jac DESC, doc_id ASC) AS r_lex FROM lexall) t
+       |  WHERE r_lex <= 10),
+       |emb AS (SELECT query_id, neighbor_id, "rank" AS r_emb
+       |        FROM ($denseSub) dn),
+       |fused AS (SELECT coalesce(l.query_id, e.query_id) AS query_id,
+       |    coalesce(l.doc_id, e.neighbor_id) AS doc_id,
+       |    coalesce(l.r_lex, -1) AS lex_rank,
+       |    coalesce(e.r_emb, -1) AS emb_rank,
+       |    coalesce(CAST(1.0 AS DOUBLE) / CAST(${graft.operators.Ann.RrfC} + l.r_lex AS DOUBLE), 0.0)
+       |      + coalesce(CAST(1.0 AS DOUBLE) / CAST(${graft.operators.Ann.RrfC} + e.r_emb AS DOUBLE), 0.0)
+       |      AS score
+       |  FROM lex l FULL OUTER JOIN emb e
+       |    ON l.query_id = e.query_id AND l.doc_id = e.neighbor_id)
+       |SELECT query_id, doc_id, CAST(lex_rank AS INTEGER) AS lex_rank,
+       |  CAST(emb_rank AS INTEGER) AS emb_rank, CAST(rr AS INTEGER) AS rrf_rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc_id ASC) AS rr FROM fused) f
+       |WHERE rr <= 10""".stripMargin
+
+  /** ann_lsh replay, parameterized by the top-k cutoff so ann_recall's
+    * nested copy can interpolate [[graft.operators.Ann.RecallK]] — the
+    * standalone ann_lsh oracle pins k=10, lshTopK's own default.
+    */
+  private def annLshSqlK(k: Int) =
     s"""WITH $embedPreambleCtes,
        |pk AS (SELECT k, ${mod64(s"CAST(42 AS HUGEINT) + ${mod64(s"CAST(k + 1 AS HUGEINT) * $goldenGamma")}")} AS z0
        |       FROM (SELECT unnest(range(0, (SELECT nbits FROM nb) * 64)) AS k)),
@@ -449,7 +504,9 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, vec_id ASC) AS INTEGER) AS "rank",
        |  round(score, 4) AS score4
-       | FROM scored) r WHERE "rank" <= 10""".stripMargin
+       | FROM scored) r WHERE "rank" <= $k""".stripMargin
+
+  private val annLshSql = annLshSqlK(10)
 
   /** JL projection replay: the seed-7 splitmix64 plane stream in closed
     * form (16 planes × 64 dims), each projected coordinate the same
@@ -599,7 +656,8 @@ object SparkEntry {
        |       FROM c, c2 k GROUP BY c.vec_id, c.vec)""".stripMargin
   }
 
-  private val annIvfSql =
+  /** ann_ivf replay, parameterized by the top-k cutoff (see [[annLshSqlK]]). */
+  private def annIvfSqlK(k: Int) =
     s"""WITH RECURSIVE
        |$ivfKmeansCtes,
        |q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm FROM assigned WHERE vec_id < 8),
@@ -616,7 +674,9 @@ object SparkEntry {
        | SELECT query_id, vec_id AS neighbor_id,
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, vec_id ASC) AS INTEGER) AS "rank"
-       | FROM scored) r WHERE "rank" <= 10""".stripMargin
+       | FROM scored) r WHERE "rank" <= $k""".stripMargin
+
+  private val annIvfSql = annIvfSqlK(10)
 
   /** Full replay of ann_pq (Ann.pqTopK): product quantization with ADC.
     * Reuses the byte-shared [[ivfSampleCtes]] prefix (same xxhash64 train
@@ -1023,6 +1083,63 @@ object SparkEntry {
       |FROM (SELECT word, freq,
       |        str_split(substr(sym, 2, len(sym) - 2), '][') AS l
       |      FROM st WHERE iter = 8) f""".stripMargin
+
+  private val driftPsiSql =
+    """WITH e AS (SELECT epoch_us(ts) AS ts_us,
+      |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |b AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM e),
+      |t AS (SELECT cents, ts_us <= (b.mn + b.mx) // 2 AS is_ref FROM e, b),
+      |h AS (SELECT cents, count(*) AS c FROM t WHERE is_ref GROUP BY cents),
+      |cum AS (SELECT cents,
+      |          sum(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+      |            PRECEDING AND CURRENT ROW) AS cum,
+      |          sum(c) OVER () AS n FROM h),
+      |ed AS (SELECT
+      |    min(CASE WHEN cum >= (10 * n + 99) // 100 THEN cents END) AS e10,
+      |    min(CASE WHEN cum >= (20 * n + 99) // 100 THEN cents END) AS e20,
+      |    min(CASE WHEN cum >= (30 * n + 99) // 100 THEN cents END) AS e30,
+      |    min(CASE WHEN cum >= (40 * n + 99) // 100 THEN cents END) AS e40,
+      |    min(CASE WHEN cum >= (50 * n + 99) // 100 THEN cents END) AS e50,
+      |    min(CASE WHEN cum >= (60 * n + 99) // 100 THEN cents END) AS e60,
+      |    min(CASE WHEN cum >= (70 * n + 99) // 100 THEN cents END) AS e70,
+      |    min(CASE WHEN cum >= (80 * n + 99) // 100 THEN cents END) AS e80,
+      |    min(CASE WHEN cum >= (90 * n + 99) // 100 THEN cents END) AS e90
+      |  FROM cum),
+      |bt AS (SELECT is_ref,
+      |    (CASE WHEN cents > e10 THEN 1 ELSE 0 END
+      |   + CASE WHEN cents > e20 THEN 1 ELSE 0 END
+      |   + CASE WHEN cents > e30 THEN 1 ELSE 0 END
+      |   + CASE WHEN cents > e40 THEN 1 ELSE 0 END
+      |   + CASE WHEN cents > e50 THEN 1 ELSE 0 END
+      |   + CASE WHEN cents > e60 THEN 1 ELSE 0 END
+      |   + CASE WHEN cents > e70 THEN 1 ELSE 0 END
+      |   + CASE WHEN cents > e80 THEN 1 ELSE 0 END
+      |   + CASE WHEN cents > e90 THEN 1 ELSE 0 END) AS bin
+      |  FROM t, ed),
+      |c2 AS (SELECT bin,
+      |         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+      |         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+      |       FROM bt GROUP BY bin),
+      |sp AS (SELECT unnest(range(0, 10)) AS bin),
+      |f AS (SELECT sp.bin, CAST(coalesce(c2.n_ref, 0) AS BIGINT) AS n_ref,
+      |             CAST(coalesce(c2.n_cur, 0) AS BIGINT) AS n_cur
+      |      FROM sp LEFT JOIN c2 USING (bin)),
+      |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS d_ref,
+      |               CAST(sum(n_cur) AS BIGINT) AS d_cur FROM f)
+      |SELECT CAST(f.bin AS BIGINT) AS bin,
+      |  CASE WHEN f.bin >= 1 THEN
+      |    [ed.e10, ed.e20, ed.e30, ed.e40, ed.e50, ed.e60, ed.e70, ed.e80,
+      |     ed.e90][CAST(f.bin AS INT)] END AS lo_cents,
+      |  CASE WHEN f.bin <= 8 THEN
+      |    [ed.e10, ed.e20, ed.e30, ed.e40, ed.e50, ed.e60, ed.e70, ed.e80,
+      |     ed.e90][CAST(f.bin + 1 AS INT)] END AS hi_cents,
+      |  f.n_ref, f.n_cur,
+      |  round((CAST(f.n_ref + 1 AS DOUBLE) / CAST(tot.d_ref + 10 AS DOUBLE)
+      |       - CAST(f.n_cur + 1 AS DOUBLE) / CAST(tot.d_cur + 10 AS DOUBLE))
+      |    * ln((CAST(f.n_ref + 1 AS DOUBLE) / CAST(tot.d_ref + 10 AS DOUBLE))
+      |       / (CAST(f.n_cur + 1 AS DOUBLE) / CAST(tot.d_cur + 10 AS DOUBLE))),
+      |    4) AS psi_contrib4
+      |FROM f, tot, ed""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1631,62 +1748,11 @@ object SparkEntry {
     // from the reference half (robust_scale's formula), exact per-bin
     // counts; the one ln() in the gate rides on identical exact-derived
     // doubles and is rounded to 4 — the count columns pin each row exactly
-    "drift_psi" ->
-      """WITH e AS (SELECT epoch_us(ts) AS ts_us,
-        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-        |b AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM e),
-        |t AS (SELECT cents, ts_us <= (b.mn + b.mx) // 2 AS is_ref FROM e, b),
-        |h AS (SELECT cents, count(*) AS c FROM t WHERE is_ref GROUP BY cents),
-        |cum AS (SELECT cents,
-        |          sum(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
-        |            PRECEDING AND CURRENT ROW) AS cum,
-        |          sum(c) OVER () AS n FROM h),
-        |ed AS (SELECT
-        |    min(CASE WHEN cum >= (10 * n + 99) // 100 THEN cents END) AS e10,
-        |    min(CASE WHEN cum >= (20 * n + 99) // 100 THEN cents END) AS e20,
-        |    min(CASE WHEN cum >= (30 * n + 99) // 100 THEN cents END) AS e30,
-        |    min(CASE WHEN cum >= (40 * n + 99) // 100 THEN cents END) AS e40,
-        |    min(CASE WHEN cum >= (50 * n + 99) // 100 THEN cents END) AS e50,
-        |    min(CASE WHEN cum >= (60 * n + 99) // 100 THEN cents END) AS e60,
-        |    min(CASE WHEN cum >= (70 * n + 99) // 100 THEN cents END) AS e70,
-        |    min(CASE WHEN cum >= (80 * n + 99) // 100 THEN cents END) AS e80,
-        |    min(CASE WHEN cum >= (90 * n + 99) // 100 THEN cents END) AS e90
-        |  FROM cum),
-        |bt AS (SELECT is_ref,
-        |    (CASE WHEN cents > e10 THEN 1 ELSE 0 END
-        |   + CASE WHEN cents > e20 THEN 1 ELSE 0 END
-        |   + CASE WHEN cents > e30 THEN 1 ELSE 0 END
-        |   + CASE WHEN cents > e40 THEN 1 ELSE 0 END
-        |   + CASE WHEN cents > e50 THEN 1 ELSE 0 END
-        |   + CASE WHEN cents > e60 THEN 1 ELSE 0 END
-        |   + CASE WHEN cents > e70 THEN 1 ELSE 0 END
-        |   + CASE WHEN cents > e80 THEN 1 ELSE 0 END
-        |   + CASE WHEN cents > e90 THEN 1 ELSE 0 END) AS bin
-        |  FROM t, ed),
-        |c2 AS (SELECT bin,
-        |         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
-        |         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
-        |       FROM bt GROUP BY bin),
-        |sp AS (SELECT unnest(range(0, 10)) AS bin),
-        |f AS (SELECT sp.bin, CAST(coalesce(c2.n_ref, 0) AS BIGINT) AS n_ref,
-        |             CAST(coalesce(c2.n_cur, 0) AS BIGINT) AS n_cur
-        |      FROM sp LEFT JOIN c2 USING (bin)),
-        |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS d_ref,
-        |               CAST(sum(n_cur) AS BIGINT) AS d_cur FROM f)
-        |SELECT CAST(f.bin AS BIGINT) AS bin,
-        |  CASE WHEN f.bin >= 1 THEN
-        |    [ed.e10, ed.e20, ed.e30, ed.e40, ed.e50, ed.e60, ed.e70, ed.e80,
-        |     ed.e90][CAST(f.bin AS INT)] END AS lo_cents,
-        |  CASE WHEN f.bin <= 8 THEN
-        |    [ed.e10, ed.e20, ed.e30, ed.e40, ed.e50, ed.e60, ed.e70, ed.e80,
-        |     ed.e90][CAST(f.bin + 1 AS INT)] END AS hi_cents,
-        |  f.n_ref, f.n_cur,
-        |  round((CAST(f.n_ref + 1 AS DOUBLE) / CAST(tot.d_ref + 10 AS DOUBLE)
-        |       - CAST(f.n_cur + 1 AS DOUBLE) / CAST(tot.d_cur + 10 AS DOUBLE))
-        |    * ln((CAST(f.n_ref + 1 AS DOUBLE) / CAST(tot.d_ref + 10 AS DOUBLE))
-        |       / (CAST(f.n_cur + 1 AS DOUBLE) / CAST(tot.d_cur + 10 AS DOUBLE))),
-        |    4) AS psi_contrib4
-        |FROM f, tot, ed""".stripMargin,
+    "drift_psi" -> driftPsiSql,
+    // the streaming twin's one AvailableNow pass over the bounded second
+    // half equals the batch current-half histogram (no watermark drops),
+    // so the identical replay verifies the streaming path end-to-end
+    "q57_stream_drift" -> driftPsiSql,
     // DECIMAL(38,0) on the Spark side — both exact integers, but the GATE
     // output is the exact decimal STRING on both sides: wide-decimal
     // columns hash differently per physical representation (int128 vs
@@ -2885,39 +2951,12 @@ object SparkEntry {
     // top-10, the ann_brute cosine ranker for the dense top-10, fused by
     // 1/(60+rank) — the score is a pure function of ranks (exact-ordered on
     // both engines), so the fused ordering is deterministic
-    "hybrid_rrf" ->
-      s"""WITH sh AS ($shingled),
-         |qs AS (SELECT doc_id AS query_id, sh AS qsh FROM sh WHERE doc_id < 8),
-         |lexall AS (SELECT q.query_id, d.doc_id,
-         |    CAST(len(list_distinct(list_intersect(d.sh, q.qsh))) AS DOUBLE)
-         |      / CAST(len(list_distinct(list_concat(d.sh, q.qsh))) AS DOUBLE) AS jac
-         |  FROM sh d, qs q WHERE d.doc_id <> q.query_id),
-         |lex AS (SELECT query_id, doc_id, r_lex FROM (
-         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY jac DESC, doc_id ASC) AS r_lex FROM lexall) t
-         |  WHERE r_lex <= 10),
-         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, vec AS qvec FROM c WHERE vec_id < 8),
-         |emb AS (SELECT query_id, neighbor_id, r_emb FROM (
-         |    SELECT q.query_id, c.vec_id AS neighbor_id, row_number() OVER (
-         |      PARTITION BY q.query_id
-         |      ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id ASC) AS r_emb
-         |    FROM c, q WHERE c.vec_id <> q.query_id) t
-         |  WHERE r_emb <= 10),
-         |fused AS (SELECT coalesce(l.query_id, e.query_id) AS query_id,
-         |    coalesce(l.doc_id, e.neighbor_id) AS doc_id,
-         |    coalesce(l.r_lex, -1) AS lex_rank,
-         |    coalesce(e.r_emb, -1) AS emb_rank,
-         |    coalesce(CAST(1.0 AS DOUBLE) / CAST(${graft.operators.Ann.RrfC} + l.r_lex AS DOUBLE), 0.0)
-         |      + coalesce(CAST(1.0 AS DOUBLE) / CAST(${graft.operators.Ann.RrfC} + e.r_emb AS DOUBLE), 0.0)
-         |      AS score
-         |  FROM lex l FULL OUTER JOIN emb e
-         |    ON l.query_id = e.query_id AND l.doc_id = e.neighbor_id)
-         |SELECT query_id, doc_id, CAST(lex_rank AS INTEGER) AS lex_rank,
-         |  CAST(emb_rank AS INTEGER) AS emb_rank, CAST(rr AS INTEGER) AS rrf_rank
-         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-         |        ORDER BY score DESC, doc_id ASC) AS rr FROM fused) f
-         |WHERE rr <= 10""".stripMargin,
+    "hybrid_rrf" -> hybridRrfSqlWith(annBruteSql),
+    // the production dense side: the full ann_ivfpq_refined replay (IVF
+    // cells + residual PQ codes + ADC short-list + exact re-rank) nested as
+    // the dense branch of the identical fusion — the promised IVFPQ swap,
+    // oracled end-to-end
+    "hybrid_rrf_ivfpq" -> hybridRrfSqlWith(annIvfPqRefinedSql),
     "mm_audio_vad" ->
       s"""WITH RECURSIVE
         |a AS ($mmAssetCte),
@@ -2988,14 +3027,7 @@ object SparkEntry {
         | CAST(CASE WHEN s.scale = 0 THEN 0
         |           ELSE floor(b.vd * 127.0 / s.scale + 0.5) END AS INTEGER) AS q
         |FROM b JOIN s USING (vec_id)""".stripMargin,
-    "ann_brute" ->
-      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, vec AS qvec FROM c WHERE vec_id < 8)
-        |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS "rank" FROM (
-        | SELECT q.query_id, c.vec_id AS neighbor_id, row_number() OVER (
-        |  PARTITION BY q.query_id
-        |  ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id ASC) AS rnk
-        | FROM c, q WHERE c.vec_id <> q.query_id) t WHERE rnk <= 10""".stripMargin,
+    "ann_brute" -> annBruteSql,
     // recall@10 harness: the ann_brute ground-truth list vs each
     // approximate tier's list — both replayed by their own already-green
     // oracles, nested as derived tables; counts exact, recall one division
@@ -3010,11 +3042,14 @@ object SparkEntry {
          |        PARTITION BY q.query_id
          |        ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC,
          |                 c.vec_id ASC) AS rnk
-         |      FROM c, q WHERE c.vec_id <> q.query_id) t WHERE rnk <= 10) b),
+         |      FROM c, q WHERE c.vec_id <> q.query_id) t
+         |    WHERE rnk <= ${graft.operators.Ann.RecallK}) b),
          |ap AS (
-         |  SELECT 'lsh' AS method, query_id, neighbor_id FROM ($annLshSql) l
+         |  SELECT 'lsh' AS method, query_id, neighbor_id
+         |  FROM (${annLshSqlK(graft.operators.Ann.RecallK)}) l
          |  UNION ALL
-         |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ($annIvfSql) i)
+         |  SELECT 'ivf' AS method, query_id, neighbor_id
+         |  FROM (${annIvfSqlK(graft.operators.Ann.RecallK)}) i)
          |SELECT ap.method, ap.query_id,
          |  CAST(count(*) AS BIGINT) AS n_returned,
          |  CAST(sum(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)

@@ -980,14 +980,19 @@ object Ann {
     *
     * 100 TB plan: both rankers are QUERY-BOUNDED — the 8 query shingle
     * sets and query vectors broadcast, one corpus scan each, per-query
-    * top-k windows partitioned by query id exactly like ann_brute (the
-    * production dense side swaps in the IVFPQ candidate pipeline; the
-    * lexical side an inverted-index prefix filter — both change the
-    * neighbor SOURCE, not the fusion). The fusion itself joins two
+    * top-k windows partitioned by query id exactly like ann_brute. The
+    * `dense` parameter IS the production swap point: it takes any ranker
+    * with the (session, dir, nQueries, listK) → (query_id, neighbor_id,
+    * rank) contract, so [[hybridRrfIvfPq]] feeds the IVFPQ candidate
+    * pipeline into the SAME fusion join (the lexical side's inverted-index
+    * prefix filter is the analogous swap) — a different neighbor SOURCE,
+    * not a different fusion. The fusion itself joins two
     * (queries × listK)-row tables: constant-sized, broadcast, free.
     */
   def hybridRrf(s: SparkSession, dir: String, nQueries: Int = 8,
-      listK: Int = 10, k: Int = 10): DataFrame = {
+      listK: Int = 10, k: Int = 10,
+      dense: (SparkSession, String, Int, Int) => DataFrame =
+        bruteTopK(_, _, _, _)): DataFrame = {
     import s.implicits._
     // one tokenize+shingle pass: the frame feeds the query-side filter AND
     // the corpus join side (TransientCache contract — harness releases)
@@ -1007,7 +1012,7 @@ object Ann {
     val lex = lexScored.withColumn("lex_rank", row_number().over(wl))
       .filter(col("lex_rank") <= listK)
       .select("query_id", "doc_id", "lex_rank")
-    val emb = bruteTopK(s, dir, nQueries, listK)
+    val emb = dense(s, dir, nQueries, listK)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("emb_rank"))
     val score =
@@ -1024,6 +1029,23 @@ object Ann {
         coalesce(col("emb_rank"), lit(-1)).cast("int").as("emb_rank"),
         col("rrf_rank").cast("int").as("rrf_rank"))
   }
+
+  /** hybrid_rrf_ivfpq — [[hybridRrf]] with its PRODUCTION dense side: the
+    * two-stage IVFPQ pipeline ([[ivfPqRefinedTopK]] — ADC short-list, exact
+    * re-rank) replaces the brute cosine scan as the neighbor source, the
+    * fusion unchanged. This is the shape a 100 TB retrieval deployment
+    * actually runs: the corpus is touched through 9-byte PQ codes in probed
+    * cells only (never a full exact scan per query), the constant-cost
+    * exact re-rank recovers ranking quality on the short-list, and RRF
+    * fuses as before. Deterministic end-to-end (the refined tier carries
+    * its own bit-exact oracle), so the DuckDB replay composes the
+    * hybrid_rrf lexical CTEs with the ann_ivfpq_refined replay as the
+    * dense branch.
+    */
+  def hybridRrfIvfPq(s: SparkSession, dir: String, nQueries: Int = 8,
+      listK: Int = 10, k: Int = 10): DataFrame =
+    hybridRrf(s, dir, nQueries, listK, k,
+      (ss, d, nq, lk) => ivfPqRefinedTopK(ss, d, nq, lk))
 
   /** ann_recall — the recall@k harness every approximate-index deployment
     * gates on: for each approximate tier ([[lshTopK]], [[ivfTopK]]) and
@@ -1058,9 +1080,12 @@ object Ann {
       .withColumn("recall", col("n_hits").cast("double") / lit(k.toDouble))
   }
 
-  /** recall@k cutoff shared by [[annRecall]]'s default and its oracle's
-    * denominator — interpolated into both so retuning k cannot silently
-    * diverge the two sides.
+  /** recall@k cutoff shared by [[annRecall]]'s default and EVERY cutoff in
+    * its oracle — the ground-truth CTE's `rnk <=`, the nested lsh/ivf
+    * replays' top-k limits (`annLshSqlK`/`annIvfSqlK` in SparkEntry take k
+    * as a parameter) and the recall denominator — so retuning k cannot
+    * silently diverge the two sides. The standalone ann_lsh/ann_ivf
+    * oracles stay pinned to the tiers' own k=10 defaults.
     */
   val RecallK = 10
 

@@ -259,12 +259,24 @@ object Dedup {
     }
   }
 
+  /** Deterministic 1/m document sample, applied directly on the scan BEFORE
+    * any shingling/signature work: keep doc_id iff xxhash64(doc_id) ≡ 0
+    * (mod m). Hash-based (not doc_id ranges) so the sample is unbiased
+    * under any id-assignment pattern, and deterministic so a sampled
+    * harness run is replayable. `None` = full corpus, the default for
+    * every registered query.
+    */
+  private def maybeSample(df: DataFrame, sampleMod: Option[Int]): DataFrame =
+    sampleMod.fold(df)(m =>
+      df.filter(pmod(xxhash64(col("doc_id")), lit(m.toLong)) === 0L))
+
   /** docs with (doc_id, sh, bands) — one scan, one typed map per row doing
     * shingling + signature + banding in a single pass.
     */
-  private def signed(s: SparkSession, dir: String): DataFrame = {
+  private def signed(s: SparkSession, dir: String,
+      sampleMod: Option[Int] = None): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    maybeSample(Tables.documents(s, dir), sampleMod)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -296,11 +308,12 @@ object Dedup {
     * EXACT shingle-set Jaccard (so output is deterministic given recall ≈ 1
     * at j ≥ threshold), filtered at `threshold`.
     */
-  def minhash(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def minhash(s: SparkSession, dir: String, threshold: Double = 0.5,
+      sampleMod: Option[Int] = None): DataFrame = {
     // transient: signatures feed the banding pass AND both verification join
     // sides within this one query; the harness releases the blocks after the
     // consuming action (graft.TransientCache contract)
-    val docs = graft.TransientCache.cache(signed(s, dir))
+    val docs = graft.TransientCache.cache(signed(s, dir, sampleMod))
     val pairs = candidatePairs(docs)
     val withSets = pairs
       .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
@@ -368,9 +381,10 @@ object Dedup {
     * but candidate generation has recall exactly 1 (no banding probability,
     * no hot-bucket cap), so an all-pairs SQL oracle agrees deterministically.
     */
-  def jaccard3(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def jaccard3(s: SparkSession, dir: String, threshold: Double = 0.5,
+      sampleMod: Option[Int] = None): DataFrame = {
     import s.implicits._
-    val sets = Tables.documents(s, dir)
+    val sets = maybeSample(Tables.documents(s, dir), sampleMod)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, shingleSet(text)) }
@@ -505,9 +519,10 @@ object Dedup {
     * the bench. At 100 TB this artifact is a parquet dataset written between
     * jobs; `TransientCache.memo` is its in-session equivalent.
     */
-  def similarityEdges(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
-    graft.TransientCache.memo(s"jaccard3-edges:$dir:$threshold") {
-      jaccard3(s, dir, threshold).select(col("doc1"), col("doc2"))
+  def similarityEdges(s: SparkSession, dir: String, threshold: Double = 0.5,
+      sampleMod: Option[Int] = None): DataFrame =
+    graft.TransientCache.memo(s"jaccard3-edges:$dir:$threshold:$sampleMod") {
+      jaccard3(s, dir, threshold, sampleMod).select(col("doc1"), col("doc2"))
     }
 
   /** Sorted-neighborhood comparison window: each document is compared to
@@ -971,24 +986,30 @@ object Dedup {
     * count-sized, tiny vs the corpus) plus a broadcast-sized left join of
     * LSH pairs onto true pairs, then collapses to ≤6 decile rows via a
     * map-side-combined aggregate. In production this runs on a document
-    * SAMPLE after every banding-parameter change — the sampled harness is
-    * this exact plan with a filter pushed into the scan.
+    * SAMPLE after every banding-parameter change — `sampleMod = Some(m)`
+    * IS that mode: the deterministic 1/m hash filter ([[maybeSample]])
+    * lands directly on every scan of the harness (both pair generators
+    * and the shingle-set join side see the same sampled corpus, before
+    * any shingling work), so the sampled harness is this exact plan with
+    * the filter in the scan stage. The registered query keeps the
+    * full-corpus default (the fixture IS the sample there).
     */
-  def dedupRecall(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def dedupRecall(s: SparkSession, dir: String, threshold: Double = 0.5,
+      sampleMod: Option[Int] = None): DataFrame = {
     import s.implicits._
-    val sets = Tables.documents(s, dir)
+    val sets = maybeSample(Tables.documents(s, dir), sampleMod)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, t) => (id, shingleSet(t)) }
       .toDF("doc_id", "sh")
-    val exact = similarityEdges(s, dir, threshold)
+    val exact = similarityEdges(s, dir, threshold, sampleMod)
     val withSets = exact
       .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
       .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
       .select(col("doc1"), col("doc2"),
         size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("ov"),
         size(array_union(col("sh1"), col("sh2"))).cast("long").as("un"))
-    val lsh = minhash(s, dir, threshold)
+    val lsh = minhash(s, dir, threshold, sampleMod)
       .select(col("doc1"), col("doc2"), lit(1L).as("hit"))
     withSets.join(lsh, Seq("doc1", "doc2"), "left")
       .withColumn("j_decile", expr("(10 * ov) div un"))

@@ -226,7 +226,6 @@ object Profile {
     * nothing row-scale past the first aggregate.
     */
   def driftPsi(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = graft.TransientCache.cache(
       Tables.events(s, dir).select(
         unix_micros(col("ts")).as("ts_us"),
@@ -234,31 +233,55 @@ object Profile {
     val bounds = ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx"))
     val tagged = ev.crossJoin(broadcast(bounds))
       .select(col("cents"), expr("ts_us <= (mn + mx) DIV 2").as("is_ref"))
-    val hist = tagged.filter(col("is_ref"))
-      .groupBy("cents").agg(count(lit(1)).as("c"))
-    val cum = hist.select(col("cents"),
-      sum(col("c")).over(Window.orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
-      sum(col("c")).over(Window.partitionBy()).as("n"))
-    val qs = 10 to 90 by 10
-    val edgeAggs = qs.map(q =>
-      min(when(col("cum") >= expr(s"($q * n + 99) DIV 100"), col("cents")))
-        .as(s"e$q"))
-    val edges = cum.agg(edgeAggs.head, edgeAggs.tail: _*)
+    val edges = decileEdges(tagged.filter(col("is_ref")).select("cents"))
     val binned = tagged.crossJoin(broadcast(edges))
       .select(col("is_ref"),
-        qs.map(q => when(col("cents") > col(s"e$q"), 1L).otherwise(0L))
+        DecileQs.map(q => when(col("cents") > col(s"e$q"), 1L).otherwise(0L))
           .reduce(_ + _).as("bin"))
     val counts = binned.groupBy("bin").agg(
       sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
       sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    psiFromCounts(s, counts, edges)
+  }
+
+  /** The decile grid shared by [[driftPsi]], its streaming twin and the
+    * edge/bin helpers below.
+    */
+  private[graft] val DecileQs: Seq[Int] = 10 to 90 by 10
+
+  /** Reference decile bin edges (one row, e10..e90) from a (cents) frame —
+    * the exact ceil-rank order statistics over the integer-cents histogram
+    * ([[robustScale]]'s formula). The window runs over the (distinct
+    * cents)-sized histogram, never rows.
+    */
+  private[graft] def decileEdges(refCents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = refCents.groupBy("cents").agg(count(lit(1)).as("c"))
+    val cum = hist.select(col("cents"),
+      sum(col("c")).over(Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum(col("c")).over(Window.partitionBy()).as("n"))
+    val edgeAggs = DecileQs.map(q =>
+      min(when(col("cum") >= expr(s"($q * n + 99) DIV 100"), col("cents")))
+        .as(s"e$q"))
+    cum.agg(edgeAggs.head, edgeAggs.tail: _*)
+  }
+
+  /** PSI tail shared by [[driftPsi]] and the streaming twin: spine-fill the
+    * per-bin (n_ref, n_cur) counts to all 10 bins, derive the Laplace-
+    * smoothed contribution, and attach bin boundaries from the 1-row
+    * `edges` frame. Everything here is constant-size (≤10 rows, broadcast
+    * one-row aggregates).
+    */
+  private[graft] def psiFromCounts(s: SparkSession, counts: DataFrame,
+      edges: DataFrame): DataFrame = {
     val spine = s.range(10).select(col("id").as("bin"))
     val filled = spine.join(counts, Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val totals = filled.agg(sum("n_ref").as("d_ref"), sum("n_cur").as("d_cur"))
-    val edgeArr = array(qs.map(q => col(s"e$q")): _*)
+    val edgeArr = array(DecileQs.map(q => col(s"e$q")): _*)
     val p = (col("n_ref") + lit(1L)).cast("double") /
       (col("d_ref") + lit(10L)).cast("double")
     val q = (col("n_cur") + lit(1L)).cast("double") /

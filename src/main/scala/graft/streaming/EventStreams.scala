@@ -1113,6 +1113,60 @@ object EventStreams {
       staged => windowRollup(readEvents(s, staged)),
       OutputMode.Append())
 
+  /** q57_stream_drift — the STREAMING twin of `Profile.driftPsi`, the shape
+    * a production drift monitor actually runs: the reference deciles are
+    * STATIC state (computed once from the frozen reference window and
+    * shipped to the job as constants — here two one-row batch reads: the
+    * time bounds and the `Profile.decileEdges` row, the repo's
+    * constant-bounded-collect discipline), and the CURRENT-window histogram
+    * is keyed streaming state — a plain incremental `groupBy(bin).count`
+    * whose state is structurally bounded at 10 rows (the bin expression
+    * cannot produce an 11th key), so the advanceAnyBucket poison-cap
+    * machinery the unbounded-key twins need (q36/q50/q56) is unnecessary
+    * by construction: this is Catalyst-native keyed state with map-side
+    * partial aggregation, the preferred tier when built-ins express the
+    * semantics. The PSI fold itself (`Profile.psiFromCounts`) is a
+    * constant-size batch tail over the maintained histogram — exactly what
+    * a monitoring dashboard reads between triggers.
+    *
+    * Parity contract: one AvailableNow pass over the staged second half ⇒
+    * the streamed histogram equals the batch current-half histogram, so the
+    * final table equals `drift_psi` row-for-row and the SAME DuckDB oracle
+    * verifies the streaming path end-to-end (the q25/q56 full-replay
+    * discipline). The midpoint split uses integer division on nonnegative
+    * epoch-micros, matching the batch `(mn + mx) DIV 2` exactly.
+    */
+  def streamDriftQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(s, dir).select(
+      unix_micros(col("ts")).as("ts_us"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val b = ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx")).collect()(0)
+    val mid = (b.getLong(0) + b.getLong(1)) / 2
+    val refCents = ev.filter(col("ts_us") <= mid).select("cents")
+    val edgeRow = graft.operators.Profile.decileEdges(refCents).collect()(0)
+    val edgeVals = graft.operators.Profile.DecileQs.indices
+      .map(i => edgeRow.getLong(i))
+    def binOf(cents: org.apache.spark.sql.Column) =
+      edgeVals.map(e => when(cents > lit(e), 1L).otherwise(0L)).reduce(_ + _)
+    // current-window histogram, maintained as streaming keyed state
+    val cur = runStagedViaFiles(s, dir, "q57_stream_drift", staged =>
+      readEvents(s, staged)
+        .select(unix_micros(col("ts")).as("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .filter(col("ts_us") > mid)
+        .select(binOf(col("cents")).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_cur")))
+    // constant-size batch tail: reference histogram + PSI fold
+    val refCounts = refCents.select(binOf(col("cents")).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_ref"))
+    val counts = refCounts.join(cur, Seq("bin"), "full_outer")
+    val edges = s.range(1).select(
+      graft.operators.Profile.DecileQs.zip(edgeVals).map {
+        case (q, e) => lit(e).as(s"e$q")
+      }: _*)
+    graft.operators.Profile.psiFromCounts(s, counts, edges)
+  }
+
   /** Run a streaming DataFrame to completion over a bounded source (one
     * availableNow pass), collecting results through an in-memory sink table.
     * This is how the parity tests observe streaming output.

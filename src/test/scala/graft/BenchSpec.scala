@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.graftshim.SessionSweep
+
+/** Pins the bench session-hygiene contract [[graft.Bench]] relies on (the
+  * round-11 fix for the post-streaming GC bleed — BENCH_r10's
+  * q3_join_broadcast 4.6× regression, SCALE.md round-4 fingerprint):
+  *
+  *   1. a stateful streaming query leaves the state-store maintenance task
+  *      live (the provider registry holds the stopped query's state);
+  *   2. [[SessionSweep.sweepStreamingState]] tears it down deterministically
+  *      and reports true exactly when there was something to sweep;
+  *   3. the sweep is idempotent (second call false, no throw) — the
+  *      unconditional `StateStore.stop()` path must be safe on a clean
+  *      session, since Bench now calls it in a finally after EVERY query;
+  *   4. a SUBSEQUENT streaming query still runs correctly — `StateStore.get`
+  *      re-registers maintenance on its first store load, the load-bearing
+  *      claim in SessionSweep's docstring that a Spark upgrade could
+  *      silently break.
+  */
+class BenchSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def runStatefulStreamingQuery(): Long =
+    // q38_stream_active: a keyed streaming aggregation (flatMapGroupsWithState
+    // + downstream agg) — loads HDFS-backed state-store providers.
+    graft.streaming.EventStreams.activeQuery(spark, Sf0001).count()
+
+  test("sweepStreamingState tears down post-streaming state and re-arms") {
+    // Start from a swept session regardless of suite ordering.
+    SessionSweep.sweepStreamingState()
+    assert(!SessionSweep.maintenanceRunning)
+
+    // (3) idempotent on a clean session: no state → false, no throw.
+    assert(!SessionSweep.sweepStreamingState())
+
+    // (1) a stateful streaming query arms maintenance...
+    val n1 = runStatefulStreamingQuery()
+    assert(n1 > 0)
+    assert(SessionSweep.maintenanceRunning,
+      "stateful streaming query should leave the maintenance task live")
+
+    // (2) ...and the sweep reports it swept something and leaves it down.
+    assert(SessionSweep.sweepStreamingState())
+    assert(!SessionSweep.maintenanceRunning)
+    assert(!SessionSweep.sweepStreamingState())
+
+    // (4) the next streaming query transparently re-registers maintenance on
+    // its first store load and produces the same (deterministic) answer.
+    val n2 = runStatefulStreamingQuery()
+    assert(n2 == n1)
+    assert(SessionSweep.maintenanceRunning,
+      "StateStore.get must re-register maintenance after a sweep")
+    assert(SessionSweep.sweepStreamingState())
+  }
+}

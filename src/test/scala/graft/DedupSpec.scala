@@ -167,6 +167,48 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size >= 2, s"decile table vacuous: $got")
   }
 
+  test("dedupRecall sampled: 1/m hash filter lands on the scan, deciles match sampled replay") {
+    // membership under the operator's own sample definition
+    // (xxhash64(doc_id) % m == 0), read back per candidate modulus
+    def sampled(m: Int): Set[Long] = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", s"pmod(xxhash64(doc_id), ${m}L) AS r")
+      .collect().collect { case r if r.getLong(1) == 0L => r.getLong(0) }.toSet
+    // smallest modulus whose sample still contains a true near-dup pair, so
+    // the assertion below is non-vacuous regardless of hash placement
+    val shs = docs.map { case (id, t, _, _, _) => id -> Dedup.shingleSet(t).toSet }.toMap
+    def truePairsIn(ids: Set[Long]) = for {
+      (i, si) <- shs; (j, sj) <- shs if i < j && ids(i) && ids(j)
+      ov = si.intersect(sj).size.toLong; un = si.union(sj).size.toLong
+      if ov.toDouble / un.toDouble >= 0.5
+    } yield (i, j, ov, un)
+    val m = (2 to 8).find(m => truePairsIn(sampled(m)).nonEmpty)
+      .getOrElse(fail("no modulus in 2..8 keeps a near-dup pair — fixture drifted"))
+    val ids = sampled(m)
+    assert(ids.size < docs.size, "sample kept everything — modulus vacuous")
+    val df = Dedup.dedupRecall(spark, dir, sampleMod = Some(m))
+    // the deterministic sample filter sits in the scan stage of the plan
+    // (before any shingling), not as a post-hoc pair filter
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), s"sample filter missing from plan:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("j_decile"), r.getAs[Long]("n_true"),
+        r.getAs[Long]("n_caught"), r.getAs[Double]("recall"))).toSet
+    // replay: ground truth restricted to the sample; LSH side = the
+    // operator's own sampled minhash pairs (pinned exact for the full
+    // corpus above; sampling only shrinks its input)
+    val lsh = Dedup.minhash(spark, dir, threshold = 0.5, sampleMod = Some(m))
+      .collect().map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2"))).toSet
+    val expected = truePairsIn(ids).toSeq
+      .groupBy { case (_, _, ov, un) => (10L * ov) / un }
+      .map { case (d, ps) =>
+        val caught = ps.count { case (i, j, _, _) => lsh((i, j)) }.toLong
+        (d, ps.size.toLong, caught, caught.toDouble / ps.size.toDouble)
+      }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "sampled decile table vacuous")
+  }
+
   test("ngramJaccard: equals brute-force token-set jaccard at threshold") {
     val t = 0.8
     val expected = (for {
