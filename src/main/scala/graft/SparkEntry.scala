@@ -1743,7 +1743,6 @@ object SparkEntry {
         |       coalesce(la.n_items, 0) AS n_items,
         |       coalesce(la.items_cents, 0) AS items_cents
         |FROM o FULL OUTER JOIN la ON o.o_orderkey = la.l_orderkey""".stripMargin,
-    // exact integral sufficient statistics: HUGEINT accumulation here vs
     // PSI drift monitor: integer-cents histogram, ceil-rank decile edges
     // from the reference half (robust_scale's formula), exact per-bin
     // counts; the one ln() in the gate rides on identical exact-derived
@@ -1753,6 +1752,7 @@ object SparkEntry {
     // half equals the batch current-half histogram (no watermark drops),
     // so the identical replay verifies the streaming path end-to-end
     "q57_stream_drift" -> driftPsiSql,
+    // exact integral sufficient statistics: HUGEINT accumulation here vs
     // DECIMAL(38,0) on the Spark side — both exact integers, but the GATE
     // output is the exact decimal STRING on both sides: wide-decimal
     // columns hash differently per physical representation (int128 vs

@@ -448,55 +448,96 @@ object Dedup {
         return denseMaskJoin(groups, threshold)
       // fall through to the prefix path
     }
-    // dictionary: token -> dense id, ids ascending by (df, token). Assigned
-    // WITHOUT a single-partition window: distributed range-sort, then
-    // zipWithIndex (per-partition counts + offsets — no global funnel).
+    // COLLAPSE IDENTICAL TOKEN SETS FIRST (round 12, measured): candidate
+    // generation must scale with DISTINCT content, not replicas. On a
+    // 10-deep exact-duplicate corpus (the 10× probe fixture) every replica
+    // shares every prefix posting, so posting-pair counts grow with the
+    // SQUARE of replica depth — dedup_ngram measured 640 s at sf1 (510×
+    // for 10× rows) before this stage,
+    // because common words keep large df even at the rare end of the
+    // dictionary. Grouping by the canonical sorted set runs the join over
+    // unique sets (one representative each) and expands pairs back at the
+    // end: identical-set groups emit their within-group pairs directly
+    // (jaccard exactly 1 — the same 1.0 the n/n division produced), and
+    // cross-set matches fan out to the member lists. Lossless: recall is
+    // still exactly 1 and every emitted jaccard value is bit-identical.
+    // This is the in-operator form of "exact-dedup before near-dup" every
+    // production pipeline runs anyway — here it is structural, so the
+    // operator survives duplicated corpora without relying on upstream
+    // hygiene. (The dense path above gets the same collapse from its
+    // unique-mask grouping.)
+    val gset = graft.TransientCache.cache(
+      docs.groupBy(sort_array(col("toks")).as("toks"))
+        .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("ids")))
+    // dictionary: token -> dense id, ids ascending by (set-level df, token).
+    // Assigned WITHOUT a single-partition window: distributed range-sort,
+    // then zipWithIndex (per-partition counts + offsets — no global funnel).
     val dict = {
       import s.implicits._
-      toksEx.groupBy("tok").agg(count(lit(1)).as("df"))
+      gset.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
         .orderBy(col("df").asc, col("tok").asc)
         .select(col("tok")).as[String].rdd
         .zipWithIndex.map { case (t, i) => (t, (i + 1).toInt) }
         .toDF("tok", "tid")
     }
-    // docs as sorted int-id arrays; prefix = rarest ids
-    val encoded = docs
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    // unique sets as sorted int-id arrays; prefix = rarest ids
+    val encoded = gset
+      .select(col("gid"), explode(col("toks")).as("tok"))
       .join(broadcast(dict), "tok")
-      .groupBy("doc_id")
+      .groupBy("gid")
       .agg(sort_array(collect_list(col("tid"))).as("tids"))
       .withColumn("n", size(col("tids")))
       .withColumn("plen", (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))
-    val prefix = encoded.select(col("doc_id"), col("n"),
+    val prefix = encoded.select(col("gid"), col("n"),
       posexplode(slice(col("tids"), lit(1), col("plen"))).as(Seq("p", "tid")))
     // PPJoin positional filter: a pair with J >= t needs overlap
     // c >= t/(1+t) * (n1+n2); a match at 0-based prefix positions (p1, p2)
     // can contribute at most 1 + min(n1-p1-1, n2-p2-1) overlap, so late-
     // position-only matches are pruned before the candidate distinct.
     val minOverlap = lit(threshold / (1 + threshold)) * (col("n1") + col("n2"))
-    val cand = prefix.select(col("tid"), col("doc_id").as("doc1"),
+    val cand = prefix.select(col("tid"), col("gid").as("g1"),
         col("n").as("n1"), col("p").as("p1"))
-      .join(prefix.select(col("tid"), col("doc_id").as("doc2"),
+      .join(prefix.select(col("tid"), col("gid").as("g2"),
         col("n").as("n2"), col("p").as("p2")), "tid")
-      .filter(col("doc1") < col("doc2") &&
+      .filter(col("g1") < col("g2") &&
         col("n2") >= lit(threshold) * col("n1") &&
         col("n1") >= lit(threshold) * col("n2") &&
         lit(1) + least(col("n1") - col("p1") - 1, col("n2") - col("p2") - 1) >= minOverlap)
-      .select("doc1", "doc2").distinct()
-    val sets = encoded.select(col("doc_id"), col("tids"))
+      .select("g1", "g2").distinct()
+    val sets = encoded.select(col("gid"), col("tids"))
     // verification: tids are sorted+distinct, so |A∩B| is a two-pointer
     // merge (codegen'd sorted_overlap — no per-row hash sets, union array
     // never built) and |A∪B| = n1+n2-overlap. Same integers as the
     // array_intersect/array_union formulation -> identical jaccard bits.
-    cand
-      .join(sets.select(col("doc_id").as("doc1"), col("tids").as("t1")), "doc1")
-      .join(sets.select(col("doc_id").as("doc2"), col("tids").as("t2")), "doc2")
+    val matched = cand
+      .join(sets.select(col("gid").as("g1"), col("tids").as("t1")), "g1")
+      .join(sets.select(col("gid").as("g2"), col("tids").as("t2")), "g2")
       .withColumn("ov", graft.functions.GraftFunctions.sortedOverlap(col("t1"), col("t2")))
       .withColumn("jaccard",
         col("ov").cast("double") /
           (size(col("t1")) + size(col("t2")) - col("ov")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select("doc1", "doc2", "jaccard")
+      .select("g1", "g2", "jaccard")
+    // expand set-level matches back to doc pairs (each unordered pair once:
+    // groups are disjoint and g1 < g2 picks one orientation; within a group
+    // the a < b filter does)
+    val members = gset.select(col("gid"), col("ids"))
+    val cross = matched
+      .join(members.select(col("gid").as("g1"), col("ids").as("ids1")), "g1")
+      .join(members.select(col("gid").as("g2"), col("ids").as("ids2")), "g2")
+      .select(col("jaccard"), explode(col("ids1")).as("a"), col("ids2"))
+      .select(col("jaccard"), col("a"), explode(col("ids2")).as("b"))
+      .select(least(col("a"), col("b")).as("doc1"),
+        greatest(col("a"), col("b")).as("doc2"), col("jaccard"))
+    val within = gset
+      .filter(size(col("ids")) > 1 && size(col("toks")) > 0)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc1"), col("b").as("doc2"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** dedup_clusters — connected components of the near-duplicate graph: the

@@ -1137,9 +1137,13 @@ object EventStreams {
     * epoch-micros, matching the batch `(mn + mx) DIV 2` exactly.
     */
   def streamDriftQuery(s: SparkSession, dir: String): DataFrame = {
-    val ev = graft.sources.Tables.events(s, dir).select(
-      unix_micros(col("ts")).as("ts_us"),
-      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    // transient: the (ts_us, cents) projection feeds the bounds aggregate,
+    // the edge derivation AND the reference histogram — one scan, not three
+    // (the harness releases the blocks after the consuming action)
+    val ev = graft.TransientCache.cache(
+      graft.sources.Tables.events(s, dir).select(
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents")))
     val b = ev.agg(min("ts_us").as("mn"), max("ts_us").as("mx")).collect()(0)
     val mid = (b.getLong(0) + b.getLong(1)) / 2
     val refCents = ev.filter(col("ts_us") <= mid).select("cents")

@@ -532,6 +532,50 @@ class AnnSpec extends AnyFunSuite {
     TransientCache.release(spark)
   }
 
+  test("hybridRrfIvfPq: fuses the lexical replay with the refined tier's own ranks") {
+    val got = Ann.hybridRrfIvfPq(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("lex_rank"), r.getAs[Int]("emb_rank"),
+        r.getAs[Int]("rrf_rank"))).toSet
+    // lexical side: the same driver replay hybridRrf is pinned against
+    val docs = graft.sources.Tables.documents(spark, Sf0001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val shs = docs.map { case (id, t) =>
+      id -> graft.operators.Dedup.shingleSet(t).toSet }.toMap
+    val queries = docs.map(_._1).filter(_ < 8)
+    def lexRanks(q: Long): Seq[(Long, Int)] =
+      docs.map(_._1).filter(_ != q)
+        .map(d => (d, shs(q).intersect(shs(d)).size.toDouble /
+          shs(q).union(shs(d)).size.toDouble))
+        .sortBy { case (d, j) => (-j, d) }
+        .take(10).zipWithIndex.map { case ((d, _), i) => (d, i + 1) }
+    // dense side: the refined tier's OWN output (itself pinned by its
+    // bit-exact oracle and the persisted-index spec) — this test checks the
+    // WIRING: the fused emb ranks must be exactly the IVFPQ ranks, proving
+    // the dense parameter swapped the neighbor source and nothing else
+    val emb = Ann.ivfPqRefinedTopK(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val expect = queries.flatMap { q =>
+      val l = lexRanks(q).toMap
+      val e = emb.getOrElse(q, Map.empty)
+      (l.keySet ++ e.keySet).toSeq
+        .map { d =>
+          val s = l.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            e.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+          (d, l.getOrElse(d, -1), e.getOrElse(d, -1), s)
+        }
+        .sortBy { case (d, _, _, s) => (-s, d) }
+        .take(10).zipWithIndex
+        .map { case ((d, lr, er, _), i) => (q, d, lr, er, i + 1) }
+    }.toSet
+    assert(got === expect)
+    assert(got.size == queries.length * 10)
+    TransientCache.release(spark)
+  }
+
   test("annRecall: counts match a driver-side intersection of the tier lists") {
     val exact = Ann.bruteTopK(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -407,6 +407,23 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming drift twin: q57 table equals batch drift_psi row-for-row") {
+    // one AvailableNow pass over the bounded second half ⇒ the streamed
+    // current-window histogram equals the batch one, so the full PSI tables
+    // must agree exactly (same deciles, same counts, same contributions)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("bin"), Option(r.get(1)), Option(r.get(2)),
+        r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+        r.getAs[Double]("psi_contrib4"))).toSet
+    val streamed = rows(EventStreams.streamDriftQuery(spark, Sf0001))
+    val batch = rows(graft.operators.Profile.driftPsi(spark, Sf0001))
+    assert(streamed === batch)
+    assert(streamed.size == 10)
+    // non-vacuous: both halves counted something
+    assert(streamed.exists(_._4 > 0) && streamed.exists(_._5 > 0))
+    TransientCache.release(spark)
+  }
+
   test("streaming rolling actives: bounded pass equals the batch inverted-window answer") {
     import org.apache.spark.sql.streaming.OutputMode
     val streamed = EventStreams.runToMemory(
