@@ -103,6 +103,45 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_ngram prefix path: candidates ride the prefix-id equi-join over UNIQUE sets") {
+    // the sf0.001 fixture's small vocabulary takes the dense-mask path, so
+    // force the PREFIX path with a >64-word corpus (the DedupSpec recipe)
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 60L).map { i =>
+      (i, (0 until 20).map(j => s"w${(i * 7 + j * 3) % 120}").mkString(" "))
+    }
+    val d = java.nio.file.Files.createTempDirectory("planshape-ngram").toString
+    corpus.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val df = graft.operators.Dedup.ngramJaccard(spark, d, threshold = 0.6)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the round-12 set-dedup stage: identical token sets collapse BEFORE
+    // candidate generation (640 s → 9 s at the 10× probe). Regressions this
+    // case catches: an all-pairs/nested-loop fallback, or the set-group
+    // aggregate disappearing (candidates back at replica scale)
+    assert(!plan.contains("CartesianProduct"), "cartesian fallback")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "prefix filtering must stay an equi-join on token ids")
+    assert(plan.contains("sort_array"),
+      "the canonical-set grouping stage (sort_array key) must be present")
+    TransientCache.release(spark)
+  }
+
+  test("hybrid_rrf_ivfpq: dense candidates stay cell-bucketed, fusion stays broadcast") {
+    val plan = executedPlan("hybrid_rrf_ivfpq")
+    // the IVFPQ dense side must keep its broadcast-by-cell shape (the
+    // ann_ivfpq pin) inside the fused query; the only non-equi joins are
+    // the deliberate 8-row broadcast query-side crosses of the lexical
+    // ranker and the constant-size fusion
+    assert(!plan.contains("CartesianProduct"), "cartesian fallback")
+    assert(plan.contains("BroadcastHashJoin"),
+      "expected the encoded corpus to broadcast-hash-join the ADC probe table")
+    TransientCache.release(spark)
+  }
+
   test("q49_interval_join: binning turns the pure range join into an equi join") {
     val plan = executedPlan("q49_interval_join")
     // this query has NO natural equi key — without the bin rewrite Spark
