@@ -466,27 +466,47 @@ object Dedup {
     // operator survives duplicated corpora without relying on upstream
     // hygiene. (The dense path above gets the same collapse from its
     // unique-mask grouping.)
-    val gset = graft.TransientCache.cache(
-      docs.groupBy(sort_array(col("toks")).as("toks"))
-        .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("ids")))
-    // dictionary: token -> dense id, ids ascending by (set-level df, token).
-    // Assigned WITHOUT a single-partition window: distributed range-sort,
-    // then zipWithIndex (per-partition counts + offsets — no global funnel).
+    //
+    // The collapse runs on the ENCODED sorted-int arrays, not the raw token
+    // arrays (round 12, measured): grouping by the string arrays shuffled
+    // the whole tokenized corpus as hash-agg keys and doubled dedup_jaccard3
+    // at sf0.1 (1.2 → 2.8 s — at fixture scale the cost is the extra
+    // stages, at 100 TB it would be the array-keyed shuffle). The per-doc
+    // dict-join + encode pass exists in the plan anyway; grouping its
+    // output costs one shuffle of compact int arrays, needs no extra
+    // driver action, and identical sets encode to identical arrays by
+    // construction (dict is a function of token). Replica depth still
+    // cannot square the candidate count: postings are per unique set.
+    //
+    // dictionary: token -> dense id, ids ascending by (document df, token).
+    // Any GLOBAL total order keeps prefix-filter recall exactly 1;
+    // df-ascending is the selectivity heuristic (rarest tokens in the
+    // prefix). Assigned WITHOUT a single-partition window: distributed
+    // range-sort, then zipWithIndex (per-partition counts + offsets — no
+    // global funnel).
     val dict = {
       import s.implicits._
-      gset.select(explode(col("toks")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("df"))
+      toksEx.groupBy("tok").agg(count(lit(1)).as("df"))
         .orderBy(col("df").asc, col("tok").asc)
         .select(col("tok")).as[String].rdd
         .zipWithIndex.map { case (t, i) => (t, (i + 1).toInt) }
         .toDF("tok", "tid")
     }
-    // unique sets as sorted int-id arrays; prefix = rarest ids
-    val encoded = gset
-      .select(col("gid"), explode(col("toks")).as("tok"))
-      .join(broadcast(dict), "tok")
-      .groupBy("gid")
+    // per-document sorted int-id sets — the compact representation every
+    // stage below rides (empty token sets drop out at the explode, so they
+    // never pair; jaccard over two empty sets is undefined by contract)
+    val docEnc = toksEx.join(broadcast(dict), "tok")
+      .groupBy("doc_id")
       .agg(sort_array(collect_list(col("tid"))).as("tids"))
+    // identical-set groups: one representative (min doc id) carries the set
+    // through candidate generation + verification; members fan back in at
+    // the end
+    val gset = graft.TransientCache.cache(
+      docEnc.groupBy("tids")
+        .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("ids")))
+    // unique sets; prefix = rarest ids
+    val encoded = gset
+      .select(col("gid"), col("tids"))
       .withColumn("n", size(col("tids")))
       .withColumn("plen", (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))
     val prefix = encoded.select(col("gid"), col("n"),
@@ -505,33 +525,31 @@ object Dedup {
         col("n1") >= lit(threshold) * col("n2") &&
         lit(1) + least(col("n1") - col("p1") - 1, col("n2") - col("p2") - 1) >= minOverlap)
       .select("g1", "g2").distinct()
-    val sets = encoded.select(col("gid"), col("tids"))
-    // verification: tids are sorted+distinct, so |A∩B| is a two-pointer
-    // merge (codegen'd sorted_overlap — no per-row hash sets, union array
-    // never built) and |A∪B| = n1+n2-overlap. Same integers as the
-    // array_intersect/array_union formulation -> identical jaccard bits.
-    val matched = cand
-      .join(sets.select(col("gid").as("g1"), col("tids").as("t1")), "g1")
-      .join(sets.select(col("gid").as("g2"), col("tids").as("t2")), "g2")
+    // verification rides the same joins that fan members back in: each side
+    // carries (tids, ids), overlap is the codegen'd two-pointer merge over
+    // the sorted+distinct int arrays (no per-row hash sets, union array
+    // never built; |A∪B| = n1+n2-overlap — identical jaccard bits to the
+    // array_intersect/array_union formulation), and surviving set-level
+    // matches explode straight to doc pairs (each unordered pair once:
+    // groups are disjoint and g1 < g2 picks one orientation; within a
+    // group the a < b filter does)
+    val sets = gset.select(col("gid"), col("tids"), col("ids"))
+    val cross = cand
+      .join(sets.select(col("gid").as("g1"), col("tids").as("t1"),
+        col("ids").as("ids1")), "g1")
+      .join(sets.select(col("gid").as("g2"), col("tids").as("t2"),
+        col("ids").as("ids2")), "g2")
       .withColumn("ov", graft.functions.GraftFunctions.sortedOverlap(col("t1"), col("t2")))
       .withColumn("jaccard",
         col("ov").cast("double") /
           (size(col("t1")) + size(col("t2")) - col("ov")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select("g1", "g2", "jaccard")
-    // expand set-level matches back to doc pairs (each unordered pair once:
-    // groups are disjoint and g1 < g2 picks one orientation; within a group
-    // the a < b filter does)
-    val members = gset.select(col("gid"), col("ids"))
-    val cross = matched
-      .join(members.select(col("gid").as("g1"), col("ids").as("ids1")), "g1")
-      .join(members.select(col("gid").as("g2"), col("ids").as("ids2")), "g2")
       .select(col("jaccard"), explode(col("ids1")).as("a"), col("ids2"))
       .select(col("jaccard"), col("a"), explode(col("ids2")).as("b"))
       .select(least(col("a"), col("b")).as("doc1"),
         greatest(col("a"), col("b")).as("doc2"), col("jaccard"))
     val within = gset
-      .filter(size(col("ids")) > 1 && size(col("toks")) > 0)
+      .filter(size(col("ids")) > 1) // tids non-empty by construction
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))

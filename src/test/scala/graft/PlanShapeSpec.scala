@@ -108,9 +108,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // force the PREFIX path with a >64-word corpus (the DedupSpec recipe)
     val s = spark
     import s.implicits._
-    val corpus = (0L until 60L).map { i =>
+    val uniques = (0L until 60L).map { i =>
       (i, (0 until 20).map(j => s"w${(i * 7 + j * 3) % 120}").mkString(" "))
     }
+    // exact replicas engage the adaptive set-collapse branch (the shape
+    // under test); without them gset is a map-side projection by design
+    val corpus = uniques ++ uniques.take(20).map { case (id, t) => (id + 1000L, t) }
     val d = java.nio.file.Files.createTempDirectory("planshape-ngram").toString
     corpus.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -118,15 +121,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val df = graft.operators.Dedup.ngramJaccard(spark, d, threshold = 0.6)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    // the round-12 set-dedup stage: identical token sets collapse BEFORE
+    // the round-12 set-dedup stage: identical ENCODED sets collapse BEFORE
     // candidate generation (640 s → 9 s at the 10× probe). Regressions this
-    // case catches: an all-pairs/nested-loop fallback, or the set-group
-    // aggregate disappearing (candidates back at replica scale)
+    // case catches: an all-pairs/nested-loop fallback, or the encoded-set
+    // grouping disappearing (candidates back at replica scale)
     assert(!plan.contains("CartesianProduct"), "cartesian fallback")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "prefix filtering must stay an equi-join on token ids")
-    assert(plan.contains("sort_array"),
-      "the canonical-set grouping stage (sort_array key) must be present")
+    assert(plan.contains("keys=[tids"),
+      "the identical-set collapse must group on the encoded int arrays")
     TransientCache.release(spark)
   }
 
