@@ -191,10 +191,12 @@ object SparkEntry {
     "stratified_sample" -> ((s: SparkSession, d: String) => graft.operators.Curation.stratifiedSample(s, d)),
     "dedup_canonical" -> ((s: SparkSession, d: String) => Dedup.canonical(s, d)),
     "bm25_search" -> ((s: SparkSession, d: String) => graft.operators.Corpus.bm25Search(s, d)),
+    "rag_context_pack" -> ((s: SparkSession, d: String) => graft.operators.Corpus.ragContextPack(s, d)),
     "substring_scrub" -> ((s: SparkSession, d: String) => Dedup.substringScrub(s, d)),
     "budget_sample" -> ((s: SparkSession, d: String) => graft.operators.Curation.budgetSample(s, d)),
     "hash_embed" -> ((s: SparkSession, d: String) => graft.operators.Corpus.hashEmbed(s, d)),
     "classifier_score" -> ((s: SparkSession, d: String) => graft.operators.Corpus.classifierScore(s, d)),
+    "quality_band_keep" -> ((s: SparkSession, d: String) => graft.operators.Corpus.qualityBandKeep(s, d)),
     // --- corpus statistics: vocabulary build, collocations, order stats ---
     "vocab_encode" -> ((s: SparkSession, d: String) => graft.operators.Corpus.vocabEncode(s, d)),
     "colloc_lift" -> ((s: SparkSession, d: String) => graft.operators.Corpus.collocLift(s, d)),
@@ -423,6 +425,31 @@ object SparkEntry {
       |    CAST(ceil(ln(greatest(1.0, n / 32.0)) / ln(2.0)) AS INTEGER))) AS nbits FROM n)""".stripMargin
 
   private val goldenGamma = "CAST(11400714819323198485 AS HUGEINT)"
+
+  /** Full replay of the [[graft.operators.Corpus.clsWeights]] linear
+    * classifier (Corpus.classifierScore): splitmix64 weight derivation,
+    * FNV-1a token hashes, sign-bit votes, bitmask bucketing, per-doc score
+    * sum in CTE `sc(doc_id, score)`. Shared by the classifier_score oracle
+    * (terminal SELECT) and quality_band_keep (which bands the same scores
+    * per source).
+    */
+  private lazy val clsScoreCtes =
+    s"""pk AS (SELECT b, ${mod64(s"CAST(${graft.operators.Corpus.ClsSeed} AS HUGEINT) + ${mod64(s"CAST(b + 1 AS HUGEINT) * $goldenGamma")}")} AS z0
+       |       FROM (SELECT unnest(range(0, 32)) AS b)),
+       |${splitmixCtes("b")},
+       |weights AS (SELECT CAST(b AS INTEGER) AS dim,
+       |        CAST((v & 15) AS BIGINT) - 8 AS w FROM p3),
+       |tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |       FROM documents),
+       |hh AS (SELECT doc_id, tok, ${fnvFold(codeUnits("tok"))} AS hu FROM tk),
+       |vv AS (SELECT doc_id,
+       |        CASE WHEN tok = '' THEN NULL ELSE CAST(hu & 31 AS INTEGER) END AS dim,
+       |        CASE WHEN tok = '' THEN 0
+       |             WHEN ((hu >> 32) & 1) = 0 THEN 1 ELSE -1 END AS vote
+       |       FROM hh),
+       |sc AS (SELECT doc_id,
+       |        sum(CASE WHEN w.w IS NULL THEN 0 ELSE vv.vote * w.w END) AS score
+       |       FROM vv LEFT JOIN weights w ON vv.dim = w.dim GROUP BY doc_id)""".stripMargin
 
   /** ann_brute replay — also the dense branch of hybrid_rrf and the
     * ground-truth side of ann_recall's ex CTE (which re-inlines it with a
@@ -2730,23 +2757,28 @@ object SparkEntry {
     // exactly, then per-token vote × weight summed per doc — all integral.
     // The "" token of an empty document contributes 0 via the NULL dim.
     "classifier_score" ->
-      s"""WITH pk AS (SELECT b, ${mod64(s"CAST(${graft.operators.Corpus.ClsSeed} AS HUGEINT) + ${mod64(s"CAST(b + 1 AS HUGEINT) * $goldenGamma")}")} AS z0
-         |       FROM (SELECT unnest(range(0, 32)) AS b)),
-         |${splitmixCtes("b")},
-         |weights AS (SELECT CAST(b AS INTEGER) AS dim,
-         |        CAST((v & 15) AS BIGINT) - 8 AS w FROM p3),
-         |tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-         |       FROM documents),
-         |hh AS (SELECT doc_id, tok, ${fnvFold(codeUnits("tok"))} AS hu FROM tk),
-         |vv AS (SELECT doc_id,
-         |        CASE WHEN tok = '' THEN NULL ELSE CAST(hu & 31 AS INTEGER) END AS dim,
-         |        CASE WHEN tok = '' THEN 0
-         |             WHEN ((hu >> 32) & 1) = 0 THEN 1 ELSE -1 END AS vote
-         |       FROM hh),
-         |sc AS (SELECT doc_id,
-         |        sum(CASE WHEN w.w IS NULL THEN 0 ELSE vv.vote * w.w END) AS score
-         |       FROM vv LEFT JOIN weights w ON vv.dim = w.dim GROUP BY doc_id)
+      s"""WITH $clsScoreCtes
          |SELECT doc_id, CAST(score AS BIGINT) AS score, score > 0 AS label FROM sc""".stripMargin,
+    // percentile-band curation: the same classifier replay, then per-source
+    // order-statistic thresholds over the exact (source, score) histogram
+    // (t_p = smallest score whose cumulative count reaches ceil(n*p/100);
+    // cum >= ceil(n*p/100) <=> 100*cum >= n*p for integer cum) and the
+    // band membership test as a pure function of the score
+    "quality_band_keep" ->
+      s"""WITH $clsScoreCtes,
+         |ss AS (SELECT sc.doc_id, d.source, CAST(sc.score AS BIGINT) AS score
+         |       FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+         |h AS (SELECT source, score, count(*) AS c FROM ss GROUP BY source, score),
+         |cw AS (SELECT source, score, c,
+         |        sum(c) OVER (PARTITION BY source ORDER BY score) AS cum,
+         |        sum(c) OVER (PARTITION BY source) AS n FROM h),
+         |th AS (SELECT source,
+         |        min(CASE WHEN 100 * cum >= n * ${graft.operators.Corpus.BandLoPct} THEN score END) AS t_lo,
+         |        min(CASE WHEN 100 * cum >= n * ${graft.operators.Corpus.BandHiPct} THEN score END) AS t_hi
+         |       FROM cw GROUP BY source)
+         |SELECT ss.doc_id, ss.source, ss.score,
+         | (ss.score > th.t_lo AND ss.score <= th.t_hi) AS keep
+         |FROM ss JOIN th ON th.source = ss.source""".stripMargin,
     // bigram LM scoring: p(y|x) = c(x,y)/c(x,·) — each addend an exact
     // integer ratio — folded in POSITION order (the bm25 ordered-fold
     // discipline) so sum_p is the identical IEEE double on both engines;
@@ -2871,6 +2903,44 @@ object SparkEntry {
          |  (x, y) -> x + y) AS score
          |FROM sc GROUP BY doc_id
          |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // budgeted context packing: the same BM25 replay, pool = top-RagPoolK,
+    // then a prefix pack — running token sum in rank order, keep while the
+    // cumulative total fits the budget. Token counts are BIGINT on both
+    // sides (DuckDB window sums widen to HUGEINT, hence the CASTs); the
+    // scores are the bm25_search doubles, already bit-identical.
+    "rag_context_pack" ->
+      s"""WITH tok AS (SELECT doc_id, word AS term
+         |  FROM (SELECT doc_id, unnest(string_split_regex(text, '[^\\p{L}]+')) AS word
+         |        FROM documents) u WHERE word <> ''),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |tot AS (SELECT count(*) AS n_docs, sum(dl) AS tot_toks FROM dl),
+         |post AS (SELECT term, doc_id, count(*) AS tf FROM tok
+         |         WHERE term IN ('spark', 'table', 'fast') GROUP BY term, doc_id),
+         |df AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+         |sc AS (SELECT p.doc_id, p.term,
+         |   ((CAST(t.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE)) + 0.5)
+         |    / (CAST(df.df AS DOUBLE) + 0.5)
+         |    * ((CAST(p.tf AS DOUBLE) * 2.2)
+         |      / (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+         |        * (CAST(dl.dl AS DOUBLE)
+         |          / (CAST(t.tot_toks AS DOUBLE) / CAST(t.n_docs AS DOUBLE)))))) AS tscore
+         |  FROM post p JOIN df USING (term) JOIN dl ON p.doc_id = dl.doc_id, tot t),
+         |pd AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(tscore ORDER BY term)),
+         |   (x, y) -> x + y) AS score
+         | FROM sc GROUP BY doc_id),
+         |pool AS (SELECT p.doc_id, p.score, d.dl AS n_toks
+         |         FROM pd p JOIN dl d USING (doc_id)
+         |         ORDER BY p.score DESC, p.doc_id ASC
+         |         LIMIT ${graft.operators.Corpus.RagPoolK}),
+         |packed AS (SELECT doc_id,
+         |   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+         |   CAST(n_toks AS BIGINT) AS n_toks,
+         |   CAST(sum(n_toks) OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS cum_toks,
+         |   score
+         |  FROM pool)
+         |SELECT doc_id, rank, n_toks, cum_toks, score FROM packed
+         |WHERE cum_toks <= ${graft.operators.Corpus.RagBudget}""".stripMargin,
     // discrete p50/p90 per source: the value at ascending rank
     // ceil(p*n) = (n*p100 + 99) // 100 — an order statistic, all integral
     "source_quantiles" ->

@@ -192,7 +192,20 @@ object Corpus {
     * doc-length aggregation every BM25 engine needs.
     */
   def bm25Search(s: SparkSession, dir: String,
-      terms: Seq[String] = SearchTerms, k: Int = 10): DataFrame = {
+      terms: Seq[String] = SearchTerms, k: Int = 10): DataFrame =
+    bm25PerDoc(s, dir, terms)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "n_terms", "score")
+
+  /** Per-document BM25 frame shared by [[bm25Search]] and
+    * [[ragContextPack]]: (doc_id, n_terms, score, n_toks) for every doc
+    * matching at least one query term. `n_toks` is the SAME doc-length the
+    * score's length normalization uses — the packer's budget is counted in
+    * the tokens the scorer saw, not a second tokenization.
+    */
+  private def bm25PerDoc(s: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
     val q = terms.distinct
     val toks = graft.TransientCache.cache(
       Tables.documents(s, dir)
@@ -211,7 +224,7 @@ object Corpus {
         col("tot_toks").cast("double") / col("n_docs").cast("double"))
       .withColumn("tscore",
         ((col("n_docs").cast("double") - col("df").cast("double")) + lit(0.5))
-          / (col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + 0.5)
           * ((col("tf").cast("double") * lit(Bm25K1 + 1.0))
             / (col("tf").cast("double")
               + lit(Bm25K1) * (lit(1.0 - Bm25B)
@@ -222,10 +235,50 @@ object Corpus {
         aggregate(
           array_sort(collect_list(struct(col("term"), col("tscore")))),
           lit(0.0),
-          (acc, x) => acc + x.getField("tscore")).as("score"))
+          (acc, x) => acc + x.getField("tscore")).as("score"),
+        min(col("dl")).as("n_toks"))
+  }
+
+  /** Candidate pool size for [[ragContextPack]]: how deep into the BM25
+    * ranking the packer looks before the budget cuts it off.
+    */
+  val RagPoolK = 20
+
+  /** Context token budget for [[ragContextPack]] — sized so the fixture's
+    * top-ranked docs (~50–90 tokens each) pack a handful of documents and
+    * the budget visibly truncates the pool at every scale factor.
+    */
+  val RagBudget = 256
+
+  /** rag_context_pack — budgeted context assembly, the step between
+    * retrieval and the prompt in every RAG pipeline: rank candidates by
+    * BM25, then take documents in rank order while the running token total
+    * stays within the context budget (the standard prefix-pack contract —
+    * deterministic, no knapsack search). Output is the packed context
+    * manifest: (doc_id, rank, n_toks, cum_toks, score).
+    *
+    * 100 TB plan: all corpus-scale work is [[bm25PerDoc]]'s (filtered
+    * postings shuffle + one doc-length aggregation); the pool is a
+    * distributed TakeOrdered of `poolK` rows, and the pack itself — a
+    * row_number + running sum over that pool — is a window over a
+    * CONSTANT-size frame (≤ poolK rows), not a corpus-sized single-partition
+    * sort. Budget accounting is integral (BIGINT token counts), so the gate
+    * hashes exactly; the only doubles are the BM25 scores the bm25_search
+    * oracle already replays bit-identically.
+    */
+  def ragContextPack(s: SparkSession, dir: String,
+      terms: Seq[String] = SearchTerms, poolK: Int = RagPoolK,
+      budget: Int = RagBudget): DataFrame = {
+    val pool = bm25PerDoc(s, dir, terms)
       .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
-      .select("doc_id", "n_terms", "score")
+      .limit(poolK)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    pool
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_toks", sum(col("n_toks"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_toks") <= budget)
+      .select("doc_id", "rank", "n_toks", "cum_toks", "score")
   }
 
   /** Bucket count for [[hashEmbed]] — 32 keeps collisions real on the
@@ -304,20 +357,80 @@ object Corpus {
     * one row (score 0, label false) without a fill-in join.
     */
   def classifierScore(s: SparkSession, dir: String, dims: Int = HashEmbedDims): DataFrame = {
-    require((dims & (dims - 1)) == 0, "dims must be a power of two (bitmask bucketing)")
-    val w = clsWeights(dims)
-    val h = graft.functions.GraftFunctions.fnv64(col("tok"))
     Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .select(col("doc_id"),
-        when(col("tok") === "", lit(0L)).otherwise(
-          when(shiftright(h, 32).bitwiseAND(lit(1L)) === 0L, lit(1L)).otherwise(lit(-1L)) *
-            element_at(array(w.map(lit): _*),
-              h.bitwiseAND(lit((dims - 1).toLong)).cast("int") + 1)).as("contrib"))
+      .select(col("doc_id"), clsContrib(dims).as("contrib"))
       .groupBy("doc_id")
       .agg(sum("contrib").as("score"))
       .withColumn("label", col("score") > 0L)
+  }
+
+  /** Per-token score contribution of the [[clsWeights]] linear model over a
+    * `tok` column — the fold both [[classifierScore]] and
+    * [[qualityBandKeep]] aggregate: sign(fnv bit 32) · w[fnv & (dims−1)],
+    * zero for the empty split token.
+    */
+  private def clsContrib(dims: Int): org.apache.spark.sql.Column = {
+    require((dims & (dims - 1)) == 0, "dims must be a power of two (bitmask bucketing)")
+    val w = clsWeights(dims)
+    val h = graft.functions.GraftFunctions.fnv64(col("tok"))
+    when(col("tok") === "", lit(0L)).otherwise(
+      when(shiftright(h, 32).bitwiseAND(lit(1L)) === 0L, lit(1L)).otherwise(lit(-1L)) *
+        element_at(array(w.map(lit): _*),
+          h.bitwiseAND(lit((dims - 1).toLong)).cast("int") + 1))
+  }
+
+  /** Percentile band kept by [[qualityBandKeep]]: documents with a
+    * classifier score strictly above the per-source `BandLoPct`-th
+    * percentile value and at or below the `BandHiPct`-th.
+    */
+  val BandLoPct = 20
+  val BandHiPct = 80
+
+  /** quality_band_keep — percentile-band curation (the DCLM/"mid-band"
+    * selection published LLM pipelines apply on top of a quality
+    * classifier): instead of an absolute score threshold, keep each
+    * source's middle band — drop the bottom `loPct`% (junk) AND the top
+    * `hiPct`..100% (boilerplate/templates score suspiciously well). The
+    * band is defined by per-source order-statistic THRESHOLD SCORES
+    * (t_p = the smallest score whose cumulative count reaches ⌈n·p/100⌉),
+    * so membership is a pure function of the score — ties land on one side
+    * deterministically, never split by row order.
+    *
+    * Execution shape: the same histogram kernel as
+    * [[graft.operators.Profile.rankNormalize]] — scores collapse to an
+    * exact (source, score) histogram FIRST (map-side combined; scores are
+    * integral by [[clsWeights]] construction), the cumulative window runs
+    * over histogram rows (distinct scores per source, not documents), and
+    * the two thresholds broadcast back onto the scored stream. The raw
+    * corpus is never sorted or windowed; `source` rides the score
+    * aggregation key (constant per doc), so banding adds zero extra
+    * corpus-scale shuffles over [[classifierScore]] itself.
+    */
+  def qualityBandKeep(s: SparkSession, dir: String, dims: Int = HashEmbedDims,
+      loPct: Int = BandLoPct, hiPct: Int = BandHiPct): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.TransientCache.cache(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(col("doc_id"), col("source"), clsContrib(dims).as("contrib"))
+        .groupBy("doc_id", "source")
+        .agg(sum("contrib").as("score")))
+    val hist = scored.groupBy("source", "score").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("source").orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+    // cum ≥ ⌈n·p/100⌉  ⟺  100·cum ≥ n·p (integer cum) — no division
+    val thresholds = cum.groupBy("source").agg(
+      min(when(col("cum") * 100 >= col("n") * loPct, col("score"))).as("t_lo"),
+      min(when(col("cum") * 100 >= col("n") * hiPct, col("score"))).as("t_hi"))
+    scored.join(broadcast(thresholds), "source")
+      .select(col("doc_id"), col("source"), col("score"),
+        (col("score") > col("t_lo") && col("score") <= col("t_hi")).as("keep"))
   }
 
   /** Misra–Gries counter budget per partition for [[heavyHitters]]. Sized

@@ -233,6 +233,63 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(0L) > got(1L), s"rare-term doc must outrank: ${got(0L)} vs ${got(1L)}")
   }
 
+  test("ragContextPack: prefix pack in rank order, budget cuts the pool") {
+    // scores rank doc 0 > 1 > 2 (more query-term hits, same length); budget
+    // admits ranks 1–2 (10 + 10 = 20 ≤ 25) and cuts rank 3 (30 > 25). The
+    // packed rows carry the running total, and the pack never reorders.
+    val pad = (1 to 7).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"q q q $pad"),       // 10 toks, tf=3
+      (1L, s"q q one $pad"),     // 10 toks, tf=2
+      (2L, s"q one two $pad"),   // 10 toks, tf=1
+      (3L, s"none here at all a b c d e f"))
+    val dir = writeDocs(docs.map { case (id, t) => (id, t, "en", "s") })
+    val got = Corpus.ragContextPack(spark, dir, terms = Seq("q"),
+        poolK = 10, budget = 25)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("n_toks"), r.getAs[Long]("cum_toks"))).toSeq
+    assert(got == Seq((0L, 1L, 10L, 10L), (1L, 2L, 10L, 20L)))
+    // a poolK below the budget's reach truncates the pool first
+    val one = Corpus.ragContextPack(spark, dir, terms = Seq("q"),
+        poolK = 1, budget = 1000).collect()
+    assert(one.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L))
+  }
+
+  test("qualityBandKeep differential: band == order-statistic model per source") {
+    // two sources with different score distributions; keep iff
+    // t_lo < score <= t_hi where t_p is the smallest score whose cumulative
+    // count reaches ceil(n*p/100) within the doc's own source
+    val texts = randTexts(90, 17L)
+    val dir = writeDocs(texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", if (i % 3 == 0) "sA" else "sB") })
+    val scores = Corpus.classifierScore(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    val bySource = scores.toSeq.groupBy { case (id, _) =>
+      if (id % 3 == 0) "sA" else "sB" }
+    def thr(ss: Seq[Long], p: Int): Long = {
+      val sorted = ss.sorted
+      sorted((ss.length * p + 99) / 100 - 1)
+    }
+    val th = bySource.map { case (src, m) =>
+      val ss = m.map(_._2)
+      src -> (thr(ss, Corpus.BandLoPct), thr(ss, Corpus.BandHiPct))
+    }
+    val got = Corpus.qualityBandKeep(spark, dir).collect()
+    assert(got.length == 90)
+    got.foreach { r =>
+      val (id, src) = (r.getAs[Long]("doc_id"), r.getAs[String]("source"))
+      val (lo, hi) = th(src)
+      assert(r.getAs[Long]("score") == scores(id), s"score mismatch for $id")
+      assert(r.getAs[Boolean]("keep") == (scores(id) > lo && scores(id) <= hi),
+        s"keep mismatch for doc $id (score ${scores(id)}, band ($lo, $hi])")
+    }
+    // the band actually separates: some kept, some dropped, in each source
+    Seq("sA", "sB").foreach { src =>
+      val ks = got.filter(_.getAs[String]("source") == src).map(_.getAs[Boolean]("keep"))
+      assert(ks.contains(true) && ks.contains(false), s"degenerate band in $src")
+    }
+  }
+
   test("hashEmbed differential: vote sums == driver-side FNV model") {
     val texts = randTexts(50, 91L)
     val dir = writeDocs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") }
