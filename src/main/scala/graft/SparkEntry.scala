@@ -168,6 +168,7 @@ object SparkEntry {
     "dedup_jaccard3" -> ((s: SparkSession, d: String) => Dedup.jaccard3(s, d)),
     "corpus_overlap" -> ((s: SparkSession, d: String) => Dedup.corpusOverlap(s, d)),
     "dedup_recall" -> ((s: SparkSession, d: String) => Dedup.dedupRecall(s, d)),
+    "minhash_est_error" -> ((s: SparkSession, d: String) => Dedup.minhashEstError(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash" -> (Dedup.simhashSigs _),
@@ -388,6 +389,29 @@ object SparkEntry {
        |SELECT j_decile, n_true, n_caught,
        |  CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
        |FROM dec""".stripMargin
+
+  /** minhash_est_error oracle — the same minhash replay, read at the
+    * CALIBRATION joint: per candidate pair, matching signature slots
+    * (estimate) vs exact shingle overlap (truth), folded to the integer
+    * decile-confusion matrix. The `j` CTE of the shared chain goes unused
+    * here (calibration looks at ALL candidates, not just verified matches).
+    */
+  private val minhashEstErrorSql =
+    s"""WITH $minhashCtes,
+       |em AS (SELECT c.doc1, c.doc2,
+       |  CAST(sum(CASE WHEN sa.mn = sb.mn THEN 1 ELSE 0 END) AS BIGINT) AS est_m
+       | FROM cand c JOIN sig sa ON sa.doc_id = c.doc1
+       |             JOIN sig sb ON sb.doc_id = c.doc2 AND sb.k = sa.k
+       | GROUP BY c.doc1, c.doc2),
+       |tv AS (SELECT c.doc1, c.doc2,
+       |  CAST(len(list_distinct(list_intersect(x.sh, y.sh))) AS BIGINT) AS ov,
+       |  CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS BIGINT) AS un
+       | FROM cand c JOIN s x ON x.doc_id = c.doc1 JOIN s y ON y.doc_id = c.doc2)
+       |SELECT CAST((10 * em.est_m) // ${graft.operators.Dedup.NumHashes} AS BIGINT) AS est_decile,
+       |  CAST((10 * tv.ov) // tv.un AS BIGINT) AS true_decile,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM em JOIN tv ON tv.doc1 = em.doc1 AND tv.doc2 = em.doc2
+       |GROUP BY 1, 2""".stripMargin
 
   /** Full replay of the random-hyperplane LSH ANN path (Ann.lshTopK) in
     * DuckDB: the splitmix64 hyperplane stream (closed form — state_k = seed +
@@ -2574,6 +2598,7 @@ object SparkEntry {
     // the LSH pairs, the all-pairs CTE the exact ground truth (all-pairs is
     // exact for the prefix filter because its recall is 1); integer deciles.
     "dedup_recall" -> dedupRecallSql,
+    "minhash_est_error" -> minhashEstErrorSql,
     // cross-source shingle contamination matrix: distinct (source, md5
     // shingle) pairs, per-source totals, pair-shared counts over the full
     // ordered source grid; counts exact, jaccard one division. Binary

@@ -186,7 +186,7 @@ object Dedup {
     graft.functions.HashFunctions.fnv64(str)
 
   /** splitmix64 finalizer — cheap per-slot remix of a base hash. */
-  private[operators] def mix64(x0: Long): Long = {
+  private[graft] def mix64(x0: Long): Long = {
     var z = x0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -229,35 +229,52 @@ object Dedup {
     grams.distinct
   }
 
-  /** MinHash band keys for one shingle set, computed in plain Scala: hash
-    * each shingle once, take per-slot minima of a splitmix remix, then hash
-    * each band's r slots (+ band index, so identical slot values in
-    * different bands cannot collide) into one bucket key.
+  /** MinHash signature of one shingle set: hash each shingle once, take
+    * per-slot minima of a splitmix remix over [[NumHashes]] slots. Minima
+    * are UNSIGNED — the hash values are uniform 64-bit strings, and the
+    * DuckDB replay (SparkEntry.minhashCtes) computes `min` over HUGEINT
+    * values in [0, 2⁶⁴); a signed min would pick a different slot element
+    * whenever any candidate has the top bit set (i.e. almost every slot),
+    * silently breaking the replay's band-parity contract — caught when
+    * minhash_est_error first exposed raw slot values at the gate.
     */
-  private[graft] def bandKeys(sh: Seq[String]): Array[Long] = {
+  private[graft] def signature(sh: Seq[String]): Array[Long] = {
     val hs = new Array[Long](sh.size)
     var i = 0
     sh.foreach { g => hs(i) = fnv64(g); i += 1 }
     val sig = new Array[Long](NumHashes)
     var k = 0
     while (k < NumHashes) {
-      var mn = Long.MaxValue
+      var mn = -1L // unsigned max
       var j = 0
       while (j < hs.length) {
         val v = mix64(hs(j) + k * 0x9E3779B97F4A7C15L)
-        if (v < mn) mn = v
+        if (java.lang.Long.compareUnsigned(v, mn) < 0) mn = v
         j += 1
       }
       sig(k) = mn
       k += 1
     }
+    sig
+  }
+
+  /** LSH band keys of one signature: hash each band's r slots (+ band
+    * index, so identical slot values in different bands cannot collide)
+    * into one bucket key.
+    */
+  private[graft] def bandsOfSig(sig: Array[Long]): Array[Long] =
     Array.tabulate(Bands) { b =>
       var acc = 0xcbf29ce484222325L ^ b.toLong
       var r = 0
       while (r < RowsPerBand) { acc ^= sig(b * RowsPerBand + r); acc *= 0x100000001b3L; r += 1 }
       acc
     }
-  }
+
+  /** MinHash band keys for one shingle set ([[signature]] → [[bandsOfSig]]
+    * in one call, computed in plain Scala).
+    */
+  private[graft] def bandKeys(sh: Seq[String]): Array[Long] =
+    bandsOfSig(signature(sh))
 
   /** Deterministic 1/m document sample, applied directly on the scan BEFORE
     * any shingling/signature work: keep doc_id iff xxhash64(doc_id) ≡ 0
@@ -324,6 +341,55 @@ object Dedup {
           size(array_union(col("sh1"), col("sh2"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc1", "doc2", "jaccard")
+  }
+
+  /** minhash_est_error — the estimator-calibration half of the dedup quality
+    * harness (sibling of [[dedupRecall]], which measures candidate RECALL;
+    * this measures signature ACCURACY): for every LSH candidate pair, the
+    * MinHash-estimated Jaccard (matching slots / [[NumHashes]]) is compared
+    * against the exact shingle Jaccard, aggregated as an integer
+    * decile-confusion matrix (est_decile, true_decile, n_pairs). A healthy
+    * banding config concentrates mass on the diagonal; drift off it is the
+    * signal to re-tune [[NumHashes]]/[[Bands]] BEFORE recall silently decays
+    * — run it (on a [[maybeSample]]d corpus) after every signature-parameter
+    * change, alongside dedup_recall.
+    *
+    * 100 TB: identical shape to [[minhash]] — one typed map per doc
+    * (shingles + signature + bands in a single text traversal), the banding
+    * shuffle, and the pair join now carrying the fixed 512-byte signature
+    * alongside the shingle set; deciles are integer arithmetic
+    * ((10·x) DIV y on exact counts) and the output is ≤ 11×11 rows, so the
+    * gate needs no float discipline at all.
+    */
+  def minhashEstError(s: SparkSession, dir: String,
+      sampleMod: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    val docs = graft.TransientCache.cache(
+      maybeSample(Tables.documents(s, dir), sampleMod)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val sh = shingleSet(text)
+          val sig = signature(sh)
+          (id, sh, sig, bandsOfSig(sig))
+        }
+        .toDF("doc_id", "sh", "sig", "bands"))
+    candidatePairs(docs)
+      .join(docs.select(col("doc_id").as("doc1"),
+        col("sh").as("sh1"), col("sig").as("sig1")), "doc1")
+      .join(docs.select(col("doc_id").as("doc2"),
+        col("sh").as("sh2"), col("sig").as("sig2")), "doc2")
+      .withColumn("est_m", aggregate(
+        zip_with(col("sig1"), col("sig2"),
+          (a, b) => when(a === b, 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("ov", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("un", size(array_union(col("sh1"), col("sh2"))).cast("long"))
+      .select(
+        expr(s"(10 * est_m) DIV $NumHashes").as("est_decile"),
+        expr("(10 * ov) DIV un").as("true_decile"))
+      .groupBy("est_decile", "true_decile")
+      .agg(count(lit(1)).as("n_pairs"))
   }
 
   /** Dense small-vocab Jaccard: every distinct token set is one long; the

@@ -209,6 +209,44 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty, "sampled decile table vacuous")
   }
 
+  test("minhashEstError: confusion matrix equals driver-side signature replay") {
+    val got = Dedup.minhashEstError(spark, dir).collect()
+      .map(r => (r.getAs[Long]("est_decile"), r.getAs[Long]("true_decile")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    // driver model: every LSH candidate pair (some band key shared), then
+    // estimate = matching signature slots, truth = exact shingle jaccard
+    val sh = docs.map { case (id, t, _, _, _) => id -> Dedup.shingleSet(t) }.toMap
+    val sig = sh.map { case (id, g) => id -> Dedup.signature(g) }
+    val bands = sh.map { case (id, g) => id -> Dedup.bandKeys(g) }
+    val ids = docs.map(_._1)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if bands(a).zip(bands(b)).exists { case (x, y) => x == y }
+    } yield {
+      val est = sig(a).zip(sig(b)).count { case (x, y) => x == y }.toLong
+      val ov = sh(a).toSet.intersect(sh(b).toSet).size.toLong
+      val un = sh(a).toSet.union(sh(b).toSet).size.toLong
+      ((10L * est) / Dedup.NumHashes, (10L * ov) / un)
+    }).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == expected)
+    // exact duplicates sit on the (10, 10) diagonal cell
+    assert(got.contains((10L, 10L)))
+  }
+
+  test("signature: slot minima are UNSIGNED minima of the remix stream") {
+    // the DuckDB replay mins HUGEINT values in [0, 2^64); the Scala side
+    // must order the same way or the replay picks different slot elements
+    val g = Dedup.shingleSet(base)
+    val hs = g.map(graft.functions.HashFunctions.fnv64)
+    val got = Dedup.signature(g)
+    (0 until Dedup.NumHashes).foreach { k =>
+      val remixes = hs.map(h => Dedup.mix64(h + k * 0x9E3779B97F4A7C15L))
+      val mn = remixes.reduce((a, b) =>
+        if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b)
+      assert(got(k) == mn, s"slot $k: expected unsigned min")
+    }
+  }
+
   test("ngramJaccard: equals brute-force token-set jaccard at threshold") {
     val t = 0.8
     val expected = (for {
