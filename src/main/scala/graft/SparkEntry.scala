@@ -129,6 +129,7 @@ object SparkEntry {
     "q50_stream_embed_neardup" -> (graft.streaming.EventStreams.embedNearDupQuery _),
     "q56_stream_image_phash" -> (graft.streaming.EventStreams.imagePhashQuery _),
     "q57_stream_drift" -> (graft.streaming.EventStreams.streamDriftQuery _),
+    "q58_stream_anomaly" -> (graft.streaming.EventStreams.streamAnomalyQuery _),
     "q38_stream_active" -> (graft.streaming.EventStreams.activeQuery _),
     "q39_stream_debounce" -> (graft.streaming.EventStreams.debounceQuery _),
     "q42_stream_attribution" -> (graft.streaming.EventStreams.attributionQuery _),
@@ -449,6 +450,23 @@ object SparkEntry {
       |    CAST(ceil(ln(greatest(1.0, n / 32.0)) / ln(2.0)) AS INTEGER))) AS nbits FROM n)""".stripMargin
 
   private val goldenGamma = "CAST(11400714819323198485 AS HUGEINT)"
+
+  /** (c·n − s)² > 4·(n·ss − s²) per-user daily z-score flag — squared terms
+    * in HUGEINT (Spark side: DECIMAL(38,0)) so a power user's counts can't
+    * overflow the compare. Shared by anomaly_days and its streaming twin
+    * q58_stream_anomaly (full-replay parity).
+    */
+  private val anomalyDaysSql =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+      |  FROM events GROUP BY user_id, epoch_us(ts) // 86400000000),
+      |st AS (SELECT user_id, count(*) AS n, sum(cnt) AS s, sum(cnt*cnt) AS ss
+      |       FROM daily GROUP BY user_id)
+      |SELECT d.user_id, d.day, d.cnt
+      |FROM daily d JOIN st ON st.user_id = d.user_id
+      |WHERE st.n >= 7
+      |  AND CAST(d.cnt * st.n - st.s AS HUGEINT) * CAST(d.cnt * st.n - st.s AS HUGEINT)
+      |      > CAST(4 AS HUGEINT) * CAST(st.n * st.ss - st.s * st.s AS HUGEINT)""".stripMargin
 
   /** Full replay of the [[graft.operators.Corpus.clsWeights]] linear
     * classifier (Corpus.classifierScore): splitmix64 weight derivation,
@@ -1530,17 +1548,12 @@ object SparkEntry {
     // exact integer z-test: |c − μ| > 2σ with denominators cleared —
     // (c·n − s)² > 4·(n·ss − s²) — squared terms in HUGEINT (Spark side:
     // DECIMAL(38,0)) so a power user's counts can't overflow the compare
-    "anomaly_days" ->
-      """WITH daily AS (
-        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
-        |  FROM events GROUP BY user_id, epoch_us(ts) // 86400000000),
-        |st AS (SELECT user_id, count(*) AS n, sum(cnt) AS s, sum(cnt*cnt) AS ss
-        |       FROM daily GROUP BY user_id)
-        |SELECT d.user_id, d.day, d.cnt
-        |FROM daily d JOIN st ON st.user_id = d.user_id
-        |WHERE st.n >= 7
-        |  AND CAST(d.cnt * st.n - st.s AS HUGEINT) * CAST(d.cnt * st.n - st.s AS HUGEINT)
-        |      > CAST(4 AS HUGEINT) * CAST(st.n * st.ss - st.s * st.s AS HUGEINT)""".stripMargin,
+    "anomaly_days" -> anomalyDaysSql,
+    // the streaming twin's one AvailableNow pass maintains the identical
+    // per-(user, day) counts as keyed state (epoch-aligned 1-day windows
+    // bucket exactly like the batch DIV), so the same replay verifies the
+    // streaming path end-to-end
+    "q58_stream_anomaly" -> anomalyDaysSql,
     // consecutive-event bigram in the shared (ts µs, event_id) total order
     "event_transitions" ->
       """WITH seq AS (SELECT user_id, event_type,

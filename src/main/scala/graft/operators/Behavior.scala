@@ -174,12 +174,22 @@ object Behavior {
     * so the window sort is O(span), and a 10⁸-event user costs no more
     * than their day count.
     */
-  def anomalyDays(s: SparkSession, dir: String): DataFrame = {
+  def anomalyDays(s: SparkSession, dir: String): DataFrame =
+    anomalyTail(
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("cnt")))
+
+  /** The z-score flagging tail of [[anomalyDays]] over a (user_id, day,
+    * cnt) daily-count table — shared with the streaming twin
+    * (q58_stream_anomaly), whose keyed state maintains the same daily
+    * counts incrementally. Flag days with |cnt − mean| > 2σ via the
+    * cross-multiplied integer form (squares in DECIMAL(38,0) so a power
+    * user's counts can't overflow the compare).
+    */
+  def anomalyTail(daily: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(s, dir)
-      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
-      .groupBy("user_id", "day")
-      .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("user_id")
     daily
       .withColumn("n", count(lit(1)).over(w))

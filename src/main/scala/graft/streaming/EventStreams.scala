@@ -1171,6 +1171,37 @@ object EventStreams {
     graft.operators.Profile.psiFromCounts(s, counts, edges)
   }
 
+  /** q58_stream_anomaly — the STREAMING twin of `Behavior.anomalyDays`, the
+    * second monitor twin after q57: per-user daily event counts are keyed
+    * streaming state (a Catalyst-native windowed count — watermark + 1-day
+    * event-time windows, map-side partial aggregation; state is bounded by
+    * users × the watermark's retention horizon, the same bound the batch
+    * monitor's lookback window imposes), and the anomaly flagging —
+    * `Behavior.anomalyTail`'s cross-multiplied 2σ test over each user's
+    * day vector — is the batch tail a monitoring job runs over the
+    * maintained counts between triggers (the q57 split: incremental state
+    * upstream, constant re-derivation downstream).
+    *
+    * Day identity: the 1-day tumbling window starts on epoch-aligned UTC
+    * midnights, so `unix_timestamp(w.start) DIV 86400` equals the batch
+    * side's `unix_micros(ts) DIV 86400000000` for every nonnegative
+    * timestamp — the twin and the batch operator bucket identically by
+    * construction. Parity contract: one AvailableNow pass ⇒ the streamed
+    * daily table equals the batch groupBy, so the final frame equals
+    * `anomaly_days` row-for-row and the SAME DuckDB oracle verifies the
+    * streaming path end-to-end (the q25/q56/q57 full-replay discipline).
+    */
+  def streamAnomalyQuery(s: SparkSession, dir: String): DataFrame = {
+    val daily = runStagedViaFiles(s, dir, "q58_stream_anomaly", staged =>
+      readEvents(s, staged)
+        .withWatermark("ts", "2 hours")
+        .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+          expr("unix_timestamp(w.start) DIV 86400").as("day"), col("cnt")))
+    graft.operators.Behavior.anomalyTail(daily)
+  }
+
   /** Run a streaming DataFrame to completion over a bounded source (one
     * availableNow pass), collecting results through an in-memory sink table.
     * This is how the parity tests observe streaming output.

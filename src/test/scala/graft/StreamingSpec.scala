@@ -424,6 +424,19 @@ class StreamingSpec extends AnyFunSuite {
     TransientCache.release(spark)
   }
 
+  test("streaming anomaly twin: q58 table equals batch anomaly_days row-for-row") {
+    // the epoch-aligned 1-day streaming windows bucket exactly like the
+    // batch DIV, and one AvailableNow pass maintains the identical daily
+    // counts, so the flagged (user, day, cnt) sets must agree exactly
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day"),
+        r.getAs[Long]("cnt"))).toSet
+    val streamed = rows(EventStreams.streamAnomalyQuery(spark, Sf0001))
+    val batch = rows(graft.operators.Behavior.anomalyDays(spark, Sf0001))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "fixture must flag at least one anomalous day")
+  }
+
   test("streaming rolling actives: bounded pass equals the batch inverted-window answer") {
     import org.apache.spark.sql.streaming.OutputMode
     val streamed = EventStreams.runToMemory(
