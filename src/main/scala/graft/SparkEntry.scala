@@ -889,9 +889,11 @@ object SparkEntry {
 
   /** The refined variant re-ranks the ADC top-40 short-list by exact
     * squared L2 — the same ‖q‖² − 2·q·v + ‖v‖² expansion (ordered dots,
-    * left-associated) the Scala expression builds.
+    * left-associated) the Scala expression builds. Parameterized by the
+    * final top-k cutoff (the ADC short-list depth stays the tier's own
+    * constant 40) so ann_recall can nest it at RecallK — see [[annLshSqlK]].
     */
-  private val annIvfPqRefinedSql =
+  private def annIvfPqRefinedSqlK(k: Int) =
     s"""$ivfPqPrefixCtes,
        |shortl AS (SELECT query_id, vec_id FROM (
        |   SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
@@ -906,7 +908,9 @@ object SparkEntry {
        | SELECT query_id, vec_id AS neighbor_id,
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY exd ASC, vec_id ASC) AS INTEGER) AS "rank"
-       | FROM ex) r WHERE "rank" <= 10""".stripMargin
+       | FROM ex) r WHERE "rank" <= $k""".stripMargin
+
+  private val annIvfPqRefinedSql = annIvfPqRefinedSqlK(10)
 
   /** semdedup replay on the SAME clustering: within-cell pairs at cosine ≥
     * 0.4 (the ordered-IEEE dot + the same (nrm1*nrm2) product), a doc is
@@ -3157,7 +3161,10 @@ object SparkEntry {
          |  FROM (${annLshSqlK(graft.operators.Ann.RecallK)}) l
          |  UNION ALL
          |  SELECT 'ivf' AS method, query_id, neighbor_id
-         |  FROM (${annIvfSqlK(graft.operators.Ann.RecallK)}) i)
+         |  FROM (${annIvfSqlK(graft.operators.Ann.RecallK)}) i
+         |  UNION ALL
+         |  SELECT 'ivfpq' AS method, query_id, neighbor_id
+         |  FROM (${annIvfPqRefinedSqlK(graft.operators.Ann.RecallK)}) p)
          |SELECT ap.method, ap.query_id,
          |  CAST(count(*) AS BIGINT) AS n_returned,
          |  CAST(sum(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)

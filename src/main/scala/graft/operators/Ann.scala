@@ -1048,11 +1048,13 @@ object Ann {
       (ss, d, nq, lk) => ivfPqRefinedTopK(ss, d, nq, lk))
 
   /** ann_recall — the recall@k harness every approximate-index deployment
-    * gates on: for each approximate tier ([[lshTopK]], [[ivfTopK]]) and
-    * each query, the fraction of the EXACT top-k ([[bruteTopK]], the
-    * ground truth) the tier returned. This is the number that decides
-    * nProbe/nbits before an index ships — a 100 TB pipeline runs exactly
-    * this harness on a held-out query sample after every index build.
+    * gates on: for each approximate tier ([[lshTopK]], [[ivfTopK]], and —
+    * round 12 — [[ivfPqRefinedTopK]], the PRODUCTION two-stage index whose
+    * recall is the one that actually gates a deployment) and each query,
+    * the fraction of the EXACT top-k ([[bruteTopK]], the ground truth) the
+    * tier returned. This is the number that decides nProbe/nbits before an
+    * index ships — a 100 TB pipeline runs exactly this harness on a
+    * held-out query sample after every index build.
     * Output (method, query_id, n_returned, n_hits, recall): counts are
     * exact BIGINTs; recall is the single division n_hits/k (two exact
     * ints → one correctly-rounded IEEE op, identical in any engine).
@@ -1072,6 +1074,8 @@ object Ann {
       lshTopK(s, dir, nQueries, k).select(lit("lsh").as("method"),
         col("query_id"), col("neighbor_id")) unionByName
       ivfTopK(s, dir, nQueries, k).select(lit("ivf").as("method"),
+        col("query_id"), col("neighbor_id")) unionByName
+      ivfPqRefinedTopK(s, dir, nQueries, k).select(lit("ivfpq").as("method"),
         col("query_id"), col("neighbor_id"))
     approx.join(broadcast(exact), Seq("query_id", "neighbor_id"), "left")
       .groupBy("method", "query_id")

@@ -583,6 +583,8 @@ class AnnSpec extends AnyFunSuite {
       "lsh" -> Ann.lshTopK(spark, Sf0001).collect()
         .map(r => (r.getLong(0), r.getLong(1))),
       "ivf" -> Ann.ivfTopK(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1))),
+      "ivfpq" -> Ann.ivfPqRefinedTopK(spark, Sf0001).collect()
         .map(r => (r.getLong(0), r.getLong(1))))
     val got = Ann.annRecall(spark, Sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
