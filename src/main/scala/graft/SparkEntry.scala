@@ -130,6 +130,7 @@ object SparkEntry {
     "q56_stream_image_phash" -> (graft.streaming.EventStreams.imagePhashQuery _),
     "q57_stream_drift" -> (graft.streaming.EventStreams.streamDriftQuery _),
     "q58_stream_anomaly" -> (graft.streaming.EventStreams.streamAnomalyQuery _),
+    "q59_stream_cdc" -> (graft.streaming.EventStreams.streamCdcQuery _),
     "q38_stream_active" -> (graft.streaming.EventStreams.activeQuery _),
     "q39_stream_debounce" -> (graft.streaming.EventStreams.debounceQuery _),
     "q42_stream_attribution" -> (graft.streaming.EventStreams.attributionQuery _),
@@ -221,6 +222,7 @@ object SparkEntry {
     "ann_recall" -> ((s: SparkSession, d: String) => Ann.annRecall(s, d)),
     "mmr_rerank" -> ((s: SparkSession, d: String) => Ann.mmrRerank(s, d)),
     "knn_label_vote" -> ((s: SparkSession, d: String) => Ann.knnLabelVote(s, d)),
+    "hard_negatives" -> ((s: SparkSession, d: String) => Ann.hardNegatives(s, d)),
     "embed_quantize" -> (Ann.embedQuantize _),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
@@ -450,6 +452,19 @@ object SparkEntry {
       |    CAST(ceil(ln(greatest(1.0, n / 32.0)) / ln(2.0)) AS INTEGER))) AS nbits FROM n)""".stripMargin
 
   private val goldenGamma = "CAST(11400714819323198485 AS HUGEINT)"
+
+  /** Last-write-wins CDC snapshot replay (window-sort formulation; the
+    * engine's argmax must land on the same rows). Shared by cdc_apply and
+    * its streaming twin q59_stream_cdc (full-replay parity).
+    */
+  private val cdcApplySql =
+    """SELECT user_id, ts_us, event_id, event_type, value_cents FROM (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS value_cents,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 AND event_type <> 'error'""".stripMargin
 
   /** (c·n − s)² > 4·(n·ss − s²) per-user daily z-score flag — squared terms
     * in HUGEINT (Spark side: DECIMAL(38,0)) so a power user's counts can't
@@ -1908,14 +1923,10 @@ object SparkEntry {
         |FROM w WHERE event_type = 'purchase'""".stripMargin,
     // last-write-wins snapshot: the oracle replays the window-sort
     // formulation; the engine's argmax must land on the same rows
-    "cdc_apply" ->
-      """SELECT user_id, ts_us, event_id, event_type, value_cents FROM (
-        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
-        |         CAST(round(value * 100) AS BIGINT) AS value_cents,
-        |         row_number() OVER (PARTITION BY user_id
-        |                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-        |  FROM events) t
-        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    "cdc_apply" -> cdcApplySql,
+    // the streaming twin folds the whole staged log into the same per-key
+    // struct maxima (order-free), so the identical replay gates it
+    "q59_stream_cdc" -> cdcApplySql,
     // the ordered float recurrence replayed step-for-step: same sequence,
     // same IEEE ops (×0.5 is exact, one rounding add per step) ⇒ same bits
     "ts_ewma" ->
@@ -3140,6 +3151,23 @@ object SparkEntry {
         |           ELSE floor(b.vd * 127.0 / s.scale + 0.5) END AS INTEGER) AS q
         |FROM b JOIN s USING (vec_id)""".stripMargin,
     "ann_brute" -> annBruteSql,
+    // negative mining: the ann_brute replay with the label-mismatch
+    // predicate in the pairing; rank-only like every cosine oracle
+    "hard_negatives" ->
+      """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, vec AS qvec
+        |      FROM c WHERE vec_id < 8)
+        |SELECT query_id, qlabel, neighbor_id, neg_label,
+        |       CAST(rnk AS INTEGER) AS "rank" FROM (
+        | SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
+        |  c.label AS neg_label, row_number() OVER (
+        |   PARTITION BY q.query_id
+        |   ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC,
+        |            c.vec_id ASC) AS rnk
+        | FROM c, q
+        | WHERE c.vec_id <> q.query_id AND c.label <> q.qlabel) t
+        |WHERE rnk <= 10""".stripMargin,
     // recall@10 harness: the ann_brute ground-truth list vs each
     // approximate tier's list — both replayed by their own already-green
     // oracles, nested as derived tables; counts exact, recall one division

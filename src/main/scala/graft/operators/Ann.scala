@@ -63,6 +63,42 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
   }
 
+  /** hard_negatives — contrastive-training negative mining: for each
+    * held-out query vector, the top-k most-similar corpus vectors whose
+    * LABEL differs from the query's — the "hard negatives" an embedding
+    * trainer pairs with each anchor/positive (random negatives are too
+    * easy; the gradient signal lives in the near-misses). Same shape as
+    * [[bruteTopK]] with the label-mismatch predicate pushed into the
+    * broadcast join (negatives filtered BEFORE scoring, so the window
+    * ranks only eligible rows), and rank-only output (ann_brute's float
+    * discipline: ranks are immune to summation-order bit differences).
+    *
+    * 100 TB: query side is an nQueries-row broadcast with one corpus scan;
+    * WindowGroupLimit pushes the per-query top-k below the exchange like
+    * bruteTopK. In production the scorer swaps to the IVFPQ candidate set
+    * (the [[annRecall]]-gated tier) with the same label filter — join +
+    * rank shape identical, only the neighbor source changes.
+    */
+  def hardNegatives(s: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = 10): DataFrame = {
+    val c = corpus(s, dir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), col("label").as("qlabel"))
+    val scored = c.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .withColumn("score",
+        arrayDot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("qlabel"),
+        col("vec_id").as("neighbor_id"), col("label").as("neg_label"),
+        col("rank"))
+  }
+
   /** knn_label_vote — the standard embedding-quality probe: per query
     * vector, the majority label among its exact top-k cosine neighbors
     * (vote ties break to the smaller label — a total order, so the

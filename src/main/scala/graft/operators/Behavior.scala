@@ -485,7 +485,15 @@ object Behavior {
     * the gate compare is exact.
     */
   def cdcApply(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    cdcSnapshot(Tables.events(s, dir))
+
+  /** The last-write-wins snapshot body of [[cdcApply]] over any events
+    * frame — shared with the streaming twin (q59_stream_cdc), where the
+    * same struct-max aggregate runs as keyed streaming state (one struct
+    * per key, the smallest state a CDC materializer can carry).
+    */
+  def cdcSnapshot(events: DataFrame): DataFrame =
+    events
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("value_cents"))

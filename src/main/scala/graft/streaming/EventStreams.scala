@@ -1202,6 +1202,25 @@ object EventStreams {
     graft.operators.Behavior.anomalyTail(daily)
   }
 
+  /** q59_stream_cdc — the STREAMING twin of `Behavior.cdcApply`: the CDC
+    * snapshot materializer running continuously instead of per-batch. The
+    * last-write-wins struct-max aggregate becomes keyed streaming state —
+    * ONE struct per key (the minimum state any snapshot maintainer carries;
+    * no log retention, no window sort), updated incrementally with map-side
+    * partial aggregation, exactly the argmax-not-window shape the batch
+    * operator pins in PlanShapeSpec. The delete filter rides after the
+    * aggregate, on |keys| rows per trigger.
+    *
+    * Parity contract: one AvailableNow pass folds the whole staged log
+    * into the same per-key maxima as the batch groupBy (struct max is
+    * order-free), so the final snapshot equals `cdc_apply` row-for-row and
+    * the SAME DuckDB oracle verifies the streaming path end-to-end (the
+    * q57/q58 monitor-twin discipline).
+    */
+  def streamCdcQuery(s: SparkSession, dir: String): DataFrame =
+    runStagedViaFiles(s, dir, "q59_stream_cdc", staged =>
+      graft.operators.Behavior.cdcSnapshot(readEvents(s, staged)))
+
   /** Run a streaming DataFrame to completion over a bounded source (one
     * availableNow pass), collecting results through an in-memory sink table.
     * This is how the parity tests observe streaming output.

@@ -241,6 +241,28 @@ class AnnSpec extends AnyFunSuite {
     TransientCache.release(s)
   }
 
+  test("hardNegatives: top-k label-mismatched neighbors == driver-side model") {
+    val labels = graft.sources.Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Ann.hardNegatives(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSet
+    val expect = (0L until 8L).flatMap { q =>
+      vecs.keys.filter(d => d != q && labels(d) != labels(q)).toSeq
+        .map(d => (d, cos(vecs(q), vecs(d))))
+        .sortBy { case (d, c) => (-c, d) }.take(10).zipWithIndex
+        .map { case ((d, _), i) => (q, d, i + 1) }
+    }.toSet
+    assert(got === expect)
+    // non-vacuous: mining excludes same-label near neighbors — at least one
+    // query's negative list differs from its unrestricted top-10
+    val brute = Ann.bruteTopK(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(got.exists { case (q, d, _) => !brute.contains((q, d)) })
+    TransientCache.release(spark)
+  }
+
   test("knnLabelVote: prediction equals a driver-side majority vote over bruteTopK") {
     val labels = graft.sources.Tables.embeddings(spark, Sf0001)
       .select("vec_id", "label").collect()

@@ -437,6 +437,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "fixture must flag at least one anomalous day")
   }
 
+  test("streaming CDC twin: q59 snapshot equals batch cdc_apply row-for-row") {
+    // struct max is order-free, so one AvailableNow pass folds the staged
+    // log into the same per-key last-writer rows as the batch groupBy
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("value_cents"))).toSet
+    val streamed = rows(EventStreams.streamCdcQuery(spark, Sf0001))
+    val batch = rows(graft.operators.Behavior.cdcApply(spark, Sf0001))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming rolling actives: bounded pass equals the batch inverted-window answer") {
     import org.apache.spark.sql.streaming.OutputMode
     val streamed = EventStreams.runToMemory(
