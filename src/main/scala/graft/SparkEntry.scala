@@ -171,6 +171,7 @@ object SparkEntry {
     "corpus_overlap" -> ((s: SparkSession, d: String) => Dedup.corpusOverlap(s, d)),
     "dedup_recall" -> ((s: SparkSession, d: String) => Dedup.dedupRecall(s, d)),
     "minhash_est_error" -> ((s: SparkSession, d: String) => Dedup.minhashEstError(s, d)),
+    "lsh_tune" -> ((s: SparkSession, d: String) => Dedup.lshTune(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.clusters(s, d)),
     "dedup_ngram" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash" -> (Dedup.simhashSigs _),
@@ -330,10 +331,11 @@ object SparkEntry {
   // buckets → candidate pairs → exact-Jaccard verify in `j`), shared by
   // minhashPairsSql (terminal pair SELECT) and dedupRecallSql (which joins
   // the same `j` pairs against the all-pairs ground truth).
-  private val minhashCtes = {
+  // shingles -> per-slot signature minima: the config-independent prefix
+  // of the replay (CTE `sig(doc_id, k, mn)`), shared by the production
+  // banding below and every lsh_tune configuration.
+  private val minhashSigCtes = {
     val golden = "CAST(11400714819323198485 AS HUGEINT)" // 0x9E3779B97F4A7C15
-    val fnvOff = "CAST(14695981039346656037 AS HUGEINT)" // FNV-1a offset basis
-    val fnvPrime = "CAST(1099511628211 AS HUGEINT)"
     s"""s AS ($shingled),
        |g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
        |h AS (SELECT doc_id, ${fnvFold(codeUnits("gram"))} AS hu FROM g),
@@ -345,22 +347,37 @@ object SparkEntry {
        |m3 AS (SELECT doc_id, k, ${mulmod64("xor(z1, z1 >> 27)",
            "CAST(10723151780598845931 AS HUGEINT)")} AS z2 FROM m2),
        |m4 AS (SELECT doc_id, k, xor(z2, z2 >> 31) AS v FROM m3),
-       |sig AS (SELECT doc_id, k, min(v) AS mn FROM m4 GROUP BY doc_id, k),
-       |band AS (SELECT doc_id, k // 4 AS band, list_reduce(
-       |  list_prepend(xor($fnvOff, CAST(k // 4 AS HUGEINT)), list(mn ORDER BY k)),
+       |sig AS (SELECT doc_id, k, min(v) AS mn FROM m4 GROUP BY doc_id, k)""".stripMargin
+  }
+
+  /** One banding tail over `sig` at `rows` slots per band (band = k // rows,
+    * matching Dedup.bandsOfSigR): band fold with the band index salted into
+    * the seed, the MaxBucket=1000 hot-bucket cap, within-bucket pairing.
+    * `sfx` suffixes the CTE names so lsh_tune can instantiate several
+    * configurations in one statement.
+    */
+  private def bandingCtes(rows: Int, sfx: String): String = {
+    val fnvOff = "CAST(14695981039346656037 AS HUGEINT)" // FNV-1a offset basis
+    val fnvPrime = "CAST(1099511628211 AS HUGEINT)"
+    s"""band$sfx AS (SELECT doc_id, k // $rows AS band, list_reduce(
+       |  list_prepend(xor($fnvOff, CAST(k // $rows AS HUGEINT)), list(mn ORDER BY k)),
        |  (acc, sl) -> ${mod64(s"xor(acc, sl) * $fnvPrime")}) AS bkey
-       | FROM sig GROUP BY doc_id, k // 4),
-       |capped AS (SELECT * FROM (SELECT doc_id, band, bkey,
-       |   count(*) OVER (PARTITION BY band, bkey) AS bucket_n FROM band) c
+       | FROM sig GROUP BY doc_id, k // $rows),
+       |capped$sfx AS (SELECT * FROM (SELECT doc_id, band, bkey,
+       |   count(*) OVER (PARTITION BY band, bkey) AS bucket_n FROM band$sfx) c
        |  WHERE bucket_n <= 1000),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-       | FROM capped a JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
-       |  AND a.doc_id < b.doc_id),
+       |cand$sfx AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       | FROM capped$sfx a JOIN capped$sfx b ON a.band = b.band AND a.bkey = b.bkey
+       |  AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val minhashCtes =
+    s"""$minhashSigCtes,
+       |${bandingCtes(graft.operators.Dedup.RowsPerBand, "")},
        |j AS (SELECT c.doc1, c.doc2,
        |  CAST(len(list_distinct(list_intersect(x.sh, y.sh))) AS DOUBLE)
        |   / CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE) AS jaccard
        | FROM cand c JOIN s x ON x.doc_id = c.doc1 JOIN s y ON y.doc_id = c.doc2)""".stripMargin
-  }
 
   private val minhashPairsSql =
     s"WITH $minhashCtes\nSELECT doc1, doc2, jaccard FROM j WHERE jaccard >= 0.5"
@@ -415,6 +432,38 @@ object SparkEntry {
        |  CAST(count(*) AS BIGINT) AS n_pairs
        |FROM em JOIN tv ON tv.doc1 = em.doc1 AND tv.doc2 = em.doc2
        |GROUP BY 1, 2""".stripMargin
+
+  /** lsh_tune oracle — the shared signature prefix, the all-pairs truth
+    * deciles (dedup_recall's tp/tf formulation), and one banding tail per
+    * swept configuration; each config's branch left-joins its own cand set
+    * against the same truth and the branches UNION ALL.
+    */
+  private val lshTuneSql = {
+    val cfgs = graft.operators.Dedup.TuneConfigs
+    val bandCtes = cfgs.map { case (b, r) => bandingCtes(r, s"_${b}_$r") }
+      .mkString(",\n")
+    val branches = cfgs.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |  j_decile, n_true, n_caught,
+         |  CAST(n_caught AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+         |FROM (SELECT (10 * tf.ov) // tf.un AS j_decile,
+         |   CAST(count(*) AS BIGINT) AS n_true,
+         |   CAST(sum(CASE WHEN c.doc1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_caught
+         |  FROM tf LEFT JOIN cand_${b}_$r c
+         |    ON c.doc1 = tf.doc1 AND c.doc2 = tf.doc2
+         |  GROUP BY 1) d""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $minhashSigCtes,
+       |tp AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       |  CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS BIGINT) AS ov,
+       |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS un
+       | FROM s a JOIN s b ON a.doc_id < b.doc_id),
+       |tf AS (SELECT * FROM tp
+       |       WHERE CAST(ov AS DOUBLE) / CAST(un AS DOUBLE) >= 0.5),
+       |$bandCtes
+       |$branches""".stripMargin
+  }
 
   /** Full replay of the random-hyperplane LSH ANN path (Ann.lshTopK) in
     * DuckDB: the splitmix64 hyperplane stream (closed form — state_k = seed +
@@ -2627,6 +2676,7 @@ object SparkEntry {
     // exact for the prefix filter because its recall is 1); integer deciles.
     "dedup_recall" -> dedupRecallSql,
     "minhash_est_error" -> minhashEstErrorSql,
+    "lsh_tune" -> lshTuneSql,
     // cross-source shingle contamination matrix: distinct (source, md5
     // shingle) pairs, per-source totals, pair-shared counts over the full
     // ordered source grid; counts exact, jaccard one division. Binary

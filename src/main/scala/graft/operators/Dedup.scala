@@ -258,17 +258,23 @@ object Dedup {
     sig
   }
 
-  /** LSH band keys of one signature: hash each band's r slots (+ band
-    * index, so identical slot values in different bands cannot collide)
-    * into one bucket key.
+  /** LSH band keys of one signature at `rows` slots per band (bands =
+    * sig.length / rows): hash each band's slots (+ band index, so identical
+    * slot values in different bands cannot collide) into one bucket key.
     */
-  private[graft] def bandsOfSig(sig: Array[Long]): Array[Long] =
-    Array.tabulate(Bands) { b =>
+  private[graft] def bandsOfSigR(sig: Array[Long], rows: Int): Array[Long] = {
+    val bands = sig.length / rows
+    Array.tabulate(bands) { b =>
       var acc = 0xcbf29ce484222325L ^ b.toLong
       var r = 0
-      while (r < RowsPerBand) { acc ^= sig(b * RowsPerBand + r); acc *= 0x100000001b3L; r += 1 }
+      while (r < rows) { acc ^= sig(b * rows + r); acc *= 0x100000001b3L; r += 1 }
       acc
     }
+  }
+
+  /** LSH band keys at the production config ([[Bands]] × [[RowsPerBand]]). */
+  private[graft] def bandsOfSig(sig: Array[Long]): Array[Long] =
+    bandsOfSigR(sig, RowsPerBand)
 
   /** MinHash band keys for one shingle set ([[signature]] → [[bandsOfSig]]
     * in one call, computed in plain Scala).
@@ -390,6 +396,69 @@ object Dedup {
         expr("(10 * ov) DIV un").as("true_decile"))
       .groupBy("est_decile", "true_decile")
       .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Banding configurations swept by [[lshTune]] — (bands, rowsPerBand)
+    * with bands × rows = [[NumHashes]], bracketing the production
+    * ([[Bands]], [[RowsPerBand]]) so the sweep both validates the shipped
+    * S-curve and shows the two neighboring trade-offs.
+    */
+  val TuneConfigs: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8))
+
+  /** lsh_tune — the banding parameter sweep, the third member of the dedup
+    * quality harness ([[dedupRecall]] measures the SHIPPED config's recall,
+    * [[minhashEstError]] the signature's accuracy; this answers "which
+    * (bands, rows) config should ship"): for each config, re-band the SAME
+    * signatures and report candidate-generation recall per true-jaccard
+    * decile against the exact prefix-filter edge set. More rows per band
+    * steepens the S-curve (fewer false candidates, lower recall below the
+    * threshold knee); the sweep makes the trade measurable before a
+    * banding change ships — run it (sampled) exactly where dedup_recall
+    * runs.
+    *
+    * 100 TB: signatures are computed ONCE (one typed map, shared via the
+    * transient cache); each config re-folds the 64 cached slots map-side
+    * and pays one banding shuffle — no re-shingling, no extra corpus
+    * scans. Recall counts are integer; the one division is terminal.
+    */
+  def lshTune(s: SparkSession, dir: String, threshold: Double = 0.5,
+      configs: Seq[(Int, Int)] = TuneConfigs,
+      sampleMod: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    val docs = graft.TransientCache.cache(
+      maybeSample(Tables.documents(s, dir), sampleMod)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val sh = shingleSet(text)
+          (id, sh, signature(sh))
+        }
+        .toDF("doc_id", "sh", "sig"))
+    val sets = docs.select(col("doc_id"), col("sh"))
+    // exact truth pairs with integer deciles over the same shingles
+    val truth = graft.TransientCache.cache(
+      similarityEdges(s, dir, threshold, sampleMod)
+        .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+        .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+        .select(col("doc1"), col("doc2"), expr(
+          """(10 * CAST(size(array_intersect(sh1, sh2)) AS BIGINT))
+            | DIV CAST(size(array_union(sh1, sh2)) AS BIGINT)""".stripMargin)
+          .as("j_decile")))
+    val sigs = docs.select(col("doc_id"), col("sig"))
+    configs.map { case (b, r) =>
+      val banded = sigs.as[(Long, Array[Long])]
+        .map { case (id, sg) => (id, bandsOfSigR(sg, r)) }
+        .toDF("doc_id", "bands")
+      val cand = candidatePairs(banded).withColumn("hit", lit(1L))
+      truth.join(cand, Seq("doc1", "doc2"), "left")
+        .groupBy("j_decile")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("j_decile"), col("n_true"), col("n_caught"),
+          (col("n_caught").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionByName _)
   }
 
   /** Dense small-vocab Jaccard: every distinct token set is one long; the

@@ -233,6 +233,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((10L, 10L)))
   }
 
+  test("lshTune: per-config decile recall equals a driver-side banding replay") {
+    val got = Dedup.lshTune(spark, dir).collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band"),
+        r.getAs[Long]("j_decile")) ->
+        (r.getAs[Long]("n_true"), r.getAs[Long]("n_caught"))).toMap
+    val sh = docs.map { case (id, t, _, _, _) => id -> Dedup.shingleSet(t) }.toMap
+    val sig = sh.map { case (id, g) => id -> Dedup.signature(g) }
+    val ids = docs.map(_._1)
+    val truth = for {
+      a <- ids; b <- ids if a < b
+      ov = sh(a).toSet.intersect(sh(b).toSet).size.toLong
+      un = sh(a).toSet.union(sh(b).toSet).size.toLong
+      if ov.toDouble / un >= 0.5
+    } yield (a, b, (10L * ov) / un)
+    val expected = Dedup.TuneConfigs.flatMap { case (b, r) =>
+      def caught(x: Long, y: Long) =
+        Dedup.bandsOfSigR(sig(x), r).zip(Dedup.bandsOfSigR(sig(y), r))
+          .exists { case (p, q) => p == q }
+      truth.groupBy(_._3).map { case (dec, ps) =>
+        (b.toLong, r.toLong, dec) ->
+          (ps.size.toLong, ps.count(p => caught(p._1, p._2)).toLong)
+      }
+    }.toMap
+    assert(got == expected)
+    // the sweep is non-vacuous: every config sees the fixture's true pairs
+    assert(got.keys.map(_._1).toSet == Dedup.TuneConfigs.map(_._1.toLong).toSet)
+  }
+
   test("signature: slot minima are UNSIGNED minima of the remix stream") {
     // the DuckDB replay mins HUGEINT values in [0, 2^64); the Scala side
     // must order the same way or the replay picks different slot elements
