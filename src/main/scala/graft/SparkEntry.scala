@@ -224,6 +224,7 @@ object SparkEntry {
     "mmr_rerank" -> ((s: SparkSession, d: String) => Ann.mmrRerank(s, d)),
     "knn_label_vote" -> ((s: SparkSession, d: String) => Ann.knnLabelVote(s, d)),
     "hard_negatives" -> ((s: SparkSession, d: String) => Ann.hardNegatives(s, d)),
+    "ann_dim_ablation" -> ((s: SparkSession, d: String) => Ann.annDimAblation(s, d)),
     "embed_quantize" -> (Ann.embedQuantize _),
     "ann_lsh" -> ((s: SparkSession, d: String) => Ann.lshTopK(s, d)),
     "ann_ivf" -> ((s: SparkSession, d: String) => Ann.ivfTopK(s, d)),
@@ -3201,6 +3202,33 @@ object SparkEntry {
         |           ELSE floor(b.vd * 127.0 / s.scale + 0.5) END AS INTEGER) AS q
         |FROM b JOIN s USING (vec_id)""".stripMargin,
     "ann_brute" -> annBruteSql,
+    // truncated-dim recall: full-dim exact top-k as truth, one prefix-slice
+    // rank list per swept width; DuckDB's 1-based inclusive list slice
+    // vec[1:d] is the same prefix Spark's slice(vec, 1, d) takes
+    "ann_dim_ablation" -> {
+      val k = graft.operators.Ann.RecallK
+      val branches = graft.operators.Ann.AblationDims.map { d =>
+        s"""SELECT CAST($d AS BIGINT) AS dims, a.query_id,
+           |  CAST(count(*) AS BIGINT) AS n_returned,
+           |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST($k AS DOUBLE) AS recall
+           |FROM (SELECT query_id, vec_id FROM (
+           |   SELECT q.query_id, c.vec_id, row_number() OVER (PARTITION BY q.query_id
+           |    ORDER BY list_cosine_similarity(c.vec[1:$d], q.qvec[1:$d]) DESC,
+           |             c.vec_id ASC) AS rnk
+           |   FROM c, q WHERE c.vec_id <> q.query_id) t WHERE rnk <= $k) a
+           |LEFT JOIN b ON b.query_id = a.query_id AND b.vec_id = a.vec_id
+           |GROUP BY a.query_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, vec AS qvec FROM c WHERE vec_id < 8),
+         |b AS (SELECT query_id, vec_id FROM (
+         |   SELECT q.query_id, c.vec_id, row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id ASC) AS rnk
+         |   FROM c, q WHERE c.vec_id <> q.query_id) t WHERE rnk <= $k)
+         |$branches""".stripMargin
+    },
     // negative mining: the ann_brute replay with the label-mismatch
     // predicate in the pairing; rank-only like every cosine oracle
     "hard_negatives" ->

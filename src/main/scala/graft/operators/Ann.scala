@@ -1120,6 +1120,63 @@ object Ann {
       .withColumn("recall", col("n_hits").cast("double") / lit(k.toDouble))
   }
 
+  /** Truncation widths swept by [[annDimAblation]] — prefix dimensions of
+    * the 64-d embeddings, bracketing the usual deployment question ("how
+    * few dims can retrieval afford").
+    */
+  val AblationDims: Seq[Int] = Seq(8, 16, 32)
+
+  /** ann_dim_ablation — the Matryoshka/truncation evaluation every
+    * embedding deployment runs before shrinking vectors: recall@k of
+    * PREFIX-truncated cosine retrieval (first `d` dimensions only) against
+    * the full-dimension exact top-k, for each width in [[AblationDims]].
+    * The number that decides whether the index stores 64, 32 or 16 floats
+    * per vector — at 100 TB the difference is the index's memory tier.
+    *
+    * One corpus scan: every truncated score is computed ALONGSIDE the full
+    * score in the same broadcast-join pass (slice + the codegen'd ordered
+    * dot; norms re-derived per width because truncation changes them), the
+    * scored frame is cached, and each width pays only its own constant-size
+    * rank window + hit join. Output mirrors ann_recall:
+    * (dims, query_id, n_returned, n_hits, recall) — counts exact, recall
+    * the terminal division.
+    */
+  def annDimAblation(s: SparkSession, dir: String, nQueries: Int = 8,
+      k: Int = RecallK, dims: Seq[Int] = AblationDims): DataFrame = {
+    def cosAt(d: Int, a: Column, b: Column): Column = {
+      val (sa, sb) = (slice(a, 1, d), slice(b, 1, d))
+      arrayDot(sa, sb) / (sqrt(arrayDot(sa, sa)) * sqrt(arrayDot(sb, sb)))
+    }
+    val c = corpus(s, dir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"))
+    val scored = graft.TransientCache.cache(
+      c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(Seq(col("query_id"), col("vec_id"),
+          (arrayDot(col("qvec"), col("vec")) / (col("qnrm") * col("nrm")))
+            .as("score_full")) ++
+          dims.map(d => cosAt(d, col("qvec"), col("vec")).as(s"score_$d")): _*))
+    def topK(score: String): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col(score).desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id"))
+    }
+    val truth = topK("score_full").withColumn("hit", lit(1L))
+    dims.map { d =>
+      topK(s"score_$d")
+        .join(broadcast(truth), Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_returned"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(d.toLong).as("dims"), col("query_id"),
+          col("n_returned"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(k.toDouble)).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** recall@k cutoff shared by [[annRecall]]'s default and EVERY cutoff in
     * its oracle — the ground-truth CTE's `rnk <=`, the nested lsh/ivf
     * replays' top-k limits (`annLshSqlK`/`annIvfSqlK` in SparkEntry take k

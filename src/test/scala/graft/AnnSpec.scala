@@ -241,6 +241,35 @@ class AnnSpec extends AnyFunSuite {
     TransientCache.release(s)
   }
 
+  test("annDimAblation: per-width recall equals a driver-side truncation model") {
+    def cosAt(d: Int, a: Array[Double], b: Array[Double]): Double = {
+      val (sa, sb) = (a.take(d), b.take(d))
+      val dot = sa.zip(sb).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(sa.map(x => x * x).sum) * math.sqrt(sb.map(x => x * x).sum))
+    }
+    def topK(score: Long => Double, q: Long): Seq[Long] =
+      vecs.keys.filter(_ != q).toSeq
+        .map(d => (d, score(d))).sortBy { case (d, c) => (-c, d) }
+        .take(10).map(_._1)
+    val got = Ann.annDimAblation(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("dims"), r.getAs[Long]("query_id")) ->
+        (r.getAs[Long]("n_returned"), r.getAs[Long]("n_hits"))).toMap
+    val expected = (for {
+      d <- Ann.AblationDims; q <- 0L until 8L
+    } yield {
+      val truth = topK(n => cos(vecs(q), vecs(n)), q).toSet
+      val trunc = topK(n => cosAt(d, vecs(q), vecs(n)), q)
+      (d.toLong, q) -> (trunc.length.toLong, trunc.count(truth).toLong)
+    }).toMap
+    assert(got == expected)
+    // the sweep is informative: narrower widths must lose recall somewhere
+    val byDim = got.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2._2).sum).toMap
+    assert(byDim(8L) < byDim(32L),
+      s"8-dim retrieval should recall less than 32-dim: $byDim")
+    TransientCache.release(spark)
+  }
+
   test("hardNegatives: top-k label-mismatched neighbors == driver-side model") {
     val labels = graft.sources.Tables.embeddings(spark, Sf0001)
       .select("vec_id", "label").collect()
