@@ -246,6 +246,7 @@ object SparkEntry {
     "semdedup" -> ((s: SparkSession, d: String) => Ann.semDedup(s, d)),
     // --- PII redaction (deterministically augmented corpus; see piiScrub) ---
     "pii_scrub" -> (graft.operators.Curation.piiScrub _),
+    "span_corrupt" -> ((s: SparkSession, d: String) => graft.operators.Curation.spanCorrupt(s, d)),
     "line_dedup" -> (graft.operators.Curation.lineDedup _),
     // --- custom DSv2 connector: the reference's mr-out text format ---
     "mrout_roundtrip" -> (graft.sources.MrOut.wcRoundtrip _),
@@ -3377,6 +3378,42 @@ object SparkEntry {
     // the deterministic footer augmentation replayed verbatim, then the same
     // ordered count-then-replace chain (patterns are RE2-safe by design, so
     // Java regex here and DuckDB's RE2 agree)
+    // T5-style span corruption: hashed per-doc phase rotates a fixed
+    // power-of-two cycle (low fnv64 bits — signed bitmask == unsigned mod
+    // only because the period is a power of two), spans = the cycle's
+    // masked prefix, sentinel-joined strings assembled in position order
+    // on both engines
+    "span_corrupt" -> {
+      val period = graft.operators.Curation.SpanPeriod
+      val spanLen = graft.operators.Curation.SpanLen
+      s"""WITH t0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |            FROM documents),
+         |tk AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |        toks[CAST(i AS INTEGER)] AS tok
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+         |             FROM t0) u),
+         |ph AS (SELECT doc_id,
+         |        ${fnvFold(codeUnits("'span:' || CAST(doc_id AS VARCHAR)"))}
+         |          & ${period - 1} AS phase FROM t0),
+         |m AS (SELECT tk.doc_id, tk.pos, tk.tok,
+         |       (tk.pos + ph.phase) % $period AS off
+         |      FROM tk JOIN ph ON ph.doc_id = tk.doc_id),
+         |m2 AS (SELECT doc_id, pos, tok, off < $spanLen AS masked,
+         |        (off < $spanLen AND (off = 0 OR pos = 0)) AS start FROM m),
+         |m3 AS (SELECT *, sum(CASE WHEN start THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS span_id FROM m2),
+         |m4 AS (SELECT *, '<extra_id_' || CAST(span_id AS VARCHAR) || '>' AS sentinel
+         |       FROM m3)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         | CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         | CAST(sum(CASE WHEN start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         | coalesce(string_agg(CASE WHEN NOT masked THEN tok
+         |   WHEN start THEN sentinel END, ' ' ORDER BY pos), '') AS input_text,
+         | coalesce(string_agg(CASE WHEN masked THEN (CASE WHEN start
+         |   THEN sentinel || ' ' || tok ELSE tok END) END, ' '
+         |   ORDER BY pos), '') AS target_text
+         |FROM m4 GROUP BY doc_id""".stripMargin
+    },
     "pii_scrub" ->
       """WITH a AS (SELECT doc_id,
         |  text || ' contact user' || CAST(doc_id AS VARCHAR)

@@ -441,6 +441,72 @@ object Curation {
         when(col("n_kept") > 0, col("kept_md5_raw")).as("kept_md5"))
   }
 
+  /** Span-corruption window length and masked prefix width for
+    * [[spanCorrupt]]. `SpanPeriod` MUST be a power of two: the per-doc
+    * phase is the low bits of an fnv64 hash, and only a power-of-two
+    * modulus makes the signed-long bitmask equal the oracle's unsigned
+    * HUGEINT mod (the lesson minhash_est_error taught about signed vs
+    * unsigned hash arithmetic, applied at design time).
+    */
+  val SpanPeriod = 16
+  val SpanLen = 2
+
+  /** span_corrupt — T5/UL2-style span-corruption example construction, the
+    * step that turns curated documents into denoising (input, target)
+    * training pairs: deterministic non-overlapping spans of [[SpanLen]]
+    * tokens are dropped from the input and replaced by sentinel tokens
+    * (`<extra_id_N>`); the target lists each sentinel followed by the
+    * tokens it hid. Span placement is a pure function of (doc_id,
+    * position) — a hashed per-document PHASE rotates a fixed
+    * [[SpanPeriod]]-token cycle whose first [[SpanLen]] offsets are
+    * masked — so corruption is reproducible under retries and any
+    * partitioning (the split_assign salted-coin discipline), needs no
+    * sequential scan, and non-overlap holds by construction (one span per
+    * cycle). Corruption rate = SpanLen/SpanPeriod (12.5% at the
+    * defaults — the T5 ballpark).
+    *
+    * 100 TB: one scan; the only shuffle is the per-doc aggregation
+    * (documents are bounded, so per-doc windows and collect_lists are
+    * bounded); all strings assemble in position order on both engines, so
+    * the gate hashes input_text/target_text exactly.
+    */
+  def spanCorrupt(s: SparkSession, dir: String, period: Int = SpanPeriod,
+      spanLen: Int = SpanLen): DataFrame = {
+    require((period & (period - 1)) == 0, "period must be a power of two")
+    require(spanLen > 0 && spanLen < period, "0 < spanLen < period")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("phase",
+        graft.functions.GraftFunctions.fnv64(
+          concat(lit("span:"), col("doc_id").cast("string")))
+          .bitwiseAND(lit((period - 1).toLong)))
+      .withColumn("off", (col("pos") + col("phase")) % period)
+      .withColumn("masked", col("off") < spanLen)
+      // a doc can start mid-span: pos 0 opens its (truncated) span
+      .withColumn("start",
+        col("masked") && (col("off") === 0 || col("pos") === 0))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val marked = toks
+      .withColumn("span_id",
+        sum(when(col("start"), 1L).otherwise(0L)).over(w) - 1L)
+      .withColumn("sentinel",
+        concat(lit("<extra_id_"), col("span_id").cast("string"), lit(">")))
+    def joined(piece: Column) = array_join(transform(
+      array_sort(collect_list(when(piece.isNotNull,
+        struct(col("pos"), piece.as("piece"))))),
+      x => x.getField("piece")), " ")
+    marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+      sum(when(col("start"), 1L).otherwise(0L)).as("n_spans"),
+      joined(when(!col("masked"), col("tok"))
+        .when(col("start"), col("sentinel"))).as("input_text"),
+      joined(when(col("masked") && col("start"),
+          concat(col("sentinel"), lit(" "), col("tok")))
+        .when(col("masked"), col("tok"))).as("target_text"))
+  }
+
   def piiScrub(s: SparkSession, dir: String): DataFrame = {
     val aug = concat(
       col("text"),

@@ -23,6 +23,50 @@ class CurationSpec extends AnyFunSuite {
     dir
   }
 
+  // ------------------------------------------------------------ spanCorrupt
+
+  test("spanCorrupt: sentinel round-trip — input + target reconstruct the doc") {
+    val texts = (0L until 40L).map(i =>
+      i -> (0 until (5 + (i % 30)).toInt).map(j => s"w${(i + j) % 13}").mkString(" "))
+    val dir = writeDocs(texts.map { case (id, t) => (id, t, "en", "s") })
+    val got = graft.operators.Curation.spanCorrupt(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.size == 40)
+    texts.foreach { case (id, text) =>
+      val r = got(id)
+      val toks = text.split(" ")
+      val phase = (graft.functions.HashFunctions.fnv64(s"span:$id") & 15L).toInt
+      val masked = toks.indices.filter(p => (p + phase) % 16 < 2)
+      val starts = masked.filter(p => (p + phase) % 16 == 0 || p == 0)
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+      assert(r.getAs[Long]("n_masked") == masked.size.toLong)
+      assert(r.getAs[Long]("n_spans") == starts.size.toLong)
+      // splicing each sentinel's target tokens back into the input at its
+      // sentinel position reproduces the original document exactly
+      val sentinels = starts.indices.map(n => s"<extra_id_$n>")
+      val tgt = r.getAs[String]("target_text")
+      val spans: Map[String, Seq[String]] =
+        if (tgt.isEmpty) Map.empty
+        else {
+          val parts = tgt.split(" ").toSeq
+          val idx = parts.zipWithIndex.filter(p => sentinels.contains(p._1))
+          idx.zipWithIndex.map { case ((sent, at), i) =>
+            val end = if (i + 1 < idx.length) idx(i + 1)._2 else parts.length
+            sent -> parts.slice(at + 1, end)
+          }.toMap
+        }
+      val rebuilt = r.getAs[String]("input_text").split(" ").toSeq
+        .flatMap(p => if (sentinels.contains(p)) spans(p) else Seq(p))
+      assert(rebuilt == toks.toSeq, s"doc $id: splice must reconstruct")
+      // corruption actually happened somewhere in the fixture
+    }
+    assert(texts.exists { case (id, _) =>
+      got(id).getAs[Long]("n_masked") > 0 })
+    assert(texts.exists { case (id, _) =>
+      got(id).getAs[Long]("n_masked") == 0 ||
+        got(id).getAs[String]("input_text").contains("<extra_id_0>") })
+  }
+
   // ------------------------------------------------------------ windowGrams
 
   test("windowGrams: short docs emit nothing, exact-length docs one window") {
