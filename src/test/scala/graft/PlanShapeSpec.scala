@@ -145,6 +145,55 @@ class PlanShapeSpec extends AnyFunSuite {
     TransientCache.release(spark)
   }
 
+  test("quality_band_keep: thresholds broadcast back; scored stream never window-sorted") {
+    val plan = executedPlan("quality_band_keep")
+    // the rank_normalize kernel shape: the cumulative window runs over the
+    // (source, score) histogram and the two threshold scores broadcast back
+    // onto the scored stream — a sort of the raw corpus would be the
+    // regression
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      "per-source thresholds must broadcast back onto the scored stream")
+    assert(!plan.contains("CartesianProduct"), "cartesian fallback")
+    TransientCache.release(spark)
+  }
+
+  test("rag_context_pack: the candidate pool is a TakeOrdered, never a corpus sort") {
+    val plan = executedPlan("rag_context_pack")
+    // orderBy(score).limit(poolK) must plan as a distributed TakeOrdered;
+    // the pack window then covers only the constant ≤ poolK-row pool
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the BM25 pool must be a distributed top-k, not a global sort")
+    TransientCache.release(spark)
+  }
+
+  test("lsh_tune and minhash_est_error: banding joins stay equi, never all-pairs") {
+    Seq("lsh_tune", "minhash_est_error").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: cartesian fallback")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: candidate generation must stay a (band, bkey) equi-join")
+      TransientCache.release(spark)
+    }
+  }
+
+  test("hard_negatives and ann_dim_ablation: per-query top-k prunes map-side") {
+    // the same WindowGroupLimit pushdown ann_brute relies on: rank ≤ k
+    // must prune below the query_id exchange, not after a full sort
+    Seq("hard_negatives", "ann_dim_ablation").foreach { q =>
+      val plan = executedPlan(q)
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q: expected map-side WindowGroupLimit pruning")
+      assert(!plan.contains("CartesianProduct"), s"$q: cartesian fallback")
+      TransientCache.release(spark)
+    }
+  }
+
+  test("span_corrupt: one tokenize scan, bounded per-doc windows, no joins beyond the phase") {
+    val plan = executedPlan("span_corrupt")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "span placement is a pure per-row function — no pairing joins at all")
+  }
+
   test("q49_interval_join: binning turns the pure range join into an equi join") {
     val plan = executedPlan("q49_interval_join")
     // this query has NO natural equi key — without the bin rewrite Spark
