@@ -255,6 +255,7 @@ object SparkEntry {
     // --- sources/sinks: gzip JSON-lines round-trip, content-verified ---
     "docs_jsonl" -> (graft.sources.Jsonl.docsJsonlStats _),
     "compact_docs" -> (graft.sources.Compaction.compactDocs _),
+    "file_skip_stats" -> ((s: SparkSession, d: String) => graft.sources.Compaction.fileSkipStats(s, d)),
   )
 
   // DuckDB money discipline: exact DECIMAL accumulation, DOUBLE at the end —
@@ -3469,6 +3470,19 @@ object SparkEntry {
         |FROM documents GROUP BY source, lang""".stripMargin,
     // content-invariance gate for small-file compaction: the Spark side
     // fingerprints the COMPACTED files, the oracle the original parquet
+    // file-skipping manifest: the physical per-partition stats must equal
+    // the logical table's (content invariance); width and the predicate
+    // derive from max(doc_id) so the layout is scale-generic
+    "file_skip_stats" ->
+      """WITH w AS (SELECT (max(doc_id) // 8) + 1 AS w FROM documents),
+        |m AS (SELECT doc_id // w.w AS bucket, doc_id, n_chars
+        |      FROM documents, w)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | NOT (max(doc_id) < 2 * (SELECT w FROM w)
+        |   OR min(doc_id) > 5 * (SELECT w FROM w) - 1) AS would_scan
+        |FROM m GROUP BY bucket""".stripMargin,
     "compact_docs" ->
       """SELECT source, lang, count(*) AS n_docs,
         | count(DISTINCT md5(text)) AS n_uniq,

@@ -119,4 +119,51 @@ object Compaction {
   def dataFiles(dirPath: String): Array[java.io.File] =
     Option(new java.io.File(dirPath).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  /** Partition count for [[fileSkipStats]]' staged range-bucketed lake. */
+  val SkipBuckets = 8
+
+  /** file_skip_stats — the scan-pruning MANIFEST every lake table keeps
+    * (Iceberg/Delta file statistics): stage the documents table as a
+    * range-bucketed partitioned lake (bucket = doc_id DIV width, width
+    * derived from max(doc_id) so the layout is scale-generic), then build
+    * the per-partition stats record — row count, min/max of the clustering
+    * key, byte-weight proxy — FROM THE PHYSICAL FILES (partition identity
+    * recovered from `input_file_name`, the same provenance a manifest
+    * builder reads), and attach the prune decision for a planner predicate
+    * `doc_id BETWEEN 2·w AND 5·w − 1`: a partition is scanned iff its
+    * [min, max] intersects the predicate range, so ~⅝ of the partitions
+    * prune at any scale factor.
+    *
+    * The gate is the manifest's CONTENT-INVARIANCE contract (compact_docs'
+    * discipline): the oracle computes the same stats from the LOGICAL
+    * table, so a staging bug that drops/duplicates rows, mis-routes a
+    * bucket, or mis-parses a file path flips the hash. The one driver-side
+    * read is the 1-row max(doc_id) aggregate (constant-bounded-collect
+    * discipline); at 100 TB the manifest build is one scan + one
+    * |partitions|-row aggregate — exactly what OPTIMIZE/ANALYZE jobs do.
+    */
+  def fileSkipStats(s: SparkSession, dir: String,
+      buckets: Int = SkipBuckets): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val w = maxId / buckets + 1
+    val lake = graft.Staging.dir(s,
+      s"skipstats/${new java.io.File(dir).getName}/lake")
+    docs.withColumn("bucket", expr(s"doc_id DIV $w"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(lake)
+    val (lo, hi) = (2 * w, 5 * w - 1)
+    s.read.parquet(lake)
+      .select(
+        regexp_extract(input_file_name(), "bucket=([0-9]+)", 1)
+          .cast("long").as("bucket"),
+        col("doc_id"), col("n_chars"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("would_scan",
+        !(col("max_id") < lo || col("min_id") > hi))
+  }
 }

@@ -11,6 +11,24 @@ import graft.sources.Compaction
 class CompactionSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("fileSkipStats: manifest matches the physical layout and prunes the predicate") {
+    val got = Compaction.fileSkipStats(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("min_id"),
+          r.getAs[Long]("max_id"), r.getAs[Boolean]("would_scan"))).toMap
+    val ids = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val w = ids.max / Compaction.SkipBuckets + 1
+    val expect = ids.groupBy(_ / w).map { case (b, bs) =>
+      b -> (bs.length.toLong, bs.min, bs.max,
+        !(bs.max < 2 * w || bs.min > 5 * w - 1))
+    }
+    assert(got.view.mapValues(v => (v._1, v._2, v._3, v._4)).toMap == expect)
+    // the predicate genuinely prunes: some partitions scan, some skip
+    val flags = got.values.map(_._4).toSet
+    assert(flags == Set(true, false), s"prune flag must discriminate: $got")
+  }
+
   test("compaction: 64 files in, CompactTarget out, rows bit-identical") {
     val (small, compacted) = Compaction.compactDocuments(spark, Sf0001)
     assert(Compaction.dataFiles(small).length == Compaction.SmallFiles)
