@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe fixture generator — the committed, reproducible recipe
+  * behind SCALE.md's 10×/100× probe datasets (the /tmp/sf1 set the probe
+  * tables cite was materialized with exactly this transform).
+  *
+  * `ProbeData <srcSfDir> <outDir> <factor>` replicates every fact table
+  * `factor`× with ALL entity-key columns shifted by replica·10⁹, so:
+  *   - join cardinalities scale HONESTLY (each replica's orders join each
+  *     replica's customers — the join output grows linearly, not
+  *     quadratically as it would if keys collided across replicas);
+  *   - text/embedding payloads repeat VERBATIM, planting `factor`-deep
+  *     exact-duplicate groups — the adversarial regime for near-dup
+  *     operators (candidate generation must scale with distinct content,
+  *     not replicas; the dedup_ngram 640 s → 9 s set-collapse fix was
+  *     found by exactly this property);
+  *   - the event time RANGE stays fixed (density grows `factor`× — the
+  *     real shape of more traffic over the same month), and the reference
+  *     dims (region, nation) stay constant like any conformed dimension.
+  *
+  * The generator is one union of narrow projections per table — no
+  * driver-side data, safe at any factor a local disk can hold.
+  */
+object ProbeData {
+
+  /** Key shift between replicas: large enough that no fixture key crosses
+    * replica boundaries at any supported factor (keys < 10⁹, factor ≤ 100
+    * ⇒ max shifted key < 10¹¹, comfortably inside long).
+    */
+  val ReplicaShift = 1000000000L
+
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** Tables copied through unchanged (conformed dimensions). */
+  private val dims = Seq("region", "nation")
+
+  def replicate(df: DataFrame, keys: Seq[String], factor: Int): DataFrame =
+    (0 until factor).map { r =>
+      keys.foldLeft(df)((d, k) =>
+        d.withColumn(k, col(k) + lit(r * ReplicaShift)))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ProbeData <srcSfDir> <outDir> <factor>")
+    val Array(src, out, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1 && factor <= 100, "factor in [1, 100]")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for ((table, keys) <- keyCols.toSeq.sortBy(_._1)) {
+      replicate(spark.read.parquet(s"$src/$table.parquet"), keys, factor)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[probe] $table x$factor written")
+    }
+    for (d <- dims) {
+      spark.read.parquet(s"$src/$d.parquet")
+        .write.mode("overwrite").parquet(s"$out/$d.parquet")
+      println(s"[probe] $d copied")
+    }
+    spark.stop()
+  }
+}

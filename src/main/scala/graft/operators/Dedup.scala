@@ -293,22 +293,6 @@ object Dedup {
     sampleMod.fold(df)(m =>
       df.filter(pmod(xxhash64(col("doc_id")), lit(m.toLong)) === 0L))
 
-  /** docs with (doc_id, sh, bands) — one scan, one typed map per row doing
-    * shingling + signature + banding in a single pass.
-    */
-  private def signed(s: SparkSession, dir: String,
-      sampleMod: Option[Int] = None): DataFrame = {
-    import s.implicits._
-    maybeSample(Tables.documents(s, dir), sampleMod)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        val sh = shingleSet(text)
-        (id, sh, bandKeys(sh))
-      }
-      .toDF("doc_id", "sh", "bands")
-  }
-
   /** Candidate pairs via LSH banding: explode 16 band keys per doc, shuffle
     * once on (band, key), pair within buckets (skew-capped), dedup pairs.
     */
@@ -327,26 +311,96 @@ object Dedup {
       .distinct()
   }
 
+  /** Order-independent 128-bit identity of a shingle SET (length-prefixed
+    * MD5 fold over the sorted members). Internal grouping key only — the
+    * oracle never sees it, so no cross-engine replay obligations; 128 bits
+    * because at crawl scale a 64-bit key would birthday-collide across
+    * billions of distinct sets and silently merge unrelated documents.
+    */
+  private def setKey(sh: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    sh.sorted.foreach { g =>
+      val b = g.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      md.update((b.length & 0xff).toByte)
+      md.update(((b.length >> 8) & 0xff).toByte)
+      md.update(b)
+    }
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
+
   /** dedup_minhash — near-duplicate pairs: LSH candidates verified with the
     * EXACT shingle-set Jaccard (so output is deterministic given recall ≈ 1
     * at j ≥ threshold), filtered at `threshold`.
+    *
+    * Identical shingle sets COLLAPSE before banding (round 12 — found by
+    * the 100× probe, where 100-deep exact-duplicate groups put every
+    * replica into the same bucket of every band and within-bucket pairing
+    * went quadratic in replica depth: 0.6 s at sf0.1 → 151 s at sf10, the
+    * prefix-filter disease dedup_ngram's set-collapse had already cured).
+    * One representative set rides banding + verification; members fan back
+    * in at the end. The collapse is LOSSLESS with doc-level cap semantics
+    * preserved exactly: bucket sizes are the SUM of group sizes (a bucket
+    * of 1001 replicas still caps out even when it is one unique set), a
+    * group's 1.0-jaccard within-group pairs are emitted only if the group
+    * SURVIVES in at least one under-cap bucket (the boilerplate black hole
+    * stays dropped — DedupSpec's cap case), and cross-group candidates
+    * require a shared under-cap bucket, exactly the pairs the doc-level
+    * DuckDB replay collides. Identical sets band identically because the
+    * signature is an order-independent function of the set.
     */
   def minhash(s: SparkSession, dir: String, threshold: Double = 0.5,
       sampleMod: Option[Int] = None): DataFrame = {
-    // transient: signatures feed the banding pass AND both verification join
-    // sides within this one query; the harness releases the blocks after the
-    // consuming action (graft.TransientCache contract)
-    val docs = graft.TransientCache.cache(signed(s, dir, sampleMod))
-    val pairs = candidatePairs(docs)
-    val withSets = pairs
-      .join(docs.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
-      .join(docs.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
-    withSets
+    import s.implicits._
+    val docs = maybeSample(Tables.documents(s, dir), sampleMod)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = shingleSet(text)
+        (id, sh, bandKeys(sh), setKey(sh))
+      }
+      .toDF("doc_id", "sh", "bands", "skey")
+    // transient: the unique-set frame feeds banding, both verification join
+    // sides, the survivor gate and the member fan-in within this one query;
+    // the harness releases the blocks after the consuming action
+    val gset = graft.TransientCache.cache(
+      docs.groupBy("skey").agg(
+        min(col("doc_id")).as("gid"),
+        collect_list(col("doc_id")).as("ids"),
+        first(col("sh")).as("sh"),
+        first(col("bands")).as("bands"),
+        count(lit(1)).as("n")))
+    val banded = gset.select(col("gid"), col("n"),
+      posexplode(col("bands")).as(Seq("band", "bkey")))
+    val capped = banded
+      .withColumn("bucket_n", sum(col("n")).over(Window.partitionBy("band", "bkey")))
+      .filter(col("bucket_n") <= MaxBucket)
+    val cand = capped.select(col("band"), col("bkey"), col("gid").as("g1"))
+      .join(capped.select(col("band"), col("bkey"), col("gid").as("g2")),
+        Seq("band", "bkey"))
+      .filter(col("g1") < col("g2"))
+      .select("g1", "g2").distinct()
+    val sets = gset.select(col("gid"), col("sh"), col("ids"))
+    val cross = cand
+      .join(sets.select(col("gid").as("g1"), col("sh").as("sh1"),
+        col("ids").as("ids1")), "g1")
+      .join(sets.select(col("gid").as("g2"), col("sh").as("sh2"),
+        col("ids").as("ids2")), "g2")
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select("doc1", "doc2", "jaccard")
+      .select(col("jaccard"), explode(col("ids1")).as("a"), col("ids2"))
+      .select(col("jaccard"), col("a"), explode(col("ids2")).as("b"))
+      .select(least(col("a"), col("b")).as("doc1"),
+        greatest(col("a"), col("b")).as("doc2"), col("jaccard"))
+    val survivors = capped.select(col("gid")).distinct()
+    val within = gset.join(survivors, "gid")
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc1"), col("b").as("doc2"), lit(1.0).as("jaccard"))
+    cross.unionByName(within).select("doc1", "doc2", "jaccard")
   }
 
   /** minhash_est_error — the estimator-calibration half of the dedup quality
@@ -370,21 +424,47 @@ object Dedup {
   def minhashEstError(s: SparkSession, dir: String,
       sampleMod: Option[Int] = None): DataFrame = {
     import s.implicits._
-    val docs = graft.TransientCache.cache(
-      maybeSample(Tables.documents(s, dir), sampleMod)
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) =>
-          val sh = shingleSet(text)
-          val sig = signature(sh)
-          (id, sh, sig, bandsOfSig(sig))
-        }
-        .toDF("doc_id", "sh", "sig", "bands"))
-    candidatePairs(docs)
-      .join(docs.select(col("doc_id").as("doc1"),
-        col("sh").as("sh1"), col("sig").as("sig1")), "doc1")
-      .join(docs.select(col("doc_id").as("doc2"),
-        col("sh").as("sh2"), col("sig").as("sig2")), "doc2")
+    // identical-set collapse (round 12 — the same 100×-probe finding as
+    // [[minhash]]: doc-level candidates go quadratic in replica depth,
+    // 147 s at sf10). Calibration counts need no doc-pair explosion at
+    // all: every (a ∈ g1, b ∈ g2) pair shares its groups' signature match
+    // count AND exact jaccard, so a cross-group candidate contributes
+    // n1·n2 pairs to its cell arithmetically, and a surviving group's
+    // within-group pairs are C(n, 2) on the exact (10, 10) diagonal
+    // (identical sets ⇒ est_m = NumHashes, ov = un). Cap semantics stay
+    // doc-level exactly as in [[minhash]].
+    val docs = maybeSample(Tables.documents(s, dir), sampleMod)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = shingleSet(text)
+        val sig = signature(sh)
+        (id, sh, sig, bandsOfSig(sig), setKey(sh))
+      }
+      .toDF("doc_id", "sh", "sig", "bands", "skey")
+    val gset = graft.TransientCache.cache(
+      docs.groupBy("skey").agg(
+        min(col("doc_id")).as("gid"),
+        first(col("sh")).as("sh"),
+        first(col("sig")).as("sig"),
+        first(col("bands")).as("bands"),
+        count(lit(1)).as("n")))
+    val banded = gset.select(col("gid"), col("n"),
+      posexplode(col("bands")).as(Seq("band", "bkey")))
+    val capped = banded
+      .withColumn("bucket_n", sum(col("n")).over(Window.partitionBy("band", "bkey")))
+      .filter(col("bucket_n") <= MaxBucket)
+    val cand = capped.select(col("band"), col("bkey"), col("gid").as("g1"))
+      .join(capped.select(col("band"), col("bkey"), col("gid").as("g2")),
+        Seq("band", "bkey"))
+      .filter(col("g1") < col("g2"))
+      .select("g1", "g2").distinct()
+    val sets = gset.select(col("gid"), col("sh"), col("sig"), col("n"))
+    val cross = cand
+      .join(sets.select(col("gid").as("g1"), col("sh").as("sh1"),
+        col("sig").as("sig1"), col("n").as("n1")), "g1")
+      .join(sets.select(col("gid").as("g2"), col("sh").as("sh2"),
+        col("sig").as("sig2"), col("n").as("n2")), "g2")
       .withColumn("est_m", aggregate(
         zip_with(col("sig1"), col("sig2"),
           (a, b) => when(a === b, 1L).otherwise(0L)),
@@ -393,9 +473,16 @@ object Dedup {
       .withColumn("un", size(array_union(col("sh1"), col("sh2"))).cast("long"))
       .select(
         expr(s"(10 * est_m) DIV $NumHashes").as("est_decile"),
-        expr("(10 * ov) DIV un").as("true_decile"))
+        expr("(10 * ov) DIV un").as("true_decile"),
+        (col("n1") * col("n2")).as("pairs"))
+    val survivors = capped.select(col("gid")).distinct()
+    val within = gset.join(survivors, "gid")
+      .filter(col("n") > 1)
+      .select(lit(10L).as("est_decile"), lit(10L).as("true_decile"),
+        expr("n * (n - 1) DIV 2").as("pairs"))
+    cross.unionByName(within)
       .groupBy("est_decile", "true_decile")
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("pairs")).as("n_pairs"))
   }
 
   /** Banding configurations swept by [[lshTune]] — (bands, rowsPerBand)
@@ -425,35 +512,84 @@ object Dedup {
       configs: Seq[(Int, Int)] = TuneConfigs,
       sampleMod: Option[Int] = None): DataFrame = {
     import s.implicits._
-    val docs = graft.TransientCache.cache(
-      maybeSample(Tables.documents(s, dir), sampleMod)
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) =>
-          val sh = shingleSet(text)
-          (id, sh, signature(sh))
-        }
-        .toDF("doc_id", "sh", "sig"))
-    val sets = docs.select(col("doc_id"), col("sh"))
-    // exact truth pairs with integer deciles over the same shingles
-    val truth = graft.TransientCache.cache(
+    // identical-set collapse (round 12, the minhash/minhashEstError 100×
+    // finding ×3 configs): every config re-bands UNIQUE sets only, truth
+    // counts fold arithmetically — cross-group true pairs map to group
+    // pairs (all members share the groups' exact jaccard, so the decile is
+    // computed once per pair of groups), within-group pairs are C(n,2) on
+    // decile 10 and gate on per-config cap survival like [[minhash]].
+    val docs = maybeSample(Tables.documents(s, dir), sampleMod)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = shingleSet(text)
+        (id, sh, signature(sh), setKey(sh))
+      }
+      .toDF("doc_id", "sh", "sig", "skey")
+    val gset = graft.TransientCache.cache(
+      docs.groupBy("skey").agg(
+        min(col("doc_id")).as("gid"),
+        collect_list(col("doc_id")).as("ids"),
+        first(col("sh")).as("sh"),
+        first(col("sig")).as("sig"),
+        count(lit(1)).as("n")))
+    val docToGid = gset.select(explode(col("ids")).as("did"), col("gid"))
+    // cross-group truth: exact edges → unordered group pairs with member-
+    // pair counts; the decile is computed ONCE per group pair
+    val crossTruth = graft.TransientCache.cache(
       similarityEdges(s, dir, threshold, sampleMod)
-        .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
-        .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
-        .select(col("doc1"), col("doc2"), expr(
-          """(10 * CAST(size(array_intersect(sh1, sh2)) AS BIGINT))
-            | DIV CAST(size(array_union(sh1, sh2)) AS BIGINT)""".stripMargin)
+        .join(docToGid.select(col("did").as("doc1"), col("gid").as("g1")), "doc1")
+        .join(docToGid.select(col("did").as("doc2"), col("gid").as("g2")), "doc2")
+        .filter(col("g1") =!= col("g2"))
+        .select(least(col("g1"), col("g2")).as("ga"),
+          greatest(col("g1"), col("g2")).as("gb"))
+        .groupBy("ga", "gb").agg(count(lit(1)).as("n_pairs"))
+        .join(gset.select(col("gid").as("ga"), col("sh").as("sha")), "ga")
+        .join(gset.select(col("gid").as("gb"), col("sh").as("shb")), "gb")
+        .select(col("ga"), col("gb"), col("n_pairs"), expr(
+          """(10 * CAST(size(array_intersect(sha, shb)) AS BIGINT))
+            | DIV CAST(size(array_union(sha, shb)) AS BIGINT)""".stripMargin)
           .as("j_decile")))
-    val sigs = docs.select(col("doc_id"), col("sig"))
+    // within-group truth is arithmetic: identical sets are jaccard 1
+    // (decile 10), C(n,2) pairs per group, all guaranteed present in the
+    // exact edge set by prefix-filter recall 1
+    val withinGroups = gset.filter(col("n") > 1)
+      .select(col("gid"), expr("n * (n - 1) DIV 2").as("n_pairs"))
+    val sigs = gset.select(col("gid"), col("n"), col("sig"))
+      .as[(Long, Long, Array[Long])]
     configs.map { case (b, r) =>
-      val banded = sigs.as[(Long, Array[Long])]
-        .map { case (id, sg) => (id, bandsOfSigR(sg, r)) }
-        .toDF("doc_id", "bands")
-      val cand = candidatePairs(banded).withColumn("hit", lit(1L))
-      truth.join(cand, Seq("doc1", "doc2"), "left")
+      val banded = sigs
+        .flatMap { case (gid, n, sg) =>
+          bandsOfSigR(sg, r).zipWithIndex.map { case (bk, bi) => (bi, bk, gid, n) }
+        }
+        .toDF("band", "bkey", "gid", "n")
+      val capped = banded
+        .withColumn("bucket_n",
+          sum(col("n")).over(Window.partitionBy("band", "bkey")))
+        .filter(col("bucket_n") <= MaxBucket)
+      val cand = capped.select(col("band"), col("bkey"), col("gid").as("ga"))
+        .join(capped.select(col("band"), col("bkey"), col("gid").as("gb")),
+          Seq("band", "bkey"))
+        .filter(col("ga") < col("gb"))
+        .select("ga", "gb").distinct()
+        .withColumn("hit", lit(1L))
+      val crossAgg = crossTruth.join(cand, Seq("ga", "gb"), "left")
         .groupBy("j_decile")
-        .agg(count(lit(1)).as("n_true"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+        .agg(sum(col("n_pairs")).as("n_true"),
+          sum(when(col("hit").isNotNull, col("n_pairs")).otherwise(0L))
+            .as("n_caught"))
+      val surv = capped.select(col("gid")).distinct().withColumn("alive", lit(1L))
+      val withinAgg = withinGroups.join(surv, Seq("gid"), "left")
+        .groupBy()
+        .agg(sum(col("n_pairs")).as("n_true"),
+          sum(when(col("alive").isNotNull, col("n_pairs")).otherwise(0L))
+            .as("n_caught"))
+        .select(lit(10L).as("j_decile"), col("n_true"), col("n_caught"))
+        .filter(col("n_true").isNotNull)
+      crossAgg.unionByName(withinAgg)
+        .groupBy("j_decile")
+        .agg(sum(col("n_true")).as("n_true"),
+          sum(col("n_caught")).as("n_caught"))
         .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
           col("j_decile"), col("n_true"), col("n_caught"),
           (col("n_caught").cast("double") / col("n_true").cast("double"))
