@@ -379,28 +379,48 @@ object Ann {
     */
   def semDedup(s: SparkSession, dir: String, nCells: Int = 16,
       threshold: Double = 0.4): DataFrame = {
-    // cached: consumed by the train sample, the assignment, and both join
-    // sides of the within-cell pairing
+    // cached: consumed by the train sample and the identity grouping
     val c = graft.TransientCache.cache(corpus(s, dir))
     val train = c.orderBy(xxhash64(col("vec_id"))).limit(IvfTrainCap)
       .select("vec").collect().map(_.getSeq[Double](0).toArray)
     val cents = fitCentroids(train, nCells, iters = 10)
-    val assigned = graft.TransientCache.cache(
-      c.withColumn("cell", cellCol(col("vec"), cents))
-        .select(col("vec_id"), col("cell"), col("vec"), col("nrm")))
-    val lo = assigned.select(col("cell"), col("vec_id").as("id1"),
+    // identical-vector collapse (round 12, the dedup_minhash 100×-probe
+    // finding): replicas share their cell AND every pairwise cosine, so
+    // the within-cell pairing runs over UNIQUE vectors. The drop rule is
+    // reconstructed exactly at member level: a group's non-min members are
+    // dropped by their own min-id twin whenever cos(v, v) ≥ threshold (the
+    // practical regime — τ ≤ 1), and a group's min is dropped iff some
+    // cell-mate group with a SMALLER min (i.e. some lower-id doc) clears
+    // the threshold — the same pure per-pair semantics, bit-identical to
+    // the doc-level oracle replay.
+    val gset = graft.TransientCache.cache(
+      c.groupBy(col("vec")).agg(
+        min(col("vec_id")).as("gid"),
+        collect_list(col("vec_id")).as("ids"),
+        first(col("nrm")).as("nrm"),
+        count(lit(1)).as("n"))
+        .withColumn("cell", cellCol(col("vec"), cents))
+        .withColumn("ident_cos",
+          arrayDot(col("vec"), col("vec")) / (col("nrm") * col("nrm"))))
+    val lo = gset.select(col("cell"), col("gid").as("gidA"),
       col("vec").as("v1"), col("nrm").as("nrm1"))
-    val hi = assigned.select(col("cell"), col("vec_id").as("id2"),
+    val hi = gset.select(col("cell"), col("gid").as("gidB"),
       col("vec").as("v2"), col("nrm").as("nrm2"))
-    val dropped = lo.join(hi, Seq("cell"))
-      .filter(col("id1") < col("id2"))
+    val repDropped = lo.join(hi, Seq("cell"))
+      .filter(col("gidA") < col("gidB"))
       .withColumn("cos", arrayDot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
       .filter(col("cos") >= threshold)
-      .select(col("id2").as("vec_id"))
+      .select(col("gidB").as("gid"))
       .distinct()
-      .withColumn("dropped", lit(true))
-    assigned.join(dropped, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"), col("dropped").isNull.as("keep"))
+      .withColumn("rep_dropped", lit(true))
+    gset.join(repDropped, Seq("gid"), "left")
+      .select(col("gid"), col("cell"), col("ident_cos"),
+        coalesce(col("rep_dropped"), lit(false)).as("rdrop"),
+        explode(col("ids")).as("vec_id"))
+      .select(col("vec_id"), col("cell"),
+        when(col("vec_id") === col("gid"), !col("rdrop"))
+          .otherwise(!(col("ident_cos") >= threshold) && !col("rdrop"))
+          .as("keep"))
   }
 
   /** Independent hash tables for [[embedNearDup]] — the hyperplane analog of
@@ -427,33 +447,60 @@ object Ann {
       nTables: Int = EmbedTables, maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     val base = graft.TransientCache.cache(corpus(s, dir))
     val nbits = nbitsFor(base.count())
-    // ids-only fan-out: one row per (table, bucket, vec_id)
+    // identical-vector collapse (round 12, the dedup_minhash 100×-probe
+    // finding — replica-deep corpora put every twin in the same bucket of
+    // every table and pairing went quadratic in replica depth): one
+    // representative vector rides the hyperplane fan-out and verification,
+    // members expand at the end. Doc-level cap semantics preserved exactly
+    // (bucket sizes = summed group sizes; within-group pairs — cosine of a
+    // vector with itself, the same expression the oracle evaluates — emit
+    // only if the group survives ≥ 1 under-cap bucket), so the unchanged
+    // doc-level replay stays pair-for-pair green.
+    val gset = graft.TransientCache.cache(
+      base.groupBy(col("vec")).agg(
+        min(col("vec_id")).as("gid"),
+        collect_list(col("vec_id")).as("ids"),
+        first(col("nrm")).as("nrm"),
+        count(lit(1)).as("n")))
     val tagged = (0 until nTables).map { t =>
       struct(lit(t).as("tbl"),
         bucketCol(col("vec"), hyperplanes(64, nbits, seed = 42L + t)).as("bucket"))
     }
-    val buckets = base.select(col("vec_id"), explode(array(tagged: _*)).as("tb"))
-      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id"))
-    // hot-bucket guard as a window count — the same idiom (and the same
-    // single shuffle) as Dedup.candidatePairs: the (tbl, bucket) hash
-    // partitioning feeds the cap filter AND both self-join sides, so the
-    // fan-out shuffles once and the exchange is reused
+    val buckets = gset.select(col("gid"), col("n"),
+      explode(array(tagged: _*)).as("tb"))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
+        col("gid"), col("n"))
     val capped = buckets
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
+      .withColumn("bucket_n", sum(col("n")).over(Window.partitionBy("tbl", "bucket")))
       .filter(col("bucket_n") <= maxBucket)
-    val cand = capped.select(col("tbl"), col("bucket"), col("vec_id").as("id1"))
-      .join(capped.select(col("tbl"), col("bucket"), col("vec_id").as("id2")),
+    val cand = capped.select(col("tbl"), col("bucket"), col("gid").as("g1"))
+      .join(capped.select(col("tbl"), col("bucket"), col("gid").as("g2")),
         Seq("tbl", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
+      .filter(col("g1") < col("g2"))
+      .select("g1", "g2")
       .distinct()
-    // verify: vectors join back for the candidate set only
-    val v1 = base.select(col("vec_id").as("id1"), col("vec").as("v1"), col("nrm").as("nrm1"))
-    val v2 = base.select(col("vec_id").as("id2"), col("vec").as("v2"), col("nrm").as("nrm2"))
-    cand.join(v1, "id1").join(v2, "id2")
+    val sets = gset.select(col("gid"), col("vec"), col("nrm"), col("ids"))
+    val cross = cand
+      .join(sets.select(col("gid").as("g1"), col("vec").as("v1"),
+        col("nrm").as("nrm1"), col("ids").as("ids1")), "g1")
+      .join(sets.select(col("gid").as("g2"), col("vec").as("v2"),
+        col("nrm").as("nrm2"), col("ids").as("ids2")), "g2")
       .withColumn("cos", arrayDot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")))
       .filter(col("cos") >= threshold)
-      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos4"))
+      .select(col("cos"), explode(col("ids1")).as("a"), col("ids2"))
+      .select(col("cos"), col("a"), explode(col("ids2")).as("b"))
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"), round(col("cos"), 4).as("cos4"))
+    val survivors = capped.select(col("gid")).distinct()
+    val within = gset.join(survivors, "gid")
+      .filter(col("n") > 1)
+      .withColumn("cos", arrayDot(col("vec"), col("vec")) / (col("nrm") * col("nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("cos"), explode(col("ids")).as("a"), col("ids"))
+      .select(col("cos"), col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id1"), col("b").as("id2"), round(col("cos"), 4).as("cos4"))
+    cross.unionByName(within)
   }
 
   /** Semantic-decontamination threshold: a corpus vector whose max cosine
