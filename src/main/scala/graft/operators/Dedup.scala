@@ -1325,29 +1325,16 @@ object Dedup {
     * full-corpus default (the fixture IS the sample there).
     */
   def dedupRecall(s: SparkSession, dir: String, threshold: Double = 0.5,
-      sampleMod: Option[Int] = None): DataFrame = {
-    import s.implicits._
-    val sets = maybeSample(Tables.documents(s, dir), sampleMod)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, t) => (id, shingleSet(t)) }
-      .toDF("doc_id", "sh")
-    val exact = similarityEdges(s, dir, threshold, sampleMod)
-    val withSets = exact
-      .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
-      .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
-      .select(col("doc1"), col("doc2"),
-        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("ov"),
-        size(array_union(col("sh1"), col("sh2"))).cast("long").as("un"))
-    val lsh = minhash(s, dir, threshold, sampleMod)
-      .select(col("doc1"), col("doc2"), lit(1L).as("hit"))
-    withSets.join(lsh, Seq("doc1", "doc2"), "left")
-      .withColumn("j_decile", expr("(10 * ov) div un"))
-      .groupBy("j_decile")
-      .agg(count(lit(1)).as("n_true"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
-      .select(col("j_decile"), col("n_true"), col("n_caught"),
-        (col("n_caught").cast("double") / col("n_true").cast("double"))
-          .as("recall"))
-  }
+      sampleMod: Option[Int] = None): DataFrame =
+    // round 12 (100× probe): the harness IS [[lshTune]] evaluated at the
+    // production ([[Bands]], [[RowsPerBand]]) config — a true pair is
+    // caught iff it was an LSH CANDIDATE (exact verification never drops a
+    // true pair), so candidate-collision counting and verified-pair
+    // counting coincide on the truth set, and the group-level arithmetic
+    // (deciles once per group pair, C(n,2) within-group mass, survivor-
+    // gated cap semantics) replaces the doc-level pair join that re-ran
+    // array intersections over the quadratic edge output (73 s → ~8 s at
+    // sf10). The DuckDB oracle still replays BOTH sides at doc level.
+    lshTune(s, dir, threshold, Seq((Bands, RowsPerBand)), sampleMod)
+      .select("j_decile", "n_true", "n_caught", "recall")
 }
