@@ -64,14 +64,30 @@ object ProbeData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // single-FILE tables like the source fixtures (the streaming staging
+    // copies `$dir/events.parquet` as one file; parquet files stay
+    // splittable by row-group range, so batch scan parallelism is intact)
+    def writeSingleFile(df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmp = s"$out/.tmp_$table"
+      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet")).head
+      Files.createDirectories(Paths.get(out))
+      Files.move(Paths.get(part), Paths.get(s"$out/$table.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .foreach(p => Files.deleteIfExists(Paths.get(p)))
+      Files.deleteIfExists(Paths.get(tmp))
+    }
     for ((table, keys) <- keyCols.toSeq.sortBy(_._1)) {
-      replicate(spark.read.parquet(s"$src/$table.parquet"), keys, factor)
-        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      writeSingleFile(
+        replicate(spark.read.parquet(s"$src/$table.parquet"), keys, factor),
+        table)
       println(s"[probe] $table x$factor written")
     }
     for (d <- dims) {
-      spark.read.parquet(s"$src/$d.parquet")
-        .write.mode("overwrite").parquet(s"$out/$d.parquet")
+      writeSingleFile(spark.read.parquet(s"$src/$d.parquet"), d)
       println(s"[probe] $d copied")
     }
     spark.stop()
