@@ -65,12 +65,18 @@ object ProbeData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // single-FILE tables like the source fixtures (the streaming staging
-    // copies `$dir/events.parquet` as one file; parquet files stay
-    // splittable by row-group range, so batch scan parallelism is intact)
+    // copies `$dir/events.parquet` as one file) — written with SMALL row
+    // groups (8 MB) because a one-task write would otherwise produce one
+    // giant row group and parquet is only splittable at row-group
+    // boundaries: measured, a one-row-group 500 k-doc file serialized every
+    // tokenize scan onto one core (skipgram 19 → 99 s at sf10) no matter
+    // how maxPartitionBytes sliced it
     def writeSingleFile(df: org.apache.spark.sql.DataFrame, table: String): Unit = {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val tmp = s"$out/.tmp_$table"
-      df.repartition(1).write.mode("overwrite").parquet(tmp)
+      df.repartition(1).write.mode("overwrite")
+        .option("parquet.block.size", (8 * 1024 * 1024).toString)
+        .parquet(tmp)
       val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
         .filter(p => p.endsWith(".parquet")).head
       Files.createDirectories(Paths.get(out))
