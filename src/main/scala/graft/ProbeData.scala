@@ -77,13 +77,16 @@ object ProbeData {
       df.repartition(1).write.mode("overwrite")
         .option("parquet.block.size", (8 * 1024 * 1024).toString)
         .parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-        .filter(p => p.endsWith(".parquet")).head
+      // Files.list streams hold a directory fd until closed
+      def listDir(dir: String): Array[String] = {
+        val st = Files.list(Paths.get(dir))
+        try st.toArray.map(_.toString) finally st.close()
+      }
+      val part = listDir(tmp).filter(p => p.endsWith(".parquet")).head
       Files.createDirectories(Paths.get(out))
       Files.move(Paths.get(part), Paths.get(s"$out/$table.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
-      Files.list(Paths.get(tmp)).toArray.map(_.toString)
-        .foreach(p => Files.deleteIfExists(Paths.get(p)))
+      listDir(tmp).foreach(p => Files.deleteIfExists(Paths.get(p)))
       Files.deleteIfExists(Paths.get(tmp))
     }
     for ((table, keys) <- keyCols.toSeq.sortBy(_._1)) {

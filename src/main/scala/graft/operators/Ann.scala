@@ -379,6 +379,10 @@ object Ann {
     */
   def semDedup(s: SparkSession, dir: String, nCells: Int = 16,
       threshold: Double = 0.4): DataFrame = {
+    // the identical-vector collapse's member-level keep rule reconstructs
+    // doc-level semantics only when ident_cos (exactly 1 for normalized
+    // replicas) clears the threshold — enforce the precondition
+    require(threshold <= 1.0, s"cosine threshold must be <= 1.0, got $threshold")
     // cached: consumed by the train sample and the identity grouping
     val c = graft.TransientCache.cache(corpus(s, dir))
     val train = c.orderBy(xxhash64(col("vec_id"))).limit(IvfTrainCap)

@@ -321,8 +321,12 @@ object Dedup {
     val md = java.security.MessageDigest.getInstance("MD5")
     sh.sorted.foreach { g =>
       val b = g.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // full 32-bit length prefix: a 16-bit prefix would alias lengths on
+      // shingles past 64 KiB and weaken the injectivity of the encoding
       md.update((b.length & 0xff).toByte)
       md.update(((b.length >> 8) & 0xff).toByte)
+      md.update(((b.length >> 16) & 0xff).toByte)
+      md.update(((b.length >> 24) & 0xff).toByte)
       md.update(b)
     }
     java.util.Base64.getEncoder.encodeToString(md.digest())
@@ -605,23 +609,26 @@ object Dedup {
     * m1 ≤ m2, and within an identical-mask group (jaccard 1) the a < b
     * filter picks one orientation.
     */
-  private def denseMaskJoin(groups: DataFrame, threshold: Double): DataFrame = {
-    val l = groups.select(col("mask").as("m1"), col("ids").as("ids1"), col("n").as("n1"))
-    val r = groups.select(col("mask").as("m2"), col("ids").as("ids2"), col("n").as("n2"))
-    l.join(broadcast(r), col("m1") <= col("m2"))
+  private def denseMaskGroups(
+      groups: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
+    // group identity on the dense path is the mask itself; gid = min doc id
+    // (array_min, not ids(0): collect_list order is nondeterministic)
+    val gset = groups.select(array_min(col("ids")).as("gid"), col("ids"))
+    val l = groups.select(col("mask").as("m1"),
+      array_min(col("ids")).as("gid1"), col("ids").as("ids1"), col("n").as("n1"))
+    val r = groups.select(col("mask").as("m2"),
+      array_min(col("ids")).as("gid2"), col("ids").as("ids2"), col("n").as("n2"))
+    // strict m1 < m2: within-group (identical-mask) pairs come from the
+    // shared gset fan-out in [[prefixJaccardJoin]], like the prefix path
+    val verified = l.join(broadcast(r), col("m1") < col("m2"))
       .withColumn("ov", bit_count(col("m1").bitwiseAND(col("m2"))))
       .withColumn("jaccard",
         col("ov").cast("double") / (col("n1") + col("n2") - col("ov")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("m1"), col("m2"), col("jaccard"),
-        explode(col("ids1")).as("a"), col("ids2"))
-      .select(col("m1"), col("m2"), col("jaccard"), col("a"),
-        explode(col("ids2")).as("b"))
-      .filter(col("m1") < col("m2") || col("a") < col("b"))
-      .select(
-        least(col("a"), col("b")).as("doc1"),
-        greatest(col("a"), col("b")).as("doc2"),
-        col("jaccard"))
+      .select(least(col("gid1"), col("gid2")).as("g1"),
+        greatest(col("gid1"), col("gid2")).as("g2"),
+        col("ids1"), col("ids2"), col("jaccard"))
+    (gset, verified)
   }
 
   // ------------------------------------------------------- n-gram Jaccard
@@ -682,6 +689,40 @@ object Dedup {
     */
   private[operators] def prefixJaccardJoin(
       s: SparkSession, docsIn: DataFrame, threshold: Double): DataFrame = {
+    val (gset, verified) = jaccardGroups(s, docsIn, threshold)
+    // surviving set-level matches explode straight to doc pairs (each
+    // unordered pair once: groups are disjoint and the g1 < g2 orientation
+    // picks one direction; within a group the a < b filter does)
+    val cross = verified
+      .select(col("jaccard"), explode(col("ids1")).as("a"), col("ids2"))
+      .select(col("jaccard"), col("a"), explode(col("ids2")).as("b"))
+      .select(least(col("a"), col("b")).as("doc1"),
+        greatest(col("a"), col("b")).as("doc2"), col("jaccard"))
+    val within = gset
+      .filter(size(col("ids")) > 1) // tids non-empty by construction
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc1"), col("b").as("doc2"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
+  /** The group-level core of [[prefixJaccardJoin]]: identical-token-set
+    * groups `(gid = min member doc_id, ids)` plus the VERIFIED group-level
+    * similarity pairs `(g1, g2, ids1, ids2, jaccard)` at `threshold`, before
+    * any member fan-out. Exposed separately because some consumers
+    * ([[clusters]]' connected components) are lossless at group granularity:
+    * identical sets have jaccard exactly 1 ≥ any threshold ≤ 1, so group
+    * members are mutually connected by definition and the doc-level pair
+    * explosion (quadratic inside replica quasi-cliques) never needs to
+    * materialize for them.
+    */
+  private[operators] def jaccardGroups(
+      s: SparkSession, docsIn: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
+    // the group collapse treats same-set members as mutual matches without
+    // re-checking the threshold (their jaccard is exactly 1)
+    require(threshold <= 1.0, s"similarity threshold must be <= 1.0, got $threshold")
     // the tokenized docs feed the dictionary, the encoding AND verification:
     // without materialization the upstream scan + shingling map runs three
     // times inside the one consuming action (transient — harness releases)
@@ -716,7 +757,7 @@ object Dedup {
       // corpora should run exact dedup first and take the prefix path)
       val stats = groups.agg(count(lit(1)), max(size(col("ids")))).head
       if (stats.getLong(0) <= DenseMaxSets && stats.getInt(1) <= MaxBucket)
-        return denseMaskJoin(groups, threshold)
+        return denseMaskGroups(groups, threshold)
       // fall through to the prefix path
     }
     // COLLAPSE IDENTICAL TOKEN SETS FIRST (round 12, measured): candidate
@@ -796,16 +837,13 @@ object Dedup {
         col("n1") >= lit(threshold) * col("n2") &&
         lit(1) + least(col("n1") - col("p1") - 1, col("n2") - col("p2") - 1) >= minOverlap)
       .select("g1", "g2").distinct()
-    // verification rides the same joins that fan members back in: each side
-    // carries (tids, ids), overlap is the codegen'd two-pointer merge over
-    // the sorted+distinct int arrays (no per-row hash sets, union array
+    // verification rides the same joins that will fan members back in: each
+    // side carries (tids, ids), overlap is the codegen'd two-pointer merge
+    // over the sorted+distinct int arrays (no per-row hash sets, union array
     // never built; |A∪B| = n1+n2-overlap — identical jaccard bits to the
-    // array_intersect/array_union formulation), and surviving set-level
-    // matches explode straight to doc pairs (each unordered pair once:
-    // groups are disjoint and g1 < g2 picks one orientation; within a
-    // group the a < b filter does)
+    // array_intersect/array_union formulation)
     val sets = gset.select(col("gid"), col("tids"), col("ids"))
-    val cross = cand
+    val verified = cand
       .join(sets.select(col("gid").as("g1"), col("tids").as("t1"),
         col("ids").as("ids1")), "g1")
       .join(sets.select(col("gid").as("g2"), col("tids").as("t2"),
@@ -815,39 +853,27 @@ object Dedup {
         col("ov").cast("double") /
           (size(col("t1")) + size(col("t2")) - col("ov")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("jaccard"), explode(col("ids1")).as("a"), col("ids2"))
-      .select(col("jaccard"), col("a"), explode(col("ids2")).as("b"))
-      .select(least(col("a"), col("b")).as("doc1"),
-        greatest(col("a"), col("b")).as("doc2"), col("jaccard"))
-    val within = gset
-      .filter(size(col("ids")) > 1) // tids non-empty by construction
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .select(col("a").as("doc1"), col("b").as("doc2"),
-        lit(1.0).as("jaccard"))
-    cross.unionByName(within)
+      .select(col("g1"), col("g2"), col("ids1"), col("ids2"), col("jaccard"))
+    (gset.select(col("gid"), col("ids")), verified)
   }
 
   /** dedup_clusters — connected components of the near-duplicate graph: the
     * pipeline-facing dedup artifact (one surviving cluster_id per document;
-    * keep `doc_id == cluster_id`, drop the rest). Edges are the exact-recall
-    * [[jaccard3]] pairs; components come from Pregel-style MIN-LABEL
-    * propagation — each round every doc takes the smallest label among
-    * itself and its neighbors, converging in O(component diameter) rounds.
-    *
-    * 100 TB: each round is one equi-join + one aggregate (all shuffles on
-    * doc_id); near-dup components have tiny diameters (they're quasi-
-    * cliques), so the loop runs ~3–5 rounds regardless of corpus size; the
-    * driver only compares label-sum convergence scalars, never rows.
+    * keep `doc_id == cluster_id`, drop the rest). Edges carry the
+    * exact-recall [[jaccard3]] shingle semantics, propagated at GROUP level
+    * over one representative per distinct shingle set ([[groupGraph]]);
+    * components come from Pregel-style MIN-LABEL propagation
+    * ([[minLabelPropagate]]) and members inherit their group's label.
     */
-  /** The near-duplicate edge set (exact-recall [[jaccard3]] pairs) as a
-    * SHARED artifact: computed + materialized once per (dir, threshold) and
-    * reused by every consumer in the session — [[clusters]] and the curation
-    * keep-set both derive from these same edges, and recomputing the
-    * similarity join per consumer was the single largest avoidable cost in
-    * the bench. At 100 TB this artifact is a parquet dataset written between
-    * jobs; `TransientCache.memo` is its in-session equivalent.
+  /** The DOC-LEVEL near-duplicate edge set (exact-recall [[jaccard3]] pairs)
+    * as a SHARED artifact: computed + materialized once per (dir, threshold)
+    * and reused by every consumer in the session. Consumers that only need
+    * connectivity should prefer [[groupGraph]] (clusters moved there round
+    * 13 — doc-level pairs go quadratic inside replica quasi-cliques); this
+    * remains the artifact for consumers that need the PAIRS themselves
+    * (recall harnesses, pair audits). At 100 TB it is a parquet dataset
+    * written between jobs; `TransientCache.memo` is its in-session
+    * equivalent.
     */
   def similarityEdges(s: SparkSession, dir: String, threshold: Double = 0.5,
       sampleMod: Option[Int] = None): DataFrame =
@@ -918,8 +944,85 @@ object Dedup {
       .select("doc1", "doc2", "jaccard")
   }
 
+  /** Shared GROUP-LEVEL near-duplicate graph over the [[jaccard3]] shingle
+    * semantics at `threshold`: (membership(doc_id, gid), edges(g1, g2)),
+    * where gid = min doc_id of an identical-shingle-set group and edges are
+    * the verified cross-group matches. Memoized + checkpointed once per
+    * (dir, threshold) as ONE tagged frame (kind "m" | "e" over two longs) —
+    * a single build and a single checkpoint serve both consumers; at 100 TB
+    * this artifact is one small parquet dataset written between jobs, the
+    * group-level analog of [[similarityEdges]].
+    */
+  private def groupGraph(s: SparkSession, dir: String,
+      threshold: Double): (DataFrame, DataFrame) = {
+    val combined =
+      graft.TransientCache.memo(s"jaccard3-groupgraph:$dir:$threshold") {
+        import s.implicits._
+        val sets = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) => (id, shingleSet(text)) }
+          .toDF("doc_id", "toks")
+        val (gset, verified) = jaccardGroups(s, sets, threshold)
+        gset.select(lit("m").as("kind"), explode(col("ids")).as("a"),
+            col("gid").as("b"))
+          .unionByName(verified.select(lit("e").as("kind"),
+            col("g1").as("a"), col("g2").as("b")))
+      }
+    (combined.filter(col("kind") === "m")
+       .select(col("a").as("doc_id"), col("b").as("gid")),
+     combined.filter(col("kind") === "e")
+       .select(col("a").as("g1"), col("b").as("g2")))
+  }
+
   def clusters(s: SparkSession, dir: String, threshold: Double = 0.5,
-      maxRounds: Int = 50, pairs: Option[DataFrame] = None): DataFrame = {
+      maxRounds: Int = 50, pairs: Option[DataFrame] = None): DataFrame = pairs match {
+    case Some(p) =>
+      // caller-supplied doc-level pair set: propagate directly on documents
+      minLabelPropagate(s, p.select(col("doc1"), col("doc2")),
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("doc_id").as("cluster_id")),
+        maxRounds)
+    case None =>
+      // GROUP-LEVEL connected components (round 13, from the 100× probe):
+      // the doc-level edge set explodes quadratically inside replica
+      // quasi-cliques — a 100-deep exact-dup group contributes 4,950 edges
+      // that all say the same thing, and at sf10 the edge set alone was
+      // ~10⁸ rows (dedup_clusters 39.9 s). Identical shingle sets are
+      // same-cluster BY DEFINITION (jaccard exactly 1 ≥ any threshold ≤ 1),
+      // so min-label propagation runs over one representative per DISTINCT
+      // set and members inherit their group's component label afterwards —
+      // lossless, and the graph scales with distinct content, not replicas.
+      // gid = min member doc_id, so the component-min group label IS the
+      // component-min doc_id: doc-level cluster ids are bit-identical.
+      val (membership, gEdges) = groupGraph(s, dir, threshold)
+      val gLabels = minLabelPropagate(s,
+        gEdges.select(col("g1").as("doc1"), col("g2").as("doc2")),
+        membership.select(col("gid").as("doc_id")).distinct()
+          .select(col("doc_id"), col("doc_id").as("cluster_id")),
+        maxRounds)
+      // members fan in; docs outside the graph (empty shingle sets never
+      // encode, so they have no group) keep themselves as cluster id
+      val docLabels = membership
+        .join(gLabels.select(col("doc_id").as("gid"), col("cluster_id")), "gid")
+        .select(col("doc_id"), col("cluster_id"))
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(docLabels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Pregel-style MIN-LABEL propagation to a fixpoint over an undirected
+    * pair set: each round every node takes the smallest label among itself
+    * and its neighbors, converging in O(component diameter) rounds (near-dup
+    * components are quasi-cliques, so ~3–5 rounds at any corpus size).
+    *
+    * 100 TB: each round is one equi-join + one aggregate (all shuffles on
+    * the node id); the driver only compares label-sum convergence scalars,
+    * never rows.
+    */
+  private def minLabelPropagate(s: SparkSession, pairs: DataFrame,
+      initLabels: DataFrame, maxRounds: Int): DataFrame = {
     val sc = s.sparkContext
     // per-round checkpoints are freed as soon as their successor round is
     // materialized (the successor's blocks are real rows, not lineage), so
@@ -933,11 +1036,9 @@ object Dedup {
       val live = sc.getPersistentRDDs
       ids.foreach(id => live.get(id).foreach(_.unpersist(false)))
     }
-    // edges materialized once (shared artifact unless the caller supplies
-    // its own pair set): every round re-reads them, and the expensive
-    // similarity join must never re-run inside the loop
-    val p = pairs.getOrElse(similarityEdges(s, dir, threshold))
-      .select(col("doc1"), col("doc2"))
+    // edges materialized once: every round re-reads them, and whatever
+    // produced the pair set must never re-run inside the loop
+    val p = pairs.select(col("doc1"), col("doc2"))
     val (edges, edgeIds) = checkpointTracked(
       p.union(p.select(col("doc2"), col("doc1"))).toDF("u", "v"))
     // eager localCheckpoint each round: without it, round r's logical plan
@@ -945,9 +1046,7 @@ object Dedup {
     // tower every round (superlinear planning time — measured 3-4x the
     // total runtime by round ~8 at sf0.1). Checkpointing pins each round to
     // a flat LogicalRDD, so planning cost is constant per round.
-    var (labels, labelIds) = checkpointTracked(
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("doc_id").as("cluster_id")))
+    var (labels, labelIds) = checkpointTracked(initLabels)
     // labels are non-negative and only ever decrease, so the label sum is a
     // strictly decreasing convergence measure (fixpoint = sum unchanged)
     def labelSum(df: DataFrame): Long =
@@ -1229,24 +1328,50 @@ object Dedup {
     val nChunks = maxHamming + 1
     // chunk c covers bits [lo(c), lo(c+1)): widths differ by at most 1
     def lo(c: Int): Int = c * 64 / nChunks
-    val docs = simhashSigs(s, dir)
-    val chunked = docs.select(
-      col("doc_id"), col("simhash"),
+    // COLLAPSE IDENTICAL SIGNATURES FIRST (round 13, the minhash/jaccard
+    // set-collapse ported): every replica of a duplicated document has the
+    // same simhash, so under factor-deep dup groups every chunk bucket held
+    // every replica and within-bucket pairing went quadratic in replica
+    // depth (12 s at the sf10 probe). One row per DISTINCT signature rides
+    // the chunk join; equal-signature docs pair directly at hamming 0 (the
+    // same 0 the XOR produced — grouping by the fingerprint is lossless for
+    // (doc1, doc2, hamming) even across colliding texts, because equal
+    // signatures ARE hamming 0). Candidates now scale with distinct content.
+    val gset = graft.TransientCache.cache(
+      simhashSigs(s, dir)
+        .groupBy("simhash").agg(collect_list(col("doc_id")).as("ids")))
+    val chunked = gset.select(
+      col("simhash"),
       posexplode(array((0 until nChunks).map { c =>
         val width = lo(c + 1) - lo(c)
         val mask = if (width >= 64) -1L else (1L << width) - 1L
         shiftright(col("simhash"), lo(c)).bitwiseAND(lit(mask))
       }: _*)).as(Seq("chunk", "ckey")))
-    val l = chunked.select(col("chunk"), col("ckey"),
-      col("doc_id").as("doc1"), col("simhash").as("h1"))
-    val r = chunked.select(col("chunk"), col("ckey"),
-      col("doc_id").as("doc2"), col("simhash").as("h2"))
-    l.join(r, Seq("chunk", "ckey"))
-      .filter(col("doc1") < col("doc2"))
-      .select(col("doc1"), col("doc2"),
+    val l = chunked.select(col("chunk"), col("ckey"), col("simhash").as("h1"))
+    val r = chunked.select(col("chunk"), col("ckey"), col("simhash").as("h2"))
+    val sigPairs = l.join(r, Seq("chunk", "ckey"))
+      .filter(col("h1") < col("h2"))
+      .select(col("h1"), col("h2"),
         bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    val sets = gset.select(col("simhash"), col("ids"))
+    val cross = sigPairs
+      .join(sets.select(col("simhash").as("h1"), col("ids").as("ids1")), "h1")
+      .join(sets.select(col("simhash").as("h2"), col("ids").as("ids2")), "h2")
+      .select(col("hamming"), explode(col("ids1")).as("a"), col("ids2"))
+      .select(col("hamming"), col("a"), explode(col("ids2")).as("b"))
+      .select(least(col("a"), col("b")).as("doc1"),
+        greatest(col("a"), col("b")).as("doc2"), col("hamming"))
+    val within = gset
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc1"), col("b").as("doc2"),
+        lit(0).cast("integer").as("hamming"))
+    cross.select(col("doc1"), col("doc2"), col("hamming"))
+      .unionByName(within)
   }
 
   /** corpus_overlap — the cross-SOURCE contamination matrix: for every

@@ -146,7 +146,10 @@ object Compaction {
   def fileSkipStats(s: SparkSession, dir: String,
       buckets: Int = SkipBuckets): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val maxRow = docs.agg(max(col("doc_id"))).collect()(0)
+    // max() over zero rows is NULL — fail with a message, not an NPE
+    require(!maxRow.isNullAt(0), s"empty documents table at $dir")
+    val maxId = maxRow.getLong(0)
     val w = maxId / buckets + 1
     val lake = graft.Staging.dir(s,
       s"skipstats/${new java.io.File(dir).getName}/lake")
