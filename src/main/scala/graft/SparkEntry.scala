@@ -131,6 +131,7 @@ object SparkEntry {
     "q57_stream_drift" -> (graft.streaming.EventStreams.streamDriftQuery _),
     "q58_stream_anomaly" -> (graft.streaming.EventStreams.streamAnomalyQuery _),
     "q59_stream_cdc" -> (graft.streaming.EventStreams.streamCdcQuery _),
+    "q60_stream_heavy" -> (graft.streaming.EventStreams.streamHeavyQuery _),
     "q38_stream_active" -> (graft.streaming.EventStreams.activeQuery _),
     "q39_stream_debounce" -> (graft.streaming.EventStreams.debounceQuery _),
     "q42_stream_attribution" -> (graft.streaming.EventStreams.attributionQuery _),
@@ -385,24 +386,41 @@ object SparkEntry {
   private val minhashPairsSql =
     s"WITH $minhashCtes\nSELECT doc1, doc2, jaccard FROM j WHERE jaccard >= 0.5"
 
+  /** Exact-Jaccard truth pair CTEs shared by the recall-harness oracles:
+    * overlap via the shingle-POSTINGS equi-join (`g` is the distinct
+    * (doc_id, gram) explode), union by inclusion–exclusion. Replaces the
+    * original all-pairs `a JOIN b ON a.doc_id < b.doc_id` formulation —
+    * values are identical (pairs sharing zero shingles have jaccard 0 and
+    * can never reach `tf`'s threshold filter), but the join only touches
+    * pairs that share a shingle, which keeps the sf0.1 replay feasible
+    * (all-pairs × list_intersect over 1.25G pairs was not).
+    */
+  private val truthPairCtes =
+    """sn AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s),
+      |tp AS (SELECT o.doc1, o.doc2, o.ov, na.n + nb.n - o.ov AS un
+      | FROM (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+      |    CAST(count(*) AS BIGINT) AS ov
+      |   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |   GROUP BY 1, 2) o
+      | JOIN sn na ON na.doc_id = o.doc1
+      | JOIN sn nb ON nb.doc_id = o.doc2),
+      |tf AS (SELECT * FROM tp
+      |       WHERE CAST(ov AS DOUBLE) / CAST(un AS DOUBLE) >= 0.5)""".stripMargin
+
   /** dedup_recall oracle — replays BOTH sides of the banding-recall harness:
     * the LSH side is the full minhash replay above (`j` — seeded signatures,
     * banded buckets, MaxBucket cap, exact verify), and the ground-truth side
-    * is the all-pairs exact formulation of the prefix-filter edge set (the
-    * prefix filter has recall exactly 1, so all-pairs is its oracle — same
-    * equivalence dedup_jaccard3's oracle already relies on). Deciles are
-    * INTEGER arithmetic ((10·ov) // un) on exact BIGINT overlap/union
-    * counts; recall is the one terminal double division.
+    * is the exact postings-join formulation of the prefix-filter edge set
+    * ([[truthPairCtes]]; the prefix filter has recall exactly 1, so the
+    * exact pair set is its oracle — same equivalence dedup_jaccard3's
+    * oracle already relies on). Deciles are INTEGER arithmetic
+    * ((10·ov) // un) on exact BIGINT overlap/union counts; recall is the
+    * one terminal double division.
     */
   private val dedupRecallSql =
     s"""WITH $minhashCtes,
        |lsh AS (SELECT doc1, doc2 FROM j WHERE jaccard >= 0.5),
-       |tp AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-       |  CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS BIGINT) AS ov,
-       |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS un
-       | FROM s a JOIN s b ON a.doc_id < b.doc_id),
-       |tf AS (SELECT * FROM tp
-       |       WHERE CAST(ov AS DOUBLE) / CAST(un AS DOUBLE) >= 0.5),
+       |$truthPairCtes,
        |dec AS (SELECT (10 * tf.ov) // tf.un AS j_decile,
        |  CAST(count(*) AS BIGINT) AS n_true,
        |  CAST(sum(CASE WHEN l.doc1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -436,10 +454,10 @@ object SparkEntry {
        |FROM em JOIN tv ON tv.doc1 = em.doc1 AND tv.doc2 = em.doc2
        |GROUP BY 1, 2""".stripMargin
 
-  /** lsh_tune oracle — the shared signature prefix, the all-pairs truth
-    * deciles (dedup_recall's tp/tf formulation), and one banding tail per
-    * swept configuration; each config's branch left-joins its own cand set
-    * against the same truth and the branches UNION ALL.
+  /** lsh_tune oracle — the shared signature prefix, the exact postings-join
+    * truth deciles ([[truthPairCtes]], dedup_recall's formulation), and one
+    * banding tail per swept configuration; each config's branch left-joins
+    * its own cand set against the same truth and the branches UNION ALL.
     */
   private val lshTuneSql = {
     val cfgs = graft.operators.Dedup.TuneConfigs
@@ -458,12 +476,7 @@ object SparkEntry {
          |  GROUP BY 1) d""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH $minhashSigCtes,
-       |tp AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-       |  CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS BIGINT) AS ov,
-       |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS un
-       | FROM s a JOIN s b ON a.doc_id < b.doc_id),
-       |tf AS (SELECT * FROM tp
-       |       WHERE CAST(ov AS DOUBLE) / CAST(un AS DOUBLE) >= 0.5),
+       |$truthPairCtes,
        |$bandCtes
        |$branches""".stripMargin
   }
@@ -509,6 +522,13 @@ object SparkEntry {
     * engine's argmax must land on the same rows). Shared by cdc_apply and
     * its streaming twin q59_stream_cdc (full-replay parity).
     */
+  private val heavyHittersSql =
+    """WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+      |f AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
+      |SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+      | CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS INTEGER) AS "rank"
+      |FROM f ORDER BY cnt DESC, tok ASC LIMIT 20""".stripMargin
+
   private val cdcApplySql =
     """SELECT user_id, ts_us, event_id, event_type, value_cents FROM (
       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
@@ -2966,12 +2986,11 @@ object SparkEntry {
     // candidate shuffle, the recount makes the answer exact, so the oracle
     // is the plain frequency table (rank window before the limit, cnt-desc
     // then token-asc ties — the same total order the TakeOrdered uses)
-    "heavy_hitters" ->
-      """WITH tk AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
-        |f AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
-        |SELECT tok, CAST(cnt AS BIGINT) AS cnt,
-        | CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS INTEGER) AS "rank"
-        |FROM f ORDER BY cnt DESC, tok ASC LIMIT 20""".stripMargin,
+    "heavy_hitters" -> heavyHittersSql,
+    // full-replay parity: the streaming MG sketch only changes WHERE the
+    // candidate superset comes from; the recount tail makes the answer the
+    // same exact table, so the twin shares the batch oracle verbatim
+    "q60_stream_heavy" -> heavyHittersSql,
     // conjunctive retrieval: all three query terms present, ranked by total
     // query-term occurrences (integral score, doc_id tiebreak)
     "search_docs" ->

@@ -475,16 +475,35 @@ object Corpus {
   def heavyHitters(s: SparkSession, dir: String,
       k: Int = HhTopK, counters: Int = MgCounters): DataFrame = {
     import s.implicits._
-    val toks = graft.TransientCache.cache(
+    val toks = hhTokens(s, dir)
+    val candidates = toks.as[String]
+      .mapPartitions(it => mgSurvivors(it, counters))
+      .toDF("tok")
+      .distinct()
+    hhRecountTail(s, toks, candidates, k, counters)
+  }
+
+  /** The whitespace token stream [[heavyHitters]] counts (transient-cached:
+    * it feeds the candidate sketch, the recount AND the n total).
+    */
+  private[graft] def hhTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.TransientCache.cache(
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .flatMap { case (_, text) => TextOps.wsTokens(text) }
         .toDF("tok"))
-    val candidates = toks.as[String]
-      .mapPartitions(it => mgSurvivors(it, counters))
-      .toDF("tok")
-      .distinct()
+  }
+
+  /** The exact tail shared by [[heavyHitters]] and its streaming twin: given
+    * a candidate-token superset from SOME Misra–Gries pass (per-partition
+    * batch sketches, or per-bucket streaming sketch state), recount the
+    * candidates exactly, rank the top k, and loudly assert the n/(C+1)
+    * completeness floor.
+    */
+  private[graft] def hhRecountTail(s: SparkSession, toks: DataFrame,
+      candidates: DataFrame, k: Int, counters: Int): DataFrame = {
     val exact = graft.TransientCache.cache(
       toks.join(broadcast(candidates), "tok")
         .groupBy("tok")
@@ -519,6 +538,20 @@ object Corpus {
   private[graft] def mgSurvivors(it: Iterator[String], counters: Int): Iterator[String] = {
     require(counters > 0, "counters must be positive")
     val m = new java.util.HashMap[String, Array[Long]](counters * 2)
+    mgFold(m, it, counters)
+    import scala.jdk.CollectionConverters._
+    m.keySet().asScala.iterator.toArray.iterator
+  }
+
+  /** Fold a token stream into an existing Misra–Gries counter map in place —
+    * the shared kernel of [[mgSurvivors]] (fresh map per batch partition)
+    * and the streaming twin's per-bucket sketch STATE (the map persists
+    * across triggers; folding more tokens into survivors-so-far is exactly
+    * the MG merge, so the guarantee keeps holding for the concatenated
+    * stream).
+    */
+  private[graft] def mgFold(m: java.util.HashMap[String, Array[Long]],
+      it: Iterator[String], counters: Int): Unit = {
     while (it.hasNext) {
       val t = it.next()
       val c = m.get(t)
@@ -533,8 +566,6 @@ object Corpus {
         }
       }
     }
-    import scala.jdk.CollectionConverters._
-    m.keySet().asScala.iterator.toArray.iterator
   }
 
   /** source_quantiles — exact per-source order statistics of document

@@ -1221,6 +1221,72 @@ object EventStreams {
     runStagedViaFiles(s, dir, "q59_stream_cdc", staged =>
       graft.operators.Behavior.cdcSnapshot(readEvents(s, staged)))
 
+  /** Number of hash buckets the streaming Misra–Gries sketch shards its
+    * counter state over: state is structurally bounded at
+    * [[HhStreamBuckets]] × counters entries whatever the vocabulary does —
+    * the sketch's whole point, carried into the streaming tier.
+    */
+  val HhStreamBuckets = 32
+
+  /** q60_stream_heavy — the STREAMING twin of `Corpus.heavyHitters`, the
+    * third monitor twin (after q57 drift, q58 anomaly): the Misra–Gries
+    * counter map IS the keyed streaming state. The token stream shards by
+    * token hash into [[HhStreamBuckets]] buckets; each bucket's
+    * flatMapGroupsWithState state is its MG counter map (≤ `counters`
+    * entries — bounded by construction, so none of the poison-cap machinery
+    * the unbounded-key twins need), and folding a trigger's tokens into the
+    * persisted map (`Corpus.mgFold`) is literally running MG on the
+    * concatenated stream, so the survival guarantee holds for everything
+    * seen so far. All occurrences of a token land in ONE bucket, so a token
+    * with global frequency > n/(C+1) ≥ n_bucket/(C+1) survives its bucket's
+    * sketch — the same superset guarantee the batch per-partition union
+    * gives. Each trigger emits the map's current keys; the cross-trigger
+    * union stays a superset of the final survivors (the last trigger emits
+    * exactly them), and overshoot costs only recount rows, never
+    * correctness.
+    *
+    * The exact tail — candidate recount, top-k, the loud n/(C+1)
+    * completeness require — is the batch operator's own
+    * `Corpus.hhRecountTail` (sketch state upstream, constant re-derivation
+    * downstream: the q57/q58 split). Parity contract: one AvailableNow pass
+    * yields a provable candidate superset and the recount makes the answer
+    * EXACT, so the final table equals `heavy_hitters` row-for-row and the
+    * SAME DuckDB oracle verifies the streaming path end-to-end.
+    */
+  def streamHeavyQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counters = graft.operators.Corpus.MgCounters
+    val candidates = runStagedViaFiles(s, dir, "q60_stream_heavy", staged =>
+      s.readStream
+        .schema(graft.sources.Tables.documents(s, dir).schema)
+        .parquet(staged)
+        .select(col("text")).as[String]
+        .flatMap(graft.operators.TextOps.wsTokens(_))
+        .select(pmod(xxhash64(col("value")), lit(HhStreamBuckets.toLong)).as("bucket"),
+          col("value").as("tok"))
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (_: Long, rows: Iterator[(Long, String)],
+              state: GroupState[List[(String, Long)]]) => {
+            val m = new java.util.HashMap[String, Array[Long]](counters * 2)
+            state.getOption.getOrElse(Nil)
+              .foreach { case (t, c) => m.put(t, Array(c)) }
+            graft.operators.Corpus.mgFold(m, rows.map(_._2), counters)
+            import scala.jdk.CollectionConverters._
+            val entries = m.entrySet().asScala
+              .map(e => (e.getKey, e.getValue()(0))).toList
+            state.update(entries)
+            entries.iterator.map(_._1)
+          })
+        .toDF("tok"),
+      OutputMode.Append(), file = "documents.parquet")
+      .distinct()
+    graft.operators.Corpus.hhRecountTail(s,
+      graft.operators.Corpus.hhTokens(s, dir), candidates,
+      graft.operators.Corpus.HhTopK, counters)
+  }
+
   /** Run a streaming DataFrame to completion over a bounded source (one
     * availableNow pass), collecting results through an in-memory sink table.
     * This is how the parity tests observe streaming output.

@@ -55,4 +55,29 @@ class BenchSpec extends AnyFunSuite {
       "StateStore.get must re-register maintenance after a sweep")
     assert(SessionSweep.sweepStreamingState())
   }
+
+  test("bench-artifact rule: the latest official round's full dump is committed") {
+    // The driver's per-round BENCH_r{N}.json captures only the TAIL of the
+    // stdout line; the full dump lands in target/bench_local.json and MUST
+    // be committed as BENCH_LOCAL_r{N}.json at the next round's start so
+    // every round can diff every query (the rule slipped in r10, r11 AND
+    // r12 — this spec makes it mechanical). The check is repo-state-only:
+    // if an official BENCH_r{N}.json exists for some N >= 12 (the first
+    // round after the rule was written), its BENCH_LOCAL twin must too.
+    val repo = new java.io.File(".").getCanonicalFile
+    def roundsOf(prefix: String): Set[Int] =
+      Option(repo.listFiles()).getOrElse(Array.empty).toSeq
+        .map(_.getName)
+        .collect { case n if n.startsWith(prefix) && n.endsWith(".json") =>
+          n.stripPrefix(prefix).stripSuffix(".json") }
+        .flatMap(_.toIntOption)
+        .toSet
+    val official = roundsOf("BENCH_r").filter(_ >= 12)
+    val local = roundsOf("BENCH_LOCAL_r")
+    val missing = official -- local
+    assert(missing.isEmpty,
+      s"round(s) ${missing.toSeq.sorted.mkString(", ")} ran an official bench " +
+        "but BENCH_LOCAL_r{N}.json was never committed — cp the full dump " +
+        "(target/bench_local.json from that run) FIRST, before any code change")
+  }
 }

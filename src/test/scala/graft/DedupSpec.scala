@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup
@@ -383,6 +384,42 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
       .toMap
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
+  }
+
+  test("clusters: group-level propagation == doc-level propagation on a replica-deep corpus") {
+    // the round-13 group-level CC must be bit-identical to propagating over
+    // the full doc-level jaccard3 pair set — checked on the adversarial
+    // shape it exists for: deep exact-duplicate groups (every replica pair
+    // is an edge doc-level; group-level sees ONE node per distinct text)
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      "one two three four five six seven eight nine ten",
+      "one two three four five six seven eight nine eleven", // near-dup of ^
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "words about catalyst physical plans and shuffle exchanges here")
+    // 6 replicas of each text, entity-shifted ids (the ProbeData shape)
+    val docs = for {
+      (t, i) <- base.zipWithIndex; r <- 0 until 6
+    } yield (100L * r + i, t)
+    val d = Files.createTempDirectory("dedup-groupcc").toString
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val grouped = Dedup.clusters(spark, d, threshold = 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val docLevel = Dedup.clusters(spark, d, threshold = 0.5,
+        pairs = Some(Dedup.jaccard3(spark, d, threshold = 0.5)
+          .select(col("doc1"), col("doc2")))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(grouped == docLevel)
+    // texts 0 and 1 are near-dups: all 12 replicas share component min 0
+    assert((0 until 6).flatMap(r => Seq(100L * r, 100L * r + 1))
+      .forall(id => grouped(id) == 0L))
+    // texts 2 and 3: replicas cluster to their own text's min id
+    assert((0 until 6).forall(r => grouped(100L * r + 2) == 2L))
+    assert((0 until 6).forall(r => grouped(100L * r + 3) == 3L))
+    graft.TransientCache.releaseAll(spark)
   }
 
   test("minhash hot-bucket cap: a boilerplate black hole is dropped, exact pass catches it") {

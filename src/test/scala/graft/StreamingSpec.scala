@@ -450,6 +450,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming heavy-hitters twin: q60 table equals batch heavy_hitters row-for-row") {
+    // the per-bucket MG counter state yields a candidate SUPERSET of every
+    // token the batch per-partition sketches surface above the floor; the
+    // shared exact-recount tail then makes both answers the same table
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("cnt"),
+        r.getAs[Int]("rank"))).toSet
+    val streamed = rows(EventStreams.streamHeavyQuery(spark, Sf0001))
+    val batch = rows(graft.operators.Corpus.heavyHitters(spark, Sf0001))
+    assert(streamed === batch)
+    assert(streamed.size == graft.operators.Corpus.HhTopK)
+    TransientCache.release(spark)
+  }
+
   test("streaming rolling actives: bounded pass equals the batch inverted-window answer") {
     import org.apache.spark.sql.streaming.OutputMode
     val streamed = EventStreams.runToMemory(
