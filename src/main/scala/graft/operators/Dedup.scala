@@ -1240,6 +1240,11 @@ object Dedup {
   def substringScrub(s: SparkSession, dir: String,
       window: Int = SubstringWindow): DataFrame = {
     import s.implicits._
+    // grams travel as md5 DIGESTS, never raw text (the corpus_overlap
+    // shuffle discipline): the groupBy/join key shrinks from an ~8-token
+    // string to 16 fixed bytes, and 128 bits stays birthday-safe at the
+    // ~10¹¹ distinct window-grams a 100 TB crawl carries (64 bits would
+    // not). The digest projection runs map-side, before the exchange.
     val occ = graft.TransientCache.cache(
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text"))
@@ -1247,12 +1252,13 @@ object Dedup {
         .flatMap { case (id, t) =>
           windowStarts(t, window).map { case (st, g) => (id, st, g) }
         }
-        .toDF("doc_id", "start", "gram"))
-    val shared = occ.groupBy("gram")
+        .toDF("doc_id", "start", "gram")
+        .select(col("doc_id"), col("start"), unhex(md5(col("gram"))).as("g")))
+    val shared = occ.groupBy("g")
       .agg(count_distinct(col("doc_id")).as("n_docs"), min("doc_id").as("keep_id"))
       .filter(col("n_docs") >= 2)
-      .select("gram", "keep_id")
-    val flagged = occ.join(shared, "gram")
+      .select("g", "keep_id")
+    val flagged = occ.join(shared, "g")
       .filter(col("doc_id") =!= col("keep_id"))
       .groupBy("doc_id")
       .agg(collect_set(col("start")).as("starts"))
