@@ -99,7 +99,20 @@ object Bench {
           // in full GCs (BENCH_r10: q3_join_broadcast 4.6×, alphabetically
           // first after the q33–q39 streaming block). Tear the providers
           // down deterministically and compact now, outside any timed window.
-          if (org.apache.spark.sql.graftshim.SessionSweep.sweepStreamingState())
+          //
+          // Independently (round 13): long heavy-query sessions accumulate
+          // heap that per-query release CANNOT reach — every broadcast join
+          // pins driver + MemoryStore copies until the ContextCleaner reaps
+          // the weakly-referenced Broadcast object AFTER a GC, and the
+          // cleaner itself only runs post-GC. Invisible at fixture scale; a
+          // 54-query sf10 wave OOM'd the 24g heap with EVERY query passing
+          // in isolation (big-vocab dictionary broadcasts from the dedup/
+          // text family dominating). When the heap is past 60% after the
+          // sweep, nudge the collector so dead broadcasts become reapable —
+          // outside the timed window, so per-query numbers are unaffected.
+          val rt = Runtime.getRuntime
+          if (org.apache.spark.sql.graftshim.SessionSweep.sweepStreamingState()
+              || rt.totalMemory() - rt.freeMemory() > rt.maxMemory() / 10L * 6L)
             System.gc()
         }
       }

@@ -37,8 +37,15 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operator-internal transient caches are per-query; sweep them so 60+
-      // queries in one session can't accumulate storage blocks
+      // queries in one session can't accumulate storage blocks. Broadcast
+      // variables are reapable only AFTER a GC (weak refs + ContextCleaner),
+      // so nudge the collector under heap pressure — the Bench session-
+      // hygiene lesson (a 54-query sf10 wave OOM'd with every query passing
+      // in isolation); there is no timed window here, so it is pure safety.
       TransientCache.release(spark)
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory() - rt.freeMemory() > rt.maxMemory() / 10L * 6L)
+        System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

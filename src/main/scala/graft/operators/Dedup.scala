@@ -383,28 +383,21 @@ object Dedup {
         Seq("band", "bkey"))
       .filter(col("g1") < col("g2"))
       .select("g1", "g2").distinct()
-    val sets = gset.select(col("gid"), col("sh"), col("ids"))
-    val cross = cand
-      .join(sets.select(col("gid").as("g1"), col("sh").as("sh1"),
-        col("ids").as("ids1")), "g1")
-      .join(sets.select(col("gid").as("g2"), col("sh").as("sh2"),
-        col("ids").as("ids2")), "g2")
+    val sets = gset.select(col("gid"), col("sh"))
+    val verified = cand
+      .join(sets.select(col("gid").as("g1"), col("sh").as("sh1")), "g1")
+      .join(sets.select(col("gid").as("g2"), col("sh").as("sh2")), "g2")
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("jaccard"), explode(col("ids1")).as("a"), col("ids2"))
-      .select(col("jaccard"), col("a"), explode(col("ids2")).as("b"))
-      .select(least(col("a"), col("b")).as("doc1"),
-        greatest(col("a"), col("b")).as("doc2"), col("jaccard"))
+      .select(col("g1"), col("g2"), col("jaccard"))
+    // cross gids are survivors by construction (cand comes from capped
+    // buckets); gating the member table on survivors preserves the
+    // doc-level cap semantics for the WITHIN pairs too, as before
     val survivors = capped.select(col("gid")).distinct()
-    val within = gset.join(survivors, "gid")
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .select(col("a").as("doc1"), col("b").as("doc2"), lit(1.0).as("jaccard"))
-    cross.unionByName(within).select("doc1", "doc2", "jaccard")
+    memberFanOut(gset.join(survivors, "gid").select(col("gid"), col("ids")),
+      verified, lit(1.0), "jaccard")
   }
 
   /** minhash_est_error — the estimator-calibration half of the dedup quality
@@ -690,21 +683,42 @@ object Dedup {
   private[operators] def prefixJaccardJoin(
       s: SparkSession, docsIn: DataFrame, threshold: Double): DataFrame = {
     val (gset, verified) = jaccardGroups(s, docsIn, threshold)
-    // surviving set-level matches explode straight to doc pairs (each
-    // unordered pair once: groups are disjoint and the g1 < g2 orientation
-    // picks one direction; within a group the a < b filter does)
-    val cross = verified
-      .select(col("jaccard"), explode(col("ids1")).as("a"), col("ids2"))
-      .select(col("jaccard"), col("a"), explode(col("ids2")).as("b"))
+    memberFanOut(gset, verified.select(col("g1"), col("g2"), col("jaccard")),
+      lit(1.0), "jaccard")
+  }
+
+  /** Fan group-level matches back out to doc pairs via MEMBERSHIP JOINS,
+    * never nested array explodes: a verified row between two k-deep groups
+    * would otherwise generate k intermediate rows EACH carrying the other
+    * side's k-long id array — k² bytes of array copies through the generate.
+    * The round-13 sf10 probe measured the failure: the fixture's whitespace
+    * token SETS collapse 500 k docs to 3,935 groups (deepest 24,800), the
+    * verified pairs fan to 9.29 G doc pairs, and the 200 KB-array copies
+    * OOM'd the 24 g heap. The join form ships constant-width (gid, doc)
+    * rows; sort-merge buffers ONE group's member list per key (≤ group
+    * depth × 8 B) and STREAMS the cross product, so arbitrarily deep groups
+    * cost output rows, never memory. Each unordered pair emits once: groups
+    * are disjoint and g1 < g2 picks one orientation for cross pairs, a < b
+    * does within a group.
+    *
+    * `payload` is the verified frame's carried column (jaccard / hamming);
+    * `withinValue` is its exact within-group constant (identical members ⇒
+    * jaccard 1.0 / hamming 0).
+    */
+  private def memberFanOut(gset: DataFrame, verifiedPairs: DataFrame,
+      withinValue: Column, payload: String): DataFrame = {
+    val members = graft.TransientCache.cache(
+      gset.select(col("gid"), explode(col("ids")).as("m")))
+    val cross = verifiedPairs
+      .join(members.select(col("gid").as("g1"), col("m").as("a")), "g1")
+      .join(members.select(col("gid").as("g2"), col("m").as("b")), "g2")
       .select(least(col("a"), col("b")).as("doc1"),
-        greatest(col("a"), col("b")).as("doc2"), col("jaccard"))
-    val within = gset
-      .filter(size(col("ids")) > 1) // tids non-empty by construction
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
+        greatest(col("a"), col("b")).as("doc2"), col(payload))
+    val within = members.select(col("gid"), col("m").as("a"))
+      .join(members.select(col("gid"), col("m").as("b")), "gid")
       .filter(col("a") < col("b"))
       .select(col("a").as("doc1"), col("b").as("doc2"),
-        lit(1.0).as("jaccard"))
+        withinValue.as(payload))
     cross.unionByName(within)
   }
 
@@ -1357,27 +1371,13 @@ object Dedup {
     val r = chunked.select(col("chunk"), col("ckey"), col("simhash").as("h2"))
     val sigPairs = l.join(r, Seq("chunk", "ckey"))
       .filter(col("h1") < col("h2"))
-      .select(col("h1"), col("h2"),
+      .select(col("h1").as("g1"), col("h2").as("g2"),
         bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    val sets = gset.select(col("simhash"), col("ids"))
-    val cross = sigPairs
-      .join(sets.select(col("simhash").as("h1"), col("ids").as("ids1")), "h1")
-      .join(sets.select(col("simhash").as("h2"), col("ids").as("ids2")), "h2")
-      .select(col("hamming"), explode(col("ids1")).as("a"), col("ids2"))
-      .select(col("hamming"), col("a"), explode(col("ids2")).as("b"))
-      .select(least(col("a"), col("b")).as("doc1"),
-        greatest(col("a"), col("b")).as("doc2"), col("hamming"))
-    val within = gset
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .select(col("a").as("doc1"), col("b").as("doc2"),
-        lit(0).cast("integer").as("hamming"))
-    cross.select(col("doc1"), col("doc2"), col("hamming"))
-      .unionByName(within)
+    // the signature IS the group id for the fan-out joins
+    memberFanOut(gset.select(col("simhash").as("gid"), col("ids")),
+      sigPairs, lit(0).cast("integer"), "hamming")
   }
 
   /** corpus_overlap — the cross-SOURCE contamination matrix: for every
