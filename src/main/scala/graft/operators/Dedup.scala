@@ -687,39 +687,81 @@ object Dedup {
       lit(1.0), "jaccard")
   }
 
-  /** Fan group-level matches back out to doc pairs via MEMBERSHIP JOINS,
-    * never nested array explodes: a verified row between two k-deep groups
-    * would otherwise generate k intermediate rows EACH carrying the other
-    * side's k-long id array — k² bytes of array copies through the generate.
-    * The round-13 sf10 probe measured the failure: the fixture's whitespace
-    * token SETS collapse 500 k docs to 3,935 groups (deepest 24,800), the
-    * verified pairs fan to 9.29 G doc pairs, and the 200 KB-array copies
-    * OOM'd the 24 g heap. The join form ships constant-width (gid, doc)
-    * rows; sort-merge buffers ONE group's member list per key (≤ group
-    * depth × 8 B) and STREAMS the cross product, so arbitrarily deep groups
-    * cost output rows, never memory. Each unordered pair emits once: groups
-    * are disjoint and g1 < g2 picks one orientation for cross pairs, a < b
-    * does within a group.
+  /** Above this group depth [[memberFanOut]] trades the in-place nested
+    * explode for membership joins. The explode copies the other side's
+    * id array onto EVERY generated row (k² bytes per group pair): at 1024
+    * the deepest copy train is ≤ 8 MB per verified row — safe; at the sf10
+    * probe's 24,800-deep token-set groups it was ~5 GB per row and OOM'd
+    * the heap. The join form is depth-proof but pays two extra shuffles of
+    * the half-expanded stream — measured 9× on dedup_minhash at sf10
+    * (6.9 → 63 s), whose groups are exact-text replicas (≤ a few hundred
+    * deep), which is why the choice is adaptive, decided from the data like
+    * a broadcast threshold.
+    */
+  val FanOutDepthCap = 1024
+
+  /** Fan group-level matches back out to doc pairs — ADAPTIVELY (round 13).
     *
-    * `payload` is the verified frame's carried column (jaccard / hamming);
-    * `withinValue` is its exact within-group constant (identical members ⇒
-    * jaccard 1.0 / hamming 0).
+    * Shallow groups (max |ids| ≤ [[FanOutDepthCap]]): attach both member
+    * arrays to each verified pair and nested-explode in place — no extra
+    * shuffle, the fan-out rows are born in the stage that verified them.
+    *
+    * Deep groups: MEMBERSHIP JOINS, never array explodes — a verified row
+    * between two k-deep groups would otherwise generate k intermediate rows
+    * EACH carrying the other side's k-long id array (k² bytes of copies
+    * through the generate). The round-13 sf10 probe measured the failure:
+    * the fixture's whitespace token SETS collapse 500 k docs to 3,935
+    * groups (deepest 24,800), verified pairs fan to 9.29 G doc pairs, and
+    * the 200 KB-array copies OOM'd the 24 g heap. The join form ships
+    * constant-width (gid, doc) rows; sort-merge buffers ONE group's member
+    * list per key and STREAMS the cross product, so arbitrarily deep groups
+    * cost output rows, never memory (measured: the 9.67 G-pair sf10 output
+    * streams to completion).
+    *
+    * Both branches emit each unordered pair once (groups are disjoint and
+    * g1 < g2 picks one cross orientation; a < b does within a group) with
+    * bit-identical columns. `payload` is the verified frame's carried
+    * column (jaccard / hamming); `withinValue` is its exact within-group
+    * constant (identical members ⇒ jaccard 1.0 / hamming 0).
     */
   private def memberFanOut(gset: DataFrame, verifiedPairs: DataFrame,
       withinValue: Column, payload: String): DataFrame = {
-    val members = graft.TransientCache.cache(
-      gset.select(col("gid"), explode(col("ids")).as("m")))
-    val cross = verifiedPairs
-      .join(members.select(col("gid").as("g1"), col("m").as("a")), "g1")
-      .join(members.select(col("gid").as("g2"), col("m").as("b")), "g2")
-      .select(least(col("a"), col("b")).as("doc1"),
-        greatest(col("a"), col("b")).as("doc2"), col(payload))
-    val within = members.select(col("gid"), col("m").as("a"))
-      .join(members.select(col("gid"), col("m").as("b")), "gid")
-      .filter(col("a") < col("b"))
-      .select(col("a").as("doc1"), col("b").as("doc2"),
-        withinValue.as(payload))
-    cross.unionByName(within)
+    // one tiny agg over the (cached) group table decides the strategy —
+    // same discipline as the dense-path stats probe above
+    val depthRow = gset.agg(max(size(col("ids")))).head
+    val maxDepth = if (depthRow.isNullAt(0)) 0 else depthRow.getInt(0)
+    if (maxDepth <= FanOutDepthCap) {
+      val sets = gset.select(col("gid"), col("ids"))
+      val cross = verifiedPairs
+        .join(sets.select(col("gid").as("g1"), col("ids").as("ids1")), "g1")
+        .join(sets.select(col("gid").as("g2"), col("ids").as("ids2")), "g2")
+        .select(col(payload), explode(col("ids1")).as("a"), col("ids2"))
+        .select(col(payload), col("a"), explode(col("ids2")).as("b"))
+        .select(least(col("a"), col("b")).as("doc1"),
+          greatest(col("a"), col("b")).as("doc2"), col(payload))
+      val within = gset
+        .filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("a"), col("ids"))
+        .select(col("a"), explode(col("ids")).as("b"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("doc1"), col("b").as("doc2"),
+          withinValue.as(payload))
+      cross.unionByName(within)
+    } else {
+      val members = graft.TransientCache.cache(
+        gset.select(col("gid"), explode(col("ids")).as("m")))
+      val cross = verifiedPairs
+        .join(members.select(col("gid").as("g1"), col("m").as("a")), "g1")
+        .join(members.select(col("gid").as("g2"), col("m").as("b")), "g2")
+        .select(least(col("a"), col("b")).as("doc1"),
+          greatest(col("a"), col("b")).as("doc2"), col(payload))
+      val within = members.select(col("gid"), col("m").as("a"))
+        .join(members.select(col("gid"), col("m").as("b")), "gid")
+        .filter(col("a") < col("b"))
+        .select(col("a").as("doc1"), col("b").as("doc2"),
+          withinValue.as(payload))
+      cross.unionByName(within)
+    }
   }
 
   /** The group-level core of [[prefixJaccardJoin]]: identical-token-set

@@ -422,6 +422,25 @@ class DedupSpec extends AnyFunSuite {
     graft.TransientCache.releaseAll(spark)
   }
 
+  test("memberFanOut deep branch: a past-cap group fans out via joins, pairs exact") {
+    // FanOutDepthCap+6 identical docs force the membership-JOIN fan-out (the
+    // nested explode would copy a >cap-long array per generated row — the
+    // sf10 OOM shape); the output must be exactly every unordered pair at
+    // jaccard 1.0, same as the shallow explode branch produces
+    val s = spark
+    import s.implicits._
+    val n = Dedup.FanOutDepthCap + 6
+    val d = Files.createTempDirectory("dedup-deepfan").toString
+    (0 until n).map(i => (500L + i, "alpha beta gamma", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Dedup.ngramJaccard(spark, d, threshold = 0.9)
+    assert(got.count() == n.toLong * (n - 1) / 2)
+    val sample = got.filter(col("doc1") === 500L && col("doc2") === 501L).collect()
+    assert(sample.length == 1 && sample.head.getAs[Double]("jaccard") == 1.0)
+    graft.TransientCache.release(spark)
+  }
+
   test("minhash hot-bucket cap: a boilerplate black hole is dropped, exact pass catches it") {
     // MaxBucket+1 identical docs collapse into one LSH bucket in every band;
     // the cap must drop that bucket (no quadratic pair emission) while the
