@@ -45,9 +45,11 @@ object ProbeData {
   /** Tables copied through unchanged (conformed dimensions). */
   private val dims = Seq("region", "nation")
 
-  def replicate(df: DataFrame, keys: Seq[String], factor: Int): DataFrame =
+  def replicate(df: DataFrame, keys: Seq[String], factor: Int,
+      replicaFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
     (0 until factor).map { r =>
-      keys.foldLeft(df)((d, k) =>
+      val base = if (r == 0) df else replicaFilter.map(df.filter).getOrElse(df)
+      keys.foldLeft(base)((d, k) =>
         d.withColumn(k, col(k) + lit(r * ReplicaShift)))
     }.reduce(_ unionByName _)
 
@@ -90,8 +92,20 @@ object ProbeData {
       Files.deleteIfExists(Paths.get(tmp))
     }
     for ((table, keys) <- keyCols.toSeq.sortBy(_._1)) {
+      // embeddings: the decontam eval set is vec_id % BenchmarkMod == 0 and
+      // ReplicaShift is divisible by BenchmarkMod, so a plain replication
+      // re-plants the eval rows factor× — but a REAL eval set is fixed-size
+      // while the corpus grows (r13 verdict: sf10 decontam_embed measured
+      // the fixture, not the design). Replicas r ≥ 1 drop the eval-resident
+      // rows; replica 0 stays verbatim, so the probed benchmark matrix is
+      // constant at any factor and the corpus still grows ~factor×.
+      val evalFilter =
+        if (table == "embeddings")
+          Some(col("vec_id") % operators.Curation.BenchmarkMod =!= 0)
+        else None
       writeSingleFile(
-        replicate(spark.read.parquet(s"$src/$table.parquet"), keys, factor),
+        replicate(spark.read.parquet(s"$src/$table.parquet"), keys, factor,
+          evalFilter),
         table)
       println(s"[probe] $table x$factor written")
     }

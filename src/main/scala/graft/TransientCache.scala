@@ -111,6 +111,33 @@ object TransientCache {
   /** Test-visible hygiene probe: live per-key memo locks. */
   private[graft] def memoLockCount: Int = memoLocks.size
 
+  private val valueMemos =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** Driver-side value twin of [[memo]] for non-DataFrame shared artifacts
+    * (e.g. the IVFPQ codebook arrays a k-means train fits): build once per
+    * key, hand the same value to every later caller until [[releaseAll]].
+    * The stored values are plain JVM objects with no session or block
+    * state, so unlike [[memo]] there is no liveness re-check — only the
+    * same double-checked per-key lock so an expensive build (driver-side
+    * k-means over a collected sample) never runs twice or inside the map's
+    * bin lock. Builds must be deterministic (every memo consumer's gate
+    * rests on replay equality), which the r12 fixed-seed/capped-sample
+    * training discipline already guarantees.
+    */
+  def memoValue[T <: AnyRef](key: String)(build: => T): T = {
+    val hit = valueMemos.get(key)
+    if (hit != null) return hit.asInstanceOf[T]
+    val lock = memoLocks.computeIfAbsent("value:" + key, _ => new Object)
+    lock.synchronized {
+      val again = valueMemos.get(key)
+      if (again != null) return again.asInstanceOf[T]
+      val v = build
+      valueMemos.put(key, v)
+      v
+    }
+  }
+
   /** Drop every registered cache and checkpoint block. Harness-facing.
     * Entries from an already-stopped session are discarded silently (a test
     * harness may cycle sessions between queries).
@@ -142,6 +169,7 @@ object TransientCache {
     gate.lock()
     try {
       memos.clear()
+      valueMemos.clear()
       // drop the per-key lock objects too, or they accumulate for the
       // process lifetime across harness cycles; computeIfAbsent mints a
       // fresh lock on demand for post-sweep builds

@@ -397,7 +397,7 @@ object Dedup {
     // doc-level cap semantics for the WITHIN pairs too, as before
     val survivors = capped.select(col("gid")).distinct()
     memberFanOut(gset.join(survivors, "gid").select(col("gid"), col("ids")),
-      verified, lit(1.0), "jaccard")
+      verified, lit(1.0), "jaccard", depthProbe = Some(gset))
   }
 
   /** minhash_est_error — the estimator-calibration half of the dedup quality
@@ -725,10 +725,17 @@ object Dedup {
     * constant (identical members ⇒ jaccard 1.0 / hamming 0).
     */
   private def memberFanOut(gset: DataFrame, verifiedPairs: DataFrame,
-      withinValue: Column, payload: String): DataFrame = {
+      withinValue: Column, payload: String,
+      depthProbe: Option[DataFrame] = None): DataFrame = {
     // one tiny agg over the (cached) group table decides the strategy —
-    // same discipline as the dense-path stats probe above
-    val depthRow = gset.agg(max(size(col("ids")))).head
+    // same discipline as the dense-path stats probe above. Callers whose
+    // gset argument is a derived (uncached) frame pass `depthProbe` = the
+    // CACHED superset instead (r13 advice: the minhash path's probe was
+    // recomputing the banding window + survivor join); a superset's max
+    // depth upper-bounds the subset's, so the strategy stays safe — at
+    // worst a filtered-away deep group routes a shallow call to the
+    // depth-proof join branch.
+    val depthRow = depthProbe.getOrElse(gset).agg(max(size(col("ids")))).head
     val maxDepth = if (depthRow.isNullAt(0)) 0 else depthRow.getInt(0)
     if (maxDepth <= FanOutDepthCap) {
       val sets = gset.select(col("gid"), col("ids"))

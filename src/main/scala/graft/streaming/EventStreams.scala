@@ -698,13 +698,27 @@ object EventStreams {
     // production scale the caller sizes this like any shuffle.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // Write-mode contract per OutputMode (r13 advice — Append joined the
+    // accepted set with q60 and its terms must be explicit, not inferred):
+    //   Complete — each batch carries the full result: overwrite.
+    //   Update   — each batch carries that batch's updates: append; the
+    //              single-batch staging makes the union the full answer.
+    //   Append   — batches APPEND, so the parquet union is only the
+    //              concatenation of emitted rows; a caller may pass it ONLY
+    //              when that union IS the intended result — q60's contract
+    //              (its consumer treats the union as a candidate superset
+    //              and exactly recounts the tail). An Append query whose
+    //              batch union under-/over-states the answer would be
+    //              silently wrong here, hence the explicit accept list.
+    require(mode == OutputMode.Complete() || mode == OutputMode.Update() ||
+        mode == OutputMode.Append(),
+      s"runStagedViaFiles: unsupported OutputMode $mode — the foreachBatch " +
+        "sink defines semantics only for Complete/Update/Append (see the " +
+        "write-mode contract above)")
     try {
       val q = build(staged.toString).writeStream
         .outputMode(mode)
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          // Complete: each batch carries the full result — overwrite.
-          // Update: each batch carries that batch's updates — append (the
-          // single-batch staging makes the union of updates the full answer).
           val writeMode = if (mode == OutputMode.Complete()) "overwrite" else "append"
           batch.write.mode(writeMode).parquet(outDir)
         }

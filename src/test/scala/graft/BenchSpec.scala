@@ -61,13 +61,24 @@ class BenchSpec extends AnyFunSuite {
     // stdout line; the full dump lands in target/bench_local.json and MUST
     // be committed as BENCH_LOCAL_r{N}.json at the next round's start so
     // every round can diff every query (the rule slipped in r10, r11 AND
-    // r12 — this spec makes it mechanical). The check is repo-state-only:
-    // if an official BENCH_r{N}.json exists for some N >= 12 (the first
-    // round after the rule was written), its BENCH_LOCAL twin must too.
+    // r12 — this spec makes it mechanical). The check reads the GIT INDEX,
+    // not the working directory (r13 advice): the official dump lands as an
+    // UNTRACKED file mid-round, and the rule is about what is COMMITTED —
+    // a working-directory scan would fail a clean checkout of HEAD over a
+    // stray untracked BENCH_r{N}.json. If git is unavailable, fall back to
+    // the directory listing (stricter, never weaker).
     val repo = new java.io.File(".").getCanonicalFile
+    val tracked: Option[Set[String]] =
+      try {
+        val p = new ProcessBuilder("git", "ls-files").directory(repo).start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream)
+          .getLines().toSet
+        if (p.waitFor() == 0) Some(out) else None
+      } catch { case _: java.io.IOException => None }
     def roundsOf(prefix: String): Set[Int] =
-      Option(repo.listFiles()).getOrElse(Array.empty).toSeq
-        .map(_.getName)
+      tracked.getOrElse(
+        Option(repo.listFiles()).getOrElse(Array.empty).toSeq
+          .map(_.getName).toSet)
         .collect { case n if n.startsWith(prefix) && n.endsWith(".json") =>
           n.stripPrefix(prefix).stripSuffix(".json") }
         .flatMap(_.toIntOption)

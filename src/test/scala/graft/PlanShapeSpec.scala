@@ -133,6 +133,26 @@ class PlanShapeSpec extends AnyFunSuite {
     TransientCache.release(spark)
   }
 
+  test("hybrid_rrf: lexical arm is a postings equi-join, never a corpus jaccard scan") {
+    val plan = executedPlan("hybrid_rrf")
+    // round 14: the lexical ranker must score CANDIDATES (docs sharing ≥1
+    // shingle with a query, via the exploded-postings broadcast equi-join
+    // + fixed-width count aggregate), never recompute the 8×N
+    // array_intersect/array_union jaccard over the whole corpus — the r13
+    // verdict's "first plan that worked" regression this pin retires. The
+    // deliberate constant-size crosses (the listK+1-row zero-fill pool ×
+    // 8 query ids, and the fusion of two (queries×listK) lists) are the
+    // only non-equi joins left and none of them touch corpus-scale rows.
+    assert(!plan.contains("array_intersect"),
+      "lexical scoring fell back to the full-scan jaccard")
+    assert(!plan.contains("array_union"),
+      "lexical scoring fell back to the full-scan jaccard")
+    assert(plan.contains("BroadcastHashJoin"),
+      "query postings must broadcast into the corpus postings scan")
+    assert(!plan.contains("CartesianProduct"), "cartesian fallback")
+    TransientCache.release(spark)
+  }
+
   test("hybrid_rrf_ivfpq: dense candidates stay cell-bucketed, fusion stays broadcast") {
     val plan = executedPlan("hybrid_rrf_ivfpq")
     // the IVFPQ dense side must keep its broadcast-by-cell shape (the
