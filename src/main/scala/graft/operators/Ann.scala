@@ -264,7 +264,7 @@ object Ann {
     * only the dot against each centroid is evaluated), ties to the lowest
     * cell id via struct array_min.
     */
-  private def cellCol(vec: Column, centroids: Array[Array[Double]]): Column = {
+  private[operators] def cellCol(vec: Column, centroids: Array[Array[Double]]): Column = {
     val scored = centroids.zipWithIndex.map { case (ct, i) =>
       val c2 = ct.map(x => x * x).sum
       struct(
@@ -290,13 +290,37 @@ object Ann {
     val train = c.orderBy(xxhash64(col("vec_id"))).limit(IvfTrainCap)
       .select("vec").collect().map(_.getSeq[Double](0).toArray)
     val cents = fitCentroids(train, nCells, iters = 10)
-    val assigned = c.withColumn("cell", cellCol(col("vec"), cents))
+    // Cell assignment on the TYPED tier (broadcast centroids, the
+    // [[nearestExpanded]] JVM loop — identical expanded-form arithmetic to
+    // [[cellCol]], the parity the PQ/IVFPQ oracles already rest on). Round
+    // 14 measurement (ProbeIvf, sf10): the codegen'd 16-struct cellCol IS
+    // fine in an aggregate stage, but fused into the top-k WINDOW stage the
+    // generated method crosses the JVM's huge-method JIT limit and the
+    // whole stage runs in the BYTECODE INTERPRETER — 26.3 s for a 400 k-row
+    // window vs 1.3 s with codegen off; the typed pass makes the window
+    // stage's generated code small again (measured 25.8 → ~4 s at sf10).
+    // This moves the pqTopK boundary note: literal-heavy argmins stay out
+    // of WINDOW stages at ANY struct count, not just past 128.
+    val csqA = cents.map(ct => ct.map(x => x * x).sum)
+    val bcCents = s.sparkContext.broadcast((cents, csqA))
+    import s.implicits._
+    val assigned = c.select(col("vec_id"), col("vec"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { it =>
+        val (ct, cq) = bcCents.value
+        it.map { case (id, v, nrm) =>
+          (id, v, nrm, nearestExpanded(v.toArray, ct, cq))
+        }
+      }.toDF("vec_id", "vec", "nrm", "cell")
     // tiny centroid table: (cell, centroid array<double>)
     val centroids = s.createDataFrame(
       cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
       .toDF("cell", "centroid")
-    // per query: nProbe nearest cells by centroid distance (cosine)
-    val q = assigned.filter(col("vec_id") < nQueries)
+    // per query: nProbe nearest cells by centroid distance (cosine).
+    // Derived from the cached corpus, NOT from `assigned` — the query side
+    // never reads its own cell, and a mapPartitions pass (unlike a
+    // projection) would block the vec_id pushdown into the cache scan.
+    val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("cdist").asc, col("cell").asc)

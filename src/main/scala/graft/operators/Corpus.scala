@@ -701,12 +701,22 @@ object Corpus {
       .unionByName(planted.select(expr("substring(w, 2)").as("w")))
       .unionByName(planted.select(concat(lit("x"), expr("substring(w, 2)")).as("w")))
       .distinct()
-    // the word itself + each single-deletion form, exploded to (key, w)
+    // the word itself + each single-deletion form, exploded to (key, w).
+    // The variant string is INTERNAL-ONLY (never output) and per word there
+    // are |w| variants of |w|−1 chars each, so the self-join would exchange
+    // O(|w|²) bytes per word of raw text — digest the key to a fixed
+    // 8-byte xxhash64 map-side instead (the substring_scrub lesson, r14
+    // audit). Lossless by the same argument as every digested candidate
+    // key here: a hash collision only ADDS a candidate pair, and the
+    // terminal `levenshtein(w1, w2, 1) === 1` verification rejects any
+    // pair that is not truly one edit apart (a colliding pair that IS one
+    // edit apart was already in the result via its true shared variant).
     val keyed = aug.select(col("w"), explode(expr(
       """array_union(array(w),
         |  transform(sequence(1, length(w)),
         |    i -> concat(substring(w, 1, i - 1), substring(w, i + 1))))"""
-        .stripMargin)).as("key"))
+        .stripMargin)).as("variant"))
+      .select(col("w"), xxhash64(col("variant")).as("key"))
     keyed.as("a").join(keyed.as("b"), "key")
       .filter(col("a.w") < col("b.w"))
       .select(col("a.w").as("w1"), col("b.w").as("w2"))
