@@ -27,8 +27,8 @@ import org.apache.spark.sql.functions._
 object ProbeData {
 
   /** Key shift between replicas: large enough that no fixture key crosses
-    * replica boundaries at any supported factor (keys < 10⁹, factor ≤ 100
-    * ⇒ max shifted key < 10¹¹, comfortably inside long).
+    * replica boundaries at any supported factor (keys < 10⁹, factor ≤ 1000
+    * ⇒ max shifted key < ~10¹², comfortably inside long).
     */
   val ReplicaShift = 1000000000L
 
@@ -54,10 +54,20 @@ object ProbeData {
     }.reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ProbeData <srcSfDir> <outDir> <factor>")
-    val Array(src, out, factorS) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ProbeData <srcSfDir> <outDir> <factor> [tableCsv]")
+    val Array(src, out, factorS) = args.take(3)
     val factor = factorS.toInt
-    require(factor >= 1 && factor <= 100, "factor in [1, 100]")
+    // 1000 supports the sf100 decade probe (1000× sf0.1); always generate
+    // from the BASE sf dir — re-replicating an already-replicated probe
+    // dir would collide keys ((r1 + r2)·shift is not injective).
+    require(factor >= 1 && factor <= 1000, "factor in [1, 1000]")
+    // optional subset for decade probes where only a few tables are read
+    // (sf100 documents+events is ~15 GB; replicating lineitem too would
+    // be disk spent on tables no probed query scans)
+    val tablesWanted: Option[Set[String]] =
+      args.lift(3).map(_.split(",").map(_.trim).toSet)
+    def wanted(t: String): Boolean = tablesWanted.forall(_.contains(t))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -91,7 +101,7 @@ object ProbeData {
       listDir(tmp).foreach(p => Files.deleteIfExists(Paths.get(p)))
       Files.deleteIfExists(Paths.get(tmp))
     }
-    for ((table, keys) <- keyCols.toSeq.sortBy(_._1)) {
+    for ((table, keys) <- keyCols.toSeq.sortBy(_._1) if wanted(table)) {
       // embeddings: the decontam eval set is vec_id % BenchmarkMod == 0 and
       // ReplicaShift is divisible by BenchmarkMod, so a plain replication
       // re-plants the eval rows factor× — but a REAL eval set is fixed-size
@@ -109,7 +119,7 @@ object ProbeData {
         table)
       println(s"[probe] $table x$factor written")
     }
-    for (d <- dims) {
+    for (d <- dims if wanted(d)) {
       writeSingleFile(spark.read.parquet(s"$src/$d.parquet"), d)
       println(s"[probe] $d copied")
     }

@@ -568,6 +568,51 @@ object Corpus {
     }
   }
 
+  /** WEIGHTED Misra–Gries fold — merges partial counter entries (token,
+    * weight) into a capacity-`counters` map: the merge half of the standard
+    * MERGEABLE-summaries result (Agarwal et al., PODS '12). An unmatched
+    * arrival with weight w is absorbed in δ-sized rounds, δ = min(w,
+    * smallest resident counter): every round removes δ from ALL residents
+    * and δ from the arrival — δ·(C+1) units of mass per round, exactly the
+    * unit fold's accounting — so the total undercount of any token stays
+    * ≤ (total folded weight)/(counters+1). Feeding it MG PARTIALS (whose
+    * own local loss is bounded the same way) therefore keeps the merged
+    * sketch's error additive and bounded; q60's candidate COMPLETENESS
+    * floor does not ride on this map at all (it rides on emitting the
+    * per-slice survivors — see [[graft.streaming.EventStreams
+    * .streamHeavyQuery]]), the map is the bounded LIVE sketch the monitor
+    * serves between recounts.
+    */
+  private[graft] def mgFoldWeighted(m: java.util.HashMap[String, Array[Long]],
+      it: Iterator[(String, Long)], counters: Int): Unit = {
+    while (it.hasNext) {
+      val (t, w0) = it.next()
+      var w = w0
+      val c = m.get(t)
+      if (c != null) c(0) += w
+      else {
+        while (w > 0) {
+          if (m.size < counters) { m.put(t, Array(w)); w = 0 }
+          else {
+            var minv = Long.MaxValue
+            val vs = m.values.iterator()
+            while (vs.hasNext) {
+              val v = vs.next()(0); if (v < minv) minv = v
+            }
+            val d = math.min(w, minv)
+            val entries = m.entrySet().iterator()
+            while (entries.hasNext) {
+              val e = entries.next()
+              e.getValue()(0) -= d
+              if (e.getValue()(0) == 0L) entries.remove()
+            }
+            w -= d
+          }
+        }
+      }
+    }
+  }
+
   /** source_quantiles — exact per-source order statistics of document
     * length: n_docs, min/max, and discrete p50/p90 (the value at ascending
     * rank ceil(p·n), doc_id as tiebreak — an order statistic, not an

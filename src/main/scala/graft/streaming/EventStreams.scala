@@ -691,13 +691,22 @@ object EventStreams {
       staged.resolve(file), StandardCopyOption.REPLACE_EXISTING)
     val outDir = graft.Staging.dir(s, s"stream-out/$prefix")
     deleteRecursively(new java.io.File(outDir))
-    // a bounded one-batch pass doesn't need a full fleet of state stores:
-    // each state partition costs store init + delta-file checkpoint I/O per
-    // batch, and the fixture state fits in a few. The conf is captured at
+    // State-partition sizing, ADAPTIVE on the staged input (round 14 — the
+    // sf100 decade probe): each state partition costs store init + delta
+    // checkpoint I/O per batch, so a small fixture wants FEW partitions
+    // (8 was measured right up to sf10), but a fixed 8 serializes the
+    // keyed-state work of a 1.5 GB / 60 M-event input onto 8 of 32 cores —
+    // q58's per-user daily counts measured 55 s at sf100 with 8 partitions
+    // vs 33 s adaptive. One partition per 64 MB of staged bytes, clamped to
+    // [8, 32] — the same bytes-per-task sizing any shuffle gets, decided
+    // from the data like the broadcast threshold. The conf is captured at
     // stream START (cloned session), so restoring it afterwards is safe; at
     // production scale the caller sizes this like any shuffle.
+    val stagedBytes = Files.size(staged.resolve(file))
+    val stateParts =
+      math.max(8L, math.min(32L, stagedBytes / (64L << 20) + 1L)).toString
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts)
     // Write-mode contract per OutputMode (r13 advice — Append joined the
     // accepted set with q60 and its terms must be explicit, not inferred):
     //   Complete — each batch carries the full result: overwrite.
@@ -1275,23 +1284,54 @@ object EventStreams {
         .schema(graft.sources.Tables.documents(s, dir).schema)
         .parquet(staged)
         .select(col("text")).as[String]
-        .flatMap(graft.operators.TextOps.wsTokens(_))
-        .select(pmod(xxhash64(col("value")), lit(HhStreamBuckets.toLong)).as("bucket"),
-          col("value").as("tok"))
-        .as[(Long, String)]
+        // MAP-SIDE MG COMBINER (round 14 — the sf100 decade probe): the
+        // first shape shuffled EVERY raw token into the 32 bucket groups
+        // (~10⁸ string rows through the exchange at sf100, 89 s); one
+        // capacity-`counters` sketch per partition per trigger compresses
+        // that to ≤ `counters` (token, weight) partials per slice before
+        // any exchange — the streaming analog of the batch operator's
+        // per-partition sketch pass, and the combiner every production
+        // keyed-state job puts in front of its shuffle.
+        .mapPartitions { it =>
+          val m = new java.util.HashMap[String, Array[Long]](counters * 2)
+          it.foreach(t => graft.operators.Corpus.mgFold(
+            m, graft.operators.TextOps.wsTokens(t).iterator, counters))
+          import scala.jdk.CollectionConverters._
+          m.entrySet().asScala.iterator
+            .map(e => (e.getKey, e.getValue()(0)))
+        }
+        .select(pmod(xxhash64(col("_1")), lit(HhStreamBuckets.toLong)).as("bucket"),
+          col("_1").as("tok"), col("_2").as("cnt"))
+        .as[(Long, String, Long)]
         .groupByKey(_._1)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-          (_: Long, rows: Iterator[(Long, String)],
+          (_: Long, rows: Iterator[(Long, String, Long)],
               state: GroupState[List[(String, Long)]]) => {
+            // A bucket-trigger's input is ≤ counters×partitions partial
+            // rows (combiner-bounded, NOT vocabulary-bounded), so the
+            // buffer below is structurally bounded like the state itself.
+            val incoming = rows.toList
             val m = new java.util.HashMap[String, Array[Long]](counters * 2)
             state.getOption.getOrElse(Nil)
               .foreach { case (t, c) => m.put(t, Array(c)) }
-            graft.operators.Corpus.mgFold(m, rows.map(_._2), counters)
+            // weighted merge — the state map stays the bounded LIVE
+            // sketch (mergeable-MG error ≤ n/(C+1), see mgFoldWeighted)
+            graft.operators.Corpus.mgFoldWeighted(
+              m, incoming.iterator.map(r => (r._2, r._3)), counters)
             import scala.jdk.CollectionConverters._
             val entries = m.entrySet().asScala
               .map(e => (e.getKey, e.getValue()(0))).toList
             state.update(entries)
-            entries.iterator.map(_._1)
+            // COMPLETENESS floor: emit every incoming slice-SURVIVOR key
+            // (a token with global count > n/(C+1) must, by pigeonhole
+            // over partition-trigger slices, beat n_slice/(C+1) in some
+            // slice and survive that slice's combiner — so the union of
+            // these emissions is a provable candidate superset, exactly
+            // the guarantee the batch per-partition union gives). State
+            // keys ride along so the final trigger also emits the live
+            // sketch; overshoot costs recount rows, never correctness.
+            (incoming.iterator.map(_._2) ++ entries.iterator.map(_._1))
+              .distinct
           })
         .toDF("tok"),
       OutputMode.Append(), file = "documents.parquet")

@@ -368,6 +368,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("hot", 50L, 1), ("warm", 30L, 2)))
   }
 
+  test("mgFoldWeighted differential: == unit mgFold on the expanded stream") {
+    // the weighted fold's δ-round (δ = min(w, smallest counter)) must be
+    // EXACTLY a batch of δ unit rounds — same evictions, same insert point,
+    // same final counters — because q60's live-sketch state folds weighted
+    // combiner partials while the unit fold defines MG semantics everywhere
+    // else. Randomized over seeds, eviction pressure forced (C = 4).
+    def unitMap(stream: Seq[String], c: Int) = {
+      val m = new java.util.HashMap[String, Array[Long]](c * 2)
+      Corpus.mgFold(m, stream.iterator, c)
+      m
+    }
+    def toScala(m: java.util.HashMap[String, Array[Long]]) = {
+      import scala.jdk.CollectionConverters._
+      m.entrySet().asScala.map(e => e.getKey -> e.getValue()(0)).toMap
+    }
+    var seed = 1234567L
+    def next(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n) + n).toInt % n
+    }
+    for (_ <- 1 to 50) {
+      val pairs = Seq.fill(20)((s"t${next(12)}", (next(7) + 1).toLong))
+      val weighted = new java.util.HashMap[String, Array[Long]](8)
+      // seed both maps with the same resident state
+      val resident = Seq.fill(3)((s"r${next(5)}", (next(4) + 1).toLong))
+        .distinctBy(_._1)
+      resident.foreach { case (t, w) => weighted.put(t, Array(w)) }
+      val expanded = resident.flatMap { case (t, w) => Seq.fill(w.toInt)(t) } ++
+        pairs.flatMap { case (t, w) => Seq.fill(w.toInt)(t) }
+      // build the unit map by replaying residents first (insert-order
+      // parity), then the pairs
+      val um = unitMap(expanded, 4)
+      Corpus.mgFoldWeighted(weighted, pairs.iterator, 4)
+      assert(toScala(weighted) === toScala(um),
+        s"pairs=$pairs resident=$resident")
+    }
+  }
+
   test("heavyHitters differential: == brute-force top-k on a random corpus") {
     val texts = randTexts(40, 59L)
     val dir = writeDocs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s") })
