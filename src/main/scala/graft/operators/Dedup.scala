@@ -967,9 +967,11 @@ object Dedup {
     * window, the same pattern as the prefix-filter dictionary); windows
     * become an EQUI-join by exploding each doc's w predecessor ranks
     * (skipgram's offset-generation trick — a range join would not
-    * hash-partition). Candidates carry only (rank, doc_id); the gram-hash
-    * sets (sorted distinct fnv64, 8 bytes/shingle — the minhash wire
-    * format) join back by doc_id for the exact-Jaccard verify.
+    * hash-partition). Candidates carry only (rank, doc_id), then a
+    * 16-byte content key; the gram-hash sets (sorted distinct fnv64 — the
+    * minhash wire format) are joined and exact-Jaccard-verified once per
+    * DISTINCT CONTENT PAIR, never per doc pair (round 14 — see the in-body
+    * note for the 17.6× sf100 measurement this retired).
     */
   def sortedNeighborhood(s: SparkSession, dir: String,
       threshold: Double = 0.5, window: Int = SortedWindow): DataFrame = {
@@ -979,11 +981,11 @@ object Dedup {
         .select(col("doc_id"), col("n_chars"), col("text"))
         .as[(Long, Long, String)]
         .map { case (id, nc, text) =>
-          (id, nc,
-            shingleSet(text).map(graft.functions.HashFunctions.fnv64)
-              .distinct.sorted.toArray)
+          val hs = shingleSet(text).map(graft.functions.HashFunctions.fnv64)
+            .distinct.sorted.toArray
+          (id, nc, hs, hashSetKey(hs))
         }
-        .toDF("doc_id", "n_chars", "hs"))
+        .toDF("doc_id", "n_chars", "hs", "skey"))
     val ranked = docs.select(col("n_chars"), col("doc_id"))
       .orderBy(col("n_chars"), col("doc_id"))
       .as[(Long, Long)].rdd
@@ -996,15 +998,46 @@ object Dedup {
     val cand = cur.join(pred, "k").select(
       least(col("doc_a"), col("doc_b")).as("doc1"),
       greatest(col("doc_a"), col("doc_b")).as("doc2"))
-    val sets = docs.select(col("doc_id"), col("hs"))
-    cand
-      .join(sets.select(col("doc_id").as("doc1"), col("hs").as("h1")), "doc1")
-      .join(sets.select(col("doc_id").as("doc2"), col("hs").as("h2")), "doc2")
+    // Round 14 (sf100 decade probe): the first shape joined the full hs
+    // ARRAYS onto every doc pair — ~0.8 KB of payload × pairs through two
+    // sort-merge joins, 5.8 → 102 s for 10× data (replica-heavy corpora
+    // sort identical texts adjacently, so the window is FULL of identical
+    // pairs). Doc pairs now carry only the 16-byte content key; the exact
+    // verify runs once per DISTINCT content pair (identical sets have
+    // identical sorted-distinct hash arrays, so one representative's
+    // Jaccard IS every member pair's value — the minhash/ngram/simhash
+    // collapse argument), and scores join back by the narrow key pair.
+    val keys = docs.select(col("doc_id"), col("skey"))
+    val candK = cand
+      .join(keys.select(col("doc_id").as("doc1"), col("skey").as("sk1")), "doc1")
+      .join(keys.select(col("doc_id").as("doc2"), col("skey").as("sk2")), "doc2")
+    val gset = docs.groupBy("skey").agg(first(col("hs")).as("hs"))
+    val scored = candK.select("sk1", "sk2").distinct()
+      .join(gset.select(col("skey").as("sk1"), col("hs").as("h1")), "sk1")
+      .join(gset.select(col("skey").as("sk2"), col("hs").as("h2")), "sk2")
       .withColumn("ov", size(array_intersect(col("h1"), col("h2"))))
       .withColumn("jaccard", col("ov").cast("double") /
         (size(col("h1")) + size(col("h2")) - col("ov")).cast("double"))
       .filter(col("jaccard") >= threshold)
+      .select("sk1", "sk2", "jaccard")
+    candK.join(scored, Seq("sk1", "sk2"))
       .select("doc1", "doc2", "jaccard")
+  }
+
+  /** 16-byte md5 key of a SORTED-DISTINCT long-hash set — the array<long>
+    * analog of [[setKey]]: fixed-width big-endian encoding per element is
+    * injective without a length prefix, so distinct sets collide only at
+    * md5's birthday bound (safe past 10¹⁸ distinct sets). Base64 like
+    * setKey so the key is a plain string column.
+    */
+  private def hashSetKey(hs: Array[Long]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    hs.foreach { h =>
+      buf.clear(); buf.putLong(h)
+      md.update(buf.array())
+    }
+    java.util.Base64.getEncoder.encodeToString(md.digest())
   }
 
   /** Shared GROUP-LEVEL near-duplicate graph over the [[jaccard3]] shingle
