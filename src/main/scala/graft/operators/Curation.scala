@@ -413,32 +413,42 @@ object Curation {
     * `min(struct(doc_id, line_no))` per digest — ONE map-side-partial
     * shuffle on the digest, no sort, no window (a boilerplate line shared
     * by 10⁸ documents arrives at its reducer as one row per map partition,
-    * not 10⁸ rows); the digest-keyed join back is the same exchange reused,
-    * and the per-document reassembly groups on doc_id whose fan-in is the
-    * document's own line count.
+    * not 10⁸ rows). The election output IS the kept-line set — (lmd5,
+    * first.doc_id, first.line_no) enumerates exactly the lines that
+    * survive — so the cleaned-document digest aggregates the ELECTION
+    * frame, never the line stream: the first shape joined firsts back onto
+    * every line and re-aggregated all of them per doc (two full sorts of
+    * the corpus-scale stream — the collect_list fallback made the
+    * reassembly the whole cost: 66 s at the sf100 decade probe where the
+    * probe-staged components summed 18 s, see ProbeLine), while this one
+    * touches the line stream once more only for the per-doc line COUNT, a
+    * codegen'd map-side-partial count whose shuffle is |docs| rows. The
+    * branches share one TransientCache'd scan.
     */
   def lineDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val lines = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) => docLines(id, text) }
-      .toDF("doc_id", "line_no", "line")
-      .select(col("doc_id"), col("line_no"), md5(col("line")).as("lmd5"))
+    val lines = graft.TransientCache.cache(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) => docLines(id, text) }
+        .toDF("doc_id", "line_no", "line")
+        .select(col("doc_id"), col("line_no"), md5(col("line")).as("lmd5")))
     val firsts = lines.groupBy("lmd5")
       .agg(min(struct(col("doc_id"), col("line_no"))).as("first"))
-    lines.join(firsts, "lmd5")
-      .withColumn("kept",
-        col("doc_id") === col("first.doc_id") && col("line_no") === col("first.line_no"))
+    val counts = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+    val kept = firsts
+      .select(col("first.doc_id").as("doc_id"),
+        col("first.line_no").as("line_no"), col("lmd5"))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_lines"),
-        sum(col("kept").cast("long")).as("n_kept"),
+        count(lit(1)).as("n_kept_raw"),
         md5(concat_ws("\n", transform(
-          array_sort(collect_list(when(col("kept"),
-            struct(col("line_no"), col("lmd5"))))),
-          x => x.getField("lmd5")))).as("kept_md5_raw"))
-      .select(col("doc_id"), col("n_lines"), col("n_kept"),
-        when(col("n_kept") > 0, col("kept_md5_raw")).as("kept_md5"))
+          array_sort(collect_list(struct(col("line_no"), col("lmd5")))),
+          x => x.getField("lmd5")))).as("kept_md5"))
+    counts.join(kept, Seq("doc_id"), "left").select(
+      col("doc_id"), col("n_lines"),
+      coalesce(col("n_kept_raw"), lit(0L)).as("n_kept"),
+      col("kept_md5"))
   }
 
   /** Span-corruption window length and masked prefix width for
