@@ -475,25 +475,44 @@ object Corpus {
   def heavyHitters(s: SparkSession, dir: String,
       k: Int = HhTopK, counters: Int = MgCounters): DataFrame = {
     import s.implicits._
-    val toks = hhTokens(s, dir)
-    val candidates = toks.as[String]
-      .mapPartitions(it => mgSurvivors(it, counters))
-      .toDF("tok")
-      .distinct()
-    hhRecountTail(s, toks, candidates, k, counters)
+    // One tokenize pass computes the per-partition MG sketch AND the
+    // partition's token count (the n the completeness floor needs): each
+    // partition emits ≤ counters survivor rows plus one (null, n_p) tally
+    // row. THAT bounded frame is what gets cached — the first shape cached
+    // the raw token stream itself (one row per corpus token) to share it
+    // across sketch/recount/count, and at the sf100 decade probe the cache
+    // materialization WAS the cost (54 s vs the streaming twin's 29 s
+    // doing the same two passes uncached).
+    val sketch = graft.TransientCache.cache(
+      hhTokens(s, dir).as[String]
+        .mapPartitions { it =>
+          var np = 0L
+          val counted = it.map { t => np += 1; t }
+          val m = new java.util.HashMap[String, Array[Long]](counters * 2)
+          mgFold(m, counted, counters)
+          import scala.jdk.CollectionConverters._
+          m.keySet().asScala.iterator.toArray.iterator
+            .map(t => (t, 0L)) ++ Iterator(((null: String), np))
+        }
+        .toDF("tok", "pcnt"))
+    val candidates = sketch.filter(col("tok").isNotNull)
+      .select("tok").distinct()
+    val n = sketch.agg(sum(col("pcnt"))).head.getLong(0)
+    hhRecountTail(s, hhTokens(s, dir), candidates, k, counters, n)
   }
 
-  /** The whitespace token stream [[heavyHitters]] counts (transient-cached:
-    * it feeds the candidate sketch, the recount AND the n total).
+  /** The whitespace token stream [[heavyHitters]] counts — streamed, never
+    * cached: every consumer pays one corpus-linear tokenize pass, which the
+    * sf100 probe measured strictly cheaper than materializing a one-row-
+    * per-token cache (the stream has no narrower form to cache).
     */
   private[graft] def hhTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.TransientCache.cache(
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .flatMap { case (_, text) => TextOps.wsTokens(text) }
-        .toDF("tok"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (_, text) => TextOps.wsTokens(text) }
+      .toDF("tok")
   }
 
   /** The exact tail shared by [[heavyHitters]] and its streaming twin: given
@@ -503,7 +522,8 @@ object Corpus {
     * completeness floor.
     */
   private[graft] def hhRecountTail(s: SparkSession, toks: DataFrame,
-      candidates: DataFrame, k: Int, counters: Int): DataFrame = {
+      candidates: DataFrame, k: Int, counters: Int,
+      nTotal: Long = -1L): DataFrame = {
     val exact = graft.TransientCache.cache(
       toks.join(broadcast(candidates), "tok")
         .groupBy("tok")
@@ -516,8 +536,10 @@ object Corpus {
       StructType(Seq(StructField("tok", StringType), StructField("cnt", LongType),
         StructField("rank", IntegerType))))
     // completeness guard: the K-th heaviest recount must clear the MG
-    // survival floor, else tokens below the floor could belong in the list
-    val n = toks.agg(count(lit(1))).head.getLong(0)
+    // survival floor, else tokens below the floor could belong in the list.
+    // Callers whose sketch pass already tallied n pass it in (the batch
+    // operator's per-partition tally rows); otherwise one count pass.
+    val n = if (nTotal >= 0L) nTotal else toks.agg(count(lit(1))).head.getLong(0)
     // a flat-enough distribution can evict EVERY counter (empty candidate
     // set -> NULL min) — that's the same guarantee violation, reported by
     // the same require instead of an NPE
