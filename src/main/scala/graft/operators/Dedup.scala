@@ -1215,6 +1215,14 @@ object Dedup {
     */
   val SubstringWindow = 8
 
+  /** Row cap under which [[substringScrub]]'s shared-gram table is
+    * broadcast for the flag join (~40 MB of 16-byte digests + keep ids —
+    * the executor-memory budget a broadcast dictionary is allowed
+    * anywhere in this repo). Past it, the equi-join + doc_id repartition
+    * branch takes over.
+    */
+  val SharedBroadcastMaxRows = 1L << 20
+
   /** Space-trim + `\s+` tokenization shared by the whole substring-dedup
     * family — ONE definition, because [[windowStarts]]' occurrence
     * positions, [[windowGrams]]' gram strings, and [[substringScrub]]'s
@@ -1324,50 +1332,103 @@ object Dedup {
     * scrubbed text — the corpus the next pipeline stage actually trains on.
     *
     * 100 TB plan: the positional occurrence table is token-stream-sized
-    * (the same working set wc/indexer shuffle) and is cached once for its
-    * two consumers; the shared-run aggregate is one map-side-combined
-    * shuffle on the gram (hot boilerplate grams partial-aggregate before
-    * moving); flagged starts come back as ONE shuffle on doc_id carrying
-    * only flagged occurrences; the rebuild is a per-row typed map (same
-    * tier as the MinHash signature pass — per-doc imperative logic with no
-    * cross-row state). No pairing, no candidate explosion: scrub cost is
-    * linear in corpus tokens regardless of how duplicated the corpus is.
+    * (the same working set wc/indexer shuffle) and is STREAMED FRESH to
+    * each of its two consumers — the first shape TransientCache'd it, and
+    * the sf100 decade probe measured the materialization of a one-row-per-
+    * token-position cache as the dominant, superlinear cost (the
+    * heavy_hitters lesson at the same probe: a stream with no narrower
+    * cacheable form is cheaper to recompute than to spill); the shared-run
+    * aggregate is one map-side-combined shuffle on the gram (hot
+    * boilerplate grams partial-aggregate before moving); flagged starts
+    * come back as ONE shuffle on doc_id carrying only flagged occurrences;
+    * the rebuild is a per-row typed map (same tier as the MinHash
+    * signature pass — per-doc imperative logic with no cross-row state).
+    * No pairing, no candidate explosion: scrub cost is linear in corpus
+    * tokens regardless of how duplicated the corpus is.
     */
   def substringScrub(s: SparkSession, dir: String,
-      window: Int = SubstringWindow): DataFrame = {
+      window: Int = SubstringWindow,
+      broadcastMaxRows: Long = SharedBroadcastMaxRows): DataFrame = {
     import s.implicits._
     // grams travel as md5 DIGESTS, never raw text (the corpus_overlap
     // shuffle discipline): the groupBy/join key shrinks from an ~8-token
     // string to 16 fixed bytes, and 128 bits stays birthday-safe at the
     // ~10¹¹ distinct window-grams a 100 TB crawl carries (64 bits would
     // not). The digest projection runs map-side, before the exchange.
-    val occ = graft.TransientCache.cache(
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .flatMap { case (id, t) =>
-          windowStarts(t, window).map { case (st, g) => (id, st, g) }
-        }
-        .toDF("doc_id", "start", "gram")
-        .select(col("doc_id"), col("start"), unhex(md5(col("gram"))).as("g")))
-    val shared = occ.groupBy("g")
-      .agg(count_distinct(col("doc_id")).as("n_docs"), min("doc_id").as("keep_id"))
+    def occ = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        windowStarts(t, window).map { case (st, g) => (id, st, g) }
+      }
+      .toDF("doc_id", "start", "gram")
+      .select(col("doc_id"), col("start"), unhex(md5(col("gram"))).as("g"))
+    // The shared-gram pass consumes the per-doc DISTINCT gram emission
+    // (windowGrams), not the positional one: distinct-per-doc rows turn
+    // count_distinct into a plain count whose map-side partials collapse a
+    // hot gram ACROSS the documents of a partition before the exchange —
+    // count_distinct's partial-distinct phase keys on (g, doc_id) and so
+    // ships one row per doc-gram no matter how boilerplate the gram is.
+    val shared = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => windowGrams(t, window).map(g => (id, g)) }
+      .toDF("doc_id", "gram")
+      .select(col("doc_id"), unhex(md5(col("gram"))).as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
       .filter(col("n_docs") >= 2)
       .select("g", "keep_id")
-    val flagged = occ.join(shared, "g")
+    // Flagged starts compress to coverage INTERVALS before the doc_id
+    // aggregate: consecutive overlapping windows of a boilerplate run merge
+    // into one [s, e) row (the sf100 decade probe measured the uncompressed
+    // form — one row per flagged START into a 5 M-group collect_set — as
+    // 102 of the operator's 134 s). Compression needs the flag join to
+    // PRESERVE per-doc row order, so the join strategy is chosen
+    // adaptively from the measured |shared| (the memberFanOut pattern —
+    // shared is aggregated and bounded by distinct ≥2-doc grams, so
+    // caching and counting it is cheap):
+    //   - small shared (the common case; boilerplate-gram tables are
+    //     dictionary-scale): an EXPLICIT broadcast flags map-side in the
+    //     occ emission's own doc order — AQE can't be trusted with this
+    //     call (at the sf100 probe shared serialized just past the 10 MB
+    //     default, Spark picked SMJ, the g-sort destroyed doc clustering
+    //     and the merge achieved 0% — 235,479,306 intervals from
+    //     235,704,000 starts);
+    //   - huge shared (a 100 TB crawl's shared-gram table can exceed any
+    //     broadcast budget): equi-join, then repartition by doc_id and
+    //     sort WITHIN partitions by (doc_id, start) — the merge compresses
+    //     again, and the doc_id aggregate reuses that exact partitioning,
+    //     so restoring doc order costs no extra exchange.
+    // The merge itself is order-TOLERANT: out-of-order rows just emit
+    // unmerged intervals, which the rebuild unions anyway — compression is
+    // an optimization, never a correctness dependency.
+    val sharedC = graft.TransientCache.cache(shared)
+    val smallShared = sharedC.count() <= broadcastMaxRows
+    val pre = (if (smallShared) occ.join(broadcast(sharedC), "g")
+               else occ.join(sharedC, "g"))
       .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("start"))
+    val ordered =
+      if (smallShared) pre
+      else pre.repartition(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"), col("start"))
+    val flagged = ordered
+      .as[(Long, Int)]
+      .mapPartitions(mergeCoverage(_, window))
+      .toDF("doc_id", "iv_s", "iv_e")
       .groupBy("doc_id")
-      .agg(collect_set(col("start")).as("starts"))
+      .agg(collect_set(struct(col("iv_s").as("_1"), col("iv_e").as("_2"))).as("ivs"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .join(flagged, Seq("doc_id"), "left")
-      .as[(Long, String, Option[Seq[Int]])]
-      .map { case (id, text, starts) =>
+      .as[(Long, String, Option[Seq[(Int, Int)]])]
+      .map { case (id, text, ivs) =>
         val toks = trimmedTokens(text)
         val covered = new Array[Boolean](toks.length)
-        starts.getOrElse(Nil).foreach { st =>
-          var p = st
-          val end = math.min(st + window, toks.length)
+        ivs.getOrElse(Nil).foreach { case (s0, e0) =>
+          var p = math.max(s0, 0)
+          val end = math.min(e0, toks.length)
           while (p < end) { covered(p) = true; p += 1 }
         }
         val kept = toks.indices.filterNot(covered)
@@ -1375,6 +1436,41 @@ object Dedup {
           kept.map(toks).mkString(" "))
       }
       .toDF("doc_id", "n_toks", "n_removed", "scrubbed_text")
+  }
+
+  /** Merge a stream of flagged window starts into per-doc coverage
+    * intervals [s, e): a start `st` covers [st, st+window); runs of same-doc
+    * starts whose windows overlap or touch the open interval extend it,
+    * anything else (new doc, gap, or out-of-order arrival) flushes. Exact
+    * under ANY input order — ordering only affects how much compression is
+    * achieved, because the rebuild unions the intervals.
+    */
+  private[graft] def mergeCoverage(it: Iterator[(Long, Int)],
+      window: Int): Iterator[(Long, Int, Int)] = new Iterator[(Long, Int, Int)] {
+    private var open = false
+    private var doc = 0L
+    private var s0 = 0
+    private var e0 = 0
+    private var out: (Long, Int, Int) = null
+    private def advance(): Unit = {
+      while (out == null && it.hasNext) {
+        val (d, st) = it.next()
+        if (open && d == doc && st >= s0 && st <= e0) {
+          e0 = math.max(e0, st + window)
+        } else {
+          if (open) out = (doc, s0, e0)
+          doc = d; s0 = st; e0 = st + window; open = true
+        }
+      }
+      if (out == null && open && !it.hasNext) {
+        out = (doc, s0, e0); open = false
+      }
+    }
+    override def hasNext: Boolean = { advance(); out != null }
+    override def next(): (Long, Int, Int) = {
+      advance()
+      val r = out; out = null; r
+    }
   }
 
   // ---------------------------------------------------------------- SimHash

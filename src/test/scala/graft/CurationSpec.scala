@@ -131,6 +131,41 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2L) == ((9L, "front")))
   }
 
+  test("mergeCoverage: in-order runs compress, gaps/doc-changes/out-of-order flush, " +
+      "and union semantics are order-independent") {
+    def ivs(in: Seq[(Long, Int)], w: Int) = Dedup.mergeCoverage(in.iterator, w).toList
+    // overlapping + touching starts of one doc merge to one interval
+    assert(ivs(Seq((1L, 0), (1L, 1), (1L, 2)), 8) == List((1L, 0, 10)))
+    // a gap past the open interval's end flushes
+    assert(ivs(Seq((1L, 0), (1L, 20)), 8) == List((1L, 0, 8), (1L, 20, 28)))
+    // doc change flushes even at the same start
+    assert(ivs(Seq((1L, 0), (2L, 0)), 8) == List((1L, 0, 8), (2L, 0, 8)))
+    // out-of-order arrival emits unmerged intervals whose UNION of covered
+    // positions equals the sorted run's single interval
+    val shuffled = ivs(Seq((1L, 2), (1L, 0), (1L, 1)), 8)
+    val covered = shuffled.flatMap { case (_, s, e) => s until e }.toSet
+    assert(covered == (0 until 10).toSet)
+    // empty in, empty out
+    assert(ivs(Seq.empty, 8).isEmpty)
+  }
+
+  test("substringScrub: huge-shared branch (equi-join + doc repartition) " +
+      "matches the broadcast branch row-for-row") {
+    val boiler = "all rights reserved contact us terms of service"
+    val dir = writeDocs(Seq(
+      (1L, s"alpha beta gamma $boiler", "en", "src0"),
+      (2L, s"$boiler delta epsilon", "en", "src1"),
+      (3L, s"front words $boiler tail words", "en", "src2"),
+      (4L, "totally unrelated words here nothing shared at all", "en", "src3")))
+    def rows(maxRows: Long) =
+      Dedup.substringScrub(spark, dir, broadcastMaxRows = maxRows)
+        .orderBy("doc_id").collect().toSeq
+    // maxRows = 0 forces the non-broadcast branch on any non-empty shared set
+    assert(rows(0L) == rows(Long.MaxValue))
+    // non-vacuous: something was actually scrubbed in this fixture
+    assert(rows(0L).exists(_.getAs[Long]("n_removed") > 0))
+  }
+
   test("substringScrub: internal repetition without a second doc is NOT scrubbed") {
     val run = "w x y z p q r t" // 8 tokens, repeated inside one doc only
     val dir = writeDocs(Seq(
