@@ -153,6 +153,30 @@ class PlanShapeSpec extends AnyFunSuite {
     TransientCache.release(spark)
   }
 
+  test("substring_scrub: dictionary-scale shared grams broadcast into the " +
+      "flag join; no InMemoryTableScan of the positional stream") {
+    val plan = executedPlan("substring_scrub")
+    // round 14 sf100 probe: AQE picked SMJ for the flag join (shared
+    // serialized just past the 10 MB default), the g-sort destroyed
+    // per-doc row order and interval compression achieved 0% — the
+    // adaptive explicit broadcast is the fix this pin protects. The
+    // cached frame must be the bounded shared-gram table, never the
+    // one-row-per-token-position occurrence stream (the heavy_hitters
+    // cache lesson).
+    // AQE's toString prints the pre-runtime Initial Plan too — negative
+    // assertions must read only the final section
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      "dictionary-scale shared grams must broadcast into the flag join")
+    // at fixture scale EVERY join here must broadcast — a SortMergeJoin
+    // would mean the adaptive flag join regressed to the shape whose g-sort
+    // defeats interval compression
+    assert(!finalPlan.contains("SortMergeJoin"),
+      "a join fell back to sort-merge at dictionary-scale shared grams")
+    assert(!finalPlan.contains("CartesianProduct"), "cartesian fallback")
+    TransientCache.release(spark)
+  }
+
   test("hybrid_rrf_ivfpq: dense candidates stay cell-bucketed, fusion stays broadcast") {
     val plan = executedPlan("hybrid_rrf_ivfpq")
     // the IVFPQ dense side must keep its broadcast-by-cell shape (the
