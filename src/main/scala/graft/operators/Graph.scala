@@ -50,10 +50,22 @@ object Graph {
     * materialization + N cheap reads — the difference between scanning the
     * events table once and six times at 100 TB.
     */
-  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) =
+    checkpointTracked(df, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** As [[checkpointTracked]] with an explicit storage level. Edge lists use
+    * MEMORY_AND_DISK_SER: a 100 TB-derived graph's edge checkpoint is the
+    * largest resident block in any iterative operator, UnsafeRows serialize
+    * ~3× narrower than their object form, and every round re-reads the
+    * whole thing — the sf100 probe measured the deserialized form OOMing
+    * pagerank outright (120 M bidirected edges ≈ 12 GB of row objects on a
+    * 24 g heap) where the serialized form fits and streams.
+    */
+  private def checkpointTracked(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint(true)
+    val out = df.localCheckpoint(true, level)
     (out, (sc.getPersistentRDDs.keySet -- before).toSet)
   }
 
@@ -119,7 +131,13 @@ object Graph {
     */
   def pagerank(s: SparkSession, dir: String, rounds: Int = Rounds): DataFrame = {
     def free(ids: Set[Int]): Unit = Graph.free(s, ids)
-    val (edges, edgeIds) = checkpointTracked(edgesWithDeg(s, dir))
+    // hash-partition the edge list on the per-round join key BEFORE the
+    // checkpoint: LogicalRDD preserves outputPartitioning, so every round's
+    // ranks⋈edges reuses it and only the rank side moves — unpartitioned,
+    // each of the `rounds` joins re-exchanged the full edge list (the sf100
+    // decade probe measured the bfs twin of this at 12.7× for 10× data)
+    val (edges, edgeIds) = checkpointTracked(
+      edgesWithDeg(s, dir).repartition(col("src")), org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var (ranks, rankIds) = checkpointTracked(
       edges.select(col("src").as("node")).distinct()
         .withColumn("rank", lit(Scale)))
@@ -256,7 +274,10 @@ object Graph {
     val base = userItems(s, dir)
     val edges = base.select(col("u").as("src"), col("i").as("dst"))
       .unionByName(base.select(col("i").as("src"), col("u").as("dst")))
-    val (edgesCp, edgeIds) = checkpointTracked(edges)
+    // the frontier side BROADCASTS every round (measured), so edge-side
+    // partitioning buys nothing here — the round cost is re-READING the
+    // edge checkpoint, which the serialized level makes ~3× narrower
+    val (edgesCp, edgeIds) = checkpointTracked(edges, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val seed = Tables.events(s, dir).agg(min(col("user_id")).as("node"))
       .withColumn("hop", lit(0L))
     // one barrier per round, not two: each round's frontier is checkpointed
@@ -303,7 +324,10 @@ object Graph {
     */
   def ppr(s: SparkSession, dir: String, rounds: Int = Rounds): DataFrame = {
     def free(ids: Set[Int]): Unit = Graph.free(s, ids)
-    val (edges, edgeIds) = checkpointTracked(edgesWithDeg(s, dir))
+    // same pre-checkpoint src partitioning as pagerank — the per-round join
+    // must reuse the edge exchange, not rebuild it
+    val (edges, edgeIds) = checkpointTracked(
+      edgesWithDeg(s, dir).repartition(col("src")), org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val seed = Tables.events(s, dir).agg(min(col("user_id")).as("seed"))
     var (ranks, rankIds) = checkpointTracked(
       edges.select(col("src").as("node")).distinct()
