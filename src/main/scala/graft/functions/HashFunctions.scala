@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftshim.{ArrayDotExpr, Fnv64Expr, GraftColumnShim, SortedOverlapExpr}
+import org.apache.spark.sql.graftshim.{ArrayDotExpr, BpeTokenCountExpr, Fnv64Expr, GraftColumnShim, SortedOverlapExpr, WsSplitExpr, WsTokenCountExpr}
 
 /** Deterministic 64-bit string hashing as a first-class engine extension:
   * a native Catalyst `Expression` with whole-stage-codegen support
@@ -47,6 +47,25 @@ object GraftFunctions {
     GraftColumnShim.column(
       SortedOverlapExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
 
+  /** Codegen'd single-pass BPE-ish pre-tokenization match count (one tight
+    * byte scan; replaces the array-materializing `size(regexp_extract_all)`
+    * formulation on the token-counting path).
+    */
+  def bpeTokenCount(c: Column): Column =
+    GraftColumnShim.column(BpeTokenCountExpr(GraftColumnShim.expression(c)))
+
+  /** Codegen'd count of non-empty whitespace-separated tokens (replaces
+    * the interpreted `size(filter(split(trim(...))))` HOF formulation).
+    */
+  def wsTokenCount(c: Column): Column =
+    GraftColumnShim.column(WsTokenCountExpr(GraftColumnShim.expression(c)))
+
+  /** Codegen'd byte-scan `split(trim(text), "\s+")` — the engine's shared
+    * tokenization without the regex engine or UTF-16 round-trip.
+    */
+  def wsSplit(c: Column): Column =
+    GraftColumnShim.column(WsSplitExpr(GraftColumnShim.expression(c)))
+
   private val fnv64Builder: Seq[Expression] => Expression = { exprs =>
     require(exprs.size == 1, "fnv64 expects exactly one argument")
     Fnv64Expr(exprs.head)
@@ -72,6 +91,24 @@ object GraftFunctions {
       "array_dot", dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_overlap", overlapBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_token_count",
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "bpe_token_count expects exactly one argument")
+        BpeTokenCountExpr(exprs.head)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ws_token_count",
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "ws_token_count expects exactly one argument")
+        WsTokenCountExpr(exprs.head)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ws_split",
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "ws_split expects exactly one argument")
+        WsSplitExpr(exprs.head)
+      }, "built-in")
     if (!spark.experimental.extraOptimizations.contains(
         org.apache.spark.sql.graftshim.ArrayDotRewrite))
       spark.experimental.extraOptimizations =
@@ -102,6 +139,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_overlap"),
       new ExpressionInfo(classOf[SortedOverlapExpr].getName, "sorted_overlap"),
       { exprs: Seq[Expression] => SortedOverlapExpr(exprs(0), exprs(1)) }))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCountExpr].getName, "bpe_token_count"),
+      { exprs: Seq[Expression] => BpeTokenCountExpr(exprs.head) }))
+    ext.injectFunction((
+      FunctionIdentifier("ws_token_count"),
+      new ExpressionInfo(classOf[WsTokenCountExpr].getName, "ws_token_count"),
+      { exprs: Seq[Expression] => WsTokenCountExpr(exprs.head) }))
+    ext.injectFunction((
+      FunctionIdentifier("ws_split"),
+      new ExpressionInfo(classOf[WsSplitExpr].getName, "ws_split"),
+      { exprs: Seq[Expression] => WsSplitExpr(exprs.head) }))
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graftshim.ArrayDotRewrite)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftshim.AsOfJoinStrategy)
   }

@@ -42,36 +42,55 @@ object Corpus {
     * constant — the K-row tail never concentrates data anywhere), and id
     * assignment zips the already-sorted K rows (the bounded cousin of the
     * ngram dictionary's distributed sort + zipWithIndex — no single-partition
-    * window). The encode side broadcasts the K-row vocabulary into the
-    * per-document aggregation: one more shuffle on doc_id, arrays only
-    * materialize post-aggregation at document length.
+    * window). The ENCODE side is shuffle-free: the K-row vocabulary is a
+    * broadcast hash map and each document emits its own id sequence from one
+    * typed JVM pass ([[graft.operators.TextOps.wsTokens]] — the same
+    * `split(trim, "\s+")` semantics the oracle replays). The first
+    * formulation re-exploded the corpus and re-assembled sequences with
+    * `groupBy(doc_id).collect_list(struct(pos, vid))` — shipping the ENTIRE
+    * token stream through an exchange plus a per-group sort just to rebuild
+    * an order each document already had on the way in; measured 31.3 s at
+    * sf100 for what the broadcast map encodes during the scan. Encoding is
+    * embarrassingly parallel per document — only the vocabulary build needs
+    * the wire.
     */
   def vocabEncode(s: SparkSession, dir: String, k: Int = VocabSize): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"),
-        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
     val top = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("tok").asc)
       .limit(k)
     // TakeOrderedAndProject yields the K rows in rank order on one
     // partition; zipWithIndex turns that order into the id — deterministic,
-    // and never a WindowExec over an unpartitioned stream.
-    val vocab = s.createDataFrame(
-      top.select("tok").rdd.zipWithIndex().map { case (r, i) =>
-        Row(r.getString(0), i.toInt)
-      },
-      StructType(Seq(StructField("tok", StringType), StructField("vid", IntegerType))))
-    toks.join(broadcast(vocab), Seq("tok"), "left")
-      .withColumn("vid", coalesce(col("vid"), lit(OovId)))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_toks"),
-        sum(when(col("vid") === OovId, 1L).otherwise(0L)).as("oov_count"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("vid")))),
-            p => p.getField("vid").cast("string")),
-          ",").as("ids"))
+    // and never a WindowExec over an unpartitioned stream. K rows by
+    // construction, so the collect is bounded.
+    val vocabMap = new java.util.HashMap[String, Integer](k * 2)
+    top.select("tok").rdd.zipWithIndex().collect().foreach { case (r, i) =>
+      vocabMap.put(r.getString(0), i.toInt)
+    }
+    val bcVocab = s.sparkContext.broadcast(vocabMap)
+    val oov = Integer.valueOf(OovId)
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val ts = TextOps.wsTokens(text)
+        val m = bcVocab.value
+        var nOov = 0L
+        val sb = new java.lang.StringBuilder(ts.length * 3)
+        var i = 0
+        while (i < ts.length) {
+          val vid = m.getOrDefault(ts(i), oov)
+          if (vid == OovId) nOov += 1
+          if (i > 0) sb.append(',')
+          sb.append(vid.intValue())
+          i += 1
+        }
+        (id, ts.length.toLong, nOov, sb.toString)
+      }
+      .toDF("doc_id", "n_toks", "oov_count", "ids")
   }
 
   /** Result rows kept by [[collocLift]]. */

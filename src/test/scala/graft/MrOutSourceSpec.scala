@@ -96,9 +96,12 @@ class MrOutSourceSpec extends AnyFunSuite {
     val batch = graft.operators.TextOps.wc(s, TestSpark.Sf0001).collect()
       .map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toMap
     assert(rt === batch, "streaming-write roundtrip diverged from batch wc")
-    // sink dir mechanics: only epoch-named committed files, no temp leftovers
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft-mrout/" +
-      s"wc-stream-${new java.io.File(TestSpark.Sf0001).getName}"
+    // sink dir mechanics: only epoch-named committed files, no temp
+    // leftovers. The sink lives under the session-scoped staging root
+    // (graft.Staging since e7dc1f7) — derive it through the same function
+    // the roundtrip used, not a hardcoded tmpdir path.
+    val out = graft.Staging.dir(s,
+      s"mrout/wc-stream-${new java.io.File(TestSpark.Sf0001).getName}")
     val files = new java.io.File(out).listFiles().map(_.getName)
       .filterNot(_.startsWith(".")).sorted
     assert(files.nonEmpty && files.forall(_.matches("mr-out-e\\d{5}-\\d{5}")),

@@ -319,4 +319,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.split("\n").count(_.contains("HashAggregate")) >= 2,
       "digest election partial-aggregates map-side")
   }
+
+  test("vocab_encode: the encode side is shuffle-free (broadcast vocab map, one typed pass)") {
+    // The returned frame is ONLY the encode pass — the vocab build runs as
+    // its own bounded TakeOrdered job at construction time. The encode plan
+    // must be a pure scan + typed map: re-introducing the old
+    // explode + groupBy(doc_id).collect_list formulation (the whole token
+    // stream through an exchange) shows up here as an Exchange/Aggregate.
+    val plan = executedPlan("vocab_encode")
+    assert(!plan.contains("Exchange"),
+      s"encode side must not shuffle:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"encode side must not re-aggregate per doc:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"encode side must not re-explode the corpus:\n$plan")
+  }
 }
