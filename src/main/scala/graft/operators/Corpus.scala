@@ -711,8 +711,15 @@ object Corpus {
     * scoring, which changes nothing structural.
     *
     * 100 TB plan: bigram extraction is one window pass on the doc_id
-    * exchange (lead over position — no self-join of the token stream);
-    * c(x,y) is one map-side-combined shuffle on the pair; c(x,·) re-groups
+    * exchange (lead over position — no self-join of the token stream).
+    * Round 14 MEASURED the tempting alternative — a typed map-side pass
+    * emitting (doc_id, pos, x, y) with no exchange at all — and REJECTED
+    * it: 117.7 → 160.1 s at sf100. The window exchange is not waste; it
+    * leaves `big` hash-partitioned by doc_id, and the final per-doc
+    * aggregation reuses that partitioning on the post-join stream.
+    * Removing it merely moved the doc_id shuffle onto the WIDER scored
+    * rows. c(x,y) is one map-side-combined shuffle on the pair; c(x,·)
+    * re-groups
     * the ALREADY-AGGREGATED pair table (vocabulary², not corpus, rows).
     * Scoring joins the token stream against the count tables on their
     * natural keys — AQE broadcasts them when the vocabulary is small, and
@@ -933,29 +940,44 @@ object Corpus {
     * as every other token operator).
     *
     * 100 TB plan: the window is materialized MAP-SIDE from each document's
-    * own token array — a higher-order `transform`/`filter`/`flatten` over
-    * the array `split` already produced emits every in-bounds
-    * (tok[i], tok[i+o]) pair inside one narrow codegen'd projection, so
-    * the ×2W fan-out never crosses the wire raw: the ONLY shuffle in the
-    * whole operator is the final count's partial-aggregated exchange on a
-    * vocabulary² key space. (Earlier rounds resolved context words with a
-    * (doc_id, pos) self-equi-join, which shuffled the token stream ×(2W+1)
-    * before aggregating — correct, but a shuffle the array form simply
-    * does not need; at 100 TB that join IS the operator's cost.) Window
-    * edges fall out of the bounds filter, so no boundary special-casing,
-    * and a window can never cross documents because pairs are drawn from
-    * one row's array.
+    * own token stream — one typed JVM loop emits every in-bounds
+    * (tok[i], tok[i+o]) pair, so the ×2W fan-out never crosses the wire
+    * raw: the ONLY shuffle in the whole operator is the final count's
+    * partial-aggregated exchange on a vocabulary² key space. (Earlier
+    * rounds resolved context words with a (doc_id, pos) self-equi-join,
+    * which shuffled the token stream ×(2W+1) before aggregating — correct,
+    * but a shuffle the map-side form simply does not need; at 100 TB that
+    * join IS the operator's cost. Round 14 replaced the intermediate
+    * formulation — a declarative `flatten(transform(filter(...)))` over
+    * the split array — because higher-order lambdas are CodegenFallback:
+    * the pair emission ran INTERPRETED, allocating nested struct arrays
+    * per row; ProbeSkipgram measured 40.8 → 8.4 s at sf100 for the
+    * identical 1.05 G-pair stream.) Window edges fall out of the bounds
+    * check, and a window can never cross documents because pairs are
+    * drawn from one document's own tokens.
     */
   def skipgram(s: SparkSession, dir: String, window: Int = SkipgramWindow): DataFrame = {
-    val offs = (-window to window).filter(_ != 0).mkString("array(", ", ", ")")
+    import s.implicits._
     Tables.documents(s, dir)
-      .select(split(trim(col("text")), "\\s+").as("t"))
-      .select(explode(expr(
-        s"""flatten(transform(t, (c, i) ->
-           |  transform(filter($offs, o -> i + o >= 0 AND i + o < size(t)),
-           |            o -> struct(c AS center, t[i + o] AS context))))"""
-          .stripMargin)).as("p"))
-      .groupBy(col("p.center").as("center"), col("p.context").as("context"))
+      .select(col("text")).as[String]
+      .flatMap { text =>
+        val ts = TextOps.wsTokens(text)
+        val out = new scala.collection.mutable.ArrayBuffer[(String, String)](
+          ts.length * 2 * window)
+        var i = 0
+        while (i < ts.length) {
+          var o = -window
+          while (o <= window) {
+            val j = i + o
+            if (o != 0 && j >= 0 && j < ts.length) out += ((ts(i), ts(j)))
+            o += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("center", "context")
+      .groupBy("center", "context")
       .agg(count(lit(1)).as("n"))
   }
 

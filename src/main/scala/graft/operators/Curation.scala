@@ -475,46 +475,65 @@ object Curation {
     * cycle). Corruption rate = SpanLen/SpanPeriod (12.5% at the
     * defaults — the T5 ballpark).
     *
-    * 100 TB: one scan; the only shuffle is the per-doc aggregation
-    * (documents are bounded, so per-doc windows and collect_lists are
-    * bounded); all strings assemble in position order on both engines, so
-    * the gate hashes input_text/target_text exactly.
+    * 100 TB: ONE scan, ZERO shuffles. Every output column is a pure
+    * per-document function — phase from the doc_id hash, mask/start/span_id
+    * from the position cycle, both strings assembled in position order — so
+    * one typed JVM pass per row computes the whole answer. The first
+    * formulation posexploded the corpus, ran a doc-keyed window sum for
+    * span_id, and re-assembled position order with
+    * `array_sort(collect_list(struct(pos, piece)))` — the ENTIRE token
+    * stream through an exchange plus per-group sorts to recover an order
+    * each document already had on the way in (the vocab_encode disease;
+    * measured 113.6 s at sf100 for what the typed pass computes during the
+    * scan). Tokenization is [[graft.operators.TextOps.wsTokens]] — the
+    * exact `split(trim, "\s+")` semantics the DuckDB oracle replays.
     */
   def spanCorrupt(s: SparkSession, dir: String, period: Int = SpanPeriod,
       spanLen: Int = SpanLen): DataFrame = {
     require((period & (period - 1)) == 0, "period must be a power of two")
     require(spanLen > 0 && spanLen < period, "0 < spanLen < period")
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
-      .withColumn("phase",
-        graft.functions.GraftFunctions.fnv64(
-          concat(lit("span:"), col("doc_id").cast("string")))
-          .bitwiseAND(lit((period - 1).toLong)))
-      .withColumn("off", (col("pos") + col("phase")) % period)
-      .withColumn("masked", col("off") < spanLen)
-      // a doc can start mid-span: pos 0 opens its (truncated) span
-      .withColumn("start",
-        col("masked") && (col("off") === 0 || col("pos") === 0))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val marked = toks
-      .withColumn("span_id",
-        sum(when(col("start"), 1L).otherwise(0L)).over(w) - 1L)
-      .withColumn("sentinel",
-        concat(lit("<extra_id_"), col("span_id").cast("string"), lit(">")))
-    def joined(piece: Column) = array_join(transform(
-      array_sort(collect_list(when(piece.isNotNull,
-        struct(col("pos"), piece.as("piece"))))),
-      x => x.getField("piece")), " ")
-    marked.groupBy("doc_id").agg(
-      count(lit(1)).as("n_tokens"),
-      sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
-      sum(when(col("start"), 1L).otherwise(0L)).as("n_spans"),
-      joined(when(!col("masked"), col("tok"))
-        .when(col("start"), col("sentinel"))).as("input_text"),
-      joined(when(col("masked") && col("start"),
-          concat(col("sentinel"), lit(" "), col("tok")))
-        .when(col("masked"), col("tok"))).as("target_text"))
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val ts = graft.operators.TextOps.wsTokens(text)
+        val phase =
+          (graft.functions.HashFunctions.fnv64("span:" + id) &
+            (period - 1).toLong).toInt
+        var nMasked = 0L
+        var nSpans = 0L
+        val in = new java.lang.StringBuilder
+        val tg = new java.lang.StringBuilder
+        var inFirst = true
+        var tgFirst = true
+        var i = 0
+        while (i < ts.length) {
+          val off = (i + phase) % period
+          if (off < spanLen) {
+            nMasked += 1
+            // a doc can start mid-span: pos 0 opens its (truncated) span
+            if (off == 0 || i == 0) {
+              nSpans += 1
+              val sentinel = "<extra_id_" + (nSpans - 1) + ">"
+              if (inFirst) inFirst = false else in.append(' ')
+              in.append(sentinel)
+              if (tgFirst) tgFirst = false else tg.append(' ')
+              tg.append(sentinel).append(' ').append(ts(i))
+            } else {
+              if (tgFirst) tgFirst = false else tg.append(' ')
+              tg.append(ts(i))
+            }
+          } else {
+            if (inFirst) inFirst = false else in.append(' ')
+            in.append(ts(i))
+          }
+          i += 1
+        }
+        (id, ts.length.toLong, nMasked, nSpans, in.toString, tg.toString)
+      }
+      .toDF("doc_id", "n_tokens", "n_masked", "n_spans",
+        "input_text", "target_text")
   }
 
   def piiScrub(s: SparkSession, dir: String): DataFrame = {

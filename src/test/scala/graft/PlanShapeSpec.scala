@@ -232,10 +232,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("span_corrupt: one tokenize scan, bounded per-doc windows, no joins beyond the phase") {
+  test("span_corrupt: one typed pass, shuffle-free — no joins, no window, no re-aggregation") {
+    // span placement and both output strings are pure per-document
+    // functions; the plan must stay scan + typed map (re-introducing the
+    // old posexplode + doc-window + collect_list formulation shows up as
+    // Exchange/Window/Aggregate here)
     val plan = executedPlan("span_corrupt")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "span placement is a pure per-row function — no pairing joins at all")
+    assert(!plan.contains("Exchange"), s"must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"must not window-sort:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate") &&
+      !plan.contains("ObjectHashAggregate"),
+      s"must not re-aggregate per doc:\n$plan")
   }
 
   test("q49_interval_join: binning turns the pure range join into an equi join") {
