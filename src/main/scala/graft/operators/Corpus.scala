@@ -962,19 +962,30 @@ object Corpus {
       .select(col("text")).as[String]
       .flatMap { text =>
         val ts = TextOps.wsTokens(text)
-        val out = new scala.collection.mutable.ArrayBuffer[(String, String)](
-          ts.length * 2 * window)
-        var i = 0
-        while (i < ts.length) {
-          var o = -window
-          while (o <= window) {
-            val j = i + o
-            if (o != 0 && j >= 0 && j < ts.length) out += ((ts(i), ts(j)))
-            o += 1
+        // lazy iterator, not a buffer: the ×2W fan-out never materializes
+        // per document, so a pathological multi-megabyte document costs
+        // only its own token array — pairs stream straight into the
+        // map-side combine
+        new Iterator[(String, String)] {
+          private var i = 0
+          private var o = -window
+          private def settle(): Unit = {
+            while (i < ts.length &&
+                (o == 0 || i + o < 0 || i + o >= ts.length)) {
+              o += 1
+              if (o > window) { o = -window; i += 1 }
+            }
           }
-          i += 1
+          settle()
+          override def hasNext: Boolean = i < ts.length
+          override def next(): (String, String) = {
+            val p = (ts(i), ts(i + o))
+            o += 1
+            if (o > window) { o = -window; i += 1 }
+            settle()
+            p
+          }
         }
-        out
       }
       .toDF("center", "context")
       .groupBy("center", "context")
