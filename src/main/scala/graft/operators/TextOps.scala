@@ -89,46 +89,93 @@ object TextOps {
       .agg(concat_ws(" ", sort_array(collect_list(col("value")))).as("value"))
   }
 
+  /** Java-regex-`\s` membership for a UTF-16 char ([ \t\n\x0B\f\r] — the
+    * same ASCII-only set the byte kernels use; shared by the typed stats
+    * passes below so they reproduce `regexp_replace(text, "\s+", "")` /
+    * `split(trim, "\s+")` arithmetic exactly.
+    */
+  @inline private def isWsChar(c: Char): Boolean =
+    c == ' ' || (c >= 0x09 && c <= 0x0D)
+
   /** text_stats — per-document quality metrics: char count, token count,
-    * distinct-token count, stopword ratio, mean token length. All
-    * array-function builtins (no UDF), so the whole plan is codegen'd.
+    * distinct-token count, stopword ratio, mean token length. One typed
+    * JVM pass per document (round 14; the declarative
+    * `filter(toks, isin)` / `array_distinct` higher-order formulation ran
+    * its lambdas INTERPRETED per token — CodegenFallback — measured 5.7 s
+    * at sf100 for a pure per-doc scan). Char counts are CODE POINTS,
+    * matching SQL `length` (UTF8String.numChars) and the DuckDB replay;
+    * the oracle is unchanged and re-proves the pass per row.
     */
   def textStats(s: SparkSession, dir: String): DataFrame = {
-    val stopwords = Seq("the", "a")
+    import s.implicits._
     Tables.documents(s, dir)
-      .withColumn("toks", split(trim(col("text")), "\\s+"))
-      .select(
-        col("doc_id"),
-        length(col("text")).as("n_chars2"),
-        size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_distinct"),
-        (size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("double") /
-          size(col("toks")).cast("double")).as("stopword_ratio"),
-        (length(col("text")).cast("double") / size(col("toks")).cast("double"))
-          .as("chars_per_token"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val ts = wsTokens(text)
+        val nChars = text.codePointCount(0, text.length)
+        val distinct = new java.util.HashSet[String](ts.length * 2)
+        var stops = 0
+        var i = 0
+        while (i < ts.length) {
+          val t = ts(i)
+          distinct.add(t)
+          if (t == "the" || t == "a") stops += 1
+          i += 1
+        }
+        (id, nChars, ts.length, distinct.size,
+          stops.toDouble / ts.length.toDouble,
+          nChars.toDouble / ts.length.toDouble)
+      }
+      .toDF("doc_id", "n_chars2", "n_tokens", "n_distinct",
+        "stopword_ratio", "chars_per_token")
   }
 
   /** text_quality — composite quality gate in the style of published LLM
     * data-pipeline filters (token-count bounds, mean-token-length bounds,
-    * stopword evidence, repetition via distinct ratio). Pure builtins —
-    * one codegen'd pass, no shuffle; `keep` is the pipeline's filter bit.
+    * stopword evidence, repetition via distinct ratio); `keep` is the
+    * pipeline's filter bit. One typed JVM pass per document (round 14 —
+    * same interpreted-HOF disease as [[textStats]]; 11.6 s at sf100 for a
+    * shuffle-free scan). `mean_tok_len`'s numerator reproduces
+    * `length(regexp_replace(text, "\s+", ""))` as total code points minus
+    * `\s` chars (every `\s` char is one BMP code point, so the subtraction
+    * is exact); all ratios divide the same ints the declarative form did,
+    * so the doubles are bit-identical and the unchanged DuckDB oracle
+    * gates the pass per row.
     */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
+    import s.implicits._
     Tables.documents(s, dir)
-      .select(
-        col("doc_id"),
-        size(toks).as("n_tokens"),
-        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
-          size(toks).cast("double")).as("mean_tok_len"),
-        size(filter(toks, t => t.isin("the", "a", "of", "and"))).as("stopword_hits"),
-        (size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
-          .as("distinct_ratio"))
-      .withColumn("keep",
-        col("n_tokens").between(10, 100000) &&
-          col("mean_tok_len").between(2.0, 12.0) &&
-          col("stopword_hits") >= 1 &&
-          col("distinct_ratio") > 0.2)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        var wsChars = 0
+        var ci = 0
+        while (ci < text.length) {
+          if (isWsChar(text.charAt(ci))) wsChars += 1
+          ci += 1
+        }
+        val nonWs = text.codePointCount(0, text.length) - wsChars
+        val ts = wsTokens(text)
+        val distinct = new java.util.HashSet[String](ts.length * 2)
+        var stops = 0
+        var i = 0
+        while (i < ts.length) {
+          val t = ts(i)
+          distinct.add(t)
+          if (t == "the" || t == "a" || t == "of" || t == "and") stops += 1
+          i += 1
+        }
+        val nTokens = ts.length
+        val meanTokLen = nonWs.toDouble / nTokens.toDouble
+        val distinctRatio = distinct.size.toDouble / nTokens.toDouble
+        val keep = nTokens >= 10 && nTokens <= 100000 &&
+          meanTokLen >= 2.0 && meanTokLen <= 12.0 &&
+          stops >= 1 && distinctRatio > 0.2
+        (id, nTokens, meanTokLen, stops, distinctRatio, keep)
+      }
+      .toDF("doc_id", "n_tokens", "mean_tok_len", "stopword_hits",
+        "distinct_ratio", "keep")
   }
 
   /** text_tokens — BPE-ish token counting: word pieces + standalone
