@@ -130,4 +130,48 @@ class FunctionsSpec extends AnyFunSuite {
     assert(HashFunctions.fnv64("") == 0xcbf29ce484222325L)
     assert(HashFunctions.fnv64("a") == ((0xcbf29ce484222325L ^ 'a'.toLong) * 0x100000001b3L))
   }
+
+  test("GraftExtensions: the spark.sql.extensions entry point wires every function + the rewrite rule") {
+    // The per-session register() path is covered above; this exercises the
+    // OTHER deployment mode — a cluster admin setting
+    // spark.sql.extensions=graft.functions.GraftExtensions — end to end.
+    // A fresh SparkSession on the shared context picks the extensions up at
+    // build time; default/active session are restored for later suites
+    // (suites run sequentially: Test/parallelExecution := false).
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(ext ne base, "extensions need a fresh session to apply")
+      val r = ext.sql(
+        "SELECT fnv64('abc') AS h, bpe_token_count('a b!') AS nb, " +
+          "ws_token_count(' a b ') AS nw, " +
+          "sorted_overlap(array(1, 2), array(2, 3)) AS so, " +
+          "array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+          "ws_split('a  b') AS sp").head
+      assert(r.getAs[Long]("h") == HashFunctions.fnv64("abc"))
+      assert(r.getAs[Int]("nb") == 3) // a | b | !
+      assert(r.getAs[Int]("nw") == 2)
+      assert(r.getAs[Int]("so") == 1)
+      assert(r.getAs[Double]("d") == 11.0)
+      assert(r.getSeq[String](5) == Seq("a", "b"))
+      // the injected optimizer rule fires without any register() call
+      val dir = java.nio.file.Files.createTempDirectory("ext-arraydot").toString
+      ext.range(1).selectExpr("id", "array(1.0d, 2.0d) AS a", "array(3.0d, 4.0d) AS b")
+        .write.mode("overwrite").parquet(dir)
+      val hof = "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+      val df = ext.read.parquet(dir).selectExpr("id", s"$hof AS dot")
+      assert(df.queryExecution.optimizedPlan.toString.contains("array_dot_nullsafe"),
+        "injected ArrayDotRewrite must fire in the extensions session")
+      assert(df.collect()(0).getDouble(1) == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
