@@ -329,6 +329,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "digest election partial-aggregates map-side")
   }
 
+  test("text_stats and text_quality: pure per-doc typed passes, shuffle-free") {
+    for (name <- Seq("text_stats", "text_quality")) {
+      val plan = executedPlan(name)
+      assert(!plan.contains("Exchange"), s"$name must not shuffle:\n$plan")
+      assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+        s"$name must not aggregate:\n$plan")
+      assert(!plan.contains("Generate"), s"$name must not explode:\n$plan")
+    }
+  }
+
   test("vocab_encode: the encode side is shuffle-free (broadcast vocab map, one typed pass)") {
     // The returned frame is ONLY the encode pass — the vocab build runs as
     // its own bounded TakeOrdered job at construction time. The encode plan
