@@ -4,8 +4,10 @@ import org.apache.spark.sql.functions._
 object ProbeEmbed {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time(tag: String)(f: => Long): Unit = {
@@ -17,7 +19,10 @@ object ProbeEmbed {
     val cast = raw.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("vec"))
     time("cast_hof") { cast.count() }
-    time("cast_hof_touch") { cast.select(element_at(col("vec"), 1)).filter(col("element_at(vec, 1)").isNotNull).count() }
+    time("cast_hof_touch") {
+      cast.select(element_at(col("vec"), 1).as("v0"))
+        .filter(col("v0").isNotNull).count()
+    }
     val withNrm = cast.withColumn("nrm", sqrt(graft.functions.GraftFunctions.arrayDot(col("vec"), col("vec"))))
     time("nrm") { withNrm.filter(col("nrm") >= 0).count() }
     time("collapse_vec_key") {

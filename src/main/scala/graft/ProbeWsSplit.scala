@@ -47,7 +47,7 @@ object ProbeWsSplit {
     val (rFp, rSec) = time(fingerprint(regexCol))
     val (kFp, kSec) = time(fingerprint(kernelCol))
     require(rFp == kFp, s"tokenizations disagree: regex=$rFp kernel=$kFp")
-    println(f"""{"probe":"ws_split","dir":"$dir","regex_sec":$rSec%.2f,"kernel_sec":$kSec%.2f,"n_tokens":${kFp._1},"fp":${kFp._2}}""")
+    println(f"""{"probe":"ws_split","dir":"$dir","regex_sec":$rSec%.2f,"kernel_sec":$kSec%.2f,"n_tokens":${kFp._1},"len_sum":${kFp._2},"fp":${kFp._3}}""")
     spark.stop()
   }
 }

@@ -142,15 +142,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCountExpr].getName, "bpe_token_count"),
-      { exprs: Seq[Expression] => BpeTokenCountExpr(exprs.head) }))
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "bpe_token_count expects exactly one argument")
+        BpeTokenCountExpr(exprs.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("ws_token_count"),
       new ExpressionInfo(classOf[WsTokenCountExpr].getName, "ws_token_count"),
-      { exprs: Seq[Expression] => WsTokenCountExpr(exprs.head) }))
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "ws_token_count expects exactly one argument")
+        WsTokenCountExpr(exprs.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("ws_split"),
       new ExpressionInfo(classOf[WsSplitExpr].getName, "ws_split"),
-      { exprs: Seq[Expression] => WsSplitExpr(exprs.head) }))
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "ws_split expects exactly one argument")
+        WsSplitExpr(exprs.head)
+      }))
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graftshim.ArrayDotRewrite)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftshim.AsOfJoinStrategy)
   }

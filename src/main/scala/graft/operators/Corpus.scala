@@ -74,6 +74,10 @@ object Corpus {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
+      // null text -> no token rows in the declarative form, so the doc was
+      // absent from the old grouped output; the typed pass must drop it
+      // too (not NPE) — same guard on every typed tokenize pass
+      .filter(col("text").isNotNull)
       .as[(Long, String)]
       .map { case (id, text) =>
         val ts = TextOps.wsTokens(text)
@@ -959,7 +963,9 @@ object Corpus {
   def skipgram(s: SparkSession, dir: String, window: Int = SkipgramWindow): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select(col("text")).as[String]
+      .select(col("text"))
+      .filter(col("text").isNotNull) // null doc = no pairs, like explode(null)
+      .as[String]
       .flatMap { text =>
         val ts = TextOps.wsTokens(text)
         // lazy iterator, not a buffer: the ×2W fan-out never materializes

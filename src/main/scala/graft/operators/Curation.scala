@@ -495,6 +495,9 @@ object Curation {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
+      // null text produced no exploded rows, so the doc was absent from the
+      // old grouped output — drop, don't NPE
+      .filter(col("text").isNotNull)
       .as[(Long, String)]
       .map { case (id, text) =>
         val ts = graft.operators.TextOps.wsTokens(text)

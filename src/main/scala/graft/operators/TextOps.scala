@@ -89,14 +89,6 @@ object TextOps {
       .agg(concat_ws(" ", sort_array(collect_list(col("value")))).as("value"))
   }
 
-  /** Java-regex-`\s` membership for a UTF-16 char ([ \t\n\x0B\f\r] — the
-    * same ASCII-only set the byte kernels use; shared by the typed stats
-    * passes below so they reproduce `regexp_replace(text, "\s+", "")` /
-    * `split(trim, "\s+")` arithmetic exactly.
-    */
-  @inline private def isWsChar(c: Char): Boolean =
-    c == ' ' || (c >= 0x09 && c <= 0x0D)
-
   /** text_stats — per-document quality metrics: char count, token count,
     * distinct-token count, stopword ratio, mean token length. One typed
     * JVM pass per document (round 14; the declarative
@@ -110,6 +102,10 @@ object TextOps {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
+      // the tokenize family's null contract: a null-text row is dropped
+      // (the declarative form emitted a row of null metrics; a quality
+      // gate treats both as not-keep, and the fixture plants no nulls)
+      .filter(col("text").isNotNull)
       .as[(Long, String)]
       .map { case (id, text) =>
         val ts = wsTokens(text)
@@ -147,22 +143,22 @@ object TextOps {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull) // same null contract as textStats
       .as[(Long, String)]
       .map { case (id, text) =>
-        var wsChars = 0
-        var ci = 0
-        while (ci < text.length) {
-          if (isWsChar(text.charAt(ci))) wsChars += 1
-          ci += 1
-        }
-        val nonWs = text.codePointCount(0, text.length) - wsChars
+        // every non-`\s` char of text lands in exactly one token (trim only
+        // strips spaces, which are `\s`), so the regexp_replace numerator is
+        // the sum of the tokens' code-point counts — one token pass, no
+        // extra text scans
         val ts = wsTokens(text)
         val distinct = new java.util.HashSet[String](ts.length * 2)
         var stops = 0
+        var nonWs = 0
         var i = 0
         while (i < ts.length) {
           val t = ts(i)
           distinct.add(t)
+          nonWs += t.codePointCount(0, t.length)
           if (t == "the" || t == "a" || t == "of" || t == "and") stops += 1
           i += 1
         }

@@ -69,6 +69,33 @@ class CurationSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------ windowGrams
 
+  test("typed tokenize passes survive a null-text row (drop, not NPE)") {
+    // the parquet schema is nullable; a real crawl carries null text. The
+    // round-14 typed rewrites must drop such rows (the declarative forms'
+    // grouped outputs omitted them), never task-crash on them.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nulltext").toString
+    Seq[(Long, String, String, String)](
+        (1L, "the quick brown fox the a of and one two three four", "en", "s"),
+        (2L, null, "en", "s"),
+        (3L, "a b the c", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "coalesce(length(text), 0) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(graft.operators.TextOps.textStats(spark, dir)) == Set(1L, 3L))
+    assert(ids(graft.operators.TextOps.textQuality(spark, dir)) == Set(1L, 3L))
+    assert(ids(graft.operators.Curation.spanCorrupt(spark, dir)) == Set(1L, 3L))
+    assert(ids(graft.operators.Corpus.vocabEncode(spark, dir)) == Set(1L, 3L))
+    // skipgram output is pair-keyed; surviving without an NPE and seeing
+    // doc 1's pairs is the contract
+    val pairs = graft.operators.Corpus.skipgram(spark, dir).collect()
+    assert(pairs.nonEmpty)
+  }
+
   test("windowGrams: short docs emit nothing, exact-length docs one window") {
     assert(Dedup.windowGrams("a b c", 8).isEmpty)
     assert(Dedup.windowGrams("a b c d e f g h", 8) == IndexedSeq("a b c d e f g h"))
