@@ -5,11 +5,19 @@ import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
   * emits ONE JSON line `{"metric":"total","value":N,"unit":"sec",
+  * "calib_windows":[{"i":16,"after":name,"sec":s},...],
   * "queries":{name:sec,...},"sf":...}` on stdout (and, if BENCH_OUT is set,
   * to that file — belt and braces against log-prefix mangling).
   *
   * Failures are NOT swallowed into plausible timings: a failed query is
   * recorded as -1 in "queries" and listed in "failed".
+  *
+  * `calib_windows` (round 15) are single-shot machine-speed probes taken
+  * between queries, outside every timed window: a transient load spike that
+  * inflates a contiguous driver-order block of queries (the r08/r12/r13/r14
+  * pattern) now shows up as an elevated probe sample bracketing exactly that
+  * block, so spike adjudication is mechanical instead of a three-rerun
+  * manual protocol.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,17 +48,17 @@ object Bench {
     // "Benchmarking" documents the normalization. Subset runs (BENCH_ONLY)
     // are local iteration loops where cross-round normalization is
     // irrelevant — skip the ~4 calibration jobs there and report -1.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        // % bounds the addends so the 200M-term sum can't overflow ANSI
+        // long arithmetic (raw xxhash64 sums past 2^63)
+        .selectExpr("sum(xxhash64(id) % 1000000)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val calibration = if (only.isDefined) -1.0 else {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(0L, 200000000L, 1L, 32)
-          // % bounds the addends so the 200M-term sum can't overflow ANSI
-          // long arithmetic (raw xxhash64 sums past 2^63)
-          .selectExpr("sum(xxhash64(id) % 1000000)").collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      once() // warm-up (codegen for the calibration plan itself)
-      Seq.fill(3)(once()).min
+      calibOnce() // warm-up (codegen for the calibration plan itself)
+      Seq.fill(3)(calibOnce()).min
     }
 
     // Session-conf snapshot: restored after every query so no query can
@@ -69,9 +77,20 @@ object Bench {
       }
     }
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Interleaved calibration (round 15): the session-start scalar above is
+    // blind to MID-RUN load spikes — four rounds running (r08 skipgram, r12
+    // bloom/bfs, r13 epoch_order, r14 the q19→q24 window) a transient
+    // machine-load spike inflated a contiguous driver-order block and cost
+    // a manual three-full-rerun adjudication. A single-shot probe after
+    // every [[CalibEvery]]th query (outside all timed windows; ~0.2 s each,
+    // ~12 probes over 194 queries) timestamps machine speed ACROSS the run:
+    // a spike window then carries its own elevated probe sample and
+    // adjudication becomes reading the `calib_windows` field of the dump.
+    val CalibEvery = 16
+    val calibWindows = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Double)]
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    val results = queryList.zipWithIndex.map { case ((name, fn), idx) =>
       // one warm-up pass (codegen/JIT), then a timed run. If the timed run
       // is an outlier vs its own warm-up (GC/page-cache hiccup — observed
       // 0.8s queries spiking to 9s once), re-time once and keep the min;
@@ -151,14 +170,22 @@ object Bench {
             -1.0
           }
       }
+      // probe OUTSIDE the timed window (runOnce has already returned and
+      // swept); subset runs skip probes like they skip the session scalar
+      if (only.isEmpty && ((idx + 1) % CalibEvery == 0 || idx + 1 == queryList.size))
+        calibWindows += ((idx + 1, name, calibOnce()))
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calibJson = calibWindows
+      .map { case (i, after, sec) =>
+        s"""{"i":$i,"after":"$after","sec":${f"$sec%.3f"}}""" }
+      .mkString("[", ",", "]")
     val out =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","calibration":${f"$calibration%.3f"},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","calibration":${f"$calibration%.3f"},"calib_windows":$calibJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(out)
     sys.env.get("BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), out + "\n"))
     // The driver's per-round artifact captures only the TAIL of the stdout

@@ -27,8 +27,8 @@ import org.apache.spark.sql.functions._
 object ProbeData {
 
   /** Key shift between replicas: large enough that no fixture key crosses
-    * replica boundaries at any supported factor (keys < 10⁹, factor ≤ 1000
-    * ⇒ max shifted key < ~10¹², comfortably inside long).
+    * replica boundaries at any supported factor (keys < 10⁹, factor ≤ 10⁴
+    * ⇒ max shifted key < ~10¹³, comfortably inside long).
     */
   val ReplicaShift = 1000000000L
 
@@ -58,10 +58,12 @@ object ProbeData {
       "usage: ProbeData <srcSfDir> <outDir> <factor> [tableCsv]")
     val Array(src, out, factorS) = args.take(3)
     val factor = factorS.toInt
-    // 1000 supports the sf100 decade probe (1000× sf0.1); always generate
+    // 10000 supports the sf1000 probe (10,000× sf0.1 — round 15's
+    // factor-10,000 table for the structural-bound claims); max shifted key
+    // is factor·10⁹ + 10⁹ ≈ 10¹³, comfortably inside long. Always generate
     // from the BASE sf dir — re-replicating an already-replicated probe
     // dir would collide keys ((r1 + r2)·shift is not injective).
-    require(factor >= 1 && factor <= 1000, "factor in [1, 1000]")
+    require(factor >= 1 && factor <= 10000, "factor in [1, 10000]")
     // optional subset for decade probes where only a few tables are read
     // (sf100 documents+events is ~15 GB; replicating lineitem too would
     // be disk spent on tables no probed query scans)
@@ -109,9 +111,18 @@ object ProbeData {
       // the fixture, not the design). Replicas r ≥ 1 drop the eval-resident
       // rows; replica 0 stays verbatim, so the probed benchmark matrix is
       // constant at any factor and the corpus still grows ~factor×.
+      // ...and the same disease held for DOCUMENTS (round 15, the r14
+      // verdict's fixture sweep): decontam's benchmark side is the shingle
+      // sets of doc_id % BenchmarkMod == 0 rows, and ReplicaShift re-plants
+      // those factor× too — a growing stand-in for what is a fixed-size
+      // real-world artifact. Replicas drop them; replica 0 keeps the
+      // verbatim eval set, so decontam/pipeline_curate probe a constant
+      // benchmark matrix against a ~factor× corpus.
       val evalFilter =
         if (table == "embeddings")
           Some(col("vec_id") % operators.Curation.BenchmarkMod =!= 0)
+        else if (table == "documents")
+          Some(col("doc_id") % operators.Curation.BenchmarkMod =!= 0)
         else None
       writeSingleFile(
         replicate(spark.read.parquet(s"$src/$table.parquet"), keys, factor,

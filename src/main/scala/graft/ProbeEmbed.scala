@@ -3,6 +3,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 object ProbeEmbed {
   def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: ProbeEmbed <sfDir>")
     val dir = args(0)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

@@ -1199,7 +1199,12 @@ object SparkEntry {
        |cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
 
   /** Shared quality metrics + predicate (single source for text_quality and
-    * pipeline_keep).
+    * pipeline_keep). `text IS NOT NULL` pins the typed-pass row-set
+    * contract (round 14: the Spark side's one-pass typed rewrites DROP
+    * null-text docs, matching the old grouped outputs' absence semantics;
+    * without the predicate here a null-text fixture row would reach
+    * text_quality as null metrics — and pipeline_keep/curate's inner joins
+    * as a NULL quality_ok — on the DuckDB side only).
     */
   private val qualityMetrics =
     """SELECT doc_id,
@@ -1209,7 +1214,7 @@ object SparkEntry {
       | CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS INTEGER) AS stopword_hits,
       | CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio
       |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
-      |      FROM documents) t""".stripMargin
+      |      FROM documents WHERE text IS NOT NULL) t""".stripMargin
   private val qualityPred =
     """(n_tokens BETWEEN 10 AND 100000) AND (mean_tok_len BETWEEN 2.0 AND 12.0)
       | AND stopword_hits >= 1 AND distinct_ratio > 0.2""".stripMargin
@@ -2462,7 +2467,7 @@ object SparkEntry {
         |   / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
         | CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS chars_per_token
         |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
-        |      FROM documents) t""".stripMargin,
+        |      FROM documents WHERE text IS NOT NULL) t""".stripMargin,
     "pipeline_keep" ->
       s"""WITH RECURSIVE
          |$clustersCte,

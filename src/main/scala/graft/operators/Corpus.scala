@@ -69,6 +69,12 @@ object Corpus {
     top.select("tok").rdd.zipWithIndex().collect().foreach { case (r, i) =>
       vocabMap.put(r.getString(0), i.toInt)
     }
+    // The broadcast's lifetime is tied to the returned (lazy) DataFrame —
+    // destroying it here would break a caller that executes the plan later,
+    // so reclamation is deliberately left to the ContextCleaner, which
+    // reaps the block once the closure (and frame) become unreachable
+    // after a GC. K·~16 B per call; a long-lived session invoking
+    // vocabEncode in a tight loop accumulates at most a few MB between GCs.
     val bcVocab = s.sparkContext.broadcast(vocabMap)
     val oov = Integer.valueOf(OovId)
     import s.implicits._

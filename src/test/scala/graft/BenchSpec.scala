@@ -91,4 +91,39 @@ class BenchSpec extends AnyFunSuite {
         "but BENCH_LOCAL_r{N}.json was never committed — cp the full dump " +
         "(target/bench_local.json from that run) FIRST, before any code change")
   }
+
+  test("bench dump schema: calib_windows present and sane from r15 on") {
+    // Round 15: Bench interleaves single-shot machine-speed probes between
+    // queries (outside all timed windows) and emits them as
+    // `calib_windows` so a mid-run load spike adjudicates itself — four
+    // rounds (r08/r12/r13/r14) a spike cost a manual three-full-rerun
+    // protocol. This pins the field for every committed full dump from r15
+    // on: present, non-empty, indices strictly increasing, probe times
+    // positive. Dropping the field (or emitting garbage) must fail the
+    // suite, not silently revert adjudication to the manual protocol.
+    val repo = new java.io.File(".").getCanonicalFile
+    val dumps = Option(repo.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.getName.startsWith("BENCH_LOCAL_r") &&
+        f.getName.endsWith(".json"))
+      .flatMap(f => f.getName.stripPrefix("BENCH_LOCAL_r")
+        .stripSuffix(".json").toIntOption.map(_ -> f))
+      .filter(_._1 >= 15)
+    dumps.foreach { case (n, f) =>
+      val txt = {
+        val src = scala.io.Source.fromFile(f)
+        try src.mkString finally src.close()
+      }
+      val cw = """"calib_windows":\[(.*?)\]""".r.findFirstMatchIn(txt)
+      assert(cw.isDefined,
+        s"BENCH_LOCAL_r$n.json lacks calib_windows — Bench.scala regressed")
+      val entries = """\{"i":(\d+),"after":"[^"]+","sec":(-?[0-9.]+)\}""".r
+        .findAllMatchIn(cw.get.group(1)).toSeq
+      assert(entries.nonEmpty, s"BENCH_LOCAL_r$n.json calib_windows empty")
+      val is = entries.map(_.group(1).toInt)
+      assert(is == is.sorted && is.distinct == is,
+        s"BENCH_LOCAL_r$n.json calib window indices not strictly increasing: $is")
+      assert(entries.forall(_.group(2).toDouble > 0.0),
+        s"BENCH_LOCAL_r$n.json has a non-positive calib probe")
+    }
+  }
 }
