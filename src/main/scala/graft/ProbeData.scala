@@ -46,12 +46,24 @@ object ProbeData {
   private val dims = Seq("region", "nation")
 
   def replicate(df: DataFrame, keys: Seq[String], factor: Int,
-      replicaFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
-    (0 until factor).map { r =>
-      val base = if (r == 0) df else replicaFilter.map(df.filter).getOrElse(df)
-      keys.foldLeft(base)((d, k) =>
-        d.withColumn(k, col(k) + lit(r * ReplicaShift)))
-    }.reduce(_ unionByName _)
+      replicaFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    // One crossJoin against a broadcast replica range, not a factor-way
+    // union (round 15): the union form built a plan with O(factor) nodes —
+    // fine at the sf100 probe's factor 1000, quadratic-analysis poison at
+    // the sf1000 probe's factor 10,000. Content is identical (row order
+    // differs — replica-minor instead of replica-major — which nothing
+    // downstream reads); replica 0 stays verbatim, r ≥ 1 drop the
+    // replicaFilter rows, exactly as before.
+    val reps = df.sparkSession.range(factor.toLong).select(col("id").as("rep"))
+    val crossed = df.crossJoin(broadcast(reps))
+    val kept = replicaFilter match {
+      case Some(f) => crossed.filter(col("rep") === 0L || f)
+      case None => crossed
+    }
+    keys.foldLeft(kept)((d, k) =>
+      d.withColumn(k, col(k) + col("rep") * lit(ReplicaShift)))
+      .drop("rep")
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3 || args.length == 4,
