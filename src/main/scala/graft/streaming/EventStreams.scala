@@ -367,6 +367,8 @@ object EventStreams {
     * StreamingSpec asserts the batch set-equality independently.
     */
   def nearDupQuery(s: SparkSession, dir: String): DataFrame =
+    // state: ENTITY-keyed — per-bucket signature lists grow with distinct
+    // corpus content; RocksDB switch governs it past the threshold
     runStagedViaFiles(s, dir, "q36_stream_neardup",
         staged => incrementalNearDup(
             s.readStream
@@ -505,6 +507,8 @@ object EventStreams {
     val nbits = graft.operators.Ann.nbitsFor(emb.count())
     val poisonAcc =
       s.sparkContext.longAccumulator("graft.embed_neardup.q50.poisonedBuckets")
+    // state: ENTITY-keyed — per-hyperplane-bucket vector lists grow with
+    // the corpus; RocksDB switch governs it past the threshold
     val out = runStagedViaFiles(s, dir, "q50_stream_embed_neardup",
         staged => incrementalEmbedNearDup(
             s.readStream.schema(emb.schema).parquet(staged), nbits = nbits,
@@ -630,6 +634,8 @@ object EventStreams {
   def imagePhashQuery(s: SparkSession, dir: String): DataFrame = {
     val poisonAcc =
       s.sparkContext.longAccumulator("graft.image_phash.q56.poisonedBuckets")
+    // state: ENTITY-keyed — per-hamming-bucket signature lists grow with
+    // the asset corpus; RocksDB switch governs it past the threshold
     val out = runStagedViaFiles(s, dir, "q56_stream_image_phash",
         staged => incrementalImagePhash(
             s.readStream
@@ -660,8 +666,12 @@ object EventStreams {
     * watermark drops ⇒ streaming answer == batch answer).
     */
   def windowedCountsQuery(s: SparkSession, dir: String): DataFrame =
+    // state: TIME-keyed, not entity-keyed — (1-hour window × event_type)
+    // rows, growing with the covered time SPAN (744×|types|/month), never
+    // with event count; structurally bounded under corpus growth
     runStagedViaFiles(s, dir, "q25_stream_window",
-      staged => windowedCounts(readEvents(s, staged)))
+      staged => windowedCounts(readEvents(s, staged)),
+      boundedState = true)
 
   /** Stage `events.parquet` into a fresh dir (the file streaming source
     * lists directories; exactly ONE file ⇒ exactly one AvailableNow batch),
@@ -681,7 +691,7 @@ object EventStreams {
     * the returned frame before the next invocation of the same query — the
     * registered-query contract (one action per invocation).
     */
-  private def runStagedViaFiles(s: SparkSession, dir: String, prefix: String,
+  private[graft] def runStagedViaFiles(s: SparkSession, dir: String, prefix: String,
       build: String => DataFrame,
       mode: OutputMode = OutputMode.Complete(),
       file: String = "events.parquet",
@@ -725,7 +735,7 @@ object EventStreams {
     // START (cloned session) like the partition count, restored in the
     // finally.
     val prevProvider = s.conf.getOption(StateProviderConf)
-    if (!boundedState && stagedBytes > RocksDbStagedBytes)
+    if (!boundedState && stagedBytes > rocksDbThreshold(s))
       s.conf.set(StateProviderConf,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // Write-mode contract per OutputMode (r13 advice — Append joined the
@@ -760,7 +770,10 @@ object EventStreams {
       prevProvider match {
         case Some(p) => s.conf.set(StateProviderConf, p)
         case None =>
-          try s.conf.unset(StateProviderConf) catch { case _: Throwable => () }
+          // unset only when present — no blanket catch that could swallow a
+          // fatal error surfacing through the restore path (r15 advice)
+          if (s.conf.getOption(StateProviderConf).isDefined)
+            s.conf.unset(StateProviderConf)
       }
       Files.deleteIfExists(staged.resolve(file))
       Files.deleteIfExists(staged)
@@ -768,7 +781,8 @@ object EventStreams {
     s.read.parquet(outDir)
   }
 
-  private val StateProviderConf = "spark.sql.streaming.stateStore.providerClass"
+  private[graft] val StateProviderConf =
+    "spark.sql.streaming.stateStore.providerClass"
 
   /** Staged-input size past which [[runStagedViaFiles]] switches the state
     * backend to RocksDB: sized between the sf100 events file (1.57 GB —
@@ -776,6 +790,17 @@ object EventStreams {
     * (12.5 GB — q58's per-entity state OOM'd in-heap, round 15).
     */
   val RocksDbStagedBytes: Long = 4L << 30
+
+  /** Session-conf override for [[RocksDbStagedBytes]] — the knob a cluster
+    * operator tunes like any memory threshold (and the seam StateBackendSpec
+    * uses to drive the switch on a KB-scale fixture).
+    */
+  private[graft] val RocksDbStagedBytesConf =
+    "spark.graft.streaming.rocksdbStagedBytes"
+
+  private def rocksDbThreshold(s: SparkSession): Long =
+    s.conf.getOption(RocksDbStagedBytesConf).map(_.toLong)
+      .getOrElse(RocksDbStagedBytes)
 
   /** q33_stream_session — the REGISTERED mapGroupsWithState query: one
     * bounded Update-mode pass of [[sessionize]] over the staged events.
@@ -787,6 +812,8 @@ object EventStreams {
     */
   def sessionQuery(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // state: ENTITY-keyed — one SessionAgg row per user; grows with the
+    // user population, so the RocksDB switch governs it past the threshold
     runStagedViaFiles(s, dir, "q33_stream_session",
         staged => sessionize(readEvents(s, staged)).toDF(),
         OutputMode.Update())
@@ -887,6 +914,8 @@ object EventStreams {
     * the batch fold keeps.
     */
   def debounceQuery(s: SparkSession, dir: String): DataFrame =
+    // state: ENTITY-keyed — O(1) per (user, event_type) key (the last kept
+    // µs), but the key population scales with users
     runStagedViaFiles(s, dir, "q39_stream_debounce",
       staged => streamingDebounce(readEvents(s, staged),
         graft.operators.Behavior.GateDebounceUs)
@@ -936,6 +965,7 @@ object EventStreams {
     * gates the stateful streaming path.
     */
   def attributionQuery(s: SparkSession, dir: String): DataFrame =
+    // state: ENTITY-keyed — one last-touch register per user
     runStagedViaFiles(s, dir, "q42_stream_attribution",
       staged => streamingAttribution(readEvents(s, staged))
         .toDF("user_id", "purchase_id", "purchase_us", "click_id", "latency_us"),
@@ -949,6 +979,8 @@ object EventStreams {
     * chain end-to-end.
     */
   def activeQuery(s: SparkSession, dir: String): DataFrame =
+    // state: ENTITY-keyed — per-user covered-day sets (bounded by each
+    // user's active span, but user count scales with the corpus)
     runStagedViaFiles(s, dir, "q38_stream_active",
       staged => streamingRollingActive(readEvents(s, staged)))
 
@@ -1052,6 +1084,9 @@ object EventStreams {
     * the DuckDB batch oracle gates the symmetric-state path end-to-end.
     */
   def streamJoinQuery(s: SparkSession, dir: String): DataFrame =
+    // state: ROW-scale — symmetric join buffers hold every in-watermark row
+    // of BOTH sides; the largest state of any twin, the RocksDB switch's
+    // prime customer (sf1000-probed round 16)
     runStagedViaFiles(s, dir, "q43_stream_join",
       staged => streamJoin(readEvents(s, staged), readEvents(s, staged)),
       OutputMode.Append())
@@ -1093,9 +1128,11 @@ object EventStreams {
     * inner join drops nothing).
     */
   def streamEnrichQuery(s: SparkSession, dir: String): DataFrame =
+    // state: NONE — stream×static joins keep no keyed state (the static
+    // side is a broadcast); declared bounded so the backend never churns
     runStagedViaFiles(s, dir, "q44_stream_enrich",
       staged => streamEnrich(readEvents(s, staged), dir),
-      OutputMode.Append())
+      OutputMode.Append(), boundedState = true)
 
   /** Streaming dedup via Spark's built-in `dropDuplicatesWithinWatermark` —
     * the engine-native twin of [[incrementalDedup]]: state per key is
@@ -1125,6 +1162,9 @@ object EventStreams {
     * oracle gates Spark's built-in streaming-dedup operator end-to-end.
     */
   def dedupQuery(s: SparkSession, dir: String): DataFrame =
+    // state: ENTITY-keyed — one key per distinct (user_id, event_type)
+    // inside the watermark horizon; grows with the user population
+    // (sf1000-probed round 16)
     runStagedViaFiles(s, dir, "q47_stream_dedup",
       staged => dedupWithinWatermark(readEvents(s, staged)),
       OutputMode.Append())
@@ -1167,9 +1207,12 @@ object EventStreams {
     * selects.
     */
   def rollupQuery(s: SparkSession, dir: String): DataFrame =
+    // state: TIME-keyed — both tiers key on (window × event_type); rows
+    // grow with the covered span (4+1 windows/hour × |types|), never with
+    // event count; structurally bounded under corpus growth
     runStagedViaFiles(s, dir, "q48_stream_rollup",
       staged => windowRollup(readEvents(s, staged)),
-      OutputMode.Append())
+      OutputMode.Append(), boundedState = true)
 
   /** q57_stream_drift — the STREAMING twin of `Profile.driftPsi`, the shape
     * a production drift monitor actually runs: the reference deciles are
@@ -1254,6 +1297,8 @@ object EventStreams {
     * streaming path end-to-end (the q25/q56/q57 full-replay discipline).
     */
   def streamAnomalyQuery(s: SparkSession, dir: String): DataFrame = {
+    // state: ENTITY-keyed — (user × day) windowed counts, the sf1000 OOM
+    // that sized the RocksDB switch (~401 M state rows at 12.5 GB staged)
     val daily = runStagedViaFiles(s, dir, "q58_stream_anomaly", staged =>
       readEvents(s, staged)
         .withWatermark("ts", "2 hours")
@@ -1280,6 +1325,7 @@ object EventStreams {
     * q57/q58 monitor-twin discipline).
     */
   def streamCdcQuery(s: SparkSession, dir: String): DataFrame =
+    // state: ENTITY-keyed — one last-write-wins register per CDC key
     runStagedViaFiles(s, dir, "q59_stream_cdc", staged =>
       graft.operators.Behavior.cdcSnapshot(readEvents(s, staged)))
 
