@@ -1053,54 +1053,80 @@ object Dedup {
       threshold: Double): (DataFrame, DataFrame) = {
     val combined =
       graft.TransientCache.memo(s"jaccard3-groupgraph:$dir:$threshold") {
-        import s.implicits._
-        // EXACT-TEXT COLLAPSE BEFORE TOKENIZATION (round 15, from the
-        // sf1000 probe): the first shape shingled every document and let
-        // jaccardGroups' identical-SET grouping do the collapse — which
-        // meant the typed shingle map, the dictionary explode and the
-        // per-doc encode all ran corpus-sized, and jaccardGroups' internal
-        // cache held one token array PER DOCUMENT. At factor 10,000
-        // (49 M docs, ~5 k distinct texts) the execution+storage
-        // contention OOM'd stage 5 outright. Identical TEXTS have
-        // identical shingle sets by determinism, so collapsing on
-        // md5(text) FIRST is lossless: only distinct texts are ever
-        // shingled/encoded, reps carry min member doc_id, and since the
-        // shingle-group gid is the min over rep ids = min over all member
-        // ids, every downstream label is bit-identical. The md5 groupBy
-        // ships 40 B/doc (digest + id) with map-side combine; the rep
-        // text fetch is an equi-join AQE broadcasts when distinct content
-        // is small and shuffle-joins otherwise — on a fully-distinct
-        // corpus the collapse degenerates to one extra narrow exchange,
-        // the same insurance-premium class as the round-12 set collapse.
         val docsT = Tables.documents(s, dir)
           .select(col("doc_id"), col("text"))
           // null text -> no shingles -> outside the graph (the typed map
           // guard every tokenize pass carries)
           .filter(col("text").isNotNull)
-        val tg = graft.TransientCache.cache(
-          docsT.select(col("doc_id"), md5(col("text")).as("tkey"))
-            .groupBy("tkey")
-            .agg(min(col("doc_id")).as("rep"),
-              collect_list(col("doc_id")).as("members")))
-        val repSets = docsT
-          .join(tg.select(col("rep").as("doc_id")), "doc_id")
-          .as[(Long, String)]
-          .map { case (id, text) => (id, shingleSet(text)) }
-          .toDF("doc_id", "toks")
-        val (gset, verified) = jaccardGroups(s, repSets, threshold)
-        val membership = gset
-          .select(col("gid"), explode(col("ids")).as("rep"))
-          .join(tg.select(col("rep"), col("members")), "rep")
-          .select(col("gid"), explode(col("members")).as("did"))
-        membership.select(lit("m").as("kind"), col("did").as("a"),
-            col("gid").as("b"))
-          .unionByName(verified.select(lit("e").as("kind"),
-            col("g1").as("a"), col("g2").as("b")))
+        groupGraphOf(s, docsT, threshold)
       }
     (combined.filter(col("kind") === "m")
        .select(col("a").as("doc_id"), col("b").as("gid")),
      combined.filter(col("kind") === "e")
        .select(col("a").as("g1"), col("b").as("g2")))
+  }
+
+  /** Group-graph construction over a caller-supplied (doc_id, text) frame —
+    * the body of [[groupGraph]], parameterized so DedupSpec can run the
+    * exact-text collapse against the pre-collapse shape on a planted corpus
+    * and pin their label-for-label equality (the losslessness argument,
+    * tested rather than asserted). Production always collapses.
+    */
+  private[graft] def groupGraphOf(s: SparkSession, docsT: DataFrame,
+      threshold: Double, collapseExact: Boolean = true): DataFrame = {
+    import s.implicits._
+    // EXACT-TEXT COLLAPSE BEFORE TOKENIZATION (round 15, from the
+    // sf1000 probe): the first shape shingled every document and let
+    // jaccardGroups' identical-SET grouping do the collapse — which
+    // meant the typed shingle map, the dictionary explode and the
+    // per-doc encode all ran corpus-sized, and jaccardGroups' internal
+    // cache held one token array PER DOCUMENT. At factor 10,000
+    // (49 M docs, ~5 k distinct texts) the execution+storage
+    // contention OOM'd stage 5 outright. Identical TEXTS have
+    // identical shingle sets by determinism, so collapsing on
+    // md5(text) FIRST is lossless: only distinct texts are ever
+    // shingled/encoded, reps carry min member doc_id, and since the
+    // shingle-group gid is the min over rep ids = min over all member
+    // ids, every downstream label is bit-identical. The md5 groupBy
+    // ships 40 B/doc (digest + id) with map-side combine; the rep
+    // text fetch is an equi-join AQE broadcasts when distinct content
+    // is small and shuffle-joins otherwise — on a fully-distinct
+    // corpus the collapse degenerates to one extra narrow exchange,
+    // the same insurance-premium class as the round-12 set collapse.
+    if (collapseExact) {
+      val tg = graft.TransientCache.cache(
+        docsT.select(col("doc_id"), md5(col("text")).as("tkey"))
+          .groupBy("tkey")
+          .agg(min(col("doc_id")).as("rep"),
+            collect_list(col("doc_id")).as("members")))
+      val repSets = docsT
+        .join(tg.select(col("rep").as("doc_id")), "doc_id")
+        .as[(Long, String)]
+        .map { case (id, text) => (id, shingleSet(text)) }
+        .toDF("doc_id", "toks")
+      val (gset, verified) = jaccardGroups(s, repSets, threshold)
+      val membership = gset
+        .select(col("gid"), explode(col("ids")).as("rep"))
+        .join(tg.select(col("rep"), col("members")), "rep")
+        .select(col("gid"), explode(col("members")).as("did"))
+      membership.select(lit("m").as("kind"), col("did").as("a"),
+          col("gid").as("b"))
+        .unionByName(verified.select(lit("e").as("kind"),
+          col("g1").as("a"), col("g2").as("b")))
+    } else {
+      // the pre-r15 shape, kept ONLY as the differential baseline for the
+      // losslessness property test: every document shingled, the identical-
+      // SET grouping inside jaccardGroups doing the whole collapse
+      val sets = docsT
+        .as[(Long, String)]
+        .map { case (id, text) => (id, shingleSet(text)) }
+        .toDF("doc_id", "toks")
+      val (gset, verified) = jaccardGroups(s, sets, threshold)
+      gset.select(lit("m").as("kind"), explode(col("ids")).as("a"),
+          col("gid").as("b"))
+        .unionByName(verified.select(lit("e").as("kind"),
+          col("g1").as("a"), col("g2").as("b")))
+    }
   }
 
   def clusters(s: SparkSession, dir: String, threshold: Double = 0.5,

@@ -589,4 +589,50 @@ class DedupSpec extends AnyFunSuite {
     assert(got.exists(_._5 > 0), "no source pair shares a shingle — vacuous")
     TransientCache.release(spark)
   }
+
+  test("groupGraph exact-text collapse is lossless: collapse on/off produce " +
+      "identical membership and edges on planted duplicate+near-dup corpora") {
+    // The r15 sf1000 fix collapses identical texts on md5 BEFORE shingling.
+    // The in-code argument (identical texts ⇒ identical shingle sets; gid =
+    // min over rep ids = min over member ids) is pinned here differentially:
+    // the collapsed path must equal the pre-collapse shape label-for-label,
+    // not just on the oracle fixture's particular duplicate pattern. Three
+    // seeded corpora, each with exact-duplicate clusters of varied depth
+    // (incl. singletons), near-dup variants bridging clusters, and ids
+    // assigned in shuffled order so min-id election is non-trivial.
+    val s = spark
+    import s.implicits._
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima", "mike",
+      "november", "oscar", "papa", "quebec", "romeo", "sierra", "tango",
+      "uniform", "victor", "whiskey", "xray", "yankee", "zulu")
+    for (seed <- Seq(7L, 41L, 1234L)) {
+      val rnd = new scala.util.Random(seed)
+      def text(n: Int): String =
+        Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+      val bases = Seq.fill(6)(text(10 + rnd.nextInt(8)))
+      val texts = scala.collection.mutable.Buffer[String]()
+      bases.foreach { b =>
+        val depth = 1 + rnd.nextInt(5) // exact-dup cluster, depth 1..5
+        (0 until depth).foreach(_ => texts += b)
+        if (rnd.nextBoolean()) texts += b + " " + text(2) // near-dup variant
+      }
+      (0 until 4).foreach(_ => texts += text(12)) // distinct background
+      val ids = rnd.shuffle((0 until texts.size).map(_.toLong * 3 + 1).toVector)
+      val docsDf = ids.zip(texts).toDF("doc_id", "text")
+      def graphOf(collapse: Boolean): Set[(String, Long, Long)] =
+        Dedup.groupGraphOf(spark, docsDf, 0.5, collapseExact = collapse)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val on = graphOf(true)
+      val off = graphOf(false)
+      assert(on == off, s"collapse on/off diverged at seed $seed: " +
+        s"only-on=${(on -- off).take(5)} only-off=${(off -- on).take(5)}")
+      // non-vacuous: the corpus actually has multi-member groups and at
+      // least one verified cross-group edge somewhere in the three seeds
+      assert(on.count(_._1 == "m") == texts.size,
+        s"membership rows != docs at seed $seed")
+    }
+    TransientCache.release(spark)
+  }
 }
