@@ -18,8 +18,21 @@ import java.nio.file.{Files, Paths}
   * pattern) now shows up as an elevated probe sample bracketing exactly that
   * block, so spike adjudication is mechanical instead of a three-rerun
   * manual protocol.
+  *
+  * `queries_norm` (round 16) applies those probes: each raw time scaled to
+  * the declared reference machine speed ([[RefCalibSec]]) by its nearest
+  * probe — the diagnostic view for round-over-round comparison. Raw stays
+  * the grade.
   */
 object Bench {
+  /** Reference machine speed for `queries_norm`: the round-15 session-start
+    * calibration (the quietest measured state of this container; rounds
+    * 13–15 session calibs ran 0.209–0.247). A probe at exactly this speed
+    * leaves the raw number unchanged; a loaded window (probe > ref) scales
+    * its queries DOWN toward what the quiet machine would have measured.
+    */
+  val RefCalibSec = 0.229
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -56,7 +69,12 @@ object Bench {
         .selectExpr("sum(xxhash64(id) % 1000000)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val calibration = if (only.isDefined) -1.0 else {
+    // SPARK_GRAFT_BENCH_CALIB=1 forces the session scalar even in subset
+    // mode — the isolated-re-measure flow (round 16): a one-query
+    // adjudication run is uninterpretable without knowing the machine
+    // speed it ran at.
+    val forceCalib = sys.env.get("SPARK_GRAFT_BENCH_CALIB").contains("1")
+    val calibration = if (only.isDefined && !forceCalib) -1.0 else {
       calibOnce() // warm-up (codegen for the calibration plan itself)
       Seq.fill(3)(calibOnce()).min
     }
@@ -184,8 +202,26 @@ object Bench {
       .map { case (i, after, sec) =>
         s"""{"i":$i,"after":"$after","sec":${f"$sec%.3f"}}""" }
       .mkString("[", ",", "]")
+    // Load-normalized diagnostics (round 16): each raw time scaled by
+    // RefCalibSec / nearest-probe — what the query would have cost at the
+    // declared reference machine speed, so round-over-round comparison no
+    // longer needs a manual read of calib_windows per spike window. RAW
+    // stays the primary metric ("value"/"queries"); the norm is diagnostic
+    // (a probe brackets ~16 queries, so it corrects sustained load, not
+    // per-query jitter). Subset runs take no probes → no norm map.
+    val normJson =
+      if (calibWindows.isEmpty) None
+      else {
+        def nearestProbe(idx: Int): Double =
+          calibWindows.minBy { case (i, _, _) => math.abs(i - (idx + 1)) }._3
+        Some(results.zipWithIndex.map { case ((k, v), idx) =>
+          val norm = if (v < 0) v else v * (RefCalibSec / nearestProbe(idx))
+          "\"" + k + "\":" + f"$norm%.3f"
+        }.mkString("{", ",", "}"))
+      }
+    val normField = normJson.map(n => s""","queries_norm":$n""").getOrElse("")
     val out =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","calibration":${f"$calibration%.3f"},"calib_windows":$calibJson,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","calibration":${f"$calibration%.3f"},"calib_windows":$calibJson,"queries":$qs$normField,"failed":$failedJson,"sf":"$sfDir"}"""
     println(out)
     sys.env.get("BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), out + "\n"))
     // The driver's per-round artifact captures only the TAIL of the stdout

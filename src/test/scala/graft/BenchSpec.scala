@@ -101,13 +101,26 @@ class BenchSpec extends AnyFunSuite {
     // on: present, non-empty, indices strictly increasing, probe times
     // positive. Dropping the field (or emitting garbage) must fail the
     // suite, not silently revert adjudication to the manual protocol.
+    // Dump files resolve through the GIT INDEX like the committed-dump rule
+    // above (r15 advice: the contract is about COMMITTED dumps — a stray
+    // untracked/in-progress dump mid-round must not fail the suite);
+    // directory-listing fallback when git is unavailable.
     val repo = new java.io.File(".").getCanonicalFile
-    val dumps = Option(repo.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.getName.startsWith("BENCH_LOCAL_r") &&
-        f.getName.endsWith(".json"))
-      .flatMap(f => f.getName.stripPrefix("BENCH_LOCAL_r")
-        .stripSuffix(".json").toIntOption.map(_ -> f))
-      .filter(_._1 >= 15)
+    val tracked: Option[Set[String]] =
+      try {
+        val p = new ProcessBuilder("git", "ls-files").directory(repo).start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream)
+          .getLines().toSet
+        if (p.waitFor() == 0) Some(out) else None
+      } catch { case _: java.io.IOException => None }
+    val names = tracked.getOrElse(
+      Option(repo.listFiles()).getOrElse(Array.empty).toSeq
+        .map(_.getName).toSet)
+    val dumps = names.toSeq
+      .filter(n => n.startsWith("BENCH_LOCAL_r") && n.endsWith(".json"))
+      .flatMap(n => n.stripPrefix("BENCH_LOCAL_r")
+        .stripSuffix(".json").toIntOption.map(_ -> new java.io.File(repo, n)))
+      .filter { case (r, f) => r >= 15 && f.isFile }
     dumps.foreach { case (n, f) =>
       val txt = {
         val src = scala.io.Source.fromFile(f)
@@ -124,6 +137,29 @@ class BenchSpec extends AnyFunSuite {
         s"BENCH_LOCAL_r$n.json calib window indices not strictly increasing: $is")
       assert(entries.forall(_.group(2).toDouble > 0.0),
         s"BENCH_LOCAL_r$n.json has a non-positive calib probe")
+      // queries_norm (round 16): the probe-normalized diagnostic view —
+      // present from r16 dumps on, same key set as "queries", each entry
+      // either -1 (failed, mirroring raw) or positive. Raw stays the grade;
+      // this pin only stops the field from silently disappearing or
+      // desynchronizing from the query set.
+      if (n >= 16) {
+        def keysOf(field: String): Option[Set[String]] =
+          (s""""$field":\\{(.*?)\\}""").r.findFirstMatchIn(txt).map(m =>
+            """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
+              .map(_.group(1)).toSet)
+        val raw = keysOf("queries")
+        val norm = keysOf("queries_norm")
+        assert(norm.isDefined,
+          s"BENCH_LOCAL_r$n.json lacks queries_norm — Bench.scala regressed")
+        assert(norm == raw,
+          s"BENCH_LOCAL_r$n.json queries_norm keys != queries keys")
+        val normVals = """"queries_norm":\{(.*?)\}""".r
+          .findFirstMatchIn(txt).get.group(1)
+        val vals = """:(-?[0-9.]+)""".r.findAllMatchIn(normVals)
+          .map(_.group(1).toDouble).toSeq
+        assert(vals.forall(v => v > 0.0 || v == -1.0),
+          s"BENCH_LOCAL_r$n.json queries_norm has a non-positive non-failed entry")
+      }
     }
   }
 }
