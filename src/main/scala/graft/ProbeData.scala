@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   *     real shape of more traffic over the same month), and the reference
   *     dims (region, nation) stay constant like any conformed dimension.
   *
-  * The generator is one union of narrow projections per table — no
-  * driver-side data, safe at any factor a local disk can hold.
+  * The generator is one crossJoin per table against a broadcast replica
+  * range (a factor-way union was O(factor) plan nodes — analysis poison at
+  * the sf1000 probe's factor 10,000) — no driver-side data, safe at any
+  * factor a local disk can hold.
   */
 object ProbeData {
 
@@ -54,15 +56,21 @@ object ProbeData {
     // differs — replica-minor instead of replica-major — which nothing
     // downstream reads); replica 0 stays verbatim, r ≥ 1 drop the
     // replicaFilter rows, exactly as before.
-    val reps = df.sparkSession.range(factor.toLong).select(col("id").as("rep"))
+    // collision-proof internal column name (r15 advice): a payload column
+    // literally named "rep" would otherwise be ambiguous (or silently
+    // dropped) — no fixture table may shadow the replica index
+    val RepCol = "__replica__"
+    require(!df.columns.contains(RepCol),
+      s"replicate: input already has a $RepCol column")
+    val reps = df.sparkSession.range(factor.toLong).select(col("id").as(RepCol))
     val crossed = df.crossJoin(broadcast(reps))
     val kept = replicaFilter match {
-      case Some(f) => crossed.filter(col("rep") === 0L || f)
+      case Some(f) => crossed.filter(col(RepCol) === 0L || f)
       case None => crossed
     }
     keys.foldLeft(kept)((d, k) =>
-      d.withColumn(k, col(k) + col("rep") * lit(ReplicaShift)))
-      .drop("rep")
+      d.withColumn(k, col(k) + col(RepCol) * lit(ReplicaShift)))
+      .drop(RepCol)
   }
 
   def main(args: Array[String]): Unit = {

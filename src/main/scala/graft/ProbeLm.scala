@@ -144,17 +144,19 @@ object ProbeLm {
     time("lm_collect_fold") { force(lmScoreCollect(spark, dir)) }
     time("lm_window_cached") { force(lmScoreWindowCached(spark, dir)) }
     time("lm_shipped") { force(operators.Corpus.lmScore(spark, dir)) }
-    // bit-equality: identical row multisets, doubles compared at the BIT
-    // level (xxhash64 hashes the double's bytes; doc_id is unique, so
-    // equal count + equal xor-of-row-hashes == row-wise bit equality).
-    // Computed SEQUENTIALLY — a join of both pipelines co-resident OOM'd
-    // the 24 g heap at sf100; two fingerprint passes need nothing but a
-    // pair of longs each.
+    // bit-equality fingerprint: identical row multisets, doubles compared
+    // at the BIT level (xxhash64 hashes the double's bytes). PROBABILISTIC,
+    // not proof — xor aggregation can cancel two compensating row
+    // differences — so two independent hash seeds shrink the collision
+    // surface to ~2^-128 per differing pair (r15 advice). Computed
+    // SEQUENTIALLY — a join of both pipelines co-resident OOM'd the 24 g
+    // heap at sf100; two fingerprint passes need nothing but longs.
     if (!timingsOnly) time("equality_fingerprint") {
-      def fp(df: DataFrame): (Long, Long) = {
+      def fp(df: DataFrame): (Long, Long, Long) = {
         val r = df.agg(count(lit(1)), expr(
-          "bit_xor(xxhash64(doc_id, n_bigrams, n_singleton, sum_p))")).head
-        val out = (r.getLong(0), r.getLong(1))
+          "bit_xor(xxhash64(doc_id, n_bigrams, n_singleton, sum_p))"), expr(
+          "bit_xor(xxhash64(sum_p, n_singleton, n_bigrams, doc_id, 42L))")).head
+        val out = (r.getLong(0), r.getLong(1), r.getLong(2))
         TransientCache.release(spark)
         out
       }
