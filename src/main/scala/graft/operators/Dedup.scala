@@ -332,6 +332,44 @@ object Dedup {
     java.util.Base64.getEncoder.encodeToString(md.digest())
   }
 
+  /** Exact-text collapse BEFORE tokenization — the minhash-family extension
+    * (round 16) of [[groupGraphOf]]'s round-15 sf1000 fix: one row per
+    * DISTINCT text with rep = min member doc_id, the full member list and
+    * the member count. Identical texts produce identical shingle sets,
+    * signatures and band keys by determinism, so grouping on md5(text)
+    * FIRST is lossless for every identical-SET consumer downstream: the
+    * skey groups merge text-groups instead of docs, gid = min over reps =
+    * min over all members (each rep is already the min of its text-group),
+    * ids = concatenated member lists (same multiset; collect_list order was
+    * never deterministic), n = summed member counts. What changes is the
+    * physics: the shingle map, the 64-slot signature hashing and the skey
+    * shuffle run once per DISTINCT text, and the corpus-sized shuffle ships
+    * 40 B/doc of md5 digests with map-side combine instead of per-doc
+    * shingle arrays + 512 B signatures (the sf1000 fixture's shape: 49 M
+    * docs, ~5 k distinct texts — the pre-collapse skey exchange alone was
+    * tens of GB of repeated arrays). On a fully-distinct corpus the
+    * collapse degenerates to one extra narrow exchange — the same
+    * insurance-premium class as the round-12 set collapse.
+    */
+  private def textGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("tkey"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        first(col("text")).as("text"),
+        collect_list(col("doc_id")).as("members"),
+        count(lit(1)).as("tn"))
+      .select("doc_id", "text", "members", "tn")
+
+  /** (doc_id, text, members, tn) with the exact-text collapse on or off.
+    * The off branch is the pre-collapse identity shape (every doc its own
+    * text-group), kept ONLY as the differential baseline for the DedupSpec
+    * losslessness property tests — production always collapses.
+    */
+  private def collapsedDocs(docs: DataFrame, collapseExact: Boolean): DataFrame =
+    if (collapseExact) textGroups(docs)
+    else docs.select(col("doc_id"), col("text"),
+      array(col("doc_id")).as("members"), lit(1L).as("tn"))
+
   /** dedup_minhash — near-duplicate pairs: LSH candidates verified with the
     * EXACT shingle-set Jaccard (so output is deterministic given recall ≈ 1
     * at j ≥ threshold), filtered at `threshold`.
@@ -353,26 +391,37 @@ object Dedup {
     * signature is an order-independent function of the set.
     */
   def minhash(s: SparkSession, dir: String, threshold: Double = 0.5,
-      sampleMod: Option[Int] = None): DataFrame = {
+      sampleMod: Option[Int] = None): DataFrame =
+    minhashOf(s, maybeSample(Tables.documents(s, dir), sampleMod)
+      .select(col("doc_id"), col("text")), threshold)
+
+  /** Body of [[minhash]] over a caller-supplied (doc_id, text) frame —
+    * parameterized on the exact-text collapse so DedupSpec can pin the
+    * collapsed path equal to the pre-collapse shape differentially.
+    */
+  private[graft] def minhashOf(s: SparkSession, docsIn: DataFrame,
+      threshold: Double, collapseExact: Boolean = true): DataFrame = {
     import s.implicits._
-    val docs = maybeSample(Tables.documents(s, dir), sampleMod)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
+    // exact-text collapse first ([[textGroups]]): shingling, signatures and
+    // the skey shuffle run once per DISTINCT text; member lists ride along
+    // so the identical-set groups below merge text-groups, not docs
+    val docs = collapsedDocs(docsIn, collapseExact)
+      .as[(Long, String, Seq[Long], Long)]
+      .map { case (id, text, mem, tn) =>
         val sh = shingleSet(text)
-        (id, sh, bandKeys(sh), setKey(sh))
+        (id, sh, bandKeys(sh), setKey(sh), mem, tn)
       }
-      .toDF("doc_id", "sh", "bands", "skey")
+      .toDF("doc_id", "sh", "bands", "skey", "members", "tn")
     // transient: the unique-set frame feeds banding, both verification join
     // sides, the survivor gate and the member fan-in within this one query;
     // the harness releases the blocks after the consuming action
     val gset = graft.TransientCache.cache(
       docs.groupBy("skey").agg(
         min(col("doc_id")).as("gid"),
-        collect_list(col("doc_id")).as("ids"),
+        flatten(collect_list(col("members"))).as("ids"),
         first(col("sh")).as("sh"),
         first(col("bands")).as("bands"),
-        count(lit(1)).as("n")))
+        sum(col("tn")).as("n")))
     val banded = gset.select(col("gid"), col("n"),
       posexplode(col("bands")).as(Seq("band", "bkey")))
     val capped = banded
@@ -419,7 +468,16 @@ object Dedup {
     * gate needs no float discipline at all.
     */
   def minhashEstError(s: SparkSession, dir: String,
-      sampleMod: Option[Int] = None): DataFrame = {
+      sampleMod: Option[Int] = None): DataFrame =
+    minhashEstErrorOf(s, maybeSample(Tables.documents(s, dir), sampleMod)
+      .select(col("doc_id"), col("text")))
+
+  /** Body of [[minhashEstError]] over a caller-supplied (doc_id, text)
+    * frame — parameterized on the exact-text collapse for the DedupSpec
+    * differential losslessness test.
+    */
+  private[graft] def minhashEstErrorOf(s: SparkSession, docsIn: DataFrame,
+      collapseExact: Boolean = true): DataFrame = {
     import s.implicits._
     // identical-set collapse (round 12 — the same 100×-probe finding as
     // [[minhash]]: doc-level candidates go quadratic in replica depth,
@@ -429,23 +487,26 @@ object Dedup {
     // n1·n2 pairs to its cell arithmetically, and a surviving group's
     // within-group pairs are C(n, 2) on the exact (10, 10) diagonal
     // (identical sets ⇒ est_m = NumHashes, ov = un). Cap semantics stay
-    // doc-level exactly as in [[minhash]].
-    val docs = maybeSample(Tables.documents(s, dir), sampleMod)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
+    // doc-level exactly as in [[minhash]]. The exact-text collapse
+    // ([[textGroups]], round 16) runs FIRST — only member COUNTS matter
+    // here, so text-group sizes sum into the set-group n and the member
+    // lists never ride at all.
+    val docs = collapsedDocs(docsIn, collapseExact)
+      .select("doc_id", "text", "tn")
+      .as[(Long, String, Long)]
+      .map { case (id, text, tn) =>
         val sh = shingleSet(text)
         val sig = signature(sh)
-        (id, sh, sig, bandsOfSig(sig), setKey(sh))
+        (id, sh, sig, bandsOfSig(sig), setKey(sh), tn)
       }
-      .toDF("doc_id", "sh", "sig", "bands", "skey")
+      .toDF("doc_id", "sh", "sig", "bands", "skey", "tn")
     val gset = graft.TransientCache.cache(
       docs.groupBy("skey").agg(
         min(col("doc_id")).as("gid"),
         first(col("sh")).as("sh"),
         first(col("sig")).as("sig"),
         first(col("bands")).as("bands"),
-        count(lit(1)).as("n")))
+        sum(col("tn")).as("n")))
     val banded = gset.select(col("gid"), col("n"),
       posexplode(col("bands")).as(Seq("band", "bkey")))
     val capped = banded
@@ -507,43 +568,65 @@ object Dedup {
     */
   def lshTune(s: SparkSession, dir: String, threshold: Double = 0.5,
       configs: Seq[(Int, Int)] = TuneConfigs,
-      sampleMod: Option[Int] = None): DataFrame = {
+      sampleMod: Option[Int] = None): DataFrame =
+    lshTuneOf(s, maybeSample(Tables.documents(s, dir), sampleMod)
+      .select(col("doc_id"), col("text")), threshold, configs)
+
+  /** Body of [[lshTune]] over a caller-supplied (doc_id, text) frame —
+    * parameterized on the exact-text collapse for the DedupSpec
+    * differential losslessness test.
+    */
+  private[graft] def lshTuneOf(s: SparkSession, docsIn: DataFrame,
+      threshold: Double, configs: Seq[(Int, Int)],
+      collapseExact: Boolean = true): DataFrame = {
     import s.implicits._
     // identical-set collapse (round 12, the minhash/minhashEstError 100×
     // finding ×3 configs): every config re-bands UNIQUE sets only, truth
     // counts fold arithmetically — cross-group true pairs map to group
     // pairs (all members share the groups' exact jaccard, so the decile is
     // computed once per pair of groups), within-group pairs are C(n,2) on
-    // decile 10 and gate on per-config cap survival like [[minhash]].
-    val docs = maybeSample(Tables.documents(s, dir), sampleMod)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
+    // decile 10 and gate on per-config cap survival like [[minhash]]. The
+    // exact-text collapse ([[textGroups]], round 16) runs FIRST: shingling
+    // and signatures once per DISTINCT text, text-group sizes summing into
+    // the set-group n.
+    val docs = collapsedDocs(docsIn, collapseExact)
+      .select("doc_id", "text", "tn")
+      .as[(Long, String, Long)]
+      .map { case (id, text, tn) =>
         val sh = shingleSet(text)
-        (id, sh, signature(sh), setKey(sh))
+        (id, sh, signature(sh), setKey(sh), tn)
       }
-      .toDF("doc_id", "sh", "sig", "skey")
+      .toDF("doc_id", "sh", "sig", "skey", "tn")
     val gset = graft.TransientCache.cache(
       docs.groupBy("skey").agg(
         min(col("doc_id")).as("gid"),
-        collect_list(col("doc_id")).as("ids"),
         first(col("sh")).as("sh"),
         first(col("sig")).as("sig"),
-        count(lit(1)).as("n")))
-    val docToGid = gset.select(explode(col("ids")).as("did"), col("gid"))
-    // cross-group truth: exact edges → unordered group pairs with member-
-    // pair counts; the decile is computed ONCE per group pair
+        sum(col("tn")).as("n")))
+    // cross-group truth at GROUP level (round 16): the pre-r16 truth side
+    // joined the memoized DOC-level [[similarityEdges]] pair set back to
+    // groups — recall-correct, but that artifact is quadratic inside
+    // replica quasi-cliques (at the sf1000 fixture it would materialize
+    // ~10¹¹ doc pairs just to count what is arithmetically na·nb per group
+    // pair). All members of a set-group share ONE shingle set, so a group
+    // pair is either entirely true pairs or entirely below threshold: run
+    // the same exact prefix-filter generator (recall 1, [[jaccardGroups]])
+    // over ONE REP PER GROUP and weight each verified group pair by na·nb
+    // — the identical doc-level truth mass, never the doc-level rows. The
+    // decile stays the gate's integer arithmetic over the rep shingle sets
+    // (never a re-floor of the verified double).
+    val (_, tVerified) = jaccardGroups(s,
+      gset.select(col("gid").as("doc_id"), col("sh").as("toks")), threshold)
     val crossTruth = graft.TransientCache.cache(
-      similarityEdges(s, dir, threshold, sampleMod)
-        .join(docToGid.select(col("did").as("doc1"), col("gid").as("g1")), "doc1")
-        .join(docToGid.select(col("did").as("doc2"), col("gid").as("g2")), "doc2")
-        .filter(col("g1") =!= col("g2"))
+      tVerified
         .select(least(col("g1"), col("g2")).as("ga"),
           greatest(col("g1"), col("g2")).as("gb"))
-        .groupBy("ga", "gb").agg(count(lit(1)).as("n_pairs"))
-        .join(gset.select(col("gid").as("ga"), col("sh").as("sha")), "ga")
-        .join(gset.select(col("gid").as("gb"), col("sh").as("shb")), "gb")
-        .select(col("ga"), col("gb"), col("n_pairs"), expr(
+        .join(gset.select(col("gid").as("ga"), col("sh").as("sha"),
+          col("n").as("na")), "ga")
+        .join(gset.select(col("gid").as("gb"), col("sh").as("shb"),
+          col("n").as("nb")), "gb")
+        .select(col("ga"), col("gb"),
+          (col("na") * col("nb")).as("n_pairs"), expr(
           """(10 * CAST(size(array_intersect(sha, shb)) AS BIGINT))
             | DIV CAST(size(array_union(sha, shb)) AS BIGINT)""".stripMargin)
           .as("j_decile")))
@@ -932,11 +1015,13 @@ object Dedup {
     * as a SHARED artifact: computed + materialized once per (dir, threshold)
     * and reused by every consumer in the session. Consumers that only need
     * connectivity should prefer [[groupGraph]] (clusters moved there round
-    * 13 — doc-level pairs go quadratic inside replica quasi-cliques); this
-    * remains the artifact for consumers that need the PAIRS themselves
-    * (recall harnesses, pair audits). At 100 TB it is a parquet dataset
-    * written between jobs; `TransientCache.memo` is its in-session
-    * equivalent.
+    * 13 — doc-level pairs go quadratic inside replica quasi-cliques), and
+    * the recall harness moved to GROUP-level truth in round 16 ([[lshTuneOf]]
+    * counts na·nb per verified group pair instead of joining this artifact);
+    * this remains the artifact for consumers that need the PAIRS themselves
+    * (pair audits, downstream joins keyed by doc pair). At 100 TB it is a
+    * parquet dataset written between jobs; `TransientCache.memo` is its
+    * in-session equivalent.
     */
   def similarityEdges(s: SparkSession, dir: String, threshold: Double = 0.5,
       sampleMod: Option[Int] = None): DataFrame =

@@ -635,4 +635,62 @@ class DedupSpec extends AnyFunSuite {
     }
     TransientCache.release(spark)
   }
+
+  test("minhash-family exact-text collapse is lossless: collapse on/off " +
+      "produce identical pairs, confusion matrices and recall tables") {
+    // Round 16 extends the groupGraph collapse (above) to minhash,
+    // minhashEstError and lshTune/dedupRecall: shingling, signatures and
+    // the skey shuffle run once per DISTINCT text. Same differential pin,
+    // same planted-corpus recipe: exact-dup clusters of varied depth,
+    // near-dup bridges, shuffled id assignment so min-id election is
+    // non-trivial. The outputs must be bit-identical (doubles included —
+    // both paths divide the same exact integers).
+    val s = spark
+    import s.implicits._
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima", "mike",
+      "november", "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    for (seed <- Seq(11L, 97L, 5150L)) {
+      val rnd = new scala.util.Random(seed)
+      def text(n: Int): String =
+        Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+      val bases = Seq.fill(5)(text(10 + rnd.nextInt(8)))
+      val texts = scala.collection.mutable.Buffer[String]()
+      bases.foreach { b =>
+        val depth = 1 + rnd.nextInt(5)
+        (0 until depth).foreach(_ => texts += b)
+        if (rnd.nextBoolean()) texts += b + " " + text(2)
+      }
+      (0 until 4).foreach(_ => texts += text(12))
+      val ids = rnd.shuffle((0 until texts.size).map(_.toLong * 7 + 3).toVector)
+      val docsDf = ids.zip(texts).toDF("doc_id", "text")
+      def diff[A](name: String, on: Set[A], off: Set[A]): Unit =
+        assert(on == off, s"$name collapse on/off diverged at seed $seed: " +
+          s"only-on=${(on -- off).take(5)} only-off=${(off -- on).take(5)}")
+      def mh(collapse: Boolean) =
+        Dedup.minhashOf(spark, docsDf, 0.5, collapseExact = collapse)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val mhOn = mh(true)
+      diff("minhash", mhOn, mh(false))
+      assert(mhOn.exists(_._3 == 1.0),
+        s"no exact-dup pair at seed $seed — collapse path vacuous")
+      def ee(collapse: Boolean) =
+        Dedup.minhashEstErrorOf(spark, docsDf, collapseExact = collapse)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val eeOn = ee(true)
+      diff("minhashEstError", eeOn, ee(false))
+      assert(eeOn.exists { case (e, t, _) => e == 10L && t == 10L },
+        s"no (10,10) diagonal mass at seed $seed — exact dups missing")
+      def lt(collapse: Boolean) =
+        Dedup.lshTuneOf(spark, docsDf, 0.5, Dedup.TuneConfigs,
+            collapseExact = collapse)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      diff("lshTune", lt(true), lt(false))
+      TransientCache.release(spark)
+    }
+  }
 }
