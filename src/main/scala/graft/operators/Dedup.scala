@@ -570,15 +570,24 @@ object Dedup {
       configs: Seq[(Int, Int)] = TuneConfigs,
       sampleMod: Option[Int] = None): DataFrame =
     lshTuneOf(s, maybeSample(Tables.documents(s, dir), sampleMod)
-      .select(col("doc_id"), col("text")), threshold, configs)
+      .select(col("doc_id"), col("text")), threshold, configs,
+      memoKey = Some(s"lshtune:$dir:$threshold:$sampleMod"))
 
   /** Body of [[lshTune]] over a caller-supplied (doc_id, text) frame —
     * parameterized on the exact-text collapse for the DedupSpec
-    * differential losslessness test.
+    * differential losslessness test. `memoKey` (set by the dir-based
+    * wrapper) memoizes the config-independent artifacts — the unique-set
+    * group table and the group-level truth — so the two registered harness
+    * queries (dedup_recall = the production config, lsh_tune = the sweep)
+    * build them ONCE per session, exactly as the pre-r16 shape shared the
+    * memoized doc-level edge set; at 100 TB both artifacts are small
+    * parquet datasets written between jobs (|distinct sets| rows and
+    * |verified group pairs| rows — never doc-level).
     */
   private[graft] def lshTuneOf(s: SparkSession, docsIn: DataFrame,
       threshold: Double, configs: Seq[(Int, Int)],
-      collapseExact: Boolean = true): DataFrame = {
+      collapseExact: Boolean = true,
+      memoKey: Option[String] = None): DataFrame = {
     import s.implicits._
     // identical-set collapse (round 12, the minhash/minhashEstError 100×
     // finding ×3 configs): every config re-bands UNIQUE sets only, truth
@@ -597,12 +606,17 @@ object Dedup {
         (id, sh, signature(sh), setKey(sh), tn)
       }
       .toDF("doc_id", "sh", "sig", "skey", "tn")
-    val gset = graft.TransientCache.cache(
+    def memoOr(suffix: String)(build: => DataFrame): DataFrame = memoKey match {
+      case Some(k) => graft.TransientCache.memo(s"$k:$suffix")(build)
+      case None => graft.TransientCache.cache(build)
+    }
+    val gset = memoOr("gset") {
       docs.groupBy("skey").agg(
         min(col("doc_id")).as("gid"),
         first(col("sh")).as("sh"),
         first(col("sig")).as("sig"),
-        sum(col("tn")).as("n")))
+        sum(col("tn")).as("n"))
+    }
     // cross-group truth at GROUP level (round 16): the pre-r16 truth side
     // joined the memoized DOC-level [[similarityEdges]] pair set back to
     // groups — recall-correct, but that artifact is quadratic inside
@@ -615,9 +629,9 @@ object Dedup {
     // — the identical doc-level truth mass, never the doc-level rows. The
     // decile stays the gate's integer arithmetic over the rep shingle sets
     // (never a re-floor of the verified double).
-    val (_, tVerified) = jaccardGroups(s,
-      gset.select(col("gid").as("doc_id"), col("sh").as("toks")), threshold)
-    val crossTruth = graft.TransientCache.cache(
+    val crossTruth = memoOr("truth") {
+      val (_, tVerified) = jaccardGroups(s,
+        gset.select(col("gid").as("doc_id"), col("sh").as("toks")), threshold)
       tVerified
         .select(least(col("g1"), col("g2")).as("ga"),
           greatest(col("g1"), col("g2")).as("gb"))
@@ -629,7 +643,8 @@ object Dedup {
           (col("na") * col("nb")).as("n_pairs"), expr(
           """(10 * CAST(size(array_intersect(sha, shb)) AS BIGINT))
             | DIV CAST(size(array_union(sha, shb)) AS BIGINT)""".stripMargin)
-          .as("j_decile")))
+          .as("j_decile"))
+    }
     // within-group truth is arithmetic: identical sets are jaccard 1
     // (decile 10), C(n,2) pairs per group, all guaranteed present in the
     // exact edge set by prefix-filter recall 1

@@ -189,8 +189,14 @@ class DedupSpec extends AnyFunSuite {
     assert(ids.size < docs.size, "sample kept everything — modulus vacuous")
     val df = Dedup.dedupRecall(spark, dir, sampleMod = Some(m))
     // the deterministic sample filter sits in the scan stage of the plan
-    // (before any shingling), not as a post-hoc pair filter
-    val plan = df.queryExecution.executedPlan.toString
+    // (before any shingling), not as a post-hoc pair filter. Since r16 the
+    // recall harness's scan lives inside the memoized config-independent
+    // artifact build (gset + group truth), so the query's own executed plan
+    // reads checkpointed rows; the scan-stage property is asserted on
+    // minhash's plan, which composes the SAME maybeSample(doc scan) frame
+    // the harness wrapper feeds lshTuneOf.
+    val plan = Dedup.minhash(spark, dir, threshold = 0.5, sampleMod = Some(m))
+      .queryExecution.executedPlan.toString
     assert(plan.contains("xxhash64"), s"sample filter missing from plan:\n$plan")
     val got = df.collect()
       .map(r => (r.getAs[Long]("j_decile"), r.getAs[Long]("n_true"),
