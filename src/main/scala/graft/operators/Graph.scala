@@ -53,13 +53,15 @@ object Graph {
   private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) =
     checkpointTracked(df, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** As [[checkpointTracked]] with an explicit storage level. Edge lists use
-    * MEMORY_AND_DISK_SER: a 100 TB-derived graph's edge checkpoint is the
-    * largest resident block in any iterative operator, UnsafeRows serialize
-    * ~3× narrower than their object form, and every round re-reads the
-    * whole thing — the sf100 probe measured the deserialized form OOMing
-    * pagerank outright (120 M bidirected edges ≈ 12 GB of row objects on a
-    * 24 g heap) where the serialized form fits and streams.
+  /** As [[checkpointTracked]] with an explicit storage level. Edge lists
+    * below [[EdgeSpillBytes]] use MEMORY_AND_DISK_SER: a 100 TB-derived
+    * graph's edge checkpoint is the largest resident block in any iterative
+    * operator, UnsafeRows serialize ~3× narrower than their object form,
+    * and every round re-reads the whole thing — the sf100 probe measured
+    * the deserialized form OOMing pagerank outright (120 M bidirected edges
+    * ≈ 12 GB of row objects on a 24 g heap) where the serialized form fits
+    * and streams. Past the threshold the checkpoint leaves the block
+    * manager entirely — see [[edgeCheckpoint]].
     */
   private def checkpointTracked(df: DataFrame,
       level: org.apache.spark.storage.StorageLevel): (DataFrame, Set[Int]) = {
@@ -73,6 +75,127 @@ object Graph {
     val live = s.sparkContext.getPersistentRDDs
     ids.foreach(id => live.get(id).foreach(_.unpersist(false)))
   }
+
+  /** Source-bytes threshold past which the EDGE checkpoint leaves the
+    * block manager for a bucketed snappy-parquet spill ([[edgeCheckpoint]]).
+    *
+    * Both block-manager forms were measured dying at sf1000 by the
+    * round-16 probe (1 B events / 12.5 GB source → ~1 B bidirected edge
+    * rows): (a) the memory-bearing MEMORY_AND_DISK_SER level OOM'd
+    * bfs_hops through the disk-block re-inflate path —
+    * `BlockManager.maybeCacheDiskBytesInMemory` allocates the whole
+    * serialized block as one on-heap buffer per reading task
+    * (`DiskBlockData.toChunkedByteBuffer`), and 32 concurrent round-join
+    * tasks × multi-hundred-MB blocks on an already-full memory store
+    * killed the 24 g heap; (b) DISK_ONLY fixed the OOM but the serialized
+    * row-block form carries NO columnar encoding (~30 B per two-long edge
+    * row), and together with the derivation shuffle resident on the same
+    * disk it exhausted the 65 GB scratch volume — every block put failed
+    * "No space left on device". The spill form is ~source-sized (columnar
+    * snappy), splittable, and never touches the block manager. The 4 GB
+    * sizing sits between the sf100 source (1.1 GB) that measured green
+    * memory-resident and the sf1000 source (12.5 GB) that died both ways —
+    * the same declared, sized switch as the streaming state backend's
+    * [[graft.streaming.EventStreams.RocksDbStagedBytes]].
+    */
+  val EdgeSpillBytes: Long = 4L << 30
+
+  /** Session-conf override for [[EdgeSpillBytes]] — the knob a cluster
+    * tunes to its executor memory/disk, and what lets a KB-scale spec
+    * fixture exercise both sides of the switch (GraphSpec).
+    */
+  private[graft] val EdgeSpillBytesConf = "graft.graph.edgeSpillBytes"
+
+  /** True when `dir`'s events source is past [[EdgeSpillBytes]] — the
+    * decision point for [[edgeCheckpoint]]'s storage form.
+    */
+  private[graft] def edgeSpills(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes =
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    val threshold = s.conf.getOption(EdgeSpillBytesConf).map(_.toLong)
+      .getOrElse(EdgeSpillBytes)
+    bytes > threshold
+  }
+
+  /** Handle on a materialized edge list: `df` re-reads it cheaply every
+    * round, `release()` frees the storage once the loop's outputs are
+    * themselves checkpointed.
+    */
+  private[graft] final case class EdgeCp(df: DataFrame, release: () => Unit)
+
+  /** Materialize the edge list for an iterative loop, in the storage form
+    * `dir`'s scale calls for.
+    *
+    * Below [[EdgeSpillBytes]]: an eager serialized block-manager checkpoint
+    * (fastest re-reads while the list is a fraction of the heap), hash
+    * partitioned on `key` first when `coLocate` — LogicalRDD preserves
+    * outputPartitioning, so every round's join reuses the one exchange.
+    *
+    * Past it: one bucketed snappy-parquet write (bucketBy(`key`), bucket
+    * count = shuffle partitions, repartitioned to one file per bucket),
+    * re-read as a bucketed table scan. This is checkpoint-to-DFS — what a
+    * production iterative job does on a cluster — and it keeps BOTH scale
+    * properties at once: the columnar compressed form is ~source-sized
+    * where the serialized row blocks measured ~4× bigger (see
+    * [[EdgeSpillBytes]]), and the bucketed scan reports the same
+    * hash-on-`key` outputPartitioning the in-memory path gets from its
+    * pre-checkpoint repartition, so the per-round join stays exchange-free
+    * on the edge side at ANY size.
+    */
+  private[graft] def edgeCheckpoint(s: SparkSession, dir: String,
+      edges: DataFrame, key: String, coLocate: Boolean): EdgeCp =
+    if (edgeSpills(s, dir)) {
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val name = "graft_edges_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      // one shuffle into bucket-aligned tasks (repartition hash == bucket
+      // hash) so each task writes exactly one file per bucket it owns —
+      // without it every input task writes a file per bucket (tasks ×
+      // buckets small files), and ONE file per bucket is also what lets
+      // the scan report the sortBy order below.
+      //
+      // sortBy(key) is the load-bearing half (measured, round-16 sf1000):
+      // a bucketed-but-unsorted table satisfies the join's distribution
+      // requirement, so no exchange is inserted on the edge side — and
+      // with no exchange there is no AQE re-plan boundary, so the
+      // sort-merge join SORTS the full edge list INSIDE every round's
+      // fused scan stage (the in-memory path keeps an exchange, which AQE
+      // converts to a broadcast join at runtime). Six rounds of sorting
+      // ~1 B edge rows OOM'd the timed bfs_hops run in the parquet read
+      // buffers under sorter pressure. Pre-sorted one-file buckets report
+      // their outputOrdering, so every round's SMJ streams the edge side
+      // sort-free — one write-time sort buys all rounds, at any frontier
+      // or rank-table size. Small row groups (16 MB) keep the vectored
+      // read's per-task heap buffers bounded: 32 concurrent tasks ×
+      // row-group-sized allocations is real memory at default 128 MB.
+      edges.repartition(n, col(key))
+        .write.format("parquet")
+        .option("parquet.block.size", (16L << 20).toString)
+        .bucketBy(n, key).sortBy(key).saveAsTable(name)
+      // Spark stopped propagating bucketed-table sort order by default in
+      // 3.0 (multi-file buckets would need a merge); the opt-in conf makes
+      // planning list the bucket files and report outputOrdering exactly
+      // when every bucket is one file — which the repartition above
+      // guarantees. Scoped to the spill's lifetime and restored to its
+      // prior value on release, the same capture/restore contract as the
+      // streaming state backend's provider conf.
+      val orderingConf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+      // effective prior value (the conf has a default, so getOption never
+      // reads as absent) — restored by an explicit set on release
+      val prior = s.conf.get(orderingConf)
+      s.conf.set(orderingConf, "true")
+      EdgeCp(s.table(name), () => {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        s.conf.set(orderingConf, prior)
+      })
+    } else {
+      val arranged = if (coLocate) edges.repartition(col(key)) else edges
+      val (df, ids) = checkpointTracked(arranged,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      EdgeCp(df, () => free(s, ids))
+    }
 
   /** Item node ids live at ItemBase + k so user and item ids share one
     * BIGINT node-id space without collision (fixture user_ids ≪ 10⁶; a
@@ -131,13 +254,15 @@ object Graph {
     */
   def pagerank(s: SparkSession, dir: String, rounds: Int = Rounds): DataFrame = {
     def free(ids: Set[Int]): Unit = Graph.free(s, ids)
-    // hash-partition the edge list on the per-round join key BEFORE the
-    // checkpoint: LogicalRDD preserves outputPartitioning, so every round's
-    // ranks⋈edges reuses it and only the rank side moves — unpartitioned,
-    // each of the `rounds` joins re-exchanged the full edge list (the sf100
-    // decade probe measured the bfs twin of this at 12.7× for 10× data)
-    val (edges, edgeIds) = checkpointTracked(
-      edgesWithDeg(s, dir).repartition(col("src")), org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // the edge list is co-located on the per-round join key (in-memory:
+    // pre-checkpoint repartition; spilled: bucketBy) so every round's
+    // ranks⋈edges reuses one arrangement and only the rank side moves —
+    // unpartitioned, each of the `rounds` joins re-exchanged the full edge
+    // list (the sf100 decade probe measured the bfs twin of this at 12.7×
+    // for 10× data)
+    val ecp = edgeCheckpoint(s, dir, edgesWithDeg(s, dir), "src", coLocate = true)
+    try {
+    val edges = ecp.df
     var (ranks, rankIds) = checkpointTracked(
       edges.select(col("src").as("node")).distinct()
         .withColumn("rank", lit(Scale)))
@@ -165,9 +290,13 @@ object Graph {
         ranks = step
       }
     }
-    free(edgeIds)
     graft.TransientCache.adoptRddIds(rankIds)
     ranks
+    // release in a finally: a failure mid-loop must not leak the spill
+    // table (or its planning conf) into the rest of the session. On
+    // success this runs at the same point as before — the final ranks are
+    // already materialized by their checkpoint.
+    } finally ecp.release()
   }
 
   /** Minimum co-touching users for an item–item edge in [[triangleCount]]'s
@@ -275,9 +404,12 @@ object Graph {
     val edges = base.select(col("u").as("src"), col("i").as("dst"))
       .unionByName(base.select(col("i").as("src"), col("u").as("dst")))
     // the frontier side BROADCASTS every round (measured), so edge-side
-    // partitioning buys nothing here — the round cost is re-READING the
-    // edge checkpoint, which the serialized level makes ~3× narrower
-    val (edgesCp, edgeIds) = checkpointTracked(edges, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // co-location buys nothing here — the round cost is re-READING the
+    // edge checkpoint, which the serialized level (or, past the spill
+    // threshold, the columnar spill) makes narrow
+    val ecp = edgeCheckpoint(s, dir, edges, "src", coLocate = false)
+    try {
+    val edgesCp = ecp.df
     val seed = Tables.events(s, dir).agg(min(col("user_id")).as("node"))
       .withColumn("hop", lit(0L))
     // one barrier per round, not two: each round's frontier is checkpointed
@@ -300,11 +432,13 @@ object Graph {
       frontier = next
       round += 1
     }
-    free(edgeIds)
     // every frontier leaf stays pinned until the session sweep — together
     // they hold exactly one row per reached node (the settled set itself)
     graft.TransientCache.adoptRddIds(liveIds)
     dist
+    // finally so a failure mid-loop cannot leak the spill table or its
+    // planning conf; the returned lazy union reads only checkpointed leaves
+    } finally ecp.release()
   }
 
   /** ppr — PERSONALIZED PageRank from the minimum-user seed: the same
@@ -324,10 +458,11 @@ object Graph {
     */
   def ppr(s: SparkSession, dir: String, rounds: Int = Rounds): DataFrame = {
     def free(ids: Set[Int]): Unit = Graph.free(s, ids)
-    // same pre-checkpoint src partitioning as pagerank — the per-round join
-    // must reuse the edge exchange, not rebuild it
-    val (edges, edgeIds) = checkpointTracked(
-      edgesWithDeg(s, dir).repartition(col("src")), org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // same src co-location as pagerank — the per-round join must reuse the
+    // edge arrangement, not rebuild it
+    val ecp = edgeCheckpoint(s, dir, edgesWithDeg(s, dir), "src", coLocate = true)
+    try {
+    val edges = ecp.df
     val seed = Tables.events(s, dir).agg(min(col("user_id")).as("seed"))
     var (ranks, rankIds) = checkpointTracked(
       edges.select(col("src").as("node")).distinct()
@@ -359,9 +494,10 @@ object Graph {
         ranks = step
       }
     }
-    free(edgeIds)
     graft.TransientCache.adoptRddIds(rankIds)
     ranks.select(col("node"), col("rank"))
+    // same finally contract as [[pagerank]]
+    } finally ecp.release()
   }
 
   /** item_cooccur — for every ordered item pair (i, j), i ≠ j, the number

@@ -268,4 +268,83 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(collectHops(Sf0001) === bruteBfs(evs, Graph.BfsRounds))
   }
+
+  test("edge checkpoint: bucketed-parquet spill past the byte threshold, " +
+    "serialized memory-and-disk below, outputs identical, spill released") {
+    // the decision point behind the round-16 sf1000 find: past
+    // EdgeSpillBytes BOTH block-manager forms died (MEMORY_AND_DISK_SER by
+    // the disk-block re-inflate OOM, DISK_ONLY by scratch-disk exhaustion
+    // — serialized row blocks carry no columnar encoding), so the edge
+    // checkpoint must leave the block manager for a bucketed parquet spill
+    def spillTables(): Seq[String] =
+      spark.catalog.listTables().collect().map(_.name).toSeq
+        .filter(_.startsWith("graft_edges_"))
+    val pairs = Seq[(Long, Long)](
+      (1, 10), (2, 10), (2, 11), (3, 11), (3, 12), (4, 12))
+    val dir = writeInteractions(pairs)
+    assert(!Graph.edgeSpills(spark, dir),
+      "KB-scale fixture must keep the serialized in-memory form")
+    val defaultHops = collectHops(dir)
+    val defaultRanks = collectRanks(dir)
+    spark.conf.set(Graph.EdgeSpillBytesConf, "1")
+    try {
+      assert(Graph.edgeSpills(spark, dir),
+        "past-threshold source must take the spill form")
+      // the storage form is physics only — bfs and pagerank outputs must
+      // be bit-identical through either store (pagerank additionally pins
+      // that the bucketed scan's partitioning substitutes for the
+      // in-memory path's pre-checkpoint repartition)
+      assert(collectHops(dir) === defaultHops)
+      assert(collectRanks(dir) === defaultRanks)
+      assert(spillTables().isEmpty,
+        "release() must drop the spill table after the operator returns")
+      assert(spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering") === "false",
+        "release() must restore the bucket-ordering planning conf")
+    } finally spark.conf.unset(Graph.EdgeSpillBytesConf)
+    assert(!Graph.edgeSpills(spark, dir),
+      "unset must restore the default threshold")
+  }
+
+  test("spilled edge checkpoint: the round join streams pre-sorted buckets " +
+    "— exactly one sort in the plan, on the rank side") {
+    // the plan-shape half of the round-16 sf1000 find: a bucketed-but-
+    // UNSORTED spill satisfies the join's distribution requirement, so no
+    // exchange is inserted on the edge side — and with no exchange there
+    // is no AQE re-plan boundary, so the SMJ sorts the full edge list
+    // inside every round's fused scan stage (measured OOMing the timed
+    // bfs_hops run at sf1000). sortBy'd one-file buckets report their
+    // ordering, so EnsureRequirements inserts NO edge-side SortExec: the
+    // only Sort in the round join's plan is the rank side's.
+    import org.apache.spark.sql.functions.{col, lit}
+    val pairs = Seq[(Long, Long)](
+      (1, 10), (2, 10), (2, 11), (3, 11), (3, 12), (4, 12))
+    val dir = writeInteractions(pairs)
+    spark.conf.set(Graph.EdgeSpillBytesConf, "1")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the sort-merge path (at fixture size the planner would rather
+    // broadcast — the property under test is the SMJ both sides are too
+    // big for at spill scale)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ecp = Graph.edgeCheckpoint(spark, dir,
+        Graph.edgesWithDeg(spark, dir), "src", coLocate = true)
+      try {
+        val edges = ecp.df
+        val ranks = edges.select(col("src").as("node")).distinct()
+          .withColumn("rank", lit(Graph.Scale))
+        val joined = ranks.join(edges, ranks("node") === edges("src"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+        assert(plan.contains("Bucketed: true"),
+          s"spilled edge read not bucketed:\n$plan")
+        val sorts = "Sort \\[".r.findAllIn(plan).size
+        assert(sorts === 1,
+          s"expected exactly the rank-side sort, found $sorts:\n$plan")
+      } finally ecp.release()
+    } finally {
+      spark.conf.unset(Graph.EdgeSpillBytesConf)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
 }
