@@ -263,9 +263,19 @@ object Graph {
     val ecp = edgeCheckpoint(s, dir, edgesWithDeg(s, dir), "src", coLocate = true)
     try {
     val edges = ecp.df
+    // rank barriers are |V|-sized — at spill scale (~400 M nodes at the
+    // sf1000 probe) the default deserialized MEMORY_AND_DISK object rows
+    // OOM'd the init checkpoint outright (16-24 GB of row objects on a
+    // 24 g heap, measured round 16). DISK_ONLY streams serialized blocks
+    // straight off the disk store (no re-inflate path exists there) and
+    // each barrier is read exactly ONCE per stride tower, so the memory
+    // level buys nothing past the threshold.
+    val barrierLevel =
+      if (edgeSpills(s, dir)) org.apache.spark.storage.StorageLevel.DISK_ONLY
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var (ranks, rankIds) = checkpointTracked(
       edges.select(col("src").as("node")).distinct()
-        .withColumn("rank", lit(Scale)))
+        .withColumn("rank", lit(Scale)), barrierLevel)
     var round = 0
     while (round < rounds) {
       // every node has in-edges (bidirected graph), so the inner join +
@@ -279,7 +289,7 @@ object Graph {
           .select(col("node"), col("rank"))
       round += 1
       if (round % CheckpointStride == 0 || round == rounds) {
-        val (next, nextIds) = checkpointTracked(step)
+        val (next, nextIds) = checkpointTracked(step, barrierLevel)
         free(rankIds)
         ranks = next
         rankIds = nextIds
@@ -464,12 +474,17 @@ object Graph {
     try {
     val edges = ecp.df
     val seed = Tables.events(s, dir).agg(min(col("user_id")).as("seed"))
+    // same |V|-sized barrier discipline as [[pagerank]]: serialized
+    // disk-resident past the spill threshold, hot in memory below it
+    val barrierLevel =
+      if (edgeSpills(s, dir)) org.apache.spark.storage.StorageLevel.DISK_ONLY
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var (ranks, rankIds) = checkpointTracked(
       edges.select(col("src").as("node")).distinct()
         .crossJoin(seed)
         .withColumn("rank",
           when(col("node") === col("seed"), lit(Scale)).otherwise(lit(0L)))
-        .select(col("node"), col("rank"), col("seed")))
+        .select(col("node"), col("rank"), col("seed")), barrierLevel)
     var round = 0
     while (round < rounds) {
       val step =
@@ -486,7 +501,7 @@ object Graph {
       // same stride policy as [[pagerank]]: bounded lazy tower between
       // materialization barriers
       if (round % CheckpointStride == 0 || round == rounds) {
-        val (next, nextIds) = checkpointTracked(step)
+        val (next, nextIds) = checkpointTracked(step, barrierLevel)
         free(rankIds)
         ranks = next
         rankIds = nextIds
