@@ -235,37 +235,56 @@ object Corpus {
     */
   private def bm25PerDoc(s: SparkSession, dir: String,
       terms: Seq[String]): DataFrame = {
-    val q = terms.distinct
-    val toks = graft.TransientCache.cache(
+    // Column-wise reshape (round 16, guide §2.3/§2.4): the query-term list
+    // is a small static set, so per-term counts fit in ONE narrow projection
+    // per document — (doc_id, dl, tf_0..tf_k) — computed in a single
+    // tokenize pass with no token-row explode at all. The previous shape
+    // exploded every token of every document into a cached row stream and
+    // paid three corpus-scale exchanges over it (dl groupBy, postings
+    // groupBy, post⋈dl join); this shape's only corpus-wide work is the
+    // narrow projection plus a 1-row global aggregate (corpus totals AND all
+    // per-term document frequencies, map-side combined), and the per-doc
+    // score needs no join and no collect_list fold. Sorted term order makes
+    // the static fold add tscores in the same lexicographic order the old
+    // array_sort(collect_list) fold used, so every IEEE partial sum — and
+    // therefore every emitted double — is bit-identical.
+    val q = terms.distinct.sorted
+    val tfCols = q.zipWithIndex.map { case (t, i) =>
+      size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$i") }
+    val perDoc = graft.TransientCache.cache(
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          explode(filter(split(col("text"), "[^\\p{L}]+"), t => t =!= "")).as("term")))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val totals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_toks"))
-    val post = toks.filter(col("term").isin(q: _*))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    val df = post.groupBy("term").agg(count(lit(1)).as("df"))
-    post
-      .join(broadcast(df), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(totals))
+          filter(split(col("text"), "[^\\p{L}]+"), t => t =!= "").as("toks"))
+        .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+          tfCols: _*))
+    // docs whose text tokenizes to nothing never entered the old dl table
+    // (explode emits no row), so they are excluded from n_docs here; their
+    // dl is 0 (or null for null text — sum skips it) either way
+    val statAggs =
+      sum(when(col("dl") > 0L, 1L).otherwise(0L)).as("n_docs") +:
+        sum(col("dl")).as("tot_toks") +:
+        q.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0L, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val matched = perDoc
+      .filter(q.indices.map(i => col(s"tf_$i") > 0L).reduce(_ || _))
+      .crossJoin(broadcast(stats))
       .withColumn("avgdl",
         col("tot_toks").cast("double") / col("n_docs").cast("double"))
-      .withColumn("tscore",
-        ((col("n_docs").cast("double") - col("df").cast("double")) + lit(0.5))
-          / (col("df").cast("double") + 0.5)
-          * ((col("tf").cast("double") * lit(Bm25K1 + 1.0))
-            / (col("tf").cast("double")
-              + lit(Bm25K1) * (lit(1.0 - Bm25B)
-                + lit(Bm25B) * (col("dl").cast("double") / col("avgdl"))))))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_terms"),
-        aggregate(
-          array_sort(collect_list(struct(col("term"), col("tscore")))),
-          lit(0.0),
-          (acc, x) => acc + x.getField("tscore")).as("score"),
-        min(col("dl")).as("n_toks"))
+    // the exact tscore expression tree of the pre-r16 shape, per term
+    def tscore(i: Int): org.apache.spark.sql.Column =
+      ((col("n_docs").cast("double") - col(s"df_$i").cast("double")) + lit(0.5)) /
+        (col(s"df_$i").cast("double") + 0.5) *
+        ((col(s"tf_$i").cast("double") * lit(Bm25K1 + 1.0)) /
+          (col(s"tf_$i").cast("double")
+            + lit(Bm25K1) * (lit(1.0 - Bm25B)
+              + lit(Bm25B) * (col("dl").cast("double") / col("avgdl")))))
+    val score = q.indices.foldLeft(lit(0.0): org.apache.spark.sql.Column) { (acc, i) =>
+      when(col(s"tf_$i") > 0L, acc + tscore(i)).otherwise(acc) }
+    val nTerms = q.indices.map(i =>
+      when(col(s"tf_$i") > 0L, 1L).otherwise(0L)).reduce(_ + _)
+    matched.select(col("doc_id"), nTerms.as("n_terms"), score.as("score"),
+      col("dl").as("n_toks"))
   }
 
   /** Candidate pool size for [[ragContextPack]]: how deep into the BM25
