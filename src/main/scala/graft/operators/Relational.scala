@@ -551,33 +551,53 @@ object Relational {
     * whose a+(b−a)·f float interpolation is engine-specific and would
     * hash-mismatch the oracle. The ÷2 lands on halves, exact in DOUBLE.
     *
-    * Scale: one shuffle on the group key; the rank window sorts within each
-    * group partition — groups here are the 3 return flags, so a production
-    * deployment ranges-partitions the sort (this is the same shape as
-    * q34_sort's distributed range sort, per-group). Quantity is cast to
-    * BIGINT first so both engines rank the same integral key.
+    * Scale (round 16 — the histogram-kernel rank, same substitution
+    * rank_normalize documents): quantity is a small-domain integer, so the
+    * exact rank targets are read off a bounded (flag, quantity) COUNT
+    * histogram instead of a per-group sort of the raw stream. The previous
+    * shape row_numbered every lineitem row inside a 3-partition window —
+    * exact, but the whole table funneled through 3 sort tasks; this shape's
+    * only corpus-scale work is one map-side-combined histogram aggregation,
+    * and the window runs over ≤ |flags|×|domain| histogram rows. A rank r
+    * falls in the first bucket whose cumulative count reaches it
+    * (prev < r ≤ cum); the answer depends only on the value multiset, so
+    * every emitted value — including the median's sum/count division, which
+    * replays the row-level arithmetic via per-bucket matched-rank counts —
+    * is bit-identical to the sort form. Quantity is cast to BIGINT first so
+    * both engines rank the same integral key.
     */
   def q37Median(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val li = Tables.lineitem(s, dir)
+    val hist = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_returnflag", "q").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("l_returnflag")
-    val ranked = li
-      .withColumn("rn", row_number().over(w.orderBy("q")))
-      .withColumn("n", count(lit(1)).over(w))
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(w.orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("cnt").over(w))
+      .withColumn("prev", col("cum") - col("cnt"))
     // all rank targets in integer arithmetic: (n+1)÷2, (n+2)÷2, and
     // ⌈9n/10⌉ = (9n+9)÷10 — a float 0.9·n would round differently across
     // engines (DuckDB parses 0.9 as DECIMAL(1,1); Spark as DOUBLE)
-    val mid = col("rn") === expr("(n + 1) DIV 2") || col("rn") === expr("(n + 2) DIV 2")
-    val p90 = col("rn") === expr("(9 * n + 9) DIV 10")
-    ranked
-      .filter(mid || p90)
+    val r1 = expr("(n + 1) DIV 2")
+    val r2 = expr("(n + 2) DIV 2")
+    val r90 = expr("(9 * n + 9) DIV 10")
+    def in(r: org.apache.spark.sql.Column) = col("prev") < r && r <= col("cum")
+    // matched MID-RANK count per bucket, replaying the row-level semantics:
+    // the sort form counted physical rows whose row_number hit either mid
+    // target — one row when n is odd (r1 = r2), two otherwise (possibly in
+    // the same bucket, then this bucket contributes both)
+    val nMid = when(r1 === r2, when(in(r1), 1L).otherwise(0L))
+      .otherwise(when(in(r1), 1L).otherwise(0L) + when(in(r2), 1L).otherwise(0L))
+    cum
+      .filter(in(r1) || in(r2) || in(r90))
       .groupBy("l_returnflag")
       .agg(
         max("n").as("n_items"),
-        (sum(when(mid, col("q"))).cast("double") /
-          count(when(mid, true))).as("median"),
-        max(when(p90, col("q"))).as("p90"))
+        (sum(col("q") * nMid).cast("double") /
+          sum(nMid)).as("median"),
+        max(when(in(r90), col("q"))).as("p90"))
   }
 
   /** q46_rank_family — the remaining ranking-window members in one pass:
