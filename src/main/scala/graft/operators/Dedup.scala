@@ -1727,25 +1727,34 @@ object Dedup {
     * is one division of exact ints.
     *
     * 100 TB plan: shingles travel as md5 DIGESTS, never raw text (the
-    * dedup-family shuffle discipline), so the distinct (source, digest)
-    * shuffle is fixed-width; the pair join is a digest equi-join whose
-    * per-key fan-out is bounded by the SOURCE count (a shingle in s
-    * sources emits s·(s−1)/2 pairs — sources number hundreds, not
-    * billions); and the final grid join runs on source-sized aggregate
-    * tables (broadcast). No all-pairs stage anywhere.
+    * dedup-family shuffle discipline), and the ONE corpus-scale exchange
+    * groups digests with a map-side-combined `collect_set(source)` — a
+    * per-digest source set bounded by the SOURCE count (hundreds, not
+    * billions). Both downstream tables read off that grouped frame: the
+    * per-source distinct totals by exploding the source sets (no second
+    * pass over the digest stream), and the shared counts by exploding the
+    * s·(s−1)/2 ordered pairs of each multi-source digest in place — the
+    * round-16 replacement for the previous digest self-join, which
+    * re-shuffled the (source, digest) stream and sorted both join sides to
+    * produce exactly these pairs. The final grid join runs on source-sized
+    * aggregate tables (broadcast). No all-pairs stage anywhere.
     */
   def corpusOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = graft.TransientCache.cache(
+    // no pre-distinct: collect_set dedups (source, digest) inside the same
+    // exchange the grouping pays anyway
+    val byDg = graft.TransientCache.cache(
       Tables.documents(s, dir).select(col("source"), col("text"))
         .as[(String, String)]
         .flatMap { case (src, t) => shingleSet(t).map(g => (src, g)) }
         .toDF("source", "g")
         .select(col("source"), md5(col("g")).as("dg"))
-        .distinct())
-    val counts = pairs.groupBy("source").agg(count(lit(1)).as("n"))
-    val shared = pairs.select(col("source").as("src_a"), col("dg"))
-      .join(pairs.select(col("source").as("src_b"), col("dg")), "dg")
+        .groupBy("dg").agg(collect_set(col("source")).as("ss")))
+    val counts = byDg.select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = byDg.filter(size(col("ss")) > 1)
+      .select(explode(col("ss")).as("src_a"), col("ss"))
+      .select(col("src_a"), explode(col("ss")).as("src_b"))
       .filter(col("src_a") < col("src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
     val a = counts.select(col("source").as("src_a"), col("n").as("n_a"))
