@@ -432,21 +432,35 @@ object Dedup {
         Seq("band", "bkey"))
       .filter(col("g1") < col("g2"))
       .select("g1", "g2").distinct()
-    val sets = gset.select(col("gid"), col("sh"))
+    // the verification joins carry the member arrays alongside the shingle
+    // sets when groups are shallow, so the fan-out explodes in place with
+    // no re-join of gset (round 16) — but only then: a replica-deep corpus
+    // must not ship k-long id arrays on every candidate row (the r13
+    // lesson), and its fan-out takes the membership-join branch anyway,
+    // which re-derives ids itself. One probe row decides both choices.
+    val depthRow = gset.agg(max(size(col("ids")))).head
+    val maxDepth = if (depthRow.isNullAt(0)) 0 else depthRow.getInt(0)
+    val shallow = maxDepth <= FanOutDepthCap
+    val setCols =
+      if (shallow) Seq(col("gid"), col("sh"), col("ids"))
+      else Seq(col("gid"), col("sh"))
+    val sets = gset.select(setCols: _*)
+    def side(n: Int) = sets.columns.map(c =>
+      col(c).as(if (c == "gid") s"g$n" else s"$c$n"))
     val verified = cand
-      .join(sets.select(col("gid").as("g1"), col("sh").as("sh1")), "g1")
-      .join(sets.select(col("gid").as("g2"), col("sh").as("sh2")), "g2")
+      .join(sets.select(side(1): _*), "g1")
+      .join(sets.select(side(2): _*), "g2")
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("g1"), col("g2"), col("jaccard"))
+      .drop("sh1", "sh2")
     // cross gids are survivors by construction (cand comes from capped
     // buckets); gating the member table on survivors preserves the
     // doc-level cap semantics for the WITHIN pairs too, as before
     val survivors = capped.select(col("gid")).distinct()
     memberFanOut(gset.join(survivors, "gid").select(col("gid"), col("ids")),
-      verified, lit(1.0), "jaccard", depthProbe = Some(gset))
+      verified, lit(1.0), "jaccard", knownDepth = Some(maxDepth))
   }
 
   /** minhash_est_error — the estimator-calibration half of the dedup quality
@@ -781,8 +795,9 @@ object Dedup {
   private[operators] def prefixJaccardJoin(
       s: SparkSession, docsIn: DataFrame, threshold: Double): DataFrame = {
     val (gset, verified) = jaccardGroups(s, docsIn, threshold)
-    memberFanOut(gset, verified.select(col("g1"), col("g2"), col("jaccard")),
-      lit(1.0), "jaccard")
+    // verified carries ids1/ids2 from the verification joins — hand them to
+    // the fan-out so the shallow branch never re-joins gset (round 16)
+    memberFanOut(gset, verified, lit(1.0), "jaccard")
   }
 
   /** Above this group depth [[memberFanOut]] trades the in-place nested
@@ -824,7 +839,8 @@ object Dedup {
     */
   private def memberFanOut(gset: DataFrame, verifiedPairs: DataFrame,
       withinValue: Column, payload: String,
-      depthProbe: Option[DataFrame] = None): DataFrame = {
+      depthProbe: Option[DataFrame] = None,
+      knownDepth: Option[Int] = None): DataFrame = {
     // one tiny agg over the (cached) group table decides the strategy —
     // same discipline as the dense-path stats probe above. Callers whose
     // gset argument is a derived (uncached) frame pass `depthProbe` = the
@@ -833,13 +849,26 @@ object Dedup {
     // depth upper-bounds the subset's, so the strategy stays safe — at
     // worst a filtered-away deep group routes a shallow call to the
     // depth-proof join branch.
-    val depthRow = depthProbe.getOrElse(gset).agg(max(size(col("ids")))).head
-    val maxDepth = if (depthRow.isNullAt(0)) 0 else depthRow.getInt(0)
+    val maxDepth = knownDepth.getOrElse {
+      val depthRow = depthProbe.getOrElse(gset).agg(max(size(col("ids")))).head
+      if (depthRow.isNullAt(0)) 0 else depthRow.getInt(0)
+    }
+    // a verifier whose join already attached the member arrays (the prefix
+    // and dense paths carry ids1/ids2 through verification precisely so the
+    // fan-out can ride the same join) hands them over here — re-joining
+    // gset to re-attach what the row already holds cost two more joins of
+    // the group table per query (round 16, measured in the dedup_minhash
+    // job-count probe)
+    val hasIds = verifiedPairs.columns.contains("ids1") &&
+      verifiedPairs.columns.contains("ids2")
     if (maxDepth <= FanOutDepthCap) {
       val sets = gset.select(col("gid"), col("ids"))
-      val cross = verifiedPairs
-        .join(sets.select(col("gid").as("g1"), col("ids").as("ids1")), "g1")
-        .join(sets.select(col("gid").as("g2"), col("ids").as("ids2")), "g2")
+      val attached =
+        if (hasIds) verifiedPairs
+        else verifiedPairs
+          .join(sets.select(col("gid").as("g1"), col("ids").as("ids1")), "g1")
+          .join(sets.select(col("gid").as("g2"), col("ids").as("ids2")), "g2")
+      val cross = attached
         .select(col(payload), explode(col("ids1")).as("a"), col("ids2"))
         .select(col(payload), col("a"), explode(col("ids2")).as("b"))
         .select(least(col("a"), col("b")).as("doc1"),
@@ -853,9 +882,12 @@ object Dedup {
           withinValue.as(payload))
       cross.unionByName(within)
     } else {
+      // the deep branch must never explode attached arrays (the r13 k²-copy
+      // OOM); it re-derives constant-width membership rows instead
+      val vp = if (hasIds) verifiedPairs.drop("ids1", "ids2") else verifiedPairs
       val members = graft.TransientCache.cache(
         gset.select(col("gid"), explode(col("ids")).as("m")))
-      val cross = verifiedPairs
+      val cross = vp
         .join(members.select(col("gid").as("g1"), col("m").as("a")), "g1")
         .join(members.select(col("gid").as("g2"), col("m").as("b")), "g2")
         .select(least(col("a"), col("b")).as("doc1"),
