@@ -1327,12 +1327,21 @@ object Dedup {
     val p = pairs.select(col("doc1"), col("doc2"))
     val (edges, edgeIds) = checkpointTracked(
       p.union(p.select(col("doc2"), col("doc1"))).toDF("u", "v"))
-    // eager localCheckpoint each round: without it, round r's logical plan
-    // nests all r-1 previous rounds and Catalyst re-optimizes the whole
-    // tower every round (superlinear planning time — measured 3-4x the
-    // total runtime by round ~8 at sf0.1). Checkpointing pins each round to
-    // a flat LogicalRDD, so planning cost is constant per round.
-    var (labels, labelIds) = checkpointTracked(initLabels)
+    // localCheckpoint each round: without it, round r's logical plan nests
+    // all r-1 previous rounds and Catalyst re-optimizes the whole tower
+    // every round (superlinear planning time — measured 3-4x the total
+    // runtime by round ~8 at sf0.1). Checkpointing pins each round to a
+    // flat LogicalRDD, so planning cost is constant per round. LAZY since
+    // round 16: the convergence sum below is an action over the marked RDD,
+    // so ONE job per round both materializes the checkpoint blocks and
+    // returns the sum — the eager form paid a separate materialization job
+    // per round just to then re-read the fresh blocks for the sum.
+    def checkpointLazyTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(false)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    var (labels, labelIds) = checkpointLazyTracked(initLabels)
     // labels are non-negative and only ever decrease, so the label sum is a
     // strictly decreasing convergence measure (fixpoint = sum unchanged)
     def labelSum(df: DataFrame): Long =
@@ -1344,7 +1353,7 @@ object Dedup {
       val viaEdge = labels
         .join(edges, labels("doc_id") === edges("u"))
         .select(col("v").as("doc_id"), col("cluster_id"))
-      val (next, nextIds) = checkpointTracked(
+      val (next, nextIds) = checkpointLazyTracked(
         labels.unionByName(viaEdge)
           .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")))
       prevSum = curSum
