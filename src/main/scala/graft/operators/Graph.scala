@@ -322,25 +322,36 @@ object Graph {
     */
   val BfsRounds = 6
 
+  /** Per-user item lists under the [[MaxItemsPerUser]] cap — the shared
+    * pair-generation base of [[itemCooccur]] and [[itemEdges]] (round 16).
+    * ONE u-exchange builds the list (collect_list over the distinct
+    * interactions; map-side partials are the same (u, i) bytes the
+    * self-join's exchange shipped) and the cap is a size() filter on it —
+    * the previous shape paid a window count (exchange + per-u sort) AND a
+    * self-join on u to fan pairs out; the pairs now explode in place from
+    * the ≤ cap-long array, join-free and sort-free. The array copied per
+    * generated row is ≤ cap longs (~1.6 KB), bounded by the same cap that
+    * already bounds the pair fan-out itself.
+    */
+  private def cappedUserItems(s: SparkSession, dir: String): DataFrame =
+    userItems(s, dir)
+      .groupBy("u").agg(collect_list(col("i")).as("items"))
+      .filter(size(col("items")) <= MaxItemsPerUser)
+
   /** Undirected item–item projection edges: (i, j), i < j, co-touched by at
     * least [[MinSharedUsers]] un-capped users. Built from the same
     * hot-user-filtered interactions as [[itemCooccur]], so the quadratic
     * per-user fan-out stays ≤ cap² by construction.
     */
-  private[graft] def itemEdges(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ui = userItems(s, dir)
-      .withColumn("n_items", count(lit(1)).over(Window.partitionBy("u")))
-      .filter(col("n_items") <= MaxItemsPerUser)
-      .select("u", "i")
-    val a = ui.as("a")
-    val b = ui.as("b")
-    a.join(b, col("a.u") === col("b.u") && col("a.i") < col("b.i"))
-      .groupBy(col("a.i").as("x"), col("b.i").as("y"))
+  private[graft] def itemEdges(s: SparkSession, dir: String): DataFrame =
+    cappedUserItems(s, dir)
+      .select(explode(col("items")).as("x"), col("items"))
+      .select(col("x"), explode(col("items")).as("y"))
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y")
       .agg(count(lit(1)).as("n_users"))
       .filter(col("n_users") >= MinSharedUsers)
       .select("x", "y")
-  }
 
   /** triangle_count — per-node triangle counts over the item–item projection
     * graph ([[itemEdges]]): for every node in at least one triangle, the
@@ -521,21 +532,20 @@ object Graph {
     * deterministic). Emitting ordered pairs keeps "partners OF i" a simple
     * filter for the downstream recommender.
     *
-    * Plan shape: one distinct (map-side combined), the hot-user filter as
-    * a window count over u (the same u-shuffle the self-join needs — AQE
-    * reuses the exchange), the pair fan-out inside the u-partition join,
-    * then a map-side combined count on (i, j) and a per-i top-k window.
+    * Plan shape (round 16): one distinct (map-side combined), ONE
+    * u-exchange building the capped per-user item list
+    * ([[cappedUserItems]] — the cap is a size() filter, no window sort),
+    * the pair fan-out exploding in place from the bounded array (no
+    * self-join), then a map-side combined count on (i, j) and a per-i
+    * top-k window.
     */
   def itemCooccur(s: SparkSession, dir: String, topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ui = userItems(s, dir)
-      .withColumn("n_items", count(lit(1)).over(Window.partitionBy("u")))
-      .filter(col("n_items") <= MaxItemsPerUser)
-      .select("u", "i")
-    val a = ui.as("a")
-    val b = ui.as("b")
-    val pairs = a.join(b, col("a.u") === col("b.u") && col("a.i") =!= col("b.i"))
-      .groupBy(col("a.i").as("item"), col("b.i").as("partner"))
+    val pairs = cappedUserItems(s, dir)
+      .select(explode(col("items")).as("item"), col("items"))
+      .select(col("item"), explode(col("items")).as("partner"))
+      .filter(col("item") =!= col("partner"))
+      .groupBy("item", "partner")
       .agg(count(lit(1)).as("n_users"))
     pairs
       .withColumn("rk", row_number().over(
