@@ -47,6 +47,17 @@ object GraftFunctions {
     GraftColumnShim.column(
       SortedOverlapExpr(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
 
+  /** `collect_list` with a hard `limit + 1` buffer bound — the hot-key-safe
+    * list build for group-then-drop-over-cap shapes (see
+    * [[org.apache.spark.sql.graftshim.BoundedCollectList]]); within-cap
+    * groups are identical to `collect_list`, over-cap groups surface as
+    * `limit + 1`-long lists the caller must drop.
+    */
+  def boundedCollectList(c: Column, limit: Int): Column =
+    GraftColumnShim.column(
+      org.apache.spark.sql.graftshim.BoundedCollectList(
+        GraftColumnShim.expression(c), limit).toAggregateExpression())
+
   /** Codegen'd single-pass BPE-ish pre-tokenization match count (one tight
     * byte scan; replaces the array-materializing `size(regexp_extract_all)`
     * formulation on the token-counting path).

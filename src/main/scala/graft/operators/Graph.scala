@@ -335,8 +335,19 @@ object Graph {
     */
   private def cappedUserItems(s: SparkSession, dir: String): DataFrame =
     userItems(s, dir)
-      .groupBy("u").agg(collect_list(col("i")).as("items"))
-      .filter(size(col("items")) <= MaxItemsPerUser)
+      .groupBy("u").agg(
+        // the cap counts EVERY interaction row (null item ids included) —
+        // the same count(*) the window form took and the oracle replays;
+        // the list skips nulls exactly like the self-join's i <> j
+        // predicate did, so pairs come from non-null items either way
+        count(lit(1)).as("n_items"),
+        // bounded buffer: one bot user must never materialize an unbounded
+        // single-group list before the cap filter can see it — the bounded
+        // variant stops appending at cap+1 and the over-cap row drops here
+        graft.functions.GraftFunctions
+          .boundedCollectList(col("i"), MaxItemsPerUser).as("items"))
+      .filter(col("n_items") <= MaxItemsPerUser)
+      .select("u", "items")
 
   /** Undirected item–item projection edges: (i, j), i < j, co-touched by at
     * least [[MinSharedUsers]] un-capped users. Built from the same

@@ -158,6 +158,59 @@ class GraphSpec extends AnyFunSuite {
     assert(got === Map((i + 0, i + 1) -> 2L, (i + 1, i + 0) -> 2L))
   }
 
+  test("itemCooccur: the cap counts null-item interactions like the oracle's count(*)") {
+    // user 7 has MaxItemsPerUser distinct items PLUS one event whose props
+    // carry no k (item NULL after the json extract): the oracle's DISTINCT
+    // (u, i) keeps one (7, NULL) row and its count(*) cap counts it, so
+    // user 7 is over cap and contributes NO pairs; users 1/2 are the
+    // control pair. This pins the r16 list-build rewrite to the window
+    // form's semantics — size(collect_list) alone would NOT count the null
+    // row and would keep user 7.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graph-null").toString
+    val rows =
+      (0 until Graph.MaxItemsPerUser).map(k =>
+        (k.toLong, 1704067200000000000L + k * 1000000000L, 7L, "view", 1.0,
+          s"""{"k": $k}""")) ++
+        Seq((9000L, 1704067200000000000L, 7L, "view", 1.0, """{"x": 1}""")) ++
+        Seq((9001L, 1704067200000000000L, 1L, "view", 1.0, """{"k": 0}"""),
+          (9002L, 1704067200000000000L, 1L, "view", 1.0, """{"k": 1}"""),
+          (9003L, 1704067200000000000L, 2L, "view", 1.0, """{"k": 0}"""),
+          (9004L, 1704067200000000000L, 2L, "view", 1.0, """{"k": 1}"""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Graph.itemCooccur(spark, dir).collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Long]("partner")) -> r.getAs[Long]("n_users"))
+      .toMap
+    val i = Graph.ItemBase
+    assert(got === Map((i + 0, i + 1) -> 2L, (i + 1, i + 0) -> 2L))
+  }
+
+  test("boundedCollectList: within-cap groups match collect_list, over-cap buffers stop at limit+1") {
+    val s = spark
+    import s.implicits._
+    // group 1: 5 elements (within limit 8); group 2: 1000 elements (over);
+    // group 3: nulls interleaved — skipped exactly like collect_list
+    val rows = (0 until 5).map(v => (1L, Some(v.toLong))) ++
+      (0 until 1000).map(v => (2L, Some(v.toLong))) ++
+      Seq((3L, Some(1L)), (3L, None), (3L, Some(2L)), (3L, None))
+    import org.apache.spark.sql.functions.{col, collect_list}
+    val df = rows.toDF("g", "v")
+    val got = df.groupBy("g").agg(
+      graft.functions.GraftFunctions.boundedCollectList(col("v"), 8).as("bl"),
+      collect_list(col("v")).as("cl"))
+      .collect()
+      .map(r => r.getAs[Long]("g") ->
+        ((r.getSeq[Long](1).sorted, r.getSeq[Long](2).sorted))).toMap
+    assert(got(1L)._1 === got(1L)._2)              // within cap: identical
+    assert(got(1L)._1 === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got(2L)._1.length === 9)                // limit + 1, not 1000
+    assert(got(2L)._2.length === 1000)
+    assert(got(3L)._1 === Seq(1L, 2L))             // nulls skipped like collect_list
+    assert(got(3L)._1 === got(3L)._2)
+  }
+
   /** Interactions giving each wanted item–item edge exactly
     * [[Graph.MinSharedUsers]] dedicated co-touching users, so the planted
     * projection graph is exactly the edge list (no accidental edges: each
