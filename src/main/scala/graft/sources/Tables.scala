@@ -15,8 +15,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred schema per fixture file path (round 16): without a declared
+    * schema every `spark.read.parquet` call re-reads the parquet footers at
+    * ANALYSIS time — once per table reference per query construction, and
+    * the bench constructs every query twice per appearance. Fixture tables
+    * are immutable for a session's life, so the first inference is
+    * authoritative; at 100 TB the same move is a declared schema from the
+    * lake catalog instead of a footer listing per job. Keyed by full path —
+    * two datasets' tables never collide — and JVM-local, so every bench /
+    * verify invocation still infers from the parquet inputs it reads.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
