@@ -494,19 +494,14 @@ object Ann {
       struct(lit(t).as("tbl"),
         bucketCol(col("vec"), hyperplanes(64, nbits, seed = 42L + t)).as("bucket"))
     }
-    val buckets = gset.select(col("gid"), col("n"),
+    val banded = gset.select(col("gid"), col("n"),
       explode(array(tagged: _*)).as("tb"))
       .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
         col("gid"), col("n"))
-    val capped = buckets
-      .withColumn("bucket_n", sum(col("n")).over(Window.partitionBy("tbl", "bucket")))
-      .filter(col("bucket_n") <= maxBucket)
-    val cand = capped.select(col("tbl"), col("bucket"), col("gid").as("g1"))
-      .join(capped.select(col("tbl"), col("bucket"), col("gid").as("g2")),
-        Seq("tbl", "bucket"))
-      .filter(col("g1") < col("g2"))
-      .select("g1", "g2")
-      .distinct()
+    // one aggregation replaces the window count + self-join (round 16 —
+    // Dedup.cappedBuckets scaladoc has the cap-equivalence argument)
+    val buckets = Dedup.cappedBuckets(banded, Seq("tbl", "bucket"), maxBucket)
+    val cand = Dedup.bucketPairs(buckets)
     val sets = gset.select(col("gid"), col("vec"), col("nrm"), col("ids"))
     val cross = cand
       .join(sets.select(col("gid").as("g1"), col("vec").as("v1"),
@@ -519,7 +514,7 @@ object Ann {
       .select(col("cos"), col("a"), explode(col("ids2")).as("b"))
       .select(least(col("a"), col("b")).as("id1"),
         greatest(col("a"), col("b")).as("id2"), round(col("cos"), 4).as("cos4"))
-    val survivors = capped.select(col("gid")).distinct()
+    val survivors = buckets.select(explode(col("gids")).as("gid")).distinct()
     val within = gset.join(survivors, "gid")
       .filter(col("n") > 1)
       .withColumn("cos", arrayDot(col("vec"), col("vec")) / (col("nrm") * col("nrm")))

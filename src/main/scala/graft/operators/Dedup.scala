@@ -293,6 +293,42 @@ object Dedup {
     sampleMod.fold(df)(m =>
       df.filter(pmod(xxhash64(col("doc_id")), lit(m.toLong)) === 0L))
 
+  /** Under-cap bucket membership lists via ONE aggregation (round 16): the
+    * banded (keys..., gid, n) stream groups straight to
+    * (keys..., bucket_n = Σn, gids) and over-cap buckets drop. Replaces the
+    * window + self-join cap shape at every banding site: that form paid an
+    * exchange + per-bucket SORT for the window count and then a self-join
+    * of the capped stream to produce exactly the pairs the bucket list
+    * already holds. One exchange, no sort, no join; candidate pairs and
+    * bucket survivors both explode from the bounded array in place.
+    *
+    * The list build is [[graftshim.BoundedCollectList]]-bounded at
+    * `maxBucket + 1`: every group contributes n ≥ 1 to bucket_n, so a KEPT
+    * bucket (Σn ≤ maxBucket) has ≤ maxBucket entries and its list is
+    * complete-by-construction; a bucket past the bound truncates its list
+    * but is dropped by the Σn filter regardless — the boilerplate black
+    * hole costs O(cap) memory instead of a window sort over its whole
+    * bucket. Cap semantics (all-or-none per bucket on the SUMMED group
+    * sizes) are bit-identical to the window form.
+    */
+  private[operators] def cappedBuckets(banded: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame =
+    banded.groupBy(keys.map(col): _*).agg(
+      sum(col("n")).as("bucket_n"),
+      graft.functions.GraftFunctions.boundedCollectList(col("gid"), maxBucket)
+        .as("gids"))
+      .filter(col("bucket_n") <= maxBucket)
+
+  /** All unordered (g1, g2) candidate pairs from [[cappedBuckets]] output,
+    * deduped across buckets.
+    */
+  private[operators] def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .select(explode(col("gids")).as("g1"), col("gids"))
+      .select(col("g1"), explode(col("gids")).as("g2"))
+      .filter(col("g1") < col("g2"))
+      .select("g1", "g2").distinct()
+
   /** Candidate pairs via LSH banding: explode 16 band keys per doc, shuffle
     * once on (band, key), pair within buckets (skew-capped), dedup pairs.
     */
@@ -424,14 +460,8 @@ object Dedup {
         sum(col("tn")).as("n")))
     val banded = gset.select(col("gid"), col("n"),
       posexplode(col("bands")).as(Seq("band", "bkey")))
-    val capped = banded
-      .withColumn("bucket_n", sum(col("n")).over(Window.partitionBy("band", "bkey")))
-      .filter(col("bucket_n") <= MaxBucket)
-    val cand = capped.select(col("band"), col("bkey"), col("gid").as("g1"))
-      .join(capped.select(col("band"), col("bkey"), col("gid").as("g2")),
-        Seq("band", "bkey"))
-      .filter(col("g1") < col("g2"))
-      .select("g1", "g2").distinct()
+    val buckets = cappedBuckets(banded, Seq("band", "bkey"), MaxBucket)
+    val cand = bucketPairs(buckets)
     // the verification joins carry the member arrays alongside the shingle
     // sets when groups are shallow, so the fan-out explodes in place with
     // no re-join of gset (round 16) — but only then: a replica-deep corpus
@@ -458,7 +488,7 @@ object Dedup {
     // cross gids are survivors by construction (cand comes from capped
     // buckets); gating the member table on survivors preserves the
     // doc-level cap semantics for the WITHIN pairs too, as before
-    val survivors = capped.select(col("gid")).distinct()
+    val survivors = buckets.select(explode(col("gids")).as("gid")).distinct()
     memberFanOut(gset.join(survivors, "gid").select(col("gid"), col("ids")),
       verified, lit(1.0), "jaccard", knownDepth = Some(maxDepth))
   }
@@ -523,14 +553,8 @@ object Dedup {
         sum(col("tn")).as("n")))
     val banded = gset.select(col("gid"), col("n"),
       posexplode(col("bands")).as(Seq("band", "bkey")))
-    val capped = banded
-      .withColumn("bucket_n", sum(col("n")).over(Window.partitionBy("band", "bkey")))
-      .filter(col("bucket_n") <= MaxBucket)
-    val cand = capped.select(col("band"), col("bkey"), col("gid").as("g1"))
-      .join(capped.select(col("band"), col("bkey"), col("gid").as("g2")),
-        Seq("band", "bkey"))
-      .filter(col("g1") < col("g2"))
-      .select("g1", "g2").distinct()
+    val buckets = cappedBuckets(banded, Seq("band", "bkey"), MaxBucket)
+    val cand = bucketPairs(buckets)
     val sets = gset.select(col("gid"), col("sh"), col("sig"), col("n"))
     val cross = cand
       .join(sets.select(col("gid").as("g1"), col("sh").as("sh1"),
@@ -547,7 +571,7 @@ object Dedup {
         expr(s"(10 * est_m) DIV $NumHashes").as("est_decile"),
         expr("(10 * ov) DIV un").as("true_decile"),
         (col("n1") * col("n2")).as("pairs"))
-    val survivors = capped.select(col("gid")).distinct()
+    val survivors = buckets.select(explode(col("gids")).as("gid")).distinct()
     val within = gset.join(survivors, "gid")
       .filter(col("n") > 1)
       .select(lit(10L).as("est_decile"), lit(10L).as("true_decile"),
@@ -672,22 +696,17 @@ object Dedup {
           bandsOfSigR(sg, r).zipWithIndex.map { case (bk, bi) => (bi, bk, gid, n) }
         }
         .toDF("band", "bkey", "gid", "n")
-      val capped = banded
-        .withColumn("bucket_n",
-          sum(col("n")).over(Window.partitionBy("band", "bkey")))
-        .filter(col("bucket_n") <= MaxBucket)
-      val cand = capped.select(col("band"), col("bkey"), col("gid").as("ga"))
-        .join(capped.select(col("band"), col("bkey"), col("gid").as("gb")),
-          Seq("band", "bkey"))
-        .filter(col("ga") < col("gb"))
-        .select("ga", "gb").distinct()
+      val buckets = cappedBuckets(banded, Seq("band", "bkey"), MaxBucket)
+      val cand = bucketPairs(buckets)
+        .select(col("g1").as("ga"), col("g2").as("gb"))
         .withColumn("hit", lit(1L))
       val crossAgg = crossTruth.join(cand, Seq("ga", "gb"), "left")
         .groupBy("j_decile")
         .agg(sum(col("n_pairs")).as("n_true"),
           sum(when(col("hit").isNotNull, col("n_pairs")).otherwise(0L))
             .as("n_caught"))
-      val surv = capped.select(col("gid")).distinct().withColumn("alive", lit(1L))
+      val surv = buckets.select(explode(col("gids")).as("gid")).distinct()
+        .withColumn("alive", lit(1L))
       val withinAgg = withinGroups.join(surv, Seq("gid"), "left")
         .groupBy()
         .agg(sum(col("n_pairs")).as("n_true"),
