@@ -329,24 +329,6 @@ object Dedup {
       .filter(col("g1") < col("g2"))
       .select("g1", "g2").distinct()
 
-  /** Candidate pairs via LSH banding: explode 16 band keys per doc, shuffle
-    * once on (band, key), pair within buckets (skew-capped), dedup pairs.
-    */
-  private def candidatePairs(docs: DataFrame): DataFrame = {
-    val banded = docs.select(
-      col("doc_id"),
-      posexplode(col("bands")).as(Seq("band", "bkey")))
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bkey")))
-      .filter(col("bucket_n") <= MaxBucket)
-    val l = capped.select(col("band"), col("bkey"), col("doc_id").as("doc1"))
-    val r = capped.select(col("band"), col("bkey"), col("doc_id").as("doc2"))
-    l.join(r, Seq("band", "bkey"))
-      .filter(col("doc1") < col("doc2"))
-      .select("doc1", "doc2")
-      .distinct()
-  }
-
   /** Order-independent 128-bit identity of a shingle SET (length-prefixed
     * MD5 fold over the sorted members). Internal grouping key only — the
     * oracle never sees it, so no cross-engine replay obligations; 128 bits

@@ -145,7 +145,7 @@ object EventStreams {
     * shard key): each bucket keeps the docs seen in it and an arriving
     * doc emits exact-Jaccard-verified pairs against its bucket's history.
     *
-    * Hot-bucket guard vs batch: batch (`Dedup.candidatePairs`) drops an
+    * Hot-bucket guard vs batch: batch (`Dedup.cappedBuckets`) drops an
     * over-cap bucket ENTIRELY — it emits no pairs at all. A stream cannot
     * retract what it already emitted (Append mode), so the closest
     * achievable semantics is applied here: the moment a bucket's
