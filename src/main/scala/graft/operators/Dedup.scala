@@ -782,6 +782,13 @@ object Dedup {
     */
   val DenseMaxSets = 8192
 
+  /** Row cap under which the prefix-filter dictionary is broadcast for the
+    * encode join (the [[SharedBroadcastMaxRows]] budget class: ~tens of MB
+    * of short token strings + int ids). Past it — a web-scale shingle
+    * vocabulary — the encode falls back to a plain equi-join on `tok`.
+    */
+  val DictBroadcastMaxRows = 1L << 20
+
   /** Exact Jaccard similarity self-join at `threshold` over
     * (doc_id, toks: array<string> DISTINCT items).
     *
@@ -990,7 +997,7 @@ object Dedup {
     // prefix). Assigned WITHOUT a single-partition window: distributed
     // range-sort, then zipWithIndex (per-partition counts + offsets — no
     // global funnel).
-    val dict = {
+    val dict = graft.TransientCache.cache {
       import s.implicits._
       toksEx.groupBy("tok").agg(count(lit(1)).as("df"))
         .orderBy(col("df").asc, col("tok").asc)
@@ -998,10 +1005,21 @@ object Dedup {
         .zipWithIndex.map { case (t, i) => (t, (i + 1).toInt) }
         .toDF("tok", "tid")
     }
+    // ADAPTIVE encode-join strategy (round 16, the substring-scrub
+    // SharedBroadcastMaxRows discipline): the dictionary is
+    // distinct-content-sized, and the previous unconditional broadcast
+    // hint would ship a web-scale shingle vocabulary (billions of rows at
+    // 100 TB) to the driver and every executor. The dict is cached anyway
+    // (the encode join consumes it once per side of the build); one count
+    // over the cached rows decides broadcast-vs-shuffle like every other
+    // size threshold in this file. Fixture vocabularies are ~10⁴–10⁵ rows,
+    // so the local plan keeps the broadcast.
+    val dictSide =
+      if (dict.count() <= DictBroadcastMaxRows) broadcast(dict) else dict
     // per-document sorted int-id sets — the compact representation every
     // stage below rides (empty token sets drop out at the explode, so they
     // never pair; jaccard over two empty sets is undefined by contract)
-    val docEnc = toksEx.join(broadcast(dict), "tok")
+    val docEnc = toksEx.join(dictSide, "tok")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("tid"))).as("tids"))
     // identical-set groups: one representative (min doc id) carries the set
