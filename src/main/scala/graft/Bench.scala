@@ -125,10 +125,17 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         } finally {
           // outside the timed window: sweep this run's operator-internal
-          // transient caches (so no run free-rides on the previous run's
-          // blocks and storage can't accumulate across the 60+ query
-          // session) and restore any session conf the query mutated
-          TransientCache.release(spark)
+          // transient caches INCLUDING the memoized shared artifacts (so no
+          // run free-rides on the previous run's blocks and storage can't
+          // accumulate across the 60+ query session) and restore any session
+          // conf the query mutated. releaseAll rather than release (round
+          // 17, the r16 verdict's top item): memo-backed shared builds
+          // (jaccard3 edges, recall-harness truth, IVFPQ codebooks) used to
+          // survive warm-up→timed AND query→query, so the reported seconds
+          // for their consumers excluded the shared build entirely; sweeping
+          // memos per run makes every timed run compute its artifacts from
+          // the parquet inputs — the honest accounting the brief requires.
+          TransientCache.releaseAll(spark)
           restoreConf()
           // If this run was a stateful streaming query, its stopped stream
           // leaves every loaded state-store provider pinned until background
