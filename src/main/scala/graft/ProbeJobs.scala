@@ -35,24 +35,33 @@ object ProbeJobs {
       override def onStageSubmitted(st: SparkListenerStageSubmitted): Unit = stages.incrementAndGet()
     })
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // deterministic listener drain (r16 advice): waitUntilEmpty instead of a
+    // fixed sleep, so job/stage counts can't race on a loaded machine
+    def drain(): Unit = org.apache.spark.sql.graftshim.SessionSweep
+      .drainListenerBus(spark.sparkContext)
+    require(args.nonEmpty,
+      "usage: runMain graft.ProbeJobs <query1,query2,...> (env as Bench)")
     for (name <- args.head.split(",").map(_.trim)) {
       val fn = SparkEntry.queries(name)
       // two passes like the bench (warm-up then steady-state); report both
       for (pass <- Seq("warm", "timed")) {
-        Thread.sleep(200) // let listener events drain between phases
+        drain()
         jobs.set(0); stages.set(0)
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
-        Thread.sleep(200)
+        drain()
         val buildJobs = jobs.get; val buildStages = stages.get
         val t1 = System.nanoTime()
         df.write.mode("overwrite").format("noop").save()
         val t2 = System.nanoTime()
-        Thread.sleep(200)
+        drain()
         println(f"[probejobs] $name $pass build=${(t1 - t0) / 1e9}%.2fs " +
           f"($buildJobs jobs/$buildStages stages) write=${(t2 - t1) / 1e9}%.2fs " +
           f"(${jobs.get - buildJobs} jobs/${stages.get - buildStages} stages)")
-        TransientCache.release(spark)
+        // releaseAll like the bench (round 17): memos must not survive the
+        // warm→timed boundary here either, or the probe's timed pass reports
+        // the free-riding shape the bench no longer measures
+        TransientCache.releaseAll(spark)
         org.apache.spark.sql.graftshim.SessionSweep.sweepStreamingState()
       }
     }

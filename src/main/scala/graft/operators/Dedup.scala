@@ -472,7 +472,8 @@ object Dedup {
     // doc-level cap semantics for the WITHIN pairs too, as before
     val survivors = buckets.select(explode(col("gids")).as("gid")).distinct()
     memberFanOut(gset.join(survivors, "gid").select(col("gid"), col("ids")),
-      verified, lit(1.0), "jaccard", knownDepth = Some(maxDepth))
+      verified, lit(1.0), "jaccard", knownDepth = Some(maxDepth),
+      attachedIds = shallow)
   }
 
   /** minhash_est_error — the estimator-calibration half of the dedup quality
@@ -650,8 +651,12 @@ object Dedup {
     // decile stays the gate's integer arithmetic over the rep shingle sets
     // (never a re-floor of the verified double).
     val crossTruth = memoOr("truth") {
+      // distinctSets: one rep per setKey group ⇒ md5-distinct shingle sets
+      // by construction, so the generator's internal identical-set collapse
+      // would be all singletons — skip its exchange (round 17)
       val (_, tVerified) = jaccardGroups(s,
-        gset.select(col("gid").as("doc_id"), col("sh").as("toks")), threshold)
+        gset.select(col("gid").as("doc_id"), col("sh").as("toks")), threshold,
+        distinctSets = true)
       tVerified
         .select(least(col("g1"), col("g2")).as("ga"),
           greatest(col("g1"), col("g2")).as("gb"))
@@ -672,39 +677,59 @@ object Dedup {
       .select(col("gid"), expr("n * (n - 1) DIV 2").as("n_pairs"))
     val sigs = gset.select(col("gid"), col("n"), col("sig"))
       .as[(Long, Long, Array[Long])]
-    configs.map { case (b, r) =>
-      val banded = sigs
-        .flatMap { case (gid, n, sg) =>
-          bandsOfSigR(sg, r).zipWithIndex.map { case (bk, bi) => (bi, bk, gid, n) }
+    // ALL configs in ONE banding pass (round 17): the per-config map built
+    // one banding shuffle + one candidate distinct + two truth joins PER
+    // config — the same gset bytes through 3× the stages. A `cfg` column
+    // (bands, rows_per_band) rides the banded stream instead, so the sweep
+    // pays ONE exchange per stage carrying all configs' rows at once: same
+    // shuffle volume, a third of the stage/barrier count (guide §2.4), and
+    // the identical per-config arithmetic — bucket caps, candidate dedup,
+    // truth joins and decile sums all group on (bands, rpb, ...) so no
+    // config can see another's rows.
+    val cfgRows = configs.map { case (b, r) => (b.toLong, r.toLong) }
+    val cfgDf = broadcast(cfgRows.toDF("bands", "rpb"))
+    val banded = sigs
+      .flatMap { case (gid, n, sg) =>
+        cfgRows.iterator.flatMap { case (b, r) =>
+          bandsOfSigR(sg, r.toInt).zipWithIndex.map { case (bk, bi) =>
+            (b, r, bi, bk, gid, n) }
         }
-        .toDF("band", "bkey", "gid", "n")
-      val buckets = cappedBuckets(banded, Seq("band", "bkey"), MaxBucket)
-      val cand = bucketPairs(buckets)
-        .select(col("g1").as("ga"), col("g2").as("gb"))
-        .withColumn("hit", lit(1L))
-      val crossAgg = crossTruth.join(cand, Seq("ga", "gb"), "left")
-        .groupBy("j_decile")
-        .agg(sum(col("n_pairs")).as("n_true"),
-          sum(when(col("hit").isNotNull, col("n_pairs")).otherwise(0L))
-            .as("n_caught"))
-      val surv = buckets.select(explode(col("gids")).as("gid")).distinct()
-        .withColumn("alive", lit(1L))
-      val withinAgg = withinGroups.join(surv, Seq("gid"), "left")
-        .groupBy()
-        .agg(sum(col("n_pairs")).as("n_true"),
-          sum(when(col("alive").isNotNull, col("n_pairs")).otherwise(0L))
-            .as("n_caught"))
-        .select(lit(10L).as("j_decile"), col("n_true"), col("n_caught"))
-        .filter(col("n_true").isNotNull)
-      crossAgg.unionByName(withinAgg)
-        .groupBy("j_decile")
-        .agg(sum(col("n_true")).as("n_true"),
-          sum(col("n_caught")).as("n_caught"))
-        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
-          col("j_decile"), col("n_true"), col("n_caught"),
-          (col("n_caught").cast("double") / col("n_true").cast("double"))
-            .as("recall"))
-    }.reduce(_ unionByName _)
+      }
+      .toDF("bands", "rpb", "band", "bkey", "gid", "n")
+    val buckets = cappedBuckets(banded, Seq("bands", "rpb", "band", "bkey"),
+      MaxBucket)
+    val cand = buckets
+      .select(col("bands"), col("rpb"), explode(col("gids")).as("ga"), col("gids"))
+      .select(col("bands"), col("rpb"), col("ga"), explode(col("gids")).as("gb"))
+      .filter(col("ga") < col("gb"))
+      .select("bands", "rpb", "ga", "gb").distinct()
+      .withColumn("hit", lit(1L))
+    val crossAgg = crossTruth.crossJoin(cfgDf)
+      .join(cand, Seq("bands", "rpb", "ga", "gb"), "left")
+      .groupBy("bands", "rpb", "j_decile")
+      .agg(sum(col("n_pairs")).as("n_true"),
+        sum(when(col("hit").isNotNull, col("n_pairs")).otherwise(0L))
+          .as("n_caught"))
+    val surv = buckets
+      .select(col("bands"), col("rpb"), explode(col("gids")).as("gid"))
+      .distinct()
+      .withColumn("alive", lit(1L))
+    val withinAgg = withinGroups.crossJoin(cfgDf)
+      .join(surv, Seq("bands", "rpb", "gid"), "left")
+      .groupBy("bands", "rpb")
+      .agg(sum(col("n_pairs")).as("n_true"),
+        sum(when(col("alive").isNotNull, col("n_pairs")).otherwise(0L))
+          .as("n_caught"))
+      .select(col("bands"), col("rpb"), lit(10L).as("j_decile"),
+        col("n_true"), col("n_caught"))
+    crossAgg.unionByName(withinAgg)
+      .groupBy("bands", "rpb", "j_decile")
+      .agg(sum(col("n_true")).as("n_true"),
+        sum(col("n_caught")).as("n_caught"))
+      .select(col("bands"), col("rpb").as("rows_per_band"),
+        col("j_decile"), col("n_true"), col("n_caught"),
+        (col("n_caught").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
   }
 
   /** Dense small-vocab Jaccard: every distinct token set is one long; the
@@ -805,7 +830,7 @@ object Dedup {
     val (gset, verified) = jaccardGroups(s, docsIn, threshold)
     // verified carries ids1/ids2 from the verification joins — hand them to
     // the fan-out so the shallow branch never re-joins gset (round 16)
-    memberFanOut(gset, verified, lit(1.0), "jaccard")
+    memberFanOut(gset, verified, lit(1.0), "jaccard", attachedIds = true)
   }
 
   /** Above this group depth [[memberFanOut]] trades the in-place nested
@@ -848,7 +873,8 @@ object Dedup {
   private def memberFanOut(gset: DataFrame, verifiedPairs: DataFrame,
       withinValue: Column, payload: String,
       depthProbe: Option[DataFrame] = None,
-      knownDepth: Option[Int] = None): DataFrame = {
+      knownDepth: Option[Int] = None,
+      attachedIds: Boolean = false): DataFrame = {
     // one tiny agg over the (cached) group table decides the strategy —
     // same discipline as the dense-path stats probe above. Callers whose
     // gset argument is a derived (uncached) frame pass `depthProbe` = the
@@ -863,12 +889,15 @@ object Dedup {
     }
     // a verifier whose join already attached the member arrays (the prefix
     // and dense paths carry ids1/ids2 through verification precisely so the
-    // fan-out can ride the same join) hands them over here — re-joining
-    // gset to re-attach what the row already holds cost two more joins of
-    // the group table per query (round 16, measured in the dedup_minhash
-    // job-count probe)
-    val hasIds = verifiedPairs.columns.contains("ids1") &&
-      verifiedPairs.columns.contains("ids2")
+    // fan-out can ride the same join) DECLARES the hand-off via
+    // `attachedIds` (r16 advice: column-name sniffing would silently skip
+    // the attach join for a future caller with coincidentally named
+    // columns); the require pins declaration to reality either way.
+    val hasIds = attachedIds
+    require(hasIds == (verifiedPairs.columns.contains("ids1") &&
+        verifiedPairs.columns.contains("ids2")),
+      s"memberFanOut: attachedIds=$attachedIds but verified columns are " +
+        verifiedPairs.columns.mkString("[", ",", "]"))
     if (maxDepth <= FanOutDepthCap) {
       val sets = gset.select(col("gid"), col("ids"))
       val attached =
@@ -919,8 +948,16 @@ object Dedup {
     * explosion (quadratic inside replica quasi-cliques) never needs to
     * materialize for them.
     */
+  /** `distinctSets = true` (round 17): the caller guarantees every input
+    * row carries a DISTINCT token set (e.g. the recall harness feeds one
+    * representative per setKey group — md5-distinct shingle sets by
+    * construction), so the internal identical-set collapse would produce
+    * only singleton groups; skip its corpus-scale exchange and build the
+    * group table as a map-side projection (gid = doc_id, ids = [doc_id]).
+    */
   private[operators] def jaccardGroups(
-      s: SparkSession, docsIn: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
+      s: SparkSession, docsIn: DataFrame, threshold: Double,
+      distinctSets: Boolean = false): (DataFrame, DataFrame) = {
     // the group collapse treats same-set members as mutual matches without
     // re-checking the threshold (their jaccard is exactly 1)
     require(threshold <= 1.0, s"similarity threshold must be <= 1.0, got $threshold")
@@ -929,38 +966,6 @@ object Dedup {
     // times inside the one consuming action (transient — harness releases)
     val docs = graft.TransientCache.cache(docsIn)
     val toksEx = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-    // cheap pre-probe: if 64 documents already show > 64 distinct tokens
-    // (a lower bound on the vocabulary), skip the full-corpus distinct —
-    // big-vocab corpora (the common case) pay ~nothing for the dense check
-    val sampleBig = docs.limit(64)
-      .select(explode(col("toks")).as("tok"))
-      .distinct().limit(65).collect().length > 64
-    // is the vocabulary tiny? (≤64 ⇒ sets are single longs)
-    val vocab64 =
-      if (sampleBig) Array.empty[String]
-      else toksEx.select("tok").distinct().limit(65).collect().map(_.getString(0))
-    if (!sampleBig && vocab64.length <= 64) {
-      import s.implicits._
-      val dict = broadcast(
-        vocab64.sorted.zipWithIndex.map { case (t, i) => (t, i + 1) }.toSeq.toDF("tok", "tid"))
-      val masks = toksEx.join(dict, "tok")
-        .groupBy("doc_id")
-        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tid - 1))").as("mask"))
-      val groups = graft.TransientCache.cache(
-        masks.groupBy("mask")
-          .agg(collect_list(col("doc_id")).as("ids"))
-          .withColumn("n", bit_count(col("mask")))
-      ) // u rows, consumed by the sizing stats AND both join sides
-      // guard BOTH dimensions before u² probing: distinct-set count, and the
-      // hottest identical-set group (a mega-group would concentrate a
-      // quadratic expansion in one task AND ship every doc id in the
-      // broadcast — same invariant as MaxBucket on the minhash path; such
-      // corpora should run exact dedup first and take the prefix path)
-      val stats = groups.agg(count(lit(1)), max(size(col("ids")))).head
-      if (stats.getLong(0) <= DenseMaxSets && stats.getInt(1) <= MaxBucket)
-        return denseMaskGroups(groups, threshold)
-      // fall through to the prefix path
-    }
     // COLLAPSE IDENTICAL TOKEN SETS FIRST (round 12, measured): candidate
     // generation must scale with DISTINCT content, not replicas. On a
     // 10-deep exact-duplicate corpus (the 10× probe fixture) every replica
@@ -977,7 +982,7 @@ object Dedup {
     // This is the in-operator form of "exact-dedup before near-dup" every
     // production pipeline runs anyway — here it is structural, so the
     // operator survives duplicated corpora without relying on upstream
-    // hygiene. (The dense path above gets the same collapse from its
+    // hygiene. (The dense path below gets the same collapse from its
     // unique-mask grouping.)
     //
     // The collapse runs on the ENCODED sorted-int arrays, not the raw token
@@ -1005,17 +1010,49 @@ object Dedup {
         .zipWithIndex.map { case (t, i) => (t, (i + 1).toInt) }
         .toDF("tok", "tid")
     }
+    // ONE count gates BOTH adaptive choices (round 17): the dense-path
+    // check and the encode-join strategy read the same cached-dictionary
+    // cardinality, replacing the former limit-64 sample probe + separate
+    // distinct-vocabulary collect (two extra driver actions on every call
+    // of this kernel — eight registered queries run through here). The
+    // dictionary build the prefix path needs anyway IS the full-corpus
+    // token distinct, so tiny-vocab corpora are detected from it for free;
+    // they pay the dictionary's sort+rank (trivial at ≤64 rows) where they
+    // previously skipped it.
+    val nDict = dict.count()
+    if (nDict <= 64) {
+      // vocabulary fits in one 64-bit mask (≤64 ⇒ sets are single longs);
+      // any injective token→bit assignment gives identical groups and
+      // identical popcount Jaccard, so the df-ordered tids serve as bit
+      // positions directly
+      val masks = toksEx.join(broadcast(dict), "tok")
+        .groupBy("doc_id")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), tid - 1))").as("mask"))
+      val groups = graft.TransientCache.cache(
+        masks.groupBy("mask")
+          .agg(collect_list(col("doc_id")).as("ids"))
+          .withColumn("n", bit_count(col("mask")))
+      ) // u rows, consumed by the sizing stats AND both join sides
+      // guard BOTH dimensions before u² probing: distinct-set count, and the
+      // hottest identical-set group (a mega-group would concentrate a
+      // quadratic expansion in one task AND ship every doc id in the
+      // broadcast — same invariant as MaxBucket on the minhash path; such
+      // corpora should run exact dedup first and take the prefix path)
+      val stats = groups.agg(count(lit(1)), max(size(col("ids")))).head
+      if (stats.getLong(0) <= DenseMaxSets && stats.getInt(1) <= MaxBucket)
+        return denseMaskGroups(groups, threshold)
+      // fall through to the prefix path
+    }
     // ADAPTIVE encode-join strategy (round 16, the substring-scrub
     // SharedBroadcastMaxRows discipline): the dictionary is
-    // distinct-content-sized, and the previous unconditional broadcast
-    // hint would ship a web-scale shingle vocabulary (billions of rows at
-    // 100 TB) to the driver and every executor. The dict is cached anyway
-    // (the encode join consumes it once per side of the build); one count
-    // over the cached rows decides broadcast-vs-shuffle like every other
-    // size threshold in this file. Fixture vocabularies are ~10⁴–10⁵ rows,
-    // so the local plan keeps the broadcast.
+    // distinct-content-sized, and an unconditional broadcast hint would
+    // ship a web-scale shingle vocabulary (billions of rows at 100 TB) to
+    // the driver and every executor; the cached-row count decides
+    // broadcast-vs-shuffle like every other size threshold in this file.
+    // Fixture vocabularies are ~10⁴–10⁵ rows, so the local plan keeps the
+    // broadcast.
     val dictSide =
-      if (dict.count() <= DictBroadcastMaxRows) broadcast(dict) else dict
+      if (nDict <= DictBroadcastMaxRows) broadcast(dict) else dict
     // per-document sorted int-id sets — the compact representation every
     // stage below rides (empty token sets drop out at the explode, so they
     // never pair; jaccard over two empty sets is undefined by contract)
@@ -1024,10 +1061,15 @@ object Dedup {
       .agg(sort_array(collect_list(col("tid"))).as("tids"))
     // identical-set groups: one representative (min doc id) carries the set
     // through candidate generation + verification; members fan back in at
-    // the end
+    // the end. Callers that certify distinct sets skip the collapse
+    // exchange — every group is a singleton by their construction.
     val gset = graft.TransientCache.cache(
-      docEnc.groupBy("tids")
-        .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("ids")))
+      if (distinctSets)
+        docEnc.select(col("tids"), col("doc_id").as("gid"),
+          array(col("doc_id")).as("ids"))
+      else
+        docEnc.groupBy("tids")
+          .agg(min(col("doc_id")).as("gid"), collect_list(col("doc_id")).as("ids")))
     // unique sets; prefix = rarest ids
     val encoded = gset
       .select(col("gid"), col("tids"))
@@ -1245,20 +1287,22 @@ object Dedup {
     // corpus the collapse degenerates to one extra narrow exchange,
     // the same insurance-premium class as the round-12 set collapse.
     if (collapseExact) {
-      val tg = graft.TransientCache.cache(
-        docsT.select(col("doc_id"), md5(col("text")).as("tkey"))
-          .groupBy("tkey")
-          .agg(min(col("doc_id")).as("rep"),
-            collect_list(col("doc_id")).as("members")))
-      val repSets = docsT
-        .join(tg.select(col("rep").as("doc_id")), "doc_id")
+      // ONE scan (round 17): [[textGroups]] — the minhash family's r16
+      // collapse — carries the representative text THROUGH the md5 groupBy
+      // (first(text) partial-aggregates map-side), so the former second
+      // documents scan + rep-text equi-join disappear from every groupGraph
+      // consumer (clusters, canonical, pipeline keep/curate). rep = min
+      // member doc_id and the members multiset are unchanged, so every
+      // downstream label is bit-identical.
+      val tg = graft.TransientCache.cache(textGroups(docsT))
+      val repSets = tg.select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) => (id, shingleSet(text)) }
         .toDF("doc_id", "toks")
       val (gset, verified) = jaccardGroups(s, repSets, threshold)
       val membership = gset
         .select(col("gid"), explode(col("ids")).as("rep"))
-        .join(tg.select(col("rep"), col("members")), "rep")
+        .join(tg.select(col("doc_id").as("rep"), col("members")), "rep")
         .select(col("gid"), explode(col("members")).as("did"))
       membership.select(lit("m").as("kind"), col("did").as("a"),
           col("gid").as("b"))
@@ -1368,13 +1412,24 @@ object Dedup {
     var prevSum = Long.MaxValue
     var curSum = labelSum(labels)
     var rounds = 0
-    while (curSum != prevSum && rounds < maxRounds) {
-      val viaEdge = labels
-        .join(edges, labels("doc_id") === edges("u"))
+    // one propagation step: every node takes the min label among itself and
+    // its neighbors
+    def step(l: DataFrame): DataFrame = {
+      val viaEdge = l
+        .join(edges, l("doc_id") === edges("u"))
         .select(col("v").as("doc_id"), col("cluster_id"))
-      val (next, nextIds) = checkpointLazyTracked(
-        labels.unionByName(viaEdge)
-          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")))
+      l.unionByName(viaEdge)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    }
+    // ONE step per materialized round, deliberately (round 17, measured):
+    // a double-step variant (two joins+aggs per barrier) was tried to halve
+    // the action count, but cost tracks EXCHANGES executed, not actions —
+    // the convergence-confirm barrier then pays two no-op propagation
+    // shuffles instead of one, and dedup_clusters measured +5 jobs for it.
+    // The same argument holds at 100 TB: shuffle count dominates barrier
+    // count for this loop.
+    while (curSum != prevSum && rounds < maxRounds) {
+      val (next, nextIds) = checkpointLazyTracked(step(labels))
       prevSum = curSum
       curSum = labelSum(next)
       free(labelIds)

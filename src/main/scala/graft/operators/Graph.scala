@@ -495,7 +495,19 @@ object Graph {
     val ecp = edgeCheckpoint(s, dir, edgesWithDeg(s, dir), "src", coLocate = true)
     try {
     val edges = ecp.df
-    val seed = Tables.events(s, dir).agg(min(col("user_id")).as("seed"))
+    // the 1-row seed aggregate is materialized ONCE and BROADCAST into the
+    // init and each round's teleport term (round 17): the previous shape
+    // cross-joined it into the rank table and carried `seed` through every
+    // round's groupBy KEY — one extra BIGINT per rank row through every
+    // exchange and every barrier for all ten rounds. The broadcast keeps
+    // the "never a collected scalar" discipline (the seed stays a
+    // distributed row; broadcasting a 1-row frame is a join strategy, not
+    // a driver data path), narrows the round shuffle key to `node` alone,
+    // and ReuseExchange dedups the identical 1-row broadcast inside each
+    // stride tower.
+    val (seedCp, seedIds) = checkpointTracked(
+      Tables.events(s, dir).agg(min(col("user_id")).as("seed")))
+    val tele = lit(Scale - Scale * DampNum / DampDen)
     // same |V|-sized barrier discipline as [[pagerank]]: serialized
     // disk-resident past the spill threshold, hot in memory below it
     val barrierLevel =
@@ -503,22 +515,21 @@ object Graph {
       else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var (ranks, rankIds) = checkpointTracked(
       edges.select(col("src").as("node")).distinct()
-        .crossJoin(seed)
-        .withColumn("rank",
-          when(col("node") === col("seed"), lit(Scale)).otherwise(lit(0L)))
-        .select(col("node"), col("rank"), col("seed")), barrierLevel)
+        .join(broadcast(seedCp), col("node") === col("seed"), "left")
+        .select(col("node"),
+          when(col("seed").isNotNull, lit(Scale)).otherwise(lit(0L)).as("rank")),
+      barrierLevel)
     var round = 0
     while (round < rounds) {
       val step =
         ranks.join(edges, ranks("node") === edges("src"))
-          .select(col("dst"), expr("rank DIV d").as("contrib"), col("seed"))
-          .groupBy(col("dst").as("node"), col("seed"))
+          .select(col("dst"), expr("rank DIV d").as("contrib"))
+          .groupBy(col("dst").as("node"))
           .agg(expr(s"(sum(contrib) * $DampNum) DIV $DampDen").as("walk"))
+          .join(broadcast(seedCp), col("node") === col("seed"), "left")
           .select(col("node"),
-            (when(col("node") === col("seed"),
-              lit(Scale - Scale * DampNum / DampDen)).otherwise(lit(0L)) +
-              col("walk")).as("rank"),
-            col("seed"))
+            (when(col("seed").isNotNull, tele).otherwise(lit(0L)) +
+              col("walk")).as("rank"))
       round += 1
       // same stride policy as [[pagerank]]: bounded lazy tower between
       // materialization barriers
@@ -531,6 +542,9 @@ object Graph {
         ranks = step
       }
     }
+    // the final ranks are materialized rows with no lineage back to the
+    // seed frame — its single block can go now
+    free(seedIds)
     graft.TransientCache.adoptRddIds(rankIds)
     ranks.select(col("node"), col("rank"))
     // same finally contract as [[pagerank]]

@@ -30,8 +30,19 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
+    // cache key carries the file/dir modification time (r16 advice): a
+    // fixture path REWRITTEN with a different schema in the same JVM must
+    // re-infer, not silently read with the stale schema (a user-specified
+    // schema masks drift as nulls instead of failing). One driver-side
+    // getFileStatus per lookup — no footer read, no data scan.
+    val mtime =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getModificationTime
+      } catch { case _: java.io.IOException => -1L }
+    val schema = schemaCache.computeIfAbsent(s"$path@$mtime",
+      _ => spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }
 

@@ -54,8 +54,15 @@ case class BoundedCollectList(
 
   override def merge(buffer: mutable.ArrayBuffer[Any],
       other: mutable.ArrayBuffer[Any]): mutable.ArrayBuffer[Any] = {
-    val merged = super.merge(buffer, other)
-    if (merged.length > limit + 1) merged.takeInPlace(limit + 1) else merged
+    // append only the prefix of `other` that still fits the bound (r16
+    // advice): concatenate-then-truncate transiently held up to
+    // 2·(limit + 1) elements per merge of two over-cap partials; the
+    // prefix append keeps the bound tight through the merge itself.
+    // Within-cap groups append `other` whole — identical to before.
+    val room = (limit + 1) - buffer.length
+    if (room <= 0) buffer
+    else if (other.length <= room) buffer.addAll(other)
+    else buffer.addAll(other.view.slice(0, room))
   }
 
   override def eval(buffer: mutable.ArrayBuffer[Any]): Any =

@@ -50,4 +50,12 @@ object SessionSweep {
     * stateful streaming query, false after [[sweepStreamingState]].
     */
   def maintenanceRunning: Boolean = StateStore.isMaintenanceRunning
+
+  /** Block until the listener bus has delivered every queued event —
+    * `listenerBus` is `private[spark]`, so dev probes (ProbeJobs) reach it
+    * through this forwarder instead of racing a fixed sleep against the
+    * event queue on a loaded machine.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
